@@ -1,0 +1,50 @@
+"""Test-table access: the driver's deterministic TPC-H-ish parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under an sf dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join these at any scale. region and
+# nation are bounded by geography (25/5 rows in TPC-H); part/supplier/customer
+# grow with SF and must NOT be assumed broadcastable at 100 TB.
+BROADCAST_DIMS = ("region", "nation")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown reach the parquet
+    scan because the DataFrame is built directly over the file source.
+
+    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; we read nanos as long (legacy conf) and rebuild the timestamp.
+    The data is microsecond-granular, so `DIV 1000` is lossless.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register temp views so operators can be written in Spark SQL."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

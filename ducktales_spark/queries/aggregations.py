@@ -1,0 +1,170 @@
+"""Aggregation operators A1-A10 (SURVEY.md §2.4) + grouping-set extensions.
+
+All are single hash-aggregation plans: partial aggregation map-side, one
+shuffle keyed on the group-by columns, final aggregation. Cardinality of the
+shuffle is the number of groups, not input rows — scale-stable.
+COUNT(DISTINCT) rewrites to a two-phase expand+aggregate in Catalyst; exact
+per the reference (A2), with approx_count_distinct available where a sketch
+is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducktales_spark.data import table
+from ducktales_spark.registry import register
+
+
+@register(
+    "a02_count_distinct",
+    survey_ids=("A2", "A8"),
+    oracle="""
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*)                    AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def a02_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (reference: demos/05_catalog_portability/demo.py:361)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "a06_conditional_agg",
+    survey_ids=("A4", "A6", "A8"),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_finished,
+           avg(o_totalprice) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def a06_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(CASE WHEN ...) conditional aggregate (reference: demos/05_catalog_portability/demo.py:348)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_finished"),
+            F.avg("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "a09_groupby_multikey",
+    survey_ids=("A3", "A8", "A9"),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           sum(l_quantity) AS sum_qty,
+           count(*)        AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INTEGER)
+    ORDER BY l_returnflag, l_linestatus, ship_year
+    """,
+)
+def a09_groupby_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key GROUP BY incl. computed key (reference: demos/05_catalog_portability/demo.py:162)."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus", "ship_year")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus", "ship_year")
+    )
+
+
+@register(
+    "a10_global_agg",
+    survey_ids=("A1", "A3", "A5", "A10"),
+    oracle="""
+    SELECT count(*)             AS n_rows,
+           sum(l_extendedprice) AS total_price,
+           min(l_quantity)      AS min_qty,
+           max(l_quantity)      AS max_qty,
+           avg(l_discount)      AS avg_disc
+    FROM lineitem
+    """,
+)
+def a10_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate (reference: demos/05_catalog_portability/demo.py:357-366)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_extendedprice").alias("total_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.avg("l_discount").alias("avg_disc"),
+    )
+
+
+@register(
+    "x04_rollup",
+    survey_ids=("A8",),  # extension beyond reference (Spark/DuckDB ROLLUP)
+    oracle="""
+    SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def x04_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (extension; region->nation customer counts)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "x05_cube",
+    survey_ids=("A8",),  # extension beyond reference (Spark/DuckDB CUBE)
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           sum(l_quantity)          AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def x05_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over flag/status (extension)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )

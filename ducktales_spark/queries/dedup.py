@@ -1,0 +1,308 @@
+"""Deduplication operators over the documents table (extensions; first-class
+training-data-pipeline components).
+
+* exact dedup        — md5(content) hash-groupBy; one shuffle on the hash.
+* n-gram Jaccard     — exact pairwise similarity via shingle inverted index
+                       (explode -> self-join on shingle -> count agg). The
+                       join key is the shingle, so cost scales with shared-
+                       shingle pairs, not |docs|^2.
+* MinHash + LSH      — deterministic minhash signatures (fixed affine hash
+                       family over xxhash64) + banded LSH bucketing; only
+                       same-bucket pairs are compared. This is the 100 TB
+                       path: candidate generation is a groupBy on
+                       (band_id, band_key).
+* SimHash            — 64-bit sign-sum sketch + 16-bit band LSH, hamming
+                       verification.
+
+All signature math uses Spark higher-order array functions (transform /
+aggregate / zip_with) — JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducktales_spark.data import table
+from ducktales_spark.registry import register
+
+# --- deterministic minhash family -----------------------------------------
+_P = 2147483647  # 2^31 - 1 (Mersenne prime); a*h+b stays well inside int64
+_NUM_HASHES = 32
+_BAND_ROWS = 4  # 8 bands of 4 rows -> catches jaccard ~>0.6 reliably
+_rng = random.Random(42)
+_HASH_AB = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(_NUM_HASHES)]
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM higher-order fns)."""
+    ws = F.split(F.trim(text), r"\s+")
+    k = F.size(ws) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array()))
+
+
+def _minhash_one(shingles: Column, a: int, b: int) -> Column:
+    """min over shingles of (a*h32(s)+b) mod p, h32 = xxhash64 folded to [0,p)."""
+
+    def h(s: Column) -> Column:
+        return F.pmod(F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_P)) + F.lit(b), F.lit(_P))
+
+    return F.array_min(F.transform(shingles, h))
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """k=32 minhash values from a fixed affine hash family. Deterministic."""
+    return F.array(*[_minhash_one(shingles, a, b) for (a, b) in _HASH_AB])
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LSH-banded candidate pairs with estimated jaccard.
+
+    docs(id, text) -> (doc_a, doc_b, est_jaccard). Scale path: the only
+    shuffles are the band groupBy-join (key = band hash, cardinality =
+    #docs * #bands) and the signature re-join on doc id.
+    """
+    sig = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            minhash_signature(word_shingles(F.col(text_col))).alias("sig"),
+        )
+        .filter(F.size("sig") > 0)  # drop docs with no shingles
+    )
+    n_bands = _NUM_HASHES // _BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.concat_ws(
+                            "-", *[F.col("sig")[i * _BAND_ROWS + j] for j in range(_BAND_ROWS)]
+                        ).alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(_NUM_HASHES))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- registered queries ----------------------------------------------------
+
+
+@register(
+    "d01_dedup_exact",
+    survey_ids=("A1", "A5", "A8"),  # extension: exact dedup
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT)    AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keeper_doc_id
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep min doc_id per group.
+    One shuffle keyed on the 128-bit content hash — uniform keys, no skew,
+    scales linearly."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+@register(
+    "d02_ngram_jaccard",
+    survey_ids=("J1", "A8"),  # extension: n-gram Jaccard near-dup
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM d
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM pos
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity via shingle inverted index; pairs with
+    jaccard >= 0.2. Join key is the shingle — candidate pairs are only those
+    sharing a shingle, not the full cross product."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "d03_minhash_lsh",
+    survey_ids=(),  # extension: MinHash+LSH near-dup (non-SQL-expressible
+    # oracle: deterministic but hash-family-specific -> rows-only check;
+    # correctness covered by tests/test_dedup.py against planted near-dups)
+    oracle=None,
+)
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs on documents (see
+    minhash_candidate_pairs for the scale design)."""
+    return minhash_candidate_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "d04_simhash",
+    survey_ids=(),  # extension: SimHash sketch (rows-only; verified in tests)
+    oracle=None,
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + 16-bit-band LSH candidate pairs with
+    hamming distance <= 6.
+
+    The bit-sum sketch is a single aggregate over word hashes per doc
+    (higher-order fold, JVM-side); banding makes pair generation a groupBy
+    join like minhash.
+    """
+    d = table(spark, sf_dir, "documents")
+    ws = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+    # per-bit contribution sums: fold word hashes into a 64-long vector of
+    # +1/-1 sums; bit i of the simhash is (sum_i > 0)
+    def bit_contrib(h: Column) -> Column:
+        # +1/-1 per bit of the 64-bit word hash (i is a Python int, so
+        # shiftright gets its required literal shift amount)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(64)
+            ]
+        )
+
+    bitsum = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, bit_contrib(h), lambda a, b: a + b.cast("long")),
+    )
+    bits = F.transform(bitsum, lambda v: (v > 0).cast("int"))
+    sigs = d.select("doc_id", bits.alias("bits")).withColumn(
+        "bands",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.concat_ws("", F.slice(F.col("bits"), i * 16 + 1, 16)).alias(
+                        "band_key"
+                    ),
+                )
+                for i in range(4)
+            ]
+        ),
+    )
+    bands = sigs.select(
+        "doc_id", F.col("bits"), F.explode("bands").alias("band")
+    ).select("doc_id", "bits", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.col("a.bits"), F.col("b.bits"), lambda x, y: x != y),
+            lambda v: v,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

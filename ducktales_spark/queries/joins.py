@@ -1,0 +1,151 @@
+"""Join operators J1-J3 (SURVEY.md §2.3) plus semi/anti/self-join extensions.
+
+Scale strategy: region/nation are bounded dims -> explicit broadcast (no
+shuffle of the fact side). customer-orders joins shuffle on the key; at
+100 TB both sides hash-partition on the join key and AQE handles skew
+(skewJoin enabled in session config). No cartesian products anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducktales_spark.data import table
+from ducktales_spark.registry import register
+
+
+@register(
+    "j01_inner_join_revenue_by_region",
+    survey_ids=("J1", "A3", "A8"),
+    oracle="""
+    SELECT r_name AS region_name,
+           sum(o_totalprice) AS revenue,
+           count(*)          AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY region_name
+    """,
+)
+def j01_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain fact->dims (reference: demos/02_time_travel/demo.py:288).
+
+    orders⋈customer shuffles on custkey; nation/region broadcast.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("region_name")
+    )
+
+
+@register(
+    "j02_left_join_coalesce",
+    survey_ids=("J2", "A3", "A7", "A8"),
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(sum(o_totalprice), 0)                        AS total_spent,
+           CAST(count(o_orderkey) AS BIGINT)                     AS n_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def j02_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN + COALESCE(SUM,0) — the reference's product_inventory view
+    (reference: demos/05_catalog_portability/demo.py:150-164)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j03_semi_join",
+    survey_ids=("J1",),  # extension: Spark-native left_semi (EXISTS)
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def j03_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having a >300k order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j04_anti_join",
+    survey_ids=("J2",),  # extension: Spark-native left_anti (NOT EXISTS)
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j04_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j05_self_join",
+    survey_ids=("J3",),
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+    FROM nation a
+    JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    ORDER BY nation_a, nation_b
+    """,
+)
+def j05_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join producing same-region nation pairs — the structural shape of
+    the reference's cross-version diff self-join (reference:
+    demos/02_time_travel/demo.py:271-291; the true versioned variant lives in
+    the lake layer as table_changes)."""
+    a = table(spark, sf_dir, "nation").alias("a")
+    b = table(spark, sf_dir, "nation").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+            F.col("a.n_regionkey").alias("regionkey"),
+        )
+        .orderBy("nation_a", "nation_b")
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators over the documents table (extensions; a core
+piece of a training-data pipeline at 100 TB).
+
+Everything here is built-in JVM expressions (regexp/split/length/md5) — no
+Python in the hot path, so these run at parquet-scan speed and stay inside
+whole-stage codegen. All are embarrassingly parallel (no shuffle except the
+final aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducktales_spark.data import table
+from ducktales_spark.registry import register
+
+# Tiny deterministic english stopword list for the n-gram language heuristic.
+_EN_STOP = r"\b(the|and|of|to|in|is|a|for|on|with)\b"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, shared by the text + dedup operators."""
+    return F.split(F.trim(text), r"\s+")
+
+
+@register(
+    "t01_token_count",
+    survey_ids=(),  # extension: token counting
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+               AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_seen
+    FROM documents
+    """,
+)
+def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count per document."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_seen"),
+    )
+
+
+@register(
+    "t02_quality_score",
+    survey_ids=(),  # extension: quality scoring
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS alpha_ratio,
+           round(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 2)
+               AS n_words,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+               AS chars_per_word
+    FROM documents
+    WHERE length(text) >= 20
+    """,
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: length, alphabetic ratio, words-per-doc,
+    chars-per-word — the length/punct/stopword family of heuristics."""
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_words = F.size(tokens(F.col("text")))
+    return d.filter(n_chars >= 20).select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "alpha_ratio"
+        ),
+        F.round(n_words.cast("double"), 2).alias("n_words"),
+        F.round(
+            n_chars.cast("double") / F.greatest(n_words, F.lit(1)), 6
+        ).alias("chars_per_word"),
+    )
+
+
+@register(
+    "t03_lang_heuristic",
+    survey_ids=(),  # extension: language-ID heuristic
+    oracle=rf"""
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(lower(text), '{_EN_STOP}')) AS INTEGER)
+               AS n_en_stopwords,
+           round(CAST(len(regexp_extract_all(lower(text), '{_EN_STOP}')) AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+               AS en_stopword_ratio
+    FROM documents
+    """,
+)
+def t03_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language signal (n-gram heuristic family)."""
+    d = table(spark, sf_dir, "documents")
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_EN_STOP), 0))
+    n_words = F.size(tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_stop.alias("n_en_stopwords"),
+        F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 6).alias(
+            "en_stopword_ratio"
+        ),
+    )
+
+
+@register(
+    "t04_fingerprint",
+    survey_ids=(),  # extension: document fingerprinting
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint: lowercase, collapse non-alnum runs,
+    md5 — stable under whitespace/punctuation edits."""
+    d = table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))

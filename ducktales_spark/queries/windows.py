@@ -1,0 +1,180 @@
+"""Window operators: W1 (SURVEY.md §2.5) + ranking/analytic extensions, and
+sort/limit operators O1-O4 (§2.6).
+
+Scale notes: every window here is PARTITIONED (partitionBy) so state is
+bounded per key and the plan is one shuffle on the partition key + in-
+partition sort. The reference's empty-OVER row_number (W1) is inherently a
+single-partition global sort — we keep it deterministic by ordering on a
+unique key, and bound the output with LIMIT so the global sort lowers to
+TakeOrderedAndProject (top-k per partition + driver merge, no single-node
+full sort) — the only scale-safe shape for a global sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ducktales_spark.data import table
+from ducktales_spark.registry import register
+
+
+@register(
+    "w01_row_number_global",
+    survey_ids=("W1", "O2", "O4"),
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+               AS seq,
+           o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY seq
+    LIMIT 25
+    """,
+)
+def w01_row_number_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number sequence (reference: exploration/ducklake_analysis.sh:87).
+
+    Deterministic total order (price desc, unique key tiebreak); LIMIT keeps
+    the global window top-k-shaped.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            F.row_number().over(w).cast("bigint").alias("seq"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .orderBy("seq")
+        .limit(25)
+    )
+
+
+@register(
+    "w02_topk_per_group",
+    survey_ids=("W1",),  # extension: partitioned ranking
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def w02_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group via partitioned row_number (extension).
+
+    Catalyst inserts a WindowGroupLimit (rank-limit pushdown) so each
+    partition keeps only k rows before the final filter — scale-stable.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "w03_running_sum",
+    survey_ids=("W1",),  # extension: analytic frame
+    oracle="""
+    SELECT user_id, event_id, value,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_value
+    FROM events
+    WHERE user_id % 50 = 0
+    ORDER BY user_id, event_id
+    """,
+)
+def w03_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum over event time (extension; frame spec)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum("value").over(w).alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "w04_lag_delta",
+    survey_ids=("W1",),  # extension: lag/lead
+    oracle="""
+    SELECT user_id, event_id, value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS delta
+    FROM events
+    WHERE user_id % 50 = 0
+    ORDER BY user_id, event_id
+    """,
+)
+def w04_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value - lag(value) per user (extension; session-style delta)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "o01_sort_limit_topk",
+    survey_ids=("O1", "O2", "O4"),
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def o01_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... DESC LIMIT n -> TakeOrderedAndProject
+    (reference: demos/02_time_travel/demo.py:132-137)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+@register(
+    "o03_multi_sort",
+    survey_ids=("O1", "O3"),
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_regionkey, n_name
+    """,
+)
+def o03_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column ORDER BY (reference: exploration/ducklake_analysis.sh:183)."""
+    return (
+        table(spark, sf_dir, "nation")
+        .orderBy("n_regionkey", "n_name")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

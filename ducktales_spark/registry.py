@@ -1,0 +1,66 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions) registers a named (spark_impl, oracle_sql) pair here.
+
+The driver contract (``__spark_entry__.py``) exposes this registry through
+``queries()`` and ``oracle_sql()``; pytest runs the same pairs differentially
+against DuckDB at small SF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB ANSI SQL; None => rows-only check
+    survey_ids: tuple = field(default_factory=tuple)  # SURVEY.md §2 operator ids
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, survey_ids: tuple = ()):
+    """Decorator: register a query implementation.
+
+    The decorated callable takes ``(spark, sf_dir)`` and returns a DataFrame.
+    Every computed column must be aliased identically in the Spark plan and in
+    ``oracle`` (the driver's value-hash sorts columns by name).
+    """
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, survey_ids=survey_ids, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all query modules (side effect: they register) and return the
+    registry."""
+    # Imports deferred so `import ducktales_spark` stays cheap.
+    from ducktales_spark.queries import (  # noqa: F401
+        aggregations,
+        dedup,
+        flagship,
+        functions,
+        joins,
+        lake_demo,
+        projections,
+        setops,
+        similarity,
+        text,
+        windows,
+    )
+
+    return REGISTRY

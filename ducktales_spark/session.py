@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for the test harness (local[N]) while keeping
+settings that scale to a real cluster (AQE, adaptive coalesce/skew-join,
+Arrow transfers).
+
+On a 1000-executor cluster the same builder applies — only ``master`` and the
+memory sizing change; every query in this repo is declarative DataFrame/SQL so
+Catalyst/AQE pick physical strategies per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ducktales-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One shuffle partition per core locally; on a cluster AQE coalesces
+        # from a larger initial number, so this is a floor not a tuning crutch.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
