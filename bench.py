@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count of the result) — collect() of
+wide results would measure Arrow transfer to the driver, not the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Headline set: scan-agg, join chain, left-join agg, multikey agg, window
+# top-k, sort-limit, exact dedup, jaccard near-dup, minhash LSH, text
+# quality, cosine top-k, tumbling window.
+HEADLINE = [
+    "q1_pricing_summary",
+    "j01_inner_join_revenue_by_region",
+    "j02_left_join_coalesce",
+    "a09_groupby_multikey",
+    "w02_topk_per_group",
+    "o01_sort_limit_topk",
+    "d01_dedup_exact",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    "t02_quality_score",
+    "e01_cosine_topk",
+    "x02_tumbling_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ducktales_spark.registry import load_all
+    from ducktales_spark.session import get_spark
+
+    specs = load_all()
+    spark = get_spark("ducktales-bench")
+
+    # Warm the JVM/codegen once so per-query numbers measure the engine,
+    # not session startup.
+    specs["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

