@@ -1,0 +1,1003 @@
+"""LakeCatalog: the lakehouse layer — transactions, snapshots, time travel,
+schema evolution, inlining — over Spark + a SQL metadata store.
+
+Architecture (mirrors the reference's, re-expressed for Spark — SURVEY.md §3):
+
+* Data = parquet files written by distributed Spark jobs into per-table dirs
+  (``utils/ducklake_utils.py:128-134``; ``README.md:16``).
+* Metadata = rows in a SQL database (SQLite locally, PostgreSQL for prod);
+  a commit inserts snapshot + data-file + schema rows in ONE SQL transaction
+  (``README.md:202-209``) — that single round trip is the atomic commit point.
+  Spark jobs only ever *stage* files; a crash before the catalog commit leaves
+  unreferenced files that :meth:`LakeCatalog.gc` collects.
+* Reads resolve (table, version) -> live file list -> ``spark.read.parquet``
+  with per-file-schema-version projection, unioned with inlined rows.
+
+Scale design: the commit path is O(#files touched) metadata rows, independent
+of data volume; UPDATE/DELETE are copy-on-write rewrites of ONLY the files
+whose min/max stats can match the predicate (stats.py), so point mutations on
+a 100 TB table rewrite a few files, not the table. Constraint checks (PK /
+NOT NULL) are distributed Spark jobs (anti-join / null-scan), never driver
+loops.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob as _glob
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field as _dcfield
+from functools import reduce
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .metastore import ConflictError, Metastore, open_metastore
+from .schema import (
+    TableSchema,
+    row_from_json,
+    row_to_json,
+    value_from_json,
+)
+from .stats import collect_file_stats, file_may_match, parse_conjuncts
+
+__all__ = [
+    "LakeCatalog",
+    "Transaction",
+    "LakeError",
+    "ConstraintViolation",
+    "ConflictError",
+    "connect",
+]
+
+
+class LakeError(Exception):
+    pass
+
+
+class ConstraintViolation(LakeError):
+    """PK duplicate / NOT NULL violation — aborts the enclosing transaction
+    (demos/01_transaction_rollback/demo.py:137-151)."""
+
+
+@dataclass
+class FileEntry:
+    file_id: Optional[int]
+    path: str
+    row_count: int
+    file_bytes: int
+    schema_version: int
+    col_stats: Optional[str]
+    staged: bool = False
+
+
+@dataclass
+class InlinedEntry:
+    row_id: Optional[int]
+    schema_version: int
+    row_json: str
+    staged: bool = False
+
+
+@dataclass
+class TableState:
+    """Driver-side view of one table inside a transaction: committed state at
+    the txn's base version plus staged mutations (read-your-writes)."""
+
+    name: str
+    table_id: Optional[int]
+    data_dir: str
+    schemas: dict  # schema_version -> TableSchema
+    schema_version: int
+    files: list  # live FileEntry (committed-live + staged adds)
+    inlined: list  # live InlinedEntry
+    created: bool = False
+    dropped: bool = False
+    staged_schema_versions: list = _dcfield(default_factory=list)
+    removed_file_ids: list = _dcfield(default_factory=list)
+    removed_inlined_ids: list = _dcfield(default_factory=list)
+    changes: set = _dcfield(default_factory=set)  # change-kind markers
+
+    @property
+    def schema(self) -> TableSchema:
+        return self.schemas[self.schema_version]
+
+
+class LakeCatalog:
+    """A lakehouse catalog at a directory (SQLite metadata) or PostgreSQL DSN.
+
+    ``ATTACH 'ducklake:<path>' AS lake`` (``utils/ducklake_utils.py:25-28``)
+    becomes ``LakeCatalog(path, spark)``; the connection-string dispatch for
+    PostgreSQL backends (``README.md:225-236``) is :func:`connect`.
+    """
+
+    def __init__(
+        self,
+        location: str,
+        spark: SparkSession,
+        data_dir: Optional[str] = None,
+        inline_threshold: int = 64,
+    ):
+        self.spark = spark
+        self.ms: Metastore = open_metastore(location)
+        if data_dir is None:
+            if location.startswith(("postgresql://", "postgres://")):
+                raise LakeError("data_dir is required for a PostgreSQL catalog")
+            data_dir = os.path.join(location, "files")
+        self.root = data_dir
+        os.makedirs(self.root, exist_ok=True)
+        self.inline_threshold = inline_threshold
+        if self.ms.one("SELECT 1 FROM lake_snapshot WHERE snapshot_id=0") is None:
+            with self.ms.tx() as t:
+                t.exec(
+                    "INSERT INTO lake_snapshot (snapshot_id, ts, changes) "
+                    "VALUES (?, ?, ?)",
+                    (0, _now_iso(), "{}"),
+                )
+
+    # ------------------------------------------------------------------
+    # transactions
+    # ------------------------------------------------------------------
+    def transaction(self) -> "Transaction":
+        """``BEGIN TRANSACTION`` ... ``COMMIT``/``ROLLBACK``
+        (demos/01_transaction_rollback/demo.py:85-104). Context manager:
+        normal exit commits (one snapshot), exception rolls back with no
+        partial effects across tables."""
+        return Transaction(self)
+
+    # autocommit single-op conveniences (one snapshot per op — the
+    # reference's per-operation snapshot loop, demos/02_time_travel/demo.py:92-97)
+    def create_table(self, name, schema, primary_key=()):
+        with self.transaction() as tx:
+            tx.create_table(name, schema, primary_key)
+
+    def ctas(self, name, df: DataFrame, primary_key=()):
+        with self.transaction() as tx:
+            tx.ctas(name, df, primary_key)
+
+    def insert(self, name, df: DataFrame):
+        with self.transaction() as tx:
+            tx.insert(name, df)
+
+    def update(self, name, set_exprs: dict, where: Optional[str] = None) -> int:
+        with self.transaction() as tx:
+            return tx.update(name, set_exprs, where)
+
+    def delete(self, name, where: Optional[str] = None) -> int:
+        with self.transaction() as tx:
+            return tx.delete(name, where)
+
+    def add_column(self, name, col, type_, default=None, backfill=None):
+        with self.transaction() as tx:
+            tx.add_column(name, col, type_, default, backfill)
+
+    def drop_column(self, name, col):
+        with self.transaction() as tx:
+            tx.drop_column(name, col)
+
+    def rename_column(self, name, old, new):
+        with self.transaction() as tx:
+            tx.rename_column(name, old, new)
+
+    def set_not_null(self, name, col):
+        with self.transaction() as tx:
+            tx.set_not_null(name, col)
+
+    def drop_table(self, name):
+        with self.transaction() as tx:
+            tx.drop_table(name)
+
+    def create_view(self, name, sql):
+        with self.transaction() as tx:
+            tx.create_view(name, sql)
+
+    def drop_view(self, name):
+        with self.transaction() as tx:
+            tx.drop_view(name)
+
+    def flush_inlined(self, name):
+        with self.transaction() as tx:
+            tx.flush_inlined(name)
+
+    def compact(self, name, target_file_bytes: int = 128 << 20):
+        with self.transaction() as tx:
+            tx.compact(name, target_file_bytes)
+
+    # ------------------------------------------------------------------
+    # version resolution + reads (time travel: T1/T2, SURVEY.md §2.10)
+    # ------------------------------------------------------------------
+    def current_version(self) -> int:
+        return self.ms.one("SELECT MAX(snapshot_id) FROM lake_snapshot")[0]
+
+    def _resolve_version(self, version=None, timestamp=None) -> int:
+        if version is not None and timestamp is not None:
+            raise LakeError("pass version OR timestamp, not both")
+        if timestamp is not None:  # AT (TIMESTAMP => ts) — T2
+            if isinstance(timestamp, _dt.datetime):
+                timestamp = _iso(timestamp)
+            row = self.ms.one(
+                "SELECT MAX(snapshot_id) FROM lake_snapshot WHERE ts <= ?",
+                (timestamp,),
+            )
+            if row is None or row[0] is None:
+                raise LakeError(f"no snapshot at or before {timestamp}")
+            return row[0]
+        if version is None:
+            return self.current_version()
+        if self.ms.one(
+            "SELECT 1 FROM lake_snapshot WHERE snapshot_id=?", (version,)
+        ) is None:
+            raise LakeError(f"unknown snapshot version {version}")
+        return version
+
+    def _table_at(self, name: str, v: int):
+        row = self.ms.one(
+            "SELECT table_id, data_dir FROM lake_table WHERE name=? AND "
+            "created_snapshot<=? AND (dropped_snapshot IS NULL OR "
+            "dropped_snapshot>?)",
+            (name, v, v),
+        )
+        if row is None:
+            raise LakeError(f"table {name!r} does not exist at version {v}")
+        return row
+
+    def _schemas_at(self, table_id: int, v: int):
+        rows = self.ms.q(
+            "SELECT schema_version, schema_json FROM lake_schema WHERE "
+            "table_id=? AND created_snapshot<=? ORDER BY schema_version",
+            (table_id, v),
+        )
+        return {sv: TableSchema.from_json(sj) for sv, sj in rows}
+
+    def read(
+        self, name: str, version=None, timestamp=None
+    ) -> DataFrame:
+        """Versioned table scan (S2/T1/T2). ``version=None`` = current."""
+        v = self._resolve_version(version, timestamp)
+        table_id, _ = self._table_at(name, v)
+        schemas = self._schemas_at(table_id, v)
+        current = schemas[max(schemas)]
+        files = [
+            FileEntry(*r)
+            for r in self.ms.q(
+                "SELECT file_id, path, row_count, file_bytes, schema_version, "
+                "col_stats FROM lake_data_file WHERE table_id=? AND "
+                "added_snapshot<=? AND (removed_snapshot IS NULL OR "
+                "removed_snapshot>?)",
+                (table_id, v, v),
+            )
+        ]
+        inlined = [
+            InlinedEntry(*r)
+            for r in self.ms.q(
+                "SELECT row_id, schema_version, row_json FROM lake_inlined "
+                "WHERE table_id=? AND added_snapshot<=? AND "
+                "(removed_snapshot IS NULL OR removed_snapshot>?)",
+                (table_id, v, v),
+            )
+        ]
+        return self._build_df(files, inlined, schemas, current)
+
+    def _build_df(self, files, inlined, schemas, current: TableSchema) -> DataFrame:
+        """file list (+ inlined rows) -> one DataFrame in the current schema.
+
+        Files are grouped by the schema_version they were written under; each
+        group is read with that version's StructType (no footer inference) and
+        projected to the current schema by FIELD ID — renames and drops are
+        metadata-only, adds fill the default (SURVEY.md §1.3)."""
+        parts = []
+        by_sv: dict = {}
+        for fe in files:
+            by_sv.setdefault(fe.schema_version, []).append(fe.path)
+        for sv, paths in sorted(by_sv.items()):
+            stored = schemas[sv]
+            df = self.spark.read.schema(stored.to_struct()).parquet(*paths)
+            parts.append(_project(df, stored, current))
+        if inlined:
+            rows = [row_from_json(e.row_json, current) for e in inlined]
+            parts.append(self.spark.createDataFrame(rows, current.to_struct()))
+        if not parts:
+            return self.spark.createDataFrame([], current.to_struct())
+        return reduce(DataFrame.unionByName, parts)
+
+    # ------------------------------------------------------------------
+    # introspection (T3/T6/S7/S8)
+    # ------------------------------------------------------------------
+    def snapshots(self) -> list:
+        """``ducklake_snapshots(db)``: snapshot_id, snapshot_time,
+        schema_version, changes (``utils/ducklake_utils.py:58-62``)."""
+        out = []
+        for sid, ts, ch in self.ms.q(
+            "SELECT snapshot_id, ts, changes FROM lake_snapshot "
+            "ORDER BY snapshot_id"
+        ):
+            sv = self.ms.one(
+                "SELECT COUNT(*) FROM lake_schema WHERE created_snapshot<=?",
+                (sid,),
+            )[0]
+            out.append(
+                {
+                    "snapshot_id": sid,
+                    "snapshot_time": _dt.datetime.fromisoformat(ts),
+                    "schema_version": sv,
+                    "changes": json.loads(ch),
+                }
+            )
+        return out
+
+    def snapshots_df(self) -> DataFrame:
+        rows = [
+            (s["snapshot_id"], s["snapshot_time"], s["schema_version"],
+             json.dumps(s["changes"], sort_keys=True))
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id bigint, snapshot_time timestamp, "
+            "schema_version bigint, changes string"
+        )
+
+    def tables(self, version=None) -> list:
+        v = self._resolve_version(version)
+        return [
+            r[0]
+            for r in self.ms.q(
+                "SELECT name FROM lake_table WHERE created_snapshot<=? AND "
+                "(dropped_snapshot IS NULL OR dropped_snapshot>?) ORDER BY name",
+                (v, v),
+            )
+        ]
+
+    def columns(self, name: str, version=None) -> list:
+        v = self._resolve_version(version)
+        table_id, _ = self._table_at(name, v)
+        schemas = self._schemas_at(table_id, v)
+        sch = schemas[max(schemas)]
+        return [(f.name, f.type, f.nullable) for f in sch.fields]
+
+    def table_info(self) -> list:
+        """``ducklake_table_info``-style per-table file/row stats (T6)."""
+        v = self.current_version()
+        out = []
+        for name in self.tables():
+            table_id, _ = self._table_at(name, v)
+            fc, rc, fb = self.ms.one(
+                "SELECT COUNT(*), COALESCE(SUM(row_count),0), "
+                "COALESCE(SUM(file_bytes),0) FROM lake_data_file WHERE "
+                "table_id=? AND added_snapshot<=? AND (removed_snapshot IS "
+                "NULL OR removed_snapshot>?)",
+                (table_id, v, v),
+            )
+            ic = self.ms.one(
+                "SELECT COUNT(*) FROM lake_inlined WHERE table_id=? AND "
+                "added_snapshot<=? AND (removed_snapshot IS NULL OR "
+                "removed_snapshot>?)",
+                (table_id, v, v),
+            )[0]
+            out.append(
+                {
+                    "table_name": name,
+                    "file_count": fc,
+                    "row_count": rc + ic,
+                    "file_bytes": fb,
+                    "inlined_rows": ic,
+                }
+            )
+        return out
+
+    def views(self, version=None) -> dict:
+        v = self._resolve_version(version)
+        return dict(
+            self.ms.q(
+                "SELECT name, view_sql FROM lake_view WHERE created_snapshot<=? "
+                "AND (dropped_snapshot IS NULL OR dropped_snapshot>?)",
+                (v, v),
+            )
+        )
+
+    def table_changes(self, name: str, v1: int, v2: int) -> DataFrame:
+        """``ducklake_table_changes`` (T4): row-level diff between versions via
+        ``exceptAll`` (``utils/ducklake_utils.py:65-78``). Columns = the v2
+        schema restricted to names also present at v1, plus ``change_type``."""
+        d1, d2 = self.read(name, version=v1), self.read(name, version=v2)
+        common = [c for c in d2.columns if c in d1.columns]
+        p1, p2 = d1.select(*common), d2.select(*common)
+        ins = p2.exceptAll(p1).withColumn("change_type", F.lit("insert"))
+        dele = p1.exceptAll(p2).withColumn("change_type", F.lit("delete"))
+        return ins.unionByName(dele)
+
+    # ------------------------------------------------------------------
+    # session bind + maintenance
+    # ------------------------------------------------------------------
+    def bind(self, version=None) -> None:
+        """Register every table (at ``version``) and view as temp views so
+        queries run in plain Spark SQL (the reference's ``USE lake``,
+        demos/01_transaction_rollback/demo.py:30)."""
+        for t in self.tables(version):
+            self.read(t, version=version).createOrReplaceTempView(t)
+        for vname, vsql in self.views(version).items():
+            self.spark.sql(vsql).createOrReplaceTempView(vname)
+
+    def sql(self, query: str, version=None) -> DataFrame:
+        self.bind(version)
+        return self.spark.sql(query)
+
+    def export_to(self, other: "LakeCatalog") -> None:
+        """Catalog migration (D15, demos/05_catalog_portability/demo.py:199-280):
+        recreate every live table (schema + PK + data) and view in ``other``."""
+        for name in self.tables():
+            table_id, _ = self._table_at(name, self.current_version())
+            schemas = self._schemas_at(table_id, self.current_version())
+            sch = schemas[max(schemas)]
+            with other.transaction() as tx:
+                tx.create_table(name, sch, sch.primary_key)
+                tx.insert(name, self.read(name))
+        for vname, vsql in self.views().items():
+            other.create_view(vname, vsql)
+
+    def gc(self) -> list:
+        """Delete parquet files on disk that no catalog row references
+        (staged-but-never-committed leftovers after a crash)."""
+        referenced = {
+            r[0] for r in self.ms.q("SELECT path FROM lake_data_file")
+        }
+        removed = []
+        for p in _glob.glob(os.path.join(self.root, "**", "*.parquet"),
+                            recursive=True):
+            if p not in referenced:
+                os.remove(p)
+                removed.append(p)
+        return removed
+
+
+class Transaction:
+    """Multi-statement, multi-table atomic unit; commit = one snapshot (D5).
+
+    Spark jobs inside the transaction eagerly stage parquet files; ALL
+    metadata mutations buffer driver-side and hit the catalog DB in one SQL
+    transaction at commit (EP2). Optimistic concurrency: first committer
+    wins per table; later conflicting commits raise :class:`ConflictError`
+    and the caller retries (D8)."""
+
+    def __init__(self, catalog: LakeCatalog):
+        self.c = catalog
+        self.base_version = catalog.current_version()
+        self._states: dict = {}
+        self._view_ops: list = []  # (name, sql_or_None)
+        self._staged_dirs: list = []
+        self._done = False
+
+    # -- context manager ------------------------------------------------
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None and not self._done:
+            self.commit()
+        elif not self._done:
+            self.rollback()
+        return False
+
+    # -- state loading ---------------------------------------------------
+    def _state(self, name: str, must_exist: bool = True) -> TableState:
+        st = self._states.get(name)
+        if st is not None:
+            if st.dropped and must_exist:
+                raise LakeError(f"table {name!r} dropped in this transaction")
+            return st
+        v = self.base_version
+        try:
+            table_id, data_dir = self.c._table_at(name, v)
+        except LakeError:
+            if must_exist:
+                raise
+            return None  # type: ignore[return-value]
+        schemas = self.c._schemas_at(table_id, v)
+        files = [
+            FileEntry(*r)
+            for r in self.c.ms.q(
+                "SELECT file_id, path, row_count, file_bytes, schema_version, "
+                "col_stats FROM lake_data_file WHERE table_id=? AND "
+                "added_snapshot<=? AND (removed_snapshot IS NULL OR "
+                "removed_snapshot>?)",
+                (table_id, v, v),
+            )
+        ]
+        inlined = [
+            InlinedEntry(*r)
+            for r in self.c.ms.q(
+                "SELECT row_id, schema_version, row_json FROM lake_inlined "
+                "WHERE table_id=? AND added_snapshot<=? AND "
+                "(removed_snapshot IS NULL OR removed_snapshot>?)",
+                (table_id, v, v),
+            )
+        ]
+        st = TableState(
+            name=name,
+            table_id=table_id,
+            data_dir=data_dir,
+            schemas=schemas,
+            schema_version=max(schemas),
+            files=files,
+            inlined=inlined,
+        )
+        self._states[name] = st
+        return st
+
+    # -- reads (read-your-writes) ----------------------------------------
+    def read(self, name: str) -> DataFrame:
+        st = self._state(name)
+        return self.c._build_df(st.files, st.inlined, st.schemas, st.schema)
+
+    # -- DDL -------------------------------------------------------------
+    def create_table(self, name: str, schema, primary_key=()) -> None:
+        """D9 (transactional DDL — demos/01_transaction_rollback/demo.py:33-55)."""
+        exists = self._state(name, must_exist=False)
+        if exists is not None and not exists.dropped:
+            raise LakeError(f"table {name!r} already exists")
+        if not isinstance(schema, TableSchema):
+            schema = TableSchema.from_struct(schema, primary_key)
+        elif primary_key:
+            schema = TableSchema(schema.fields, tuple(primary_key))
+        data_dir = os.path.join(
+            self.c.root, f"{name}_{uuid.uuid4().hex[:8]}"
+        )
+        st = TableState(
+            name=name,
+            table_id=None,
+            data_dir=data_dir,
+            schemas={1: schema},
+            schema_version=1,
+            files=[],
+            inlined=[],
+            created=True,
+            staged_schema_versions=[1],
+        )
+        st.changes.add("tables_created")
+        self._states[name] = st
+
+    def ctas(self, name: str, df: DataFrame, primary_key=()) -> None:
+        """S5: CREATE TABLE AS SELECT (``utils/ducklake_utils.py:101-111``) —
+        schema inferred from the DataFrame."""
+        self.create_table(name, df.schema, primary_key)
+        self.insert(name, df)
+
+    def drop_table(self, name: str) -> None:
+        st = self._state(name)
+        st.dropped = True
+        st.changes.add("tables_dropped")
+
+    def _evolve(self, st: TableState, new_schema: TableSchema, marker: str):
+        st.schema_version += 1
+        st.schemas[st.schema_version] = new_schema
+        st.staged_schema_versions.append(st.schema_version)
+        st.changes.add(marker)
+
+    def add_column(self, name, col, type_, default=None, backfill=None) -> None:
+        """D10: ALTER TABLE ADD COLUMN [DEFAULT v]. Old files never rewritten —
+        reads fill the default (demos/03_schema_evolution/demo.py:118).
+        ``backfill`` (SQL expr string) additionally rewrites existing rows
+        (the add+backfill pattern, demo.py:140-158)."""
+        st = self._state(name)
+        self._evolve(st, st.schema.add_column(col, type_, default),
+                     "tables_altered")
+        if backfill is not None:
+            self.update(name, {col: backfill}, None)
+
+    def drop_column(self, name, col) -> None:
+        st = self._state(name)
+        self._evolve(st, st.schema.drop_column(col), "tables_altered")
+
+    def rename_column(self, name, old, new) -> None:
+        st = self._state(name)
+        self._evolve(st, st.schema.rename_column(old, new), "tables_altered")
+
+    def set_not_null(self, name, col) -> None:
+        """D13: validates existing rows first (a distributed null-scan), then
+        records the constraint for future writes."""
+        st = self._state(name)
+        df = self.read(name)
+        if df.filter(F.col(col).isNull()).limit(1).count() > 0:
+            raise ConstraintViolation(
+                f"column {col!r} contains NULLs; cannot SET NOT NULL"
+            )
+        self._evolve(st, st.schema.set_not_null(col), "tables_altered")
+
+    def create_view(self, name, sql) -> None:
+        self._view_ops.append((name, sql))
+
+    def drop_view(self, name) -> None:
+        self._view_ops.append((name, None))
+
+    # -- DML -------------------------------------------------------------
+    def _align(self, df: DataFrame, schema: TableSchema) -> DataFrame:
+        extra = set(df.columns) - set(schema.names())
+        if extra:
+            raise LakeError(f"unknown columns {sorted(extra)}")
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.type).alias(f.name))
+            else:
+                cols.append(
+                    F.lit(value_from_json(f.default)).cast(f.type).alias(f.name)
+                )
+        return df.select(*cols)
+
+    def _check_constraints(self, st: TableState, df: DataFrame) -> None:
+        sch = st.schema
+        nn = [f.name for f in sch.fields if not f.nullable]
+        if nn:
+            cond = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in nn])
+            if df.filter(cond).limit(1).count() > 0:
+                raise ConstraintViolation(f"NOT NULL violated in {nn}")
+        pk = list(sch.primary_key)
+        if pk:
+            if (
+                df.groupBy(*pk).count().filter(F.col("count") > 1).limit(1)
+                .count() > 0
+            ):
+                raise ConstraintViolation(f"duplicate primary key in batch {pk}")
+            existing = self.c._build_df(st.files, st.inlined, st.schemas, sch)
+            clash = (
+                df.select(*pk)
+                .join(existing.select(*pk), pk, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise ConstraintViolation(
+                    f"primary key violation on {pk} in table {st.name!r}"
+                )
+
+    def _write_staged(self, st: TableState, df: DataFrame) -> list:
+        """Write df as staged parquet; return FileEntry list (stats from
+        footers — at cluster scale these arrive from write-task metrics)."""
+        stagedir = os.path.join(st.data_dir, f"stage-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(stagedir)
+        self._staged_dirs.append(stagedir)
+        sch = st.schemas[st.schema_version]
+        entries = []
+        for p in sorted(_glob.glob(os.path.join(stagedir, "*.parquet"))):
+            rows, nbytes, stats = collect_file_stats(p, sch)
+            if rows == 0:
+                continue
+            entries.append(
+                FileEntry(None, p, rows, nbytes, st.schema_version, stats, True)
+            )
+        return entries
+
+    def insert(self, name: str, df: DataFrame) -> None:
+        """D1/D2: append rows (VALUES or query result). Tiny batches inline
+        into the catalog DB instead of creating a data file (M1,
+        README.md:62; demos/04_small_file_optimization/demo.py:314-368)."""
+        st = self._state(name)
+        df = self._align(df, st.schema)
+        self._check_constraints(st, df)
+        entries = self._write_staged(st, df)
+        total = sum(e.row_count for e in entries)
+        if 0 < total <= self.c.inline_threshold:
+            import pyarrow.parquet as pq
+
+            for e in entries:
+                for rowdict in pq.read_table(e.path).to_pylist():
+                    st.inlined.append(
+                        InlinedEntry(
+                            None,
+                            st.schema_version,
+                            row_to_json(rowdict, st.schema),
+                            True,
+                        )
+                    )
+            d = self._staged_dirs.pop()
+            shutil.rmtree(d, ignore_errors=True)
+        else:
+            st.files.extend(entries)
+        st.changes.add("tables_inserted_into")
+
+    def insert_rows(self, name: str, rows: list) -> None:
+        """INSERT ... VALUES convenience: list of dicts/tuples. Coerces plain
+        Python literals to the declared types (float -> Decimal etc.), like a
+        SQL VALUES clause would."""
+        import decimal
+
+        st = self._state(name)
+        fields = st.schema.fields
+
+        def coerce(v, f):
+            if v is None:
+                return None
+            if f.type.startswith("decimal") and not isinstance(v, decimal.Decimal):
+                return decimal.Decimal(str(v))
+            return v
+
+        if rows and isinstance(rows[0], dict):
+            data = [tuple(coerce(r.get(f.name), f) for f in fields) for r in rows]
+        else:
+            data = [
+                tuple(coerce(v, f) for v, f in zip(r, fields)) for r in rows
+            ]
+        self.insert(
+            name, self.c.spark.createDataFrame(data, st.schema.to_struct())
+        )
+
+    def _rewrite(self, st: TableState, where: Optional[str], transform) -> int:
+        """Copy-on-write core for UPDATE/DELETE: pick candidate files by
+        min/max stats pruning, include live inlined rows, rewrite candidates
+        with ``transform(df, pred)``, swap in metadata. Non-matching files are
+        untouched — the 100 TB point-mutation path."""
+        conjuncts = parse_conjuncts(where) if where else []
+        sch = st.schema
+        candidates = [
+            fe
+            for fe in st.files
+            if where is None
+            or file_may_match(fe.col_stats, conjuncts, st.schemas[fe.schema_version])
+        ]
+        touched_inlined = list(st.inlined)
+        if not candidates and not touched_inlined:
+            return 0
+        src = self.c._build_df(candidates, touched_inlined, st.schemas, sch)
+        pred = F.expr(where) if where else F.lit(True)
+        matched = src.filter(pred).count()
+        if matched == 0:
+            return 0
+        out = transform(src, pred)
+        # swap: remove candidates + all inlined, add rewritten files
+        for fe in candidates:
+            if fe.staged:
+                st.files.remove(fe)  # staged-in-this-txn file simply dropped
+            else:
+                st.files.remove(fe)
+                st.removed_file_ids.append(fe.file_id)
+        for ie in touched_inlined:
+            st.inlined.remove(ie)
+            if not ie.staged:
+                st.removed_inlined_ids.append(ie.row_id)
+        st.files.extend(self._write_staged(st, out))
+        return matched
+
+    def update(self, name: str, set_exprs: dict, where: Optional[str] = None) -> int:
+        """D3: UPDATE ... SET ... [WHERE] as a distributed copy-on-write
+        rewrite (demos/01_transaction_rollback/demo.py:96-102). ``set_exprs``
+        maps column -> SQL expression (may reference any column; CASE WHEN
+        works, demos/03_schema_evolution/demo.py:146-156)."""
+        st = self._state(name)
+        for c in set_exprs:
+            st.schema.field_by_name(c)  # KeyError -> unknown column
+
+        def xform(df: DataFrame, pred):
+            return df.withColumns(
+                {
+                    c: F.when(pred, F.expr(e).cast(st.schema.field_by_name(c).type))
+                    .otherwise(F.col(c))
+                    for c, e in set_exprs.items()
+                }
+            )
+
+        n = self._rewrite(st, where, xform)
+        st.changes.add("tables_updated")
+        return n
+
+    def delete(self, name: str, where: Optional[str] = None) -> int:
+        """D4: DELETE FROM [WHERE]. Full-table delete is metadata-only (mark
+        every live file removed — no rewrite, demos/02_time_travel/demo.py:112);
+        predicate delete rewrites only stats-matching files."""
+        st = self._state(name)
+        if where is None:
+            n = sum(fe.row_count for fe in st.files) + len(st.inlined)
+            for fe in st.files:
+                if not fe.staged:
+                    st.removed_file_ids.append(fe.file_id)
+            st.files.clear()
+            for ie in st.inlined:
+                if not ie.staged:
+                    st.removed_inlined_ids.append(ie.row_id)
+            st.inlined.clear()
+        else:
+            n = self._rewrite(
+                st, where, lambda df, pred: df.filter(~pred | pred.isNull())
+            )
+        st.changes.add("tables_deleted_from")
+        return n
+
+    # -- maintenance (M1/M2) --------------------------------------------
+    def flush_inlined(self, name: str) -> None:
+        """Materialize inlined rows to a parquet file (the compaction half of
+        M1)."""
+        st = self._state(name)
+        if not st.inlined:
+            return
+        rows = [row_from_json(e.row_json, st.schema) for e in st.inlined]
+        df = self.c.spark.createDataFrame(rows, st.schema.to_struct()).coalesce(1)
+        for ie in st.inlined:
+            if not ie.staged:
+                st.removed_inlined_ids.append(ie.row_id)
+        st.inlined.clear()
+        st.files.extend(self._write_staged(st, df))
+        st.changes.add("tables_compacted")
+
+    def compact(self, name: str, target_file_bytes: int = 128 << 20) -> None:
+        """M2: rewrite the table into ~target-sized files (+ flush inlined).
+        ``coalesce`` avoids a shuffle when reducing file count."""
+        st = self._state(name)
+        total = sum(fe.file_bytes for fe in st.files)
+        if not st.files and not st.inlined:
+            return
+        nparts = max(1, -(-total // target_file_bytes))
+        df = self.c._build_df(st.files, st.inlined, st.schemas, st.schema)
+        df = df.coalesce(int(nparts))
+        for fe in st.files:
+            if not fe.staged:
+                st.removed_file_ids.append(fe.file_id)
+        st.files.clear()
+        for ie in st.inlined:
+            if not ie.staged:
+                st.removed_inlined_ids.append(ie.row_id)
+        st.inlined.clear()
+        st.files.extend(self._write_staged(st, df))
+        st.changes.add("tables_compacted")
+
+    # -- commit / rollback ----------------------------------------------
+    def commit(self) -> int:
+        """The atomic commit point: ONE catalog-DB transaction publishes every
+        staged file + metadata mutation; returns the new snapshot id."""
+        self._done = True
+        touched = {
+            n for n, st in self._states.items() if st.changes or st.created
+        } | {n for n, _ in self._view_ops}
+        ms = self.c.ms
+        try:
+            with ms.tx() as t:
+                for sid, chj in t.exec(
+                    ms._ph("SELECT snapshot_id, changes FROM lake_snapshot "
+                           "WHERE snapshot_id > ?"),
+                    (self.base_version,),
+                ).fetchall():
+                    others = set()
+                    for names in json.loads(chj).values():
+                        others.update(names)
+                    clash = touched & others
+                    if clash:
+                        raise ConflictError(
+                            f"snapshot {sid} already modified {sorted(clash)}"
+                        )
+                new_v = (
+                    t.exec(
+                        "SELECT COALESCE(MAX(snapshot_id),-1) FROM lake_snapshot"
+                    ).fetchone()[0]
+                    + 1
+                )
+                changes: dict = {}
+                for nm, st in self._states.items():
+                    if not (st.changes or st.created):
+                        continue
+                    for marker in sorted(st.changes):
+                        changes.setdefault(marker, []).append(nm)
+                    if st.created:
+                        t.exec(
+                            "INSERT INTO lake_table (name, data_dir, "
+                            "created_snapshot) VALUES (?,?,?)",
+                            (nm, st.data_dir, new_v),
+                        )
+                        st.table_id = t.exec(
+                            "SELECT table_id FROM lake_table WHERE name=? AND "
+                            "created_snapshot=?",
+                            (nm, new_v),
+                        ).fetchone()[0]
+                    if st.dropped and not st.created:
+                        t.exec(
+                            "UPDATE lake_table SET dropped_snapshot=? WHERE "
+                            "table_id=?",
+                            (new_v, st.table_id),
+                        )
+                        continue
+                    for sv in st.staged_schema_versions:
+                        t.exec(
+                            "INSERT INTO lake_schema (table_id, schema_version,"
+                            " created_snapshot, schema_json) VALUES (?,?,?,?)",
+                            (st.table_id, sv, new_v, st.schemas[sv].to_json()),
+                        )
+                    for fe in st.files:
+                        if fe.staged:
+                            t.exec(
+                                "INSERT INTO lake_data_file (table_id, path, "
+                                "row_count, file_bytes, schema_version, "
+                                "added_snapshot, col_stats) VALUES "
+                                "(?,?,?,?,?,?,?)",
+                                (st.table_id, fe.path, fe.row_count,
+                                 fe.file_bytes, fe.schema_version, new_v,
+                                 fe.col_stats),
+                            )
+                    if st.removed_file_ids:
+                        t.exec(
+                            "UPDATE lake_data_file SET removed_snapshot=? "
+                            f"WHERE file_id IN ({','.join('?' * len(st.removed_file_ids))})",
+                            (new_v, *st.removed_file_ids),
+                        )
+                    for ie in st.inlined:
+                        if ie.staged:
+                            t.exec(
+                                "INSERT INTO lake_inlined (table_id, "
+                                "schema_version, added_snapshot, row_json) "
+                                "VALUES (?,?,?,?)",
+                                (st.table_id, ie.schema_version, new_v,
+                                 ie.row_json),
+                            )
+                    if st.removed_inlined_ids:
+                        t.exec(
+                            "UPDATE lake_inlined SET removed_snapshot=? WHERE "
+                            f"row_id IN ({','.join('?' * len(st.removed_inlined_ids))})",
+                            (new_v, *st.removed_inlined_ids),
+                        )
+                for vname, vsql in self._view_ops:
+                    t.exec(
+                        "UPDATE lake_view SET dropped_snapshot=? WHERE name=? "
+                        "AND dropped_snapshot IS NULL",
+                        (new_v, vname),
+                    )
+                    if vsql is None:
+                        changes.setdefault("views_dropped", []).append(vname)
+                    else:
+                        t.exec(
+                            "INSERT INTO lake_view (name, view_sql, "
+                            "created_snapshot) VALUES (?,?,?)",
+                            (vname, vsql, new_v),
+                        )
+                        changes.setdefault("views_created", []).append(vname)
+                t.exec(
+                    "INSERT INTO lake_snapshot (snapshot_id, ts, changes) "
+                    "VALUES (?,?,?)",
+                    (new_v, _now_iso(), json.dumps(changes, sort_keys=True)),
+                )
+            return new_v
+        except BaseException:
+            self._cleanup_staged()
+            raise
+
+    def rollback(self) -> None:
+        """D6: abort — discard buffered metadata, delete staged parquet. No
+        partial effects across tables
+        (demos/01_transaction_rollback/demo.py:148-151)."""
+        self._done = True
+        self._cleanup_staged()
+        self._states.clear()
+        self._view_ops.clear()
+
+    def _cleanup_staged(self) -> None:
+        for d in self._staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        self._staged_dirs.clear()
+
+
+def _project(df: DataFrame, stored: TableSchema, current: TableSchema) -> DataFrame:
+    by_id = {f.field_id: f for f in stored.fields}
+    cols = []
+    for f in current.fields:
+        sf = by_id.get(f.field_id)
+        if sf is not None:
+            cols.append(F.col(sf.name).cast(f.type).alias(f.name))
+        else:
+            cols.append(F.lit(value_from_json(f.default)).cast(f.type).alias(f.name))
+    return df.select(*cols)
+
+
+def _now_iso() -> str:
+    return _iso(_dt.datetime.now(_dt.timezone.utc))
+
+
+def _iso(ts: _dt.datetime) -> str:
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return ts.isoformat()
+
+
+def connect(url: str, spark: SparkSession, **kw) -> LakeCatalog:
+    """``ATTACH 'ducklake:<target>'`` equivalent: ``connect("lake:<dir>")`` or
+    ``connect("lake:postgresql://...", data_dir=...)``. The ``lake:`` prefix
+    is optional."""
+    if url.startswith("lake:"):
+        url = url[len("lake:"):]
+    return LakeCatalog(url, spark, **kw)

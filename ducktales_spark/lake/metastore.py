@@ -1,0 +1,243 @@
+"""SQL metadata store — the catalog database.
+
+The reference's core design point is that ALL lakehouse metadata lives in an
+ordinary SQL database and a commit touches it in ONE SQL transaction
+(``README.md:200-209``): ``ducklake_data_file``, ``ducklake_table_stats``,
+``ducklake_snapshot``. We mirror that with a small dialect layer so the same
+catalog runs on SQLite (driver-local, default) or PostgreSQL/MySQL via DB-API
+(``README.md:225-236``, ``demos/05_catalog_portability/demo.py:294-299``) —
+connection-string dispatch lives in :func:`open_metastore`.
+
+Reads at version V select data files where ``added_snapshot <= V AND
+(removed_snapshot IS NULL OR removed_snapshot > V)`` — one SQL query replaces
+Iceberg-style manifest walking (``exploration/schema_analysis.sh:244-252``).
+
+Scale note: metadata volume is O(#files + #snapshots), not O(rows). At 100 TB
+with ~1 GB files that is ~1e5 rows per table — trivial for any SQL store; the
+single-round-trip commit is exactly what lets thousands of concurrent Spark
+writers commit without an HTTP-per-manifest bottleneck (``README.md:244-245``).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import threading
+import time
+from typing import Any, Iterable, Optional
+
+_DDL = [
+    """CREATE TABLE IF NOT EXISTS lake_snapshot (
+        snapshot_id BIGINT PRIMARY KEY,
+        ts TEXT NOT NULL,
+        changes TEXT NOT NULL)""",
+    """CREATE TABLE IF NOT EXISTS lake_table (
+        table_id {auto_pk},
+        name TEXT NOT NULL,
+        data_dir TEXT NOT NULL,
+        created_snapshot BIGINT NOT NULL,
+        dropped_snapshot BIGINT)""",
+    """CREATE TABLE IF NOT EXISTS lake_schema (
+        table_id BIGINT NOT NULL,
+        schema_version BIGINT NOT NULL,
+        created_snapshot BIGINT NOT NULL,
+        schema_json TEXT NOT NULL,
+        PRIMARY KEY (table_id, schema_version))""",
+    """CREATE TABLE IF NOT EXISTS lake_data_file (
+        file_id {auto_pk},
+        table_id BIGINT NOT NULL,
+        path TEXT NOT NULL,
+        row_count BIGINT NOT NULL,
+        file_bytes BIGINT NOT NULL,
+        schema_version BIGINT NOT NULL,
+        added_snapshot BIGINT NOT NULL,
+        removed_snapshot BIGINT,
+        col_stats TEXT)""",
+    """CREATE TABLE IF NOT EXISTS lake_inlined (
+        row_id {auto_pk},
+        table_id BIGINT NOT NULL,
+        schema_version BIGINT NOT NULL,
+        added_snapshot BIGINT NOT NULL,
+        removed_snapshot BIGINT,
+        row_json TEXT NOT NULL)""",
+    """CREATE TABLE IF NOT EXISTS lake_view (
+        name TEXT NOT NULL,
+        view_sql TEXT NOT NULL,
+        created_snapshot BIGINT NOT NULL,
+        dropped_snapshot BIGINT)""",
+    """CREATE INDEX IF NOT EXISTS idx_file_live
+        ON lake_data_file (table_id, added_snapshot, removed_snapshot)""",
+    """CREATE INDEX IF NOT EXISTS idx_inl_live
+        ON lake_inlined (table_id, added_snapshot, removed_snapshot)""",
+]
+
+
+class ConflictError(Exception):
+    """Another transaction committed a conflicting snapshot first (the
+    first-committer-wins rule; callers retry like the reference's concurrent
+    writer thread, demos/03_schema_evolution/demo.py:60-66)."""
+
+
+class Metastore:
+    """Thin DB-API wrapper. SQLite by default; subclass swaps dialect."""
+
+    paramstyle = "?"
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        self._local = threading.local()
+        with self.tx():
+            pass  # force DDL
+
+    # -- connection / dialect ---------------------------------------------
+    def _conn(self):
+        c = getattr(self._local, "conn", None)
+        if c is None:
+            c = sqlite3.connect(self.db_path, timeout=30.0)
+            c.execute("PRAGMA journal_mode=WAL")
+            for stmt in _DDL:
+                c.execute(stmt.format(auto_pk="INTEGER PRIMARY KEY AUTOINCREMENT"))
+            c.commit()
+            self._local.conn = c
+        return c
+
+    def close(self) -> None:
+        c = getattr(self._local, "conn", None)
+        if c is not None:
+            c.close()
+            self._local.conn = None
+
+    # -- query helpers -----------------------------------------------------
+    def q(self, sql: str, params: Iterable = ()) -> list:
+        cur = self._conn().execute(self._ph(sql), tuple(params))
+        return cur.fetchall()
+
+    def one(self, sql: str, params: Iterable = ()) -> Optional[tuple]:
+        rows = self.q(sql, params)
+        return rows[0] if rows else None
+
+    def _ph(self, sql: str) -> str:
+        return sql if self.paramstyle == "?" else sql.replace("?", self.paramstyle)
+
+    # -- the commit transaction -------------------------------------------
+    def tx(self, retries: int = 8):
+        """Context manager: ONE immediate-mode SQL transaction (the atomic
+        commit point — EP2 in SURVEY.md §3). Retries on lock contention."""
+        return _SqliteTx(self, retries)
+
+
+class _SqliteTx:
+    def __init__(self, ms: Metastore, retries: int):
+        self.ms, self.retries = ms, retries
+
+    def __enter__(self):
+        delay = 0.05
+        for attempt in range(self.retries):
+            try:
+                # IMMEDIATE takes the write lock up front -> writer
+                # serialization without deadlocks (D8 concurrency model).
+                self.ms._conn().execute("BEGIN IMMEDIATE")
+                return self
+            except sqlite3.OperationalError:
+                time.sleep(delay)
+                delay = min(delay * 2, 1.0)
+        raise ConflictError("could not acquire catalog write lock")
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.ms._conn().commit()
+        else:
+            self.ms._conn().rollback()
+        return False
+
+    def exec(self, sql: str, params: Iterable = ()) -> Any:
+        return self.ms._conn().execute(self.ms._ph(sql), tuple(params))
+
+    def insert(self, sql: str, params: Iterable = ()) -> int:
+        """Execute an INSERT, returning the autoincrement key."""
+        cur = self.exec(sql, params)
+        return cur.lastrowid
+
+
+class PostgresMetastore(Metastore):
+    """Same schema over psycopg2 (S10 catalog portability). The DDL's
+    ``{auto_pk}`` becomes BIGSERIAL; ``BEGIN IMMEDIATE`` becomes a
+    session-level advisory lock so snapshot allocation serializes."""
+
+    paramstyle = "%s"
+
+    def __init__(self, dsn: str):  # pragma: no cover - no PG server in CI
+        try:
+            import psycopg2  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "PostgreSQL catalog backend requires psycopg2; install it or "
+                "use a SQLite catalog path"
+            ) from e
+        self.dsn = dsn
+        self._local = threading.local()
+        with self.tx():
+            pass
+
+    def _conn(self):  # pragma: no cover
+        import psycopg2
+
+        c = getattr(self._local, "conn", None)
+        if c is None:
+            c = psycopg2.connect(self.dsn)
+            cur = c.cursor()
+            for stmt in _DDL:
+                cur.execute(
+                    stmt.format(auto_pk="BIGSERIAL PRIMARY KEY").replace(
+                        "AUTOINCREMENT", ""
+                    )
+                )
+            c.commit()
+            self._local.conn = c
+        return c
+
+    def q(self, sql, params=()):  # pragma: no cover
+        cur = self._conn().cursor()
+        cur.execute(self._ph(sql), tuple(params))
+        return cur.fetchall()
+
+    def tx(self, retries: int = 8):  # pragma: no cover
+        return _PgTx(self)
+
+
+class _PgTx:  # pragma: no cover - exercised only with a live PG server
+    LOCK_KEY = 0x6C616B65  # 'lake'
+
+    def __init__(self, ms):
+        self.ms = ms
+
+    def __enter__(self):
+        self.cur = self.ms._conn().cursor()
+        self.cur.execute("BEGIN")
+        self.cur.execute("SELECT pg_advisory_xact_lock(%s)", (self.LOCK_KEY,))
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.ms._conn().commit()
+        else:
+            self.ms._conn().rollback()
+        return False
+
+    def exec(self, sql, params=()):
+        self.cur.execute(self.ms._ph(sql), tuple(params))
+        return self.cur
+
+    def insert(self, sql, params=()):
+        self.cur.execute(self.ms._ph(sql) + " RETURNING 1", tuple(params))
+        # lastrowid is SQLite-specific; PG callers re-query by natural key.
+        return None
+
+
+def open_metastore(location: str) -> Metastore:
+    """Connection-string dispatch (S1/S10): ``postgresql://...`` -> PostgreSQL,
+    anything else -> directory containing a SQLite catalog file."""
+    if location.startswith(("postgresql://", "postgres://")):
+        return PostgresMetastore(location)
+    os.makedirs(location, exist_ok=True)
+    return Metastore(os.path.join(location, "catalog.db"))

@@ -1,0 +1,191 @@
+"""Versioned table schemas with field ids.
+
+The reference evolves schemas transactionally (add column with default
+``demos/03_schema_evolution/demo.py:118``, add+backfill ``:140-158``, drop
+``:195``, rename ``:196``, ``SET NOT NULL`` ``:221``) and every snapshot
+records a ``schema_version`` (``demos/03_schema_evolution/demo.py:233-243``).
+
+We model a schema as an ordered list of :class:`Field` with stable integer
+``field_id``s. Parquet resolves columns **by name**, so renames never rewrite
+data files: each data file records the ``schema_version`` it was written
+under, and the read path maps that version's stored names -> current names by
+field id (SURVEY.md §1.3). Dropped columns are simply not selected; columns
+added after a file was written are filled with the field's default.
+
+Everything serializes to JSON for the catalog DB (one row per
+(table, schema_version)).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import json
+from dataclasses import dataclass, field as _field
+from decimal import Decimal
+from typing import Any, Optional
+
+from pyspark.sql.types import DataType, StructField, StructType
+
+
+@dataclass(frozen=True)
+class Field:
+    field_id: int
+    name: str
+    type: str  # Spark DDL type string, e.g. "int", "decimal(10,2)", "array<float>"
+    nullable: bool = True
+    default: Any = None  # JSON-encodable default for files predating the field
+
+
+@dataclass(frozen=True)
+class TableSchema:
+    fields: tuple  # tuple[Field, ...]
+    primary_key: tuple = ()  # column names (current names)
+
+    # -- conversions ------------------------------------------------------
+    def to_struct(self) -> StructType:
+        return StructType(
+            [
+                StructField(f.name, DataType.fromDDL(f.type), f.nullable)
+                for f in self.fields
+            ]
+        )
+
+    @staticmethod
+    def from_struct(st: StructType, primary_key=()) -> "TableSchema":
+        fields = tuple(
+            Field(i + 1, f.name, f.dataType.simpleString(), f.nullable)
+            for i, f in enumerate(st.fields)
+        )
+        return TableSchema(fields, tuple(primary_key))
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "fields": [
+                    {
+                        "id": f.field_id,
+                        "name": f.name,
+                        "type": f.type,
+                        "nullable": f.nullable,
+                        "default": f.default,
+                    }
+                    for f in self.fields
+                ],
+                "primary_key": list(self.primary_key),
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "TableSchema":
+        d = json.loads(s)
+        return TableSchema(
+            tuple(
+                Field(f["id"], f["name"], f["type"], f["nullable"], f.get("default"))
+                for f in d["fields"]
+            ),
+            tuple(d.get("primary_key", ())),
+        )
+
+    # -- helpers ----------------------------------------------------------
+    def field_by_name(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(f"no column {name!r}")
+
+    def names(self) -> list:
+        return [f.name for f in self.fields]
+
+    def max_field_id(self) -> int:
+        return max((f.field_id for f in self.fields), default=0)
+
+    # -- evolution (each returns a NEW TableSchema) -----------------------
+    def add_column(self, name: str, type_: str, default: Any = None) -> "TableSchema":
+        if name in self.names():
+            raise ValueError(f"column {name!r} exists")
+        nf = Field(self.max_field_id() + 1, name, type_, True, default)
+        return TableSchema(self.fields + (nf,), self.primary_key)
+
+    def drop_column(self, name: str) -> "TableSchema":
+        self.field_by_name(name)
+        if name in self.primary_key:
+            raise ValueError(f"cannot drop primary-key column {name!r}")
+        return TableSchema(
+            tuple(f for f in self.fields if f.name != name), self.primary_key
+        )
+
+    def rename_column(self, old: str, new: str) -> "TableSchema":
+        if new in self.names():
+            raise ValueError(f"column {new!r} exists")
+        f = self.field_by_name(old)
+        nf = Field(f.field_id, new, f.type, f.nullable, f.default)
+        return TableSchema(
+            tuple(nf if g.field_id == f.field_id else g for g in self.fields),
+            tuple(new if c == old else c for c in self.primary_key),
+        )
+
+    def set_not_null(self, name: str) -> "TableSchema":
+        f = self.field_by_name(name)
+        nf = Field(f.field_id, f.name, f.type, False, f.default)
+        return TableSchema(
+            tuple(nf if g.field_id == f.field_id else g for g in self.fields),
+            self.primary_key,
+        )
+
+
+# -- JSON row (de)serialization for inlined rows ---------------------------
+# Inlined rows (README.md:62; demos/04_small_file_optimization/demo.py:314-368)
+# live in the catalog DB as JSON keyed by field id, so they survive renames
+# and schema evolution exactly like parquet files do.
+
+
+def value_to_json(v: Any) -> Any:
+    if isinstance(v, _dt.datetime):
+        return {"$ts": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"$d": v.isoformat()}
+    if isinstance(v, Decimal):
+        return {"$dec": str(v)}
+    if isinstance(v, (bytes, bytearray)):
+        return {"$b64": base64.b64encode(bytes(v)).decode()}
+    if isinstance(v, (list, tuple)):
+        return [value_to_json(x) for x in v]
+    return v
+
+
+def value_from_json(v: Any) -> Any:
+    if isinstance(v, dict):
+        if "$ts" in v:
+            return _dt.datetime.fromisoformat(v["$ts"])
+        if "$d" in v:
+            return _dt.date.fromisoformat(v["$d"])
+        if "$dec" in v:
+            return Decimal(v["$dec"])
+        if "$b64" in v:
+            return base64.b64decode(v["$b64"])
+    if isinstance(v, list):
+        return [value_from_json(x) for x in v]
+    return v
+
+
+def row_to_json(row: dict, schema: TableSchema) -> str:
+    """Encode a {column_name: value} dict as {field_id: json_value}."""
+    out = {}
+    for f in schema.fields:
+        if f.name in row:
+            out[str(f.field_id)] = value_to_json(row[f.name])
+    return json.dumps(out)
+
+
+def row_from_json(
+    s: str, schema: TableSchema
+) -> "tuple":  # positional tuple in schema order
+    d = json.loads(s)
+    vals = []
+    for f in schema.fields:
+        if str(f.field_id) in d:
+            vals.append(value_from_json(d[str(f.field_id)]))
+        else:
+            vals.append(value_from_json(f.default))
+    return tuple(vals)

@@ -1,6 +1,193 @@
 """Lake-layer demo queries (DML/transactions/time travel — SURVEY.md §2.9,
-§2.10). Non-SQL-expressible for the oracle -> rows-only checks; the real
-assertions live in tests/test_lake_*.py which port the reference demos.
+§2.10, §2.13) surfaced through the driver's correctness gate.
 
-Populated once ducktales_spark.lake lands (phase 2).
+Each query builds a THROWAWAY lake catalog in a temp dir from the driver's
+parquet tables, exercises the lake operation, and returns the resulting
+DataFrame. Where the post-DML state is SQL-expressible, the oracle recomputes
+it directly over the source parquet — a genuine end-to-end differential check
+of the transactional write path + versioned read path, not just of a query.
+
+Reference scenarios: demos/01_transaction_rollback (rollback/constraints),
+demos/02_time_travel (versioned reads, recovery), demos/03_schema_evolution
+(ALTER family), demos/04_small_file_optimization (inlining/compaction).
 """
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ducktales_spark.data import table
+from ducktales_spark.registry import register
+
+
+def _fresh_lake(spark: SparkSession):
+    from ducktales_spark.lake import LakeCatalog
+
+    return LakeCatalog(
+        tempfile.mkdtemp(prefix="ducktales_lake_"), spark, inline_threshold=8
+    )
+
+
+@register(
+    "l01_lake_ctas_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    survey_ids=("S5", "D9", "D1", "S2"),
+)
+def l01_lake_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS into a lake catalog then scan it back: write path -> parquet +
+    catalog rows -> versioned read path must round-trip exactly."""
+    lake = _fresh_lake(spark)
+    lake.ctas("region_l", table(spark, sf_dir, "region"))
+    return lake.read("region_l").select("r_regionkey", "r_name")
+
+
+@register(
+    "l02_lake_update_cow",
+    oracle="""
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_regionkey = 0 THEN n_regionkey + 100
+                    ELSE n_regionkey END AS n_regionkey
+        FROM nation""",
+    survey_ids=("D3",),
+)
+def l02_lake_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE as a copy-on-write rewrite
+    (demos/01_transaction_rollback/demo.py:96-102); the oracle recomputes the
+    final state with CASE WHEN over the source table."""
+    lake = _fresh_lake(spark)
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
+    lake.update(
+        "nation_l", {"n_regionkey": "n_regionkey + 100"}, "n_regionkey = 0"
+    )
+    return lake.read("nation_l")
+
+
+@register(
+    "l03_lake_delete_where",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation "
+    "WHERE n_regionkey NOT IN (1, 3)",
+    survey_ids=("D4",),
+)
+def l03_lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE rewrites only stats-matching files
+    (exploration/ducklake_analysis.sh:144-145)."""
+    lake = _fresh_lake(spark)
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
+    lake.delete("nation_l", "n_regionkey IN (1, 3)")
+    return lake.read("nation_l")
+
+
+@register(
+    "l04_lake_time_travel",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    survey_ids=("T1", "D4", "D2"),
+)
+def l04_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demo-02 recovery story: full DELETE (metadata-only), then read the
+    pre-delete version and INSERT..SELECT it back; the current state must
+    equal the original table (demos/02_time_travel/demo.py:228-241)."""
+    lake = _fresh_lake(spark)
+    lake.ctas("region_l", table(spark, sf_dir, "region"))
+    v_before = lake.current_version()
+    lake.delete("region_l")
+    assert lake.read("region_l").count() == 0
+    lake.insert("region_l", lake.read("region_l", version=v_before))
+    return lake.read("region_l")
+
+
+@register(
+    "l05_lake_schema_evolution",
+    oracle="""
+        SELECT r_regionkey, r_name AS region_name,
+               CAST('unreviewed' AS VARCHAR) AS status
+        FROM region""",
+    survey_ids=("D10", "D11", "D12"),
+)
+def l05_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN with default + RENAME COLUMN, both metadata-only: no file is
+    rewritten, yet the read serves the evolved schema
+    (demos/03_schema_evolution/demo.py:118,196)."""
+    lake = _fresh_lake(spark)
+    lake.ctas("region_l", table(spark, sf_dir, "region"))
+    files_before = lake.table_info()[0]["file_count"]
+    lake.add_column("region_l", "status", "string", default="unreviewed")
+    lake.rename_column("region_l", "r_name", "region_name")
+    assert lake.table_info()[0]["file_count"] == files_before  # no rewrites
+    return lake.read("region_l")
+
+
+@register(
+    "l06_lake_table_changes",
+    oracle="""
+        SELECT n_nationkey, n_regionkey, change_type FROM (
+            SELECT n_nationkey, n_regionkey, 'delete' AS change_type
+            FROM nation WHERE n_nationkey = 7
+            UNION ALL
+            SELECT n_nationkey, n_regionkey + 50 AS n_regionkey,
+                   'insert' AS change_type
+            FROM nation WHERE n_nationkey = 7)""",
+    survey_ids=("T4", "J3"),
+)
+def l06_lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ducklake_table_changes: row-level diff between two versions via
+    exceptAll (utils/ducklake_utils.py:65-78)."""
+    lake = _fresh_lake(spark)
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
+    v1 = lake.current_version()
+    lake.update(
+        "nation_l", {"n_regionkey": "n_regionkey + 50"}, "n_nationkey = 7"
+    )
+    v2 = lake.current_version()
+    return lake.table_changes("nation_l", v1, v2).select(
+        "n_nationkey", "n_regionkey", "change_type"
+    )
+
+
+@register(
+    "l07_lake_inlined_union",
+    oracle="""
+        SELECT r_regionkey, r_name FROM region
+        UNION ALL SELECT 991, 'inlined-a'
+        UNION ALL SELECT 992, 'inlined-b'""",
+    survey_ids=("M1", "D1"),
+)
+def l07_lake_inlined_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny insert inlines into the catalog DB (zero new data files); the
+    scan is parquet UNION inlined rows (README.md:62, demo 04:314-368)."""
+    lake = _fresh_lake(spark)
+    lake.ctas("region_l", table(spark, sf_dir, "region"))
+    before = lake.table_info()[0]
+    with lake.transaction() as tx:
+        tx.insert_rows(
+            "region_l",
+            [
+                {"r_regionkey": 991, "r_name": "inlined-a"},
+                {"r_regionkey": 992, "r_name": "inlined-b"},
+            ],
+        )
+    info = lake.table_info()[0]
+    assert info["file_count"] == before["file_count"]  # no new data file
+    assert info["inlined_rows"] == before["inlined_rows"] + 2
+    return lake.read("region_l")
+
+
+@register("l08_lake_snapshots", survey_ids=("T3", "D5", "D6"))
+def l08_lake_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot log after a create+insert, an update, a rolled-back txn (no
+    snapshot!), and a compaction. Rows-only: commit timestamps are wall-clock.
+    (utils/ducklake_utils.py:58-62; demos/02_time_travel/demo.py:131-152)."""
+    lake = _fresh_lake(spark)
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
+    lake.update("nation_l", {"n_regionkey": "n_regionkey"}, "n_nationkey = 0")
+    try:
+        with lake.transaction() as tx:
+            tx.delete("nation_l")
+            raise RuntimeError("abort")  # rollback -> no snapshot
+    except RuntimeError:
+        pass
+    lake.compact("nation_l")
+    return lake.snapshots_df().select(
+        "snapshot_id", "schema_version", "changes"
+    )

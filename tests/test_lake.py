@@ -1,0 +1,472 @@
+"""Lake-layer scenario tests — pytest ports of the reference demos.
+
+Each test mirrors one reference scenario (cited per test); assertions replace
+the demos' printed narratives (SURVEY.md §5: scenario-driven end-to-end demos
+-> our stronger pytest + invariant checks).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ducktales_spark.lake import (
+    ConflictError,
+    ConstraintViolation,
+    LakeCatalog,
+    LakeError,
+)
+
+INV_SCHEMA = StructType(
+    [
+        StructField("id", IntegerType(), False),
+        StructField("product", StringType(), True),
+        StructField("quantity", IntegerType(), True),
+        StructField("price", DecimalType(10, 2), True),
+    ]
+)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path) -> LakeCatalog:
+    return LakeCatalog(str(tmp_path / "lake"), spark, inline_threshold=8)
+
+
+def _inventory(lake, rows=None):
+    lake.create_table("inventory", INV_SCHEMA, primary_key=["id"])
+    if rows is None:
+        rows = [
+            {"id": 1, "product": "Laptop", "quantity": 10, "price": 999.99},
+            {"id": 2, "product": "Mouse", "quantity": 50, "price": 29.99},
+            {"id": 3, "product": "Keyboard", "quantity": 30, "price": 79.99},
+        ]
+    with lake.transaction() as tx:
+        tx.insert_rows("inventory", rows)
+    return rows
+
+
+def test_create_insert_read(lake):
+    _inventory(lake)
+    got = {r["id"]: r for r in lake.read("inventory").collect()}
+    assert len(got) == 3 and got[1]["product"] == "Laptop"
+    assert float(got[2]["price"]) == 29.99
+    assert lake.tables() == ["inventory"]
+    assert ("quantity", "int", True) in lake.columns("inventory")
+
+
+def test_multi_table_txn_commit_and_rollback(lake, spark):
+    """demos/01_transaction_rollback/demo.py:85-151 — a multi-table txn is
+    atomic: committed together, or rolled back with NO partial effects."""
+    _inventory(lake)
+    lake.create_table(
+        "orders",
+        StructType(
+            [
+                StructField("order_id", IntegerType(), False),
+                StructField("product_id", IntegerType(), True),
+                StructField("qty", IntegerType(), True),
+            ]
+        ),
+        primary_key=["order_id"],
+    )
+    # committed txn: order insert + inventory decrement in one snapshot
+    with lake.transaction() as tx:
+        tx.insert_rows("orders", [{"order_id": 100, "product_id": 1, "qty": 2}])
+        tx.update("inventory", {"quantity": "quantity - 2"}, "id = 1")
+    assert lake.read("orders").count() == 1
+    assert (
+        lake.read("inventory").filter("id = 1").first()["quantity"] == 8
+    )
+    v_good = lake.current_version()
+
+    # rolled-back txn: changes to BOTH tables vanish
+    with pytest.raises(RuntimeError, match="boom"):
+        with lake.transaction() as tx:
+            tx.insert_rows(
+                "orders", [{"order_id": 101, "product_id": 2, "qty": 5}]
+            )
+            tx.update("inventory", {"quantity": "quantity - 5"}, "id = 2")
+            assert tx.read("orders").count() == 2  # read-your-writes
+            raise RuntimeError("boom")
+    assert lake.current_version() == v_good  # no snapshot published
+    assert lake.read("orders").count() == 1
+    assert lake.read("inventory").filter("id = 2").first()["quantity"] == 50
+
+
+def test_constraint_violation_aborts_whole_txn(lake):
+    """demos/01_transaction_rollback/demo.py:118-151 (D7): duplicate-PK insert
+    aborts the transaction including its earlier, valid statements."""
+    _inventory(lake)
+    before = lake.read("inventory").count()
+    with pytest.raises(ConstraintViolation):
+        with lake.transaction() as tx:
+            tx.insert_rows(
+                "inventory",
+                [{"id": 99, "product": "Webcam", "quantity": 1, "price": 10.0}],
+            )
+            # duplicate id=1 -> aborts everything, including id=99 above
+            tx.insert_rows(
+                "inventory",
+                [{"id": 1, "product": "Dup", "quantity": 1, "price": 1.0}],
+            )
+    assert lake.read("inventory").count() == before
+    assert lake.read("inventory").filter("id = 99").count() == 0
+
+
+def test_not_null_enforced(lake):
+    """id is declared NOT NULL in INV_SCHEMA — a NULL id insert must abort."""
+    _inventory(lake)
+    nullable = StructType(
+        [StructField("id", IntegerType(), True)] + INV_SCHEMA.fields[1:]
+    )
+    with pytest.raises(ConstraintViolation):
+        lake.insert(
+            "inventory",
+            lake.spark.createDataFrame([(None, "X", 1, None)], nullable),
+        )
+
+
+def test_time_travel_and_recovery(lake):
+    """demos/02_time_travel/demo.py — every commit is a queryable version;
+    accidental full DELETE recovered via INSERT ... SELECT from an old
+    version (T1, D2, demo.py:228-241)."""
+    _inventory(lake)
+    v1 = lake.current_version()
+    with lake.transaction() as tx:
+        tx.update("inventory", {"quantity": "quantity + 100"}, "id = 2")
+    v2 = lake.current_version()
+    # the accident: full-table delete (metadata-only, D4)
+    with lake.transaction() as tx:
+        assert tx.delete("inventory") == 3
+    v3 = lake.current_version()
+    assert lake.read("inventory").count() == 0
+    # versioned reads see history
+    assert lake.read("inventory", version=v1).count() == 3
+    assert (
+        lake.read("inventory", version=v2).filter("id = 2").first()["quantity"]
+        == 150
+    )
+    # recovery: INSERT INTO inventory SELECT * FROM inventory AT (VERSION v2)
+    with lake.transaction() as tx:
+        tx.insert("inventory", lake.read("inventory", version=v2))
+    assert lake.read("inventory").count() == 3
+    assert lake.read("inventory").filter("id = 2").first()["quantity"] == 150
+    # snapshot listing records the delete marker (demo.py:146-152)
+    snaps = lake.snapshots()
+    assert snaps[-1]["snapshot_id"] == v3 + 1
+    by_id = {s["snapshot_id"]: s["changes"] for s in snaps}
+    assert "tables_deleted_from" in by_id[v3]
+
+
+def test_at_timestamp(lake):
+    """T2: AT (TIMESTAMP => ts) resolves to the latest snapshot at or before
+    ts (demos/02_time_travel/demo.py:189-196)."""
+    _inventory(lake)
+    snaps = lake.snapshots()
+    ts_after_create = snaps[-1]["snapshot_time"]
+    with lake.transaction() as tx:
+        tx.delete("inventory", "id = 1")
+    assert lake.read("inventory").count() == 2
+    assert lake.read("inventory", timestamp=ts_after_create).count() == 3
+
+
+def test_table_changes(lake):
+    """T4: row-level diff between versions (utils/ducklake_utils.py:65-78)."""
+    _inventory(lake)
+    v1 = lake.current_version()
+    with lake.transaction() as tx:
+        tx.update("inventory", {"quantity": "quantity - 5"}, "id = 3")
+    v2 = lake.current_version()
+    ch = lake.table_changes("inventory", v1, v2).collect()
+    kinds = {(r["change_type"], r["id"], r["quantity"]) for r in ch}
+    assert ("delete", 3, 30) in kinds and ("insert", 3, 25) in kinds
+    assert len(ch) == 2  # untouched rows produce no change records
+
+
+def test_empty_txn_creates_snapshot(lake):
+    """demos/02_time_travel/demo.py:64-66: an empty committed txn still
+    produces a snapshot."""
+    v = lake.current_version()
+    with lake.transaction():
+        pass
+    assert lake.current_version() == v + 1
+
+
+def test_schema_evolution(lake, spark):
+    """demos/03_schema_evolution/demo.py — add (D10), add+backfill, drop
+    (D11), rename (D12), SET NOT NULL (D13); old parquet files are never
+    rewritten yet reads at every version stay correct."""
+    _inventory(lake)
+    files_before = lake.table_info()[0]["file_count"]
+    v_orig = lake.current_version()
+
+    # D10: add with default — old rows read the default
+    lake.add_column("inventory", "category", "string", default="general")
+    assert set(
+        r["category"] for r in lake.read("inventory").collect()
+    ) == {"general"}
+
+    # add + backfill (demo.py:140-158): UPDATE rewrites, but only now
+    lake.add_column(
+        "inventory", "segment", "string",
+        backfill="CASE WHEN price > 100 THEN 'premium' ELSE 'standard' END",
+    )
+    seg = {r["id"]: r["segment"] for r in lake.read("inventory").collect()}
+    assert seg[1] == "premium" and seg[2] == "standard"
+
+    # D12: rename is metadata-only
+    lake.rename_column("inventory", "quantity", "stock")
+    assert "stock" in lake.read("inventory").columns
+    assert "quantity" not in lake.read("inventory").columns
+
+    # D11: drop is metadata-only
+    lake.drop_column("inventory", "category")
+    assert "category" not in lake.read("inventory").columns
+
+    # D13: SET NOT NULL validates existing rows
+    lake.set_not_null("inventory", "product")
+    with pytest.raises(ConstraintViolation):
+        lake.insert(
+            "inventory",
+            spark.createDataFrame(
+                [(7, None, 1, None, "standard")],
+                "id int, product string, stock int, price decimal(10,2), "
+                "segment string",
+            ),
+        )
+
+    # time travel crosses schema versions: the original schema is served at
+    # the original version (schema_version recorded per snapshot, T3)
+    old = lake.read("inventory", version=v_orig)
+    assert old.columns == ["id", "product", "quantity", "price"]
+    snaps = lake.snapshots()
+    assert snaps[-1]["schema_version"] > snaps[0]["schema_version"]
+
+
+def test_inlining_and_flush(lake, spark):
+    """M1 (demos/04_small_file_optimization/demo.py:314-368): tiny inserts
+    land in the catalog DB — zero new data files; flush materializes them."""
+    lake.create_table(
+        "sensor",
+        StructType(
+            [
+                StructField("sensor_id", IntegerType(), True),
+                StructField("reading", IntegerType(), True),
+            ]
+        ),
+    )
+    for i in range(5):  # 5 commits x 2 rows, all under inline_threshold=8
+        lake.insert(
+            "sensor", spark.createDataFrame([(i, i * 10), (i, i * 10 + 1)],
+                                            "sensor_id int, reading int")
+        )
+    info = lake.table_info()[0]
+    assert info["file_count"] == 0 and info["inlined_rows"] == 10
+    assert lake.read("sensor").count() == 10
+    lake.flush_inlined("sensor")
+    info = lake.table_info()[0]
+    assert info["file_count"] == 1 and info["inlined_rows"] == 0
+    assert lake.read("sensor").count() == 10
+    # inlined rows participate in time travel too
+    assert lake.read("sensor", version=lake.current_version() - 2).count() == 8
+
+
+def test_compaction(lake, spark):
+    """M2: many small files -> one right-sized file; row set unchanged
+    (demos/04_small_file_optimization/demo.py:452-485)."""
+    lake.create_table(
+        "iot", StructType([StructField("id", IntegerType(), True)])
+    )
+    for i in range(4):
+        lake.insert(
+            "iot",
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").cast("int")
+            ).repartition(3),
+        )
+    before = lake.table_info()[0]
+    assert before["file_count"] > 4
+    lake.compact("iot")
+    after = lake.table_info()[0]
+    assert after["file_count"] == 1 and after["row_count"] == 400
+    assert lake.read("iot").agg(F.sum("id")).first()[0] == sum(range(400))
+    # pre-compaction versions still resolve to the old files (time travel)
+    assert (
+        lake.read("iot", version=lake.current_version() - 1).count() == 400
+    )
+
+
+def test_cow_file_pruning(lake, spark):
+    """D3 at scale: an UPDATE whose predicate excludes a file's min/max range
+    must NOT rewrite that file (stats-based pruning, SURVEY.md §4)."""
+    lake.create_table(
+        "big", StructType([StructField("id", IntegerType(), True),
+                           StructField("v", IntegerType(), True)])
+    )
+    lake.insert("big", spark.range(0, 1000).select(
+        F.col("id").cast("int"), (F.col("id") % 7).cast("int").alias("v")
+    ).coalesce(1))
+    lake.insert("big", spark.range(5000, 6000).select(
+        F.col("id").cast("int"), (F.col("id") % 7).cast("int").alias("v")
+    ).coalesce(1))
+    paths_before = {
+        r[0]: r[1]
+        for r in lake.ms.q(
+            "SELECT file_id, path FROM lake_data_file WHERE removed_snapshot "
+            "IS NULL"
+        )
+    }
+    n = lake.update("big", {"v": "v + 100"}, "id >= 5500 AND id < 5600")
+    assert n == 100
+    paths_after = {
+        r[0]: r[1]
+        for r in lake.ms.q(
+            "SELECT file_id, path FROM lake_data_file WHERE removed_snapshot "
+            "IS NULL"
+        )
+    }
+    # the 0-999 file survived untouched (same file_id still live)
+    survivors = set(paths_before) & set(paths_after)
+    assert len(survivors) == 1
+    assert lake.read("big").filter("v >= 100").count() == 100
+    assert lake.read("big").count() == 2000
+
+
+def test_concurrent_writers_conflict_and_retry(lake, spark, tmp_path):
+    """D8 (demos/03_schema_evolution/demo.py:32-72): concurrent writers
+    serialize through the catalog; a conflicting second committer gets
+    ConflictError and succeeds on retry."""
+    _inventory(lake)
+    tx1 = lake.transaction()
+    tx1.update("inventory", {"quantity": "quantity + 1"}, "id = 1")
+    tx2 = lake.transaction()
+    tx2.update("inventory", {"quantity": "quantity + 10"}, "id = 2")
+    tx1.commit()
+    with pytest.raises(ConflictError):
+        tx2.commit()
+    # retry in a fresh txn sees tx1's state
+    with lake.transaction() as tx:
+        tx.update("inventory", {"quantity": "quantity + 10"}, "id = 2")
+    got = {r["id"]: r["quantity"] for r in lake.read("inventory").collect()}
+    assert got[1] == 11 and got[2] == 60
+
+    # non-overlapping tables do NOT conflict
+    lake.create_table("other", StructType([StructField("x", IntegerType())]))
+    ta = lake.transaction()
+    ta.insert_rows("other", [{"x": 1}])
+    tb = lake.transaction()
+    tb.update("inventory", {"quantity": "quantity + 1"}, "id = 3")
+    ta.commit()
+    tb.commit()  # no ConflictError
+    assert lake.read("other").count() == 1
+
+
+def test_concurrent_threads(lake, spark):
+    """Background writer thread + foreground DDL, each with its own catalog
+    handle (the reference's per-thread connections,
+    demos/03_schema_evolution/demo.py:41)."""
+    lake.create_table(
+        "events_t", StructType([StructField("id", IntegerType(), True)])
+    )
+    errs = []
+
+    def writer(path=lake.ms.db_path):
+        cat = LakeCatalog(
+            lake.root.rsplit("/", 1)[0], spark, inline_threshold=8
+        )
+        for i in range(3):
+            for attempt in range(6):
+                try:
+                    cat.insert(
+                        "events_t",
+                        spark.createDataFrame([(i,)], "id int"),
+                    )
+                    break
+                except ConflictError:
+                    continue
+            else:
+                errs.append("gave up")
+
+    th = threading.Thread(target=writer)
+    th.start()
+    for attempt in range(10):
+        try:
+            lake.add_column("events_t", "tag", "string", default="x")
+            break
+        except ConflictError:
+            continue
+    th.join()
+    assert not errs
+    assert lake.read("events_t").count() == 3
+    assert set(r["tag"] for r in lake.read("events_t").collect()) == {"x"}
+
+
+def test_views_and_sql_bind(lake, spark):
+    """D14 (demos/05_catalog_portability/demo.py:150-164): views persist in
+    the catalog and re-bind in any session."""
+    _inventory(lake)
+    lake.create_view(
+        "pricey", "SELECT id, product FROM inventory WHERE price > 50"
+    )
+    rows = lake.sql("SELECT * FROM pricey ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 3]
+    lake.drop_view("pricey")
+    assert "pricey" not in lake.views()
+
+
+def test_ctas_and_export(lake, spark, tmp_path):
+    """S5 CTAS + D15 catalog migration
+    (demos/05_catalog_portability/demo.py:199-280)."""
+    _inventory(lake)
+    with lake.transaction() as tx:
+        tx.ctas(
+            "cheap",
+            tx.read("inventory").filter("price < 100").select("id", "product"),
+        )
+    assert lake.read("cheap").count() == 2
+    lake.create_view("v_all", "SELECT COUNT(*) AS n FROM inventory")
+    prod = LakeCatalog(str(tmp_path / "prod"), spark)
+    lake.export_to(prod)
+    assert set(prod.tables()) == {"cheap", "inventory"}
+    assert prod.read("inventory").count() == 3
+    assert prod.views().keys() == {"v_all"}
+    # PK carried over: duplicate insert into the new catalog fails
+    with pytest.raises(ConstraintViolation):
+        prod.insert(
+            "inventory",
+            spark.createDataFrame(
+                [(1, "Dup", 1, None)],
+                "id int, product string, quantity int, price decimal(10,2)",
+            ),
+        )
+
+
+def test_gc_removes_unreferenced(lake, spark):
+    _inventory(lake)
+    # simulate a crash: stage files without committing
+    tx = lake.transaction()
+    tx.insert("inventory", spark.createDataFrame(
+        [(50 + i, "Zombie", 1, None) for i in range(20)],
+        "id int, product string, quantity int, price decimal(10,2)",
+    ))
+    tx._done = True  # abandon without rollback (process crash)
+    removed = lake.gc()
+    assert removed  # orphaned staged files collected
+    assert lake.read("inventory").count() == 3
+
+
+def test_read_errors(lake):
+    with pytest.raises(LakeError):
+        lake.read("nope")
+    _inventory(lake)
+    with pytest.raises(LakeError):
+        lake.read("inventory", version=999)
