@@ -1,0 +1,148 @@
+"""Structured Streaming tests: transactional lake ingestion (micro-batch ==
+snapshot), watermarked window aggregation, and the custom stateful
+sessionizer. All use a finite file-stream source + availableNow so runs are
+deterministic and bounded."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducktales_spark.lake import LakeCatalog
+from ducktales_spark.streaming import (
+    sessionize,
+    start_lake_ingest,
+    windowed_counts,
+)
+
+T0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+
+def _mins(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    """A 2-file parquet dir: file boundary == micro-batch boundary (with
+    maxFilesPerTrigger=1), giving 2 deterministic micro-batches."""
+    rows1 = [(1, _mins(0), "view", 1.0), (1, _mins(10), "view", 2.0),
+             (2, _mins(5), "click", 3.0)]
+    rows2 = [(1, _mins(130), "view", 4.0), (2, _mins(15), "click", 5.0),
+             (1, _mins(140), "buy", 6.0), (1, _mins(260), "view", 7.0)]
+    schema = "user_id bigint, ts timestamp, event_type string, value double"
+    d = tmp_path / "src"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(d / "f2")
+    )
+    return d, schema
+
+
+def _stream(spark, source_dir, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(source_dir))
+    )
+
+
+def test_lake_ingest_micro_batch_snapshots(spark, tmp_path, source_dir):
+    """foreachBatch sink commits one lake snapshot per micro-batch; the epoch
+    table makes replays idempotent (exactly-once appends)."""
+    d, schema = source_dir
+    lake = LakeCatalog(str(tmp_path / "lake"), spark, inline_threshold=2)
+    lake.create_table(
+        "events_s",
+        spark.createDataFrame([], schema).schema,
+    )
+    v0 = lake.current_version()
+    q = start_lake_ingest(
+        _stream(spark, d, schema),
+        lake,
+        "events_s",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert lake.read("events_s").count() == 7
+    # >= 2 data snapshots beyond table creation (one per micro-batch)
+    assert lake.current_version() >= v0 + 3
+    # time travel into the ingestion history: some snapshot holds only batch 1
+    counts = sorted(
+        lake.read("events_s", version=v).count()
+        for v in range(v0 + 1, lake.current_version() + 1)
+    )
+    assert counts[0] in (0, 3) and counts[-1] == 7
+
+    # replay safety: restart with same checkpoint -> no duplicates
+    q2 = start_lake_ingest(
+        _stream(spark, d, schema),
+        lake,
+        "events_s",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert lake.read("events_s").count() == 7
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path, source_dir):
+    """The SAME declarative plan runs incrementally under streaming and as a
+    batch query; results must agree (complete output mode)."""
+    d, schema = source_dir
+    stream = windowed_counts(_stream(spark, d, schema), window="1 hour")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [], schema
+    ).sparkSession.read.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(d))
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_counts(batch_df).collect()
+    }
+    assert got == expect and len(got) >= 3
+
+
+def test_sessionize_stateful(spark, tmp_path, source_dir):
+    """applyInPandasWithState sessionizer: sessions separated by >30min gaps
+    close and emit; the still-open last session per user stays in state."""
+    d, schema = source_dir
+    out = sessionize(_stream(spark, d, schema))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM sessions ORDER BY user_id, session_start"
+    ).collect()
+    # user 1: [0,10] closed by 130; [130,140] closed by 260; [260] still open
+    sess = [(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in rows]
+    assert (1, _mins(0), _mins(10), 2) in sess
+    assert (1, _mins(130), _mins(140), 2) in sess
+    # user 2: [5,15] never followed by a gap -> still open, not emitted
+    assert all(u != 2 for (u, *_rest) in sess)
