@@ -191,3 +191,47 @@ def l08_lake_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.snapshots_df().select(
         "snapshot_id", "schema_version", "changes"
     )
+
+
+@register(
+    "l09_describe_columns",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('n_nationkey', 'int',    1),
+            ('n_name',      'string', 2),
+            ('n_regionkey', 'int',    3)
+        ) AS t(col_name, data_type, ordinal)""",
+    survey_ids=("S7", "S8"),
+)
+def l09_describe_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE / information_schema over the lake catalog's own metadata
+    (exploration/schema_analysis.sh:76-95; demos/03_schema_evolution/
+    demo.py:112,124): column list comes from the SQL metadata store, no data
+    files touched."""
+    lake = _fresh_lake(spark)
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
+    cols = lake.columns("nation_l")
+    return spark.createDataFrame(
+        [(n, t, i + 1) for i, (n, t, _null) in enumerate(cols)],
+        "col_name string, data_type string, ordinal int",
+    )
+
+
+@register("l10_table_info", survey_ids=("T6", "S7"))
+def l10_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ducklake_table_info: per-table file/row stats straight from catalog
+    metadata — a metadata-only query, zero Spark jobs
+    (exploration/benchmark_ducklake.sh:155-172 'metadata queries very
+    fast')."""
+    lake = _fresh_lake(spark)
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
+    lake.ctas("region_l", table(spark, sf_dir, "region"))
+    info = lake.table_info()
+    return spark.createDataFrame(
+        [
+            (d["table_name"], d["file_count"] + (1 if d["inlined_rows"] else 0) > 0,
+             d["row_count"])
+            for d in info
+        ],
+        "table_name string, has_storage boolean, row_count bigint",
+    )

@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         functions,
         joins,
         lake_demo,
+        multimodal,
         projections,
         setops,
         similarity,

@@ -1,0 +1,95 @@
+"""Multimodal operator tests: codec roundtrip, deterministic features, and
+the Spark-side plumbing (schemas, batch shapes, per-kind routing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ducktales_spark import multimodal as mm
+
+
+def test_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    assert (mm._unpack_image(mm._pack_image(img)) == img).all()
+    aud = rng.integers(-1000, 1000, 500).astype("<i2")
+    back, rate = mm._unpack_audio(mm._pack_audio(aud, 8000))
+    assert rate == 8000 and (back == aud).all()
+    vid = rng.integers(0, 256, (5, 12, 16, 3), dtype=np.uint8)
+    assert (mm._unpack_video(mm._pack_video(vid)) == vid).all()
+
+
+def test_decode_external_is_stub():
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_external(b"\xff\xd8", "jpeg")
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    return mm.synth_media(ids, "doc_id").cache()
+
+
+def test_synth_media_schema_and_kinds(spark, media):
+    assert media.count() == 30
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    # typed meta struct queryable without decoding payloads
+    img_meta = media.filter("kind = 'image'").select(
+        "meta.width", "meta.height", "meta.channels", "meta.format"
+    ).first()
+    assert img_meta["format"] == "fimg" and img_meta["channels"] == 3
+    # deterministic: same id -> identical payload across jobs
+    b1 = media.filter("media_id = 3").select("data").first()[0]
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    b2 = mm.synth_media(ids, "doc_id").filter("media_id = 3").select(
+        "data"
+    ).first()[0]
+    assert bytes(b1) == bytes(b2)
+
+
+def test_image_features_deterministic(spark, media):
+    feats = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    assert set(feats) == {i for i in range(30) if i % 3 == 0}
+    r = feats[3]
+    # recompute expected with the same seeded generator
+    rng = np.random.default_rng(3)
+    w, h = 32 + 3 % 32, 24 + 3 % 24
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (r["width"], r["height"]) == (w, h)
+    assert r["mean_intensity"] == pytest.approx(float(arr.mean()), abs=1e-5)
+
+
+def test_resize_images(spark, media):
+    resized = mm.resize_images(media, 8, 6)
+    imgs = resized.filter("kind = 'image'")
+    metas = imgs.select("meta.width", "meta.height").distinct().collect()
+    assert [(m["width"], m["height"]) for m in metas] == [(8, 6)]
+    # payload really is 8x6: re-decoding through features agrees
+    f = mm.image_features(imgs).first()
+    assert (f["width"], f["height"]) == (8, 6)
+    # non-image rows pass through untouched
+    assert resized.count() == media.count()
+
+
+def test_audio_features(spark, media):
+    feats = mm.audio_features(media).collect()
+    assert all(r["sample_rate"] == 16000 for r in feats)
+    r = {x["media_id"]: x for x in feats}[1]
+    n = 1600 + 1 % 800
+    assert r["n_samples"] == n
+    assert r["duration_s"] == pytest.approx(n / 16000, abs=1e-6)
+
+
+def test_sample_frames(spark, media):
+    frames = mm.sample_frames(media, k=2).collect()
+    by_id: dict = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_index"])
+    # every video contributes exactly k frames, evenly spaced from frame 0
+    assert set(by_id) == {i for i in range(30) if i % 3 == 2}
+    for mid, idxs in by_id.items():
+        nf = 4 + mid % 5
+        assert sorted(idxs) == [0, nf // 2]
