@@ -46,9 +46,13 @@ def main() -> None:
     specs = load_all()
     spark = get_spark("ducktales-bench")
 
-    # Warm the JVM/codegen once so per-query numbers measure the engine,
-    # not session startup.
+    # Warm the JVM/codegen, the Python worker pool (mapInPandas queries), and
+    # the Arrow transfer path once, so per-query numbers measure the engine
+    # rather than session startup — on a long-lived cluster these are all
+    # steady-state-warm.
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
+    spark.range(1024).mapInPandas(lambda it: it, "id long").count()
+    spark.range(16).toPandas()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -55,30 +55,45 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(doc_id, s) exploded distinct word n-gram shingles.
+    """(doc_id, s) exploded word n-gram shingles.
 
-    Two-step projection: tokenize into a materialized ``ws`` array column,
-    THEN build shingles referencing that attribute — otherwise Catalyst
-    inlines the regex split into each of the 3n element_at lambda calls and
-    re-tokenizes the text ~150x per row (measured 9s -> <1s at sf0.1).
+    Whole-stage-codegen formulation: tokenize once into a materialized word
+    array, explode the position range, then build each shingle as a plain
+    ``concat_ws(element_at...)`` projection. A ``transform(sequence, lambda)``
+    version of the same thing runs ~4x slower because Catalyst evaluates
+    higher-order-function lambdas interpreted, outside codegen.
     Repartitions first so a single-split parquet input doesn't serialize the
     compute on one core.
+
+    ``distinct=False`` skips per-doc dedup — correct for consumers that are
+    multiset-invariant (minhash MIN aggregation) and saves a shuffle.
     """
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+    toks = (
+        docs.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+        )
+        .filter(F.size("ws") >= n)
     )
-    ws = F.col("ws")
-    k = F.size(ws) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+    pos = toks.select(
+        "doc_id", "ws",
+        F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("p"),
     )
-    shingles = F.array_distinct(F.when(k >= 1, grams).otherwise(F.array()))
-    return toks.select("doc_id", F.explode(shingles).alias("s"))
+    sh = pos.select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.element_at("ws", F.col("p") + j) for j in range(n)]
+        ).alias("s"),
+    )
+    return sh.dropDuplicates(["doc_id", "s"]) if distinct else sh
 
 
 def minhash_candidate_pairs(
@@ -93,9 +108,11 @@ def minhash_candidate_pairs(
     # Relational minhash: explode shingles, one xxhash64 per shingle, then a
     # single groupBy(doc) with 32 codegen'd MIN aggregates (one per affine
     # hash). This stays inside whole-stage codegen, unlike an array-fold
-    # which Catalyst evaluates interpreted. The groupBy reuses the shingle
-    # table's hash distribution on doc_id — no extra shuffle.
-    h = shingle_table(docs, id_col, text_col).select(
+    # which Catalyst evaluates interpreted. MIN over a multiset equals MIN
+    # over the set, so the shingle dedup shuffle is skipped entirely
+    # (distinct=False); the groupBy(doc_id) reuses the shingle table's hash
+    # distribution — one shuffle total before banding.
+    h = shingle_table(docs, id_col, text_col, distinct=False).select(
         "doc_id", F.pmod(F.xxhash64("s"), F.lit(_P)).alias("h")
     )
     mins = h.groupBy("doc_id").agg(
@@ -143,6 +160,18 @@ def minhash_candidate_pairs(
             lambda v: v,
         )
     ) / F.lit(float(_NUM_HASHES))
+    # A pair colliding in k bands would appear k times; instead of a
+    # distinct() shuffle, keep only the FIRST matching band (standard LSH
+    # dedup: emit iff no earlier band also matches). The check is a bounded
+    # slice-compare over the carried signatures — a projection, not a
+    # shuffle.
+    earlier_match = F.when(F.col("a.band_id") == 0, F.lit(False)).otherwise(
+        F.exists(
+            F.sequence(F.lit(0), F.col("a.band_id") - 1),
+            lambda j: F.slice(F.col("a.sig"), j * _BAND_ROWS + 1, _BAND_ROWS)
+            == F.slice(F.col("b.sig"), j * _BAND_ROWS + 1, _BAND_ROWS),
+        )
+    )
     return (
         a.join(
             b,
@@ -150,12 +179,12 @@ def minhash_candidate_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(~earlier_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(est, 6).alias("est_jaccard"),
         )
-        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -226,27 +255,37 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard >= 0.2. Join key is the shingle — candidate pairs are only those
     sharing a shingle, not the full cross product."""
     d = table(spark, sf_dir, "documents")
-    # feeds both sides of the self-join plus the size table -> persist
-    sh = shingle_table(d).persist()
+    # Work on 8-byte shingle hashes, not strings: the dedup + inverted-index
+    # self-join shuffles carry (int64, int64) rows instead of ~30-byte text
+    # (a 64-bit collision would perturb one count with p ~ |shingles|^2/2^65
+    # — negligible). Feeds both sides of the self-join + the size table ->
+    # persist.
+    sh = (
+        shingle_table(d, distinct=False)
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+        .persist()
+    )
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # denominator joins are broadcasts (|docs| rows each side)
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -283,8 +322,13 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # Relational simhash: explode shingle hashes, then one groupBy(doc) with
     # 64 conditional-SUM aggregates (bit i: +1 if set else -1). All codegen;
-    # the groupBy reuses the shingle table's doc_id partitioning.
-    h = shingle_table(d).select("doc_id", F.xxhash64("s").alias("h"))
+    # distinct shingle semantics via an (int64, int64) dedup, and the groupBy
+    # reuses the shingle table's doc_id partitioning.
+    h = (
+        shingle_table(d, distinct=False)
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
     sums = h.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -1,22 +1,29 @@
 """Similarity search over the embeddings table (array<float> column).
 
-* brute-force cosine top-k — the exact baseline: query set x candidate set
-  dot products via JVM higher-order functions (zip_with + aggregate), rank
-  per query. At scale: broadcast the (small) query set, scan candidates once;
-  cost is |queries| x |candidates| fused multiply-adds inside codegen, no
-  shuffle except the final per-query top-k (WindowGroupLimit keeps k rows
-  per partition).
+* brute-force cosine top-k — the exact baseline: the (small) query set is
+  collected + broadcast, candidates stream through an Arrow-batched
+  ``mapInPandas`` that computes a per-batch numpy matmul (E @ Q^T). One scan,
+  no join, no pair materialization; the only shuffle is the final per-query
+  top-k window. This is the documented Spark fast path for vector math —
+  a higher-order-function (zip_with/aggregate) formulation is evaluated
+  interpreted by Catalyst and ran ~10x slower.
 * IVF-bucketed ANN — the scale path: assign every vector to its nearest of C
-  centroids (broadcast centroids, one scan), then probe only the query's
-  centroid bucket. Bucket assignment is a shuffle on centroid_id; probe cost
-  drops by ~C vs brute force.
+  centroids (broadcast centroids, argmax inside the same batch kernel), then
+  probe only the query's centroid bucket. Probe cost drops ~C vs brute force.
+* embedding near-dup — pairwise cosine >= 0.95 searched within IVF buckets
+  via ``applyInPandas``: each bucket computes one gram matrix; vectors ship
+  through the shuffle once, pairs never materialize outside numpy.
 
-Cosines are computed in double and rounded to 9 dp on both engines so the
+Cosines are computed in float64 and rounded to 9 dp on both engines so the
 oracle hash is float-drift-proof.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -28,20 +35,62 @@ _TOP_K = 10
 _N_CENTROIDS = 16
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+
+
+def _np(pdf_col) -> np.ndarray:
+    return np.array(pdf_col.tolist(), dtype=np.float64)
+
+
+def cosine_scores(
+    candidates: DataFrame, query_ids: np.ndarray, Q: np.ndarray
+) -> DataFrame:
+    """(vec_id, e) x broadcast query matrix -> (query_id, neighbor_id,
+    cos_sim) rows, numpy-matmul per Arrow batch. Self-pairs dropped."""
+    sc = candidates.sparkSession.sparkContext
+    bc = sc.broadcast((query_ids, Q, np.linalg.norm(Q, axis=1)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, Qm, Qn = bc.value
+        nq = len(qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = _np(pdf["e"])
+            vids = pdf["vec_id"].to_numpy()
+            S = (E @ Qm.T) / (
+                np.linalg.norm(E, axis=1)[:, None] * Qn[None, :]
+            )
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, len(vids)),
+                    "neighbor_id": np.repeat(vids, nq),
+                    "cos_sim": np.round(S, 9).ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    return candidates.mapInPandas(
+        run, "query_id bigint, neighbor_id bigint, cos_sim double"
+    )
+
+
+def _topk(sims: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.select("*", F.row_number().over(w).cast("bigint").alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
 
 
 @register(
@@ -72,28 +121,44 @@ def cosine(a: Column, b: Column) -> Column:
     """,
 )
 def e01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-{k} for the first {n} vectors as queries."""
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
+    """Brute-force cosine top-k for the first N vectors as queries. The query
+    set must be driver-small (it is broadcast); the candidate side streams —
+    at 100 TB this is one scan with no shuffle before the top-k."""
+    v = _vectors(spark, sf_dir)
+    qpdf = v.filter(F.col("vec_id") < _N_QUERIES).toPandas()
+    sims = cosine_scores(v, qpdf["vec_id"].to_numpy(), _np(qpdf["e"]))
+    return _topk(sims, _TOP_K)
+
+
+def assign_buckets(v: DataFrame, n_centroids: int) -> DataFrame:
+    """IVF bucket assignment: nearest (max-cosine) centroid per vector, ties
+    to the lowest centroid id. Centroids are the first C vectors
+    (deterministic; a k-means loop would refine them — same plumbing)."""
+    cpdf = v.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").toPandas()
+    cids = cpdf["vec_id"].to_numpy()
+    C = _np(cpdf["e"])
+    bc = v.sparkSession.sparkContext.broadcast(
+        (cids, C, np.linalg.norm(C, axis=1))
     )
-    q = (
-        v.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
-    )
-    sims = (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("e")), 9).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.select("*", F.row_number().over(w).cast("bigint").alias("rnk"))
-        .filter(F.col("rnk") <= _TOP_K)
-        .orderBy("query_id", "rnk")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, Cm, Cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = _np(pdf["e"])
+            S = (E @ Cm.T) / (np.linalg.norm(E, axis=1)[:, None] * Cn[None, :])
+            best = cids[np.argmax(S, axis=1)]  # argmax -> first max -> low id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "e": pdf["e"],
+                    "centroid_id": best,
+                }
+            )
+
+    return v.mapInPandas(
+        run, "vec_id bigint, e array<double>, centroid_id bigint"
     )
 
 
@@ -105,55 +170,82 @@ def e01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e02_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: nearest-centroid bucketing, probe one
-    bucket. Centroids are the first C vectors (deterministic; a k-means loop
-    would refine them — same plumbing)."""
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
-    )
-    cent = v.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
-    )
-    # assign every vector to its nearest centroid (broadcast C rows, one scan)
-    wa = W.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "e",
-            "centroid_id",
-            cosine(F.col("e"), F.col("ce")).alias("c_sim"),
+    bucket (the query's own). Queries are grouped by bucket in a broadcast
+    lookup; each candidate batch scores only against the queries of its own
+    bucket — no join, one candidate scan, probe cost ~1/C of brute force."""
+    assigned = assign_buckets(_vectors(spark, sf_dir), _N_CENTROIDS)
+    qpdf = assigned.filter(F.col("vec_id") < _N_QUERIES).toPandas()
+    probe_buckets = sorted(set(qpdf["centroid_id"]))
+    lookup = {
+        cid: (
+            grp["vec_id"].to_numpy(),
+            _np(grp["e"]),
+            np.linalg.norm(_np(grp["e"]), axis=1),
         )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "c_sim")
-    )
-    q = (
-        assigned.filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("e").alias("qe"),
-            F.col("centroid_id").alias("q_centroid"),
+        for cid, grp in qpdf.groupby("centroid_id")
+    }
+    bc = spark.sparkContext.broadcast(lookup)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lk = bc.value
+        for pdf in batches:
+            for cid, grp in pdf.groupby("centroid_id"):
+                if cid not in lk:
+                    continue
+                qids, Qm, Qn = lk[cid]
+                E = _np(grp["e"])
+                vids = grp["vec_id"].to_numpy()
+                S = (E @ Qm.T) / (
+                    np.linalg.norm(E, axis=1)[:, None] * Qn[None, :]
+                )
+                out = pd.DataFrame(
+                    {
+                        "query_id": np.tile(qids, len(vids)),
+                        "neighbor_id": np.repeat(vids, len(qids)),
+                        "cos_sim": np.round(S, 9).ravel(),
+                    }
+                )
+                yield out[out["query_id"] != out["neighbor_id"]]
+
+    sims = assigned.filter(
+        F.col("centroid_id").isin(probe_buckets)  # partition-prunable scan cut
+    ).mapInPandas(run, "query_id bigint, neighbor_id bigint, cos_sim double")
+    return _topk(sims, _TOP_K)
+
+
+def neardup_pairs(
+    v: DataFrame, n_centroids: int = _N_CENTROIDS, threshold: float = 0.95
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) searched within IVF
+    buckets: applyInPandas computes one gram matrix per bucket — vectors
+    cross the shuffle once; the |bucket|^2 pair space exists only inside
+    numpy, never as Spark rows."""
+    assigned = assign_buckets(v, n_centroids)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        E = _np(pdf["e"])
+        vids = pdf["vec_id"].to_numpy()
+        order = np.argsort(vids)
+        E, vids = E[order], vids[order]
+        norm = np.linalg.norm(E, axis=1)
+        S = (E @ E.T) / (norm[:, None] * norm[None, :])
+        iu = np.triu_indices(len(vids), k=1)
+        sims = np.round(S[iu], 9)
+        keep = sims >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": vids[iu[0][keep]],
+                "vec_b": vids[iu[1][keep]],
+                "cos_sim": sims[keep],
+            }
         )
-    )
-    # probe: candidates in the query's bucket only
-    sims = (
-        assigned.join(
-            F.broadcast(q), F.col("centroid_id") == F.col("q_centroid")
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("e")), 9).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+
     return (
-        sims.select("*", F.row_number().over(w).cast("bigint").alias("rnk"))
-        .filter(F.col("rnk") <= _TOP_K)
-        .orderBy("query_id", "rnk")
+        assigned.groupBy("centroid_id")
+        .applyInPandas(
+            bucket_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
+        )
+        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -163,38 +255,6 @@ def e02_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def e03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vector pairs (cosine >= 0.95) searched within IVF
-    buckets — same-bucket join instead of |V|^2 cross product."""
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
-    )
-    cent = v.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
-    )
-    wa = W.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
-    assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "e", "centroid_id", cosine(F.col("e"), F.col("ce")).alias("c_sim")
-        )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "c_sim")
-    )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 9)
-    return (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.95)
-        .orderBy("vec_a", "vec_b")
-    )
+    """Embedding near-dup pairs over the embeddings table (see
+    neardup_pairs for the bucketed gram-matrix design)."""
+    return neardup_pairs(_vectors(spark, sf_dir))

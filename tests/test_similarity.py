@@ -1,0 +1,97 @@
+"""Similarity-search quality tests: IVF recall against the exact brute-force
+top-k, and near-dup detection on planted duplicate vectors (both rows-only
+for the driver's oracle — this is their correctness gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducktales_spark.queries.similarity import (
+    e01_cosine_topk,
+    e02_ivf_ann,
+    e03_embedding_neardup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _topk_sets(rows):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """The IVF probe searches 1/C of the space; within the probed bucket its
+    results must be a subset of brute force ordering-wise, and overall recall
+    of the true top-10 should be non-trivial (same-bucket neighbors)."""
+    exact = _topk_sets(e01_cosine_topk(spark, SF).collect())
+    approx = _topk_sets(e02_ivf_ann(spark, SF).collect())
+    assert set(approx).issubset(set(exact)) or set(approx) == set(exact)
+    recalls = []
+    for q, nbrs in approx.items():
+        recalls.append(len(nbrs & exact[q]) / len(exact[q]))
+    assert sum(recalls) / len(recalls) >= 0.3  # one-bucket probe lower bound
+    # every approx result must cite a genuinely high-cosine neighbor:
+    # approx sims are a subset of the exact sim table by construction
+    ex_rows = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in e01_cosine_topk(spark, SF).collect()
+    }
+    for r in e02_ivf_ann(spark, SF).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex_rows:
+            assert r["cos_sim"] == pytest.approx(ex_rows[key], abs=1e-9)
+
+
+def test_neardup_finds_planted_duplicates(spark):
+    """Append exact copies of two vectors with new ids; the near-dup query
+    must report them at cosine 1.0."""
+    from ducktales_spark.data import table
+    from ducktales_spark.queries.similarity import (
+        _N_CENTROIDS,
+        _np,
+        as_double,
+        assign_buckets,
+    )
+    import numpy as np
+    import pandas as pd
+
+    v = table(spark, SF, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    pdf = v.filter(F.col("vec_id").isin([100, 101])).toPandas()
+    clones = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": pdf["vec_id"] + 100000, "e": pdf["e"]}
+        ),
+        "vec_id bigint, e array<double>",
+    )
+    allv = v.unionByName(clones)
+    assigned = assign_buckets(allv, _N_CENTROIDS)
+
+    # clones land in the same bucket as their originals (same vector)
+    buckets = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assigned.filter(
+            F.col("vec_id").isin([100, 101, 100100, 100101])
+        ).collect()
+    }
+    assert buckets[100] == buckets[100100]
+    assert buckets[101] == buckets[100101]
+
+    # and the near-dup operator over the cloned set surfaces them at cos 1.0
+    from ducktales_spark.queries.similarity import neardup_pairs
+
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in neardup_pairs(allv).collect()
+    }
+    assert pairs.get((100, 100100)) == pytest.approx(1.0)
+    assert pairs.get((101, 100101)) == pytest.approx(1.0)
+    assert all(c >= 0.95 for c in pairs.values())
+    # the standard corpus query still runs and respects the threshold
+    std = e03_embedding_neardup(spark, SF).collect()
+    assert all(r["cos_sim"] >= 0.95 for r in std)
