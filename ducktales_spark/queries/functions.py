@@ -196,3 +196,48 @@ def x02_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@register(
+    "f02_random_bounds",
+    survey_ids=("F2", "S4", "A10"),
+    oracle="SELECT CAST(1 AS BOOLEAN) AS in_range, CAST(1000 AS BIGINT) AS n",
+)
+def f02_random_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random() data generation (utils/ducklake_utils.py:107). The values are
+    non-deterministic by design, so the oracle-checked contract is the
+    deterministic envelope: 0 <= rand() < 1 for every generated row."""
+    r = spark.range(1000).select(F.rand(seed=42).alias("r"))
+    return r.agg(
+        ((F.min("r") >= 0) & (F.max("r") < 1)).alias("in_range"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "f03_now_sanity",
+    survey_ids=("F3", "F4"),
+    oracle="SELECT CAST(1 AS BOOLEAN) AS now_recent, "
+    "CAST(1 AS BOOLEAN) AS interval_works",
+)
+def f03_now_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOW()/CURRENT_TIMESTAMP and interval arithmetic
+    (utils/ducklake_utils.py:108). Wall-clock values can't hash-match an
+    oracle, so the checked contract is invariants: now() is after 2024 and
+    now() - INTERVAL 7 DAYS < now()."""
+    return spark.range(1).select(
+        (F.year(F.current_timestamp()) >= 2024).alias("now_recent"),
+        (
+            F.current_timestamp() - F.expr("INTERVAL 7 DAYS")
+            < F.current_timestamp()
+        ).alias("interval_works"),
+    )
+
+
+@register("s09_functions_introspection", survey_ids=("S9",))
+def s09_functions_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_functions()/duckdb_settings() equivalent: SHOW FUNCTIONS +
+    spark.conf (exploration/ducklake_analysis.sh:188-191). Rows-only — the
+    two engines' registries differ by construction."""
+    fns = spark.sql("SHOW FUNCTIONS LIKE 'min*'").orderBy("function")
+    return fns

@@ -23,17 +23,21 @@ from ducktales_spark.registry import register
 
 
 def _fresh_lake(spark: SparkSession):
-    from ducktales_spark.lake import LakeCatalog
+    # connect("lake:<dir>") == ATTACH 'ducklake:<path>' (S1,
+    # utils/ducklake_utils.py:25-28)
+    from ducktales_spark.lake import connect
 
-    return LakeCatalog(
-        tempfile.mkdtemp(prefix="ducktales_lake_"), spark, inline_threshold=8
+    return connect(
+        "lake:" + tempfile.mkdtemp(prefix="ducktales_lake_"),
+        spark,
+        inline_threshold=8,
     )
 
 
 @register(
     "l01_lake_ctas_roundtrip",
     oracle="SELECT r_regionkey, r_name FROM region",
-    survey_ids=("S5", "D9", "D1", "S2"),
+    survey_ids=("S1", "S2", "S3", "S5", "D9", "D1"),
 )
 def l01_lake_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTAS into a lake catalog then scan it back: write path -> parquet +
@@ -82,18 +86,23 @@ def l03_lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l04_lake_time_travel",
     oracle="SELECT r_regionkey, r_name FROM region",
-    survey_ids=("T1", "D4", "D2"),
+    survey_ids=("T1", "T2", "D4", "D2"),
 )
 def l04_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The demo-02 recovery story: full DELETE (metadata-only), then read the
-    pre-delete version and INSERT..SELECT it back; the current state must
-    equal the original table (demos/02_time_travel/demo.py:228-241)."""
+    pre-delete state back via AT (TIMESTAMP =>) resolution and INSERT..SELECT
+    it; the current state must equal the original table
+    (demos/02_time_travel/demo.py:189-196,228-241)."""
     lake = _fresh_lake(spark)
     lake.ctas("region_l", table(spark, sf_dir, "region"))
     v_before = lake.current_version()
+    ts_before = [
+        s for s in lake.snapshots() if s["snapshot_id"] == v_before
+    ][0]["snapshot_time"]
     lake.delete("region_l")
     assert lake.read("region_l").count() == 0
-    lake.insert("region_l", lake.read("region_l", version=v_before))
+    # timestamp resolves to the latest snapshot at-or-before ts (T2)
+    lake.insert("region_l", lake.read("region_l", timestamp=ts_before))
     return lake.read("region_l")
 
 
@@ -103,17 +112,18 @@ def l04_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r_regionkey, r_name AS region_name,
                CAST('unreviewed' AS VARCHAR) AS status
         FROM region""",
-    survey_ids=("D10", "D11", "D12"),
+    survey_ids=("D10", "D11", "D12", "D13"),
 )
 def l05_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADD COLUMN with default + RENAME COLUMN, both metadata-only: no file is
-    rewritten, yet the read serves the evolved schema
-    (demos/03_schema_evolution/demo.py:118,196)."""
+    """ADD COLUMN with default + RENAME COLUMN + SET NOT NULL, all
+    metadata-only: no file is rewritten, yet the read serves the evolved
+    schema (demos/03_schema_evolution/demo.py:118,196,209-223)."""
     lake = _fresh_lake(spark)
     lake.ctas("region_l", table(spark, sf_dir, "region"))
     files_before = lake.table_info()[0]["file_count"]
     lake.add_column("region_l", "status", "string", default="unreviewed")
     lake.rename_column("region_l", "r_name", "region_name")
+    lake.set_not_null("region_l", "status")  # D13: validates, then records
     assert lake.table_info()[0]["file_count"] == files_before  # no rewrites
     return lake.read("region_l")
 
@@ -173,7 +183,7 @@ def l07_lake_inlined_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.read("region_l")
 
 
-@register("l08_lake_snapshots", survey_ids=("T3", "D5", "D6"))
+@register("l08_lake_snapshots", survey_ids=("T3", "D5", "D6", "M2"))
 def l08_lake_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot log after a create+insert, an update, a rolled-back txn (no
     snapshot!), and a compaction. Rows-only: commit timestamps are wall-clock.
@@ -235,3 +245,141 @@ def l10_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "table_name string, has_storage boolean, row_count bigint",
     )
+
+
+@register(
+    "l11_constraint_abort",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    survey_ids=("D7",),
+)
+def l11_constraint_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-PK insert aborts the WHOLE transaction, including its
+    earlier valid statements; the table must be byte-identical to before
+    (demos/01_transaction_rollback/demo.py:118-151)."""
+    from ducktales_spark.lake import ConstraintViolation
+
+    lake = _fresh_lake(spark)
+    lake.ctas(
+        "nation_l",
+        table(spark, sf_dir, "nation"),
+        primary_key=["n_nationkey"],
+    )
+    try:
+        with lake.transaction() as tx:
+            tx.insert_rows(
+                "nation_l",
+                [{"n_nationkey": 900, "n_name": "VALID", "n_regionkey": 0}],
+            )
+            tx.insert_rows(  # duplicate key -> aborts everything above too
+                "nation_l",
+                [{"n_nationkey": 0, "n_name": "DUP", "n_regionkey": 0}],
+            )
+    except ConstraintViolation:
+        pass
+    return lake.read("nation_l")
+
+
+@register(
+    "l12_lake_view",
+    oracle="SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 2",
+    survey_ids=("D14",),
+)
+def l12_lake_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW persisted in the catalog; session bind re-materializes it
+    for Spark SQL (demos/05_catalog_portability/demo.py:150-164)."""
+    lake = _fresh_lake(spark)
+    lake.ctas("region_l", table(spark, sf_dir, "region"))
+    lake.create_view(
+        "big_regions",
+        "SELECT r_regionkey, r_name FROM region_l WHERE r_regionkey >= 2",
+    )
+    return lake.sql("SELECT * FROM big_regions")
+
+
+@register(
+    "l13_export_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    survey_ids=("D15", "S10"),
+)
+def l13_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog migration dev->prod (demos/05_catalog_portability/
+    demo.py:199-280): recreate schema+PK+data in a second catalog, then read
+    from the TARGET. The same export path drives the PostgreSQL backend —
+    only the metastore dialect changes (S10)."""
+    dev = _fresh_lake(spark)
+    dev.ctas("nation_l", table(spark, sf_dir, "nation"))
+    prod = _fresh_lake(spark)
+    dev.export_to(prod)
+    return prod.read("nation_l")
+
+
+@register(
+    "l14_snapshot_audit",
+    oracle="""
+        SELECT * FROM (
+            SELECT 1 AS step, n_nationkey, 'delete' AS change_type
+            FROM nation WHERE n_nationkey = 1
+            UNION ALL
+            SELECT 1, n_nationkey, 'insert' FROM nation WHERE n_nationkey = 1
+            UNION ALL
+            SELECT 2, n_nationkey, 'delete' FROM nation WHERE n_nationkey = 2
+        )""",
+    survey_ids=("T5", "J3", "T4"),
+)
+def l14_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff audit (demos/02_time_travel/demo.py:248-304): iterate
+    consecutive versions and build a change log from row-level diffs."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as DF
+
+    lake = _fresh_lake(spark)
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
+    v1 = lake.current_version()
+    lake.update("nation_l", {"n_regionkey": "n_regionkey + 10"}, "n_nationkey = 1")
+    lake.delete("nation_l", "n_nationkey = 2")
+    v3 = lake.current_version()
+    steps = []
+    for step, v in enumerate(range(v1, v3), start=1):
+        steps.append(
+            lake.table_changes("nation_l", v, v + 1)
+            .select(
+                F.lit(step).alias("step"), "n_nationkey", "change_type"
+            )
+        )
+    return reduce(DF.unionByName, steps)
+
+
+@register(
+    "l15_concurrent_retry",
+    oracle="""
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_nationkey = 0 THEN n_regionkey + 1
+                    WHEN n_nationkey = 1 THEN n_regionkey + 2
+                    ELSE n_regionkey END AS n_regionkey
+        FROM nation""",
+    survey_ids=("D8",),
+)
+def l15_concurrent_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent writers (D8, demos/03_schema_evolution/demo.py:32-72):
+    two overlapping transactions on one table — the first committer wins,
+    the loser gets ConflictError and retries against the new base; BOTH
+    effects must land."""
+    from ducktales_spark.lake import ConflictError
+
+    lake = _fresh_lake(spark)
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
+    tx1 = lake.transaction()
+    tx1.update("nation_l", {"n_regionkey": "n_regionkey + 1"}, "n_nationkey = 0")
+    tx2 = lake.transaction()
+    tx2.update("nation_l", {"n_regionkey": "n_regionkey + 2"}, "n_nationkey = 1")
+    tx1.commit()
+    try:
+        tx2.commit()
+        raise AssertionError("expected first-committer-wins conflict")
+    except ConflictError:
+        with lake.transaction() as tx:  # retry sees tx1's committed state
+            tx.update(
+                "nation_l", {"n_regionkey": "n_regionkey + 2"}, "n_nationkey = 1"
+            )
+    return lake.read("nation_l")

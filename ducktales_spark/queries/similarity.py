@@ -95,7 +95,8 @@ def _topk(sims: DataFrame, k: int) -> DataFrame:
 
 @register(
     "e01_cosine_topk",
-    survey_ids=("J1", "W1"),  # extension: brute-force cosine top-k
+    survey_ids=("J1", "W1", "S6"),  # extension: brute-force cosine top-k;
+    # S6: query vectors arrive via the Arrow toPandas result path
     oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
