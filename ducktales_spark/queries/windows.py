@@ -178,3 +178,112 @@ def o03_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n_regionkey", "n_name")
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "x03_sliding_window",
+    survey_ids=("A1", "A3", "A8"),  # extension: sliding event-time window
+    oracle="""
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               value
+        FROM events
+    )
+    SELECT win_start,
+           win_start + INTERVAL '1 hour' AS win_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM buckets
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+)
+def x03_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute window counts over events — the batch shape
+    of windowed_counts(slide=...) in ducktales_spark.streaming. Each event
+    lands in exactly 2 windows; the DuckDB oracle materializes both bucket
+    memberships via UNION ALL."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "x06_sessionize_batch",
+    survey_ids=("W1", "A8", "A5"),  # extension: relational sessionization
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def x06_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational sessionization (30-min inactivity gap): lag -> new-session
+    flag -> running sum -> per-session agg. The batch twin of the stateful
+    streaming sessionizer (ducktales_spark.streaming.sessionize); one shuffle
+    on user_id serves both window functions AND the final aggregation."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_no")
+    )

@@ -1,0 +1,142 @@
+"""Physical-plan assertions: the scale-posture claims (pushdown, pruning,
+broadcast, codegen, shuffle counts) verified against the actual Catalyst
+output, not just asserted in docstrings. A regression that silently drops a
+pushed filter or flips a broadcast to a shuffle join fails here."""
+
+from __future__ import annotations
+
+import io
+import re
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+
+from ducktales_spark.data import table
+from ducktales_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def plan_str(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_exchanges(df: DataFrame) -> int:
+    return len(re.findall(r"\bExchange\b", plan_str(df)))
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """P3/P4: a filter on a scanned column must appear as PushedFilters on
+    the parquet scan, not only as a post-scan Filter."""
+    df = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 10)
+    s = formatted(df)
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_quantity,10", s), s[:2000]
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must narrow ReadSchema to those columns."""
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    s = formatted(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m, s[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity"}
+
+
+def test_j01_broadcasts_dimensions(spark, sf_dir):
+    """J1: the revenue join must broadcast the small dimension sides —
+    a shuffle join on nation/region at 100 TB would be a plan bug."""
+    s = plan_str(SPECS["j01_inner_join_revenue_by_region"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s or "lineitem" in s  # dims never SMJ
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """A8: groupBy must plan partial (map-side) + final hash aggregation —
+    one shuffle of pre-aggregated groups, not raw rows."""
+    s = plan_str(SPECS["q1_pricing_summary"].fn(spark, sf_dir))
+    assert len(re.findall(r"HashAggregate", s)) >= 2
+    assert n_exchanges(SPECS["q1_pricing_summary"].fn(spark, sf_dir)) <= 2
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    """The flagship scan-agg pipeline must run inside WholeStageCodegen.
+    (AQE only materializes codegen stage markers in the FINAL plan, so
+    execute first.)"""
+    df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    # codegen'd operators carry the "*(stage_id)" marker in the final plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan_str(df))
+
+
+def test_no_python_udf_in_jvm_queries(spark, sf_dir):
+    """Relational + dedup queries must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython stages (Python appears only in the similarity/multimodal
+    mapInPandas operators, by design)."""
+    for name in [
+        "q1_pricing_summary", "j01_inner_join_revenue_by_region",
+        "a09_groupby_multikey", "w02_topk_per_group", "d01_dedup_exact",
+        "d02_ngram_jaccard", "d03_minhash_lsh", "t01_token_count",
+        "t02_quality_score", "x02_tumbling_hourly",
+    ]:
+        s = plan_str(SPECS[name].fn(spark, sf_dir))
+        assert "EvalPython" not in s, f"{name} fell off the JVM path"
+
+
+def test_shingle_dedup_reuses_partitioning(spark, sf_dir):
+    """The (doc_id, h) dropDuplicates must reuse the repartition(doc_id)
+    distribution: exactly ONE Exchange in the whole shingle pipeline."""
+    from ducktales_spark.queries.dedup import shingle_table
+
+    # cached fragments from earlier dedup queries (persist()) change how the
+    # planner slots exchanges; this asserts the cold plan
+    spark.catalog.clearCache()
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        shingle_table(d, distinct=False)
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    assert n_exchanges(sh) == 1, plan_str(sh)[:3000]
+
+
+def test_sort_limit_fuses_to_take_ordered(spark, sf_dir):
+    """O4: ORDER BY ... LIMIT must fuse to TakeOrderedAndProject — a global
+    sort for a top-k would be a scale bug."""
+    s = plan_str(SPECS["o01_sort_limit_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in s
+
+
+def test_lake_read_prunes_files(spark, tmp_path):
+    """The lake's stats-based file pruning: a COW update with a selective
+    predicate must leave non-matching files' Spark scan untouched (asserted
+    at the metadata layer; the scan then reads only live files)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ducktales_spark.lake import LakeCatalog
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    lake.create_table(
+        "t", StructType([StructField("id", IntegerType(), True)])
+    )
+    lake.insert("t", spark.range(0, 100).select(F.col("id").cast("int")).coalesce(1))
+    lake.insert("t", spark.range(10000, 10100).select(F.col("id").cast("int")).coalesce(1))
+    files_before = {
+        r[0] for r in lake.ms.q(
+            "SELECT file_id FROM lake_data_file WHERE removed_snapshot IS NULL"
+        )
+    }
+    lake.update("t", {"id": "id + 1"}, "id >= 10000")
+    files_after = {
+        r[0] for r in lake.ms.q(
+            "SELECT file_id FROM lake_data_file WHERE removed_snapshot IS NULL"
+        )
+    }
+    # the 0-99 file survived (its max stat < 10000 -> pruned from the rewrite)
+    assert len(files_before & files_after) == 1
