@@ -253,9 +253,15 @@ class LakeCatalog:
         return {sv: TableSchema.from_json(sj) for sv, sj in rows}
 
     def read(
-        self, name: str, version=None, timestamp=None
+        self, name: str, version=None, timestamp=None, where: Optional[str] = None
     ) -> DataFrame:
-        """Versioned table scan (S2/T1/T2). ``version=None`` = current."""
+        """Versioned table scan (S2/T1/T2). ``version=None`` = current.
+
+        ``where`` (SQL predicate string) enables catalog-side data skipping
+        (SURVEY.md §4): the file list is pruned with min/max stats BEFORE the
+        DataFrame is constructed — like Delta data skipping, a layer above
+        parquet row-group pruning — and the predicate is then applied to the
+        surviving rows, so results are always exact."""
         v = self._resolve_version(version, timestamp)
         table_id, _ = self._table_at(name, v)
         schemas = self._schemas_at(table_id, v)
@@ -279,7 +285,39 @@ class LakeCatalog:
                 (table_id, v, v),
             )
         ]
+        if where is not None:
+            conjuncts = parse_conjuncts(where)
+            files = [
+                fe
+                for fe in files
+                if file_may_match(
+                    fe.col_stats, conjuncts, schemas[fe.schema_version]
+                )
+            ]
+            return self._build_df(files, inlined, schemas, current).filter(
+                F.expr(where)
+            )
         return self._build_df(files, inlined, schemas, current)
+
+    def count(self, name: str, version=None) -> int:
+        """Metadata-only COUNT(*) (SURVEY.md §4 'metadata queries very
+        fast', exploration/benchmark_ducklake.sh:155-172): answered from
+        catalog row counts without launching a Spark job."""
+        v = self._resolve_version(version)
+        table_id, _ = self._table_at(name, v)
+        rc = self.ms.one(
+            "SELECT COALESCE(SUM(row_count),0) FROM lake_data_file WHERE "
+            "table_id=? AND added_snapshot<=? AND (removed_snapshot IS NULL "
+            "OR removed_snapshot>?)",
+            (table_id, v, v),
+        )[0]
+        ic = self.ms.one(
+            "SELECT COUNT(*) FROM lake_inlined WHERE table_id=? AND "
+            "added_snapshot<=? AND (removed_snapshot IS NULL OR "
+            "removed_snapshot>?)",
+            (table_id, v, v),
+        )[0]
+        return rc + ic
 
     def _build_df(self, files, inlined, schemas, current: TableSchema) -> DataFrame:
         """file list (+ inlined rows) -> one DataFrame in the current schema.

@@ -383,3 +383,23 @@ def l15_concurrent_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nation_l", {"n_regionkey": "n_regionkey + 2"}, "n_nationkey = 1"
             )
     return lake.read("nation_l")
+
+
+@register(
+    "l16_read_with_skipping",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation "
+    "WHERE n_nationkey >= 13",
+    survey_ids=("P4", "S2"),
+)
+def l16_read_with_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-side data skipping (SURVEY §4): read(where=...) prunes the
+    file list with min/max stats before the scan exists, then applies the
+    exact predicate. Two disjoint-range files (13/12 rows — both above the
+    inline threshold); the low file never enters the plan."""
+    lake = _fresh_lake(spark)
+    n = table(spark, sf_dir, "nation")
+    lake.ctas("nation_l", n.filter("n_nationkey < 13").coalesce(1))
+    lake.insert("nation_l", n.filter("n_nationkey >= 13").coalesce(1))
+    pruned = lake.read("nation_l", where="n_nationkey >= 13")
+    assert len(pruned.inputFiles()) == 1  # the <13 file was skipped
+    return pruned

@@ -470,3 +470,38 @@ def test_read_errors(lake):
     _inventory(lake)
     with pytest.raises(LakeError):
         lake.read("inventory", version=999)
+
+
+def test_read_side_file_skipping(lake, spark):
+    """SURVEY §4 data skipping: a selective read prunes non-matching files
+    from the scan BEFORE the DataFrame exists (verify via inputFiles), and
+    results stay exact."""
+    lake.create_table(
+        "skipper", StructType([StructField("id", IntegerType(), True)])
+    )
+    lake.insert("skipper", spark.range(0, 100).select(
+        F.col("id").cast("int")).coalesce(1))
+    lake.insert("skipper", spark.range(10000, 10100).select(
+        F.col("id").cast("int")).coalesce(1))
+    full = lake.read("skipper")
+    assert len(full.inputFiles()) == 2
+    pruned = lake.read("skipper", where="id >= 10000")
+    assert len(pruned.inputFiles()) == 1  # low-range file skipped
+    assert pruned.count() == 100
+    # unparseable predicate -> no pruning, still exact
+    fallback = lake.read("skipper", where="id % 2 = 0")
+    assert len(fallback.inputFiles()) == 2
+    assert fallback.count() == 100
+
+
+def test_metadata_only_count(lake, spark):
+    """COUNT(*) answered from the catalog, no Spark job."""
+    _inventory(lake)
+    assert lake.count("inventory") == 3
+    v = lake.current_version()
+    with lake.transaction() as tx:
+        tx.delete("inventory", "id = 1")
+    assert lake.count("inventory") == 2
+    assert lake.count("inventory", version=v) == 3
+    # agrees with the real scan
+    assert lake.read("inventory").count() == 2
