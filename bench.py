@@ -68,10 +68,71 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "lake_ops": lake_ops(spark, sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def lake_ops(spark, sf_dir: str) -> dict:
+    """The reference's benchmark op set (exploration/benchmark_ducklake.sh:
+    46-201): table creation, 1k/50k inserts, predicate update, predicate
+    delete, metadata queries, time-travel reads — against our lake layer on
+    the orders table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ducktales_spark.lake import connect
+
+    lake = connect("lake:" + tempfile.mkdtemp(prefix="bench_lake_"), spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    lake.ctas("orders_l", orders)
+    t["table_creation_ctas"] = round(time.perf_counter() - t0, 3)
+
+    small = orders.limit(1000).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100_000_000
+    )
+    t0 = time.perf_counter()
+    lake.insert("orders_l", small)
+    t["insert_1k"] = round(time.perf_counter() - t0, 3)
+
+    big = orders.limit(50000).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 200_000_000
+    )
+    t0 = time.perf_counter()
+    lake.insert("orders_l", big)
+    t["insert_50k"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lake.update(
+        "orders_l", {"o_totalprice": "o_totalprice * 1.1"},
+        "o_orderkey % 10 = 0",
+    )
+    t["update_10pct"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lake.delete("orders_l", "o_orderkey % 5 = 1")
+    t["delete_20pct"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        lake.snapshots()
+        lake.table_info()
+        lake.count("orders_l")
+    t["metadata_queries_x5"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    for v in (1, 2, 3, None):
+        lake.read("orders_l", version=v).count()
+    t["time_travel_reads_x4"] = round(time.perf_counter() - t0, 3)
+
+    t["total"] = round(sum(t.values()), 3)
+    return t
 
 
 if __name__ == "__main__":

@@ -459,8 +459,38 @@ class LakeCatalog:
             self.spark.sql(vsql).createOrReplaceTempView(vname)
 
     def sql(self, query: str, version=None) -> DataFrame:
+        """Run Spark SQL against the lake, with DuckLake's time-travel
+        syntax: ``FROM t AT (VERSION => 3)`` / ``AT (TIMESTAMP =>
+        '2024-01-01T00:00:00')`` (README.md:216-220; demos/02_time_travel/
+        demo.py:163-196). No parser extension needed: the AT clause is
+        rewritten to a pre-registered versioned temp view before Catalyst
+        sees the query (SURVEY.md §4 'snapshot-scoped scan binding')."""
+        import re as _re
+
         self.bind(version)
-        return self.spark.sql(query)
+
+        def _rewrite(m: "_re.Match") -> str:
+            tname, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+            if kind == "VERSION":
+                v = int(val)
+                df = self.read(tname, version=v)
+                view = f"{tname}__at_v{v}"
+            else:
+                ts = val.strip("'\"")
+                v = self._resolve_version(timestamp=ts)
+                df = self.read(tname, version=v)
+                view = f"{tname}__at_v{v}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        rewritten = _re.sub(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+AT\s*\(\s*(VERSION|TIMESTAMP)"
+            r"\s*=>\s*([^)]+)\)",
+            _rewrite,
+            query,
+            flags=_re.I,
+        )
+        return self.spark.sql(rewritten)
 
     def export_to(self, other: "LakeCatalog") -> None:
         """Catalog migration (D15, demos/05_catalog_portability/demo.py:199-280):

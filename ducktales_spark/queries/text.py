@@ -128,3 +128,35 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
     )
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# GPT-2-style pre-tokenizer shape, restricted to constructs RE2 (DuckDB) and
+# Java regex (Spark) treat identically: optional leading space + letter run /
+# digit run / punctuation run.
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@register(
+    "t05_bpe_tokens",
+    survey_ids=(),  # extension: BPE-ish regex token counting
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER)
+               AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}')))
+               AS INTEGER) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def t05_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization (the regex split a GPT-2/tiktoken BPE
+    applies before merges): letter runs, digit runs, punctuation runs with
+    attached leading space. Token counts per doc — the unit a training-data
+    token budget is measured in. JVM regexp_extract_all; no Python."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )

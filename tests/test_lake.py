@@ -505,3 +505,32 @@ def test_metadata_only_count(lake, spark):
     assert lake.count("inventory", version=v) == 3
     # agrees with the real scan
     assert lake.read("inventory").count() == 2
+
+
+def test_at_version_sql_syntax(lake, spark):
+    """DuckLake's AT (VERSION/TIMESTAMP =>) SQL surface (README.md:216-220)
+    via query rewrite to versioned temp views."""
+    _inventory(lake)
+    v1 = lake.current_version()
+    with lake.transaction() as tx:
+        tx.delete("inventory", "id = 1")
+    rows = lake.sql(
+        f"SELECT COUNT(*) AS n FROM inventory AT (VERSION => {v1})"
+    ).collect()
+    assert rows[0]["n"] == 3
+    assert lake.sql("SELECT COUNT(*) AS n FROM inventory").first()["n"] == 2
+    # timestamp form
+    ts = [s for s in lake.snapshots() if s["snapshot_id"] == v1][0][
+        "snapshot_time"
+    ].isoformat()
+    rows = lake.sql(
+        f"SELECT COUNT(*) AS n FROM inventory AT (TIMESTAMP => '{ts}')"
+    ).collect()
+    assert rows[0]["n"] == 3
+    # joins across versions (the demo-02 diff pattern, J3/T5)
+    diff = lake.sql(
+        f"""SELECT old.id FROM inventory cur
+            RIGHT JOIN inventory AT (VERSION => {v1}) old ON cur.id = old.id
+            WHERE cur.id IS NULL"""
+    ).collect()
+    assert [r["id"] for r in diff] == [1]
