@@ -1,0 +1,111 @@
+"""Property-based differential test of the lake DML surface: random op
+sequences (insert / update / delete / compact / flush / rename-roundtrip)
+run against both the lake and a plain-Python model; after every committed op
+the scan must equal the model, historical versions must equal the recorded
+model snapshots (time travel), and the metadata-only count must agree.
+
+Hypothesis drives op generation (deadline disabled — each op is a Spark
+job); examples are kept small so the whole test stays ~1 min."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from ducktales_spark.lake import LakeCatalog
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType(), True),
+        StructField("v", IntegerType(), True),
+    ]
+)
+
+op_insert = st.tuples(
+    st.just("insert"), st.integers(1, 30), st.integers(0, 100)
+)
+op_update = st.tuples(
+    st.just("update"), st.integers(0, 6), st.integers(1, 50)
+)
+op_delete = st.tuples(st.just("delete"), st.integers(0, 9), st.just(0))
+op_maint = st.tuples(
+    st.sampled_from(["compact", "flush", "rename_roundtrip"]),
+    st.just(0),
+    st.just(0),
+)
+ops_strategy = st.lists(
+    st.one_of(op_insert, op_update, op_delete, op_maint),
+    min_size=2,
+    max_size=6,
+)
+
+
+@pytest.fixture(scope="module")
+def prop_tmp(tmp_path_factory):
+    return tmp_path_factory.mktemp("lakeprop")
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops_strategy, seed=st.integers(0, 10_000))
+def test_random_dml_matches_model(spark, prop_tmp, ops, seed):
+    import uuid
+
+    lake = LakeCatalog(
+        str(prop_tmp / uuid.uuid4().hex[:10]), spark, inline_threshold=4
+    )
+    lake.create_table("t", SCHEMA)
+    model: dict = {}  # id -> v
+    next_id = 0
+    history = [dict(model)]  # snapshot i == lake version (i + base)
+    base = lake.current_version()
+
+    for kind, a, b in ops:
+        if kind == "insert":
+            rows = [(next_id + i, (b + i * 7) % 97) for i in range(a)]
+            next_id += a
+            lake.insert(
+                "t", spark.createDataFrame(rows, SCHEMA)
+            )
+            model.update(dict(rows))
+        elif kind == "update":
+            # UPDATE t SET v = v + 100 WHERE v % 7 == a
+            n = lake.update("t", {"v": f"v + {b}"}, f"v % 7 = {a}")
+            changed = {k: v + b for k, v in model.items() if v % 7 == a}
+            assert n == len(changed)
+            model.update(changed)
+        elif kind == "delete":
+            n = lake.delete("t", f"id % 10 = {a}")
+            doomed = [k for k in model if k % 10 == a]
+            assert n == len(doomed)
+            for k in doomed:
+                del model[k]
+        elif kind == "compact":
+            lake.compact("t")
+        elif kind == "flush":
+            lake.flush_inlined("t")
+        elif kind == "rename_roundtrip":
+            lake.rename_column("t", "v", "val")
+            lake.rename_column("t", "val", "v")
+            history.append(dict(model))  # two commits for this op
+        history.append(dict(model))
+
+        got = {
+            r["id"]: r["v"] for r in lake.read("t").collect()
+        }
+        assert got == model, f"after {kind}: {got} != {model}"
+        assert lake.count("t") == len(model)
+
+    # time travel: every recorded version equals its model snapshot
+    assert lake.current_version() - base == len(history) - 1
+    for i in (0, len(history) // 2, len(history) - 1):
+        got = {
+            r["id"]: r[-1]  # value column regardless of current name
+            for r in lake.read("t", version=base + i).collect()
+        }
+        assert got == history[i], f"version {base + i}"
