@@ -150,13 +150,13 @@ class LakeCatalog:
 
     # autocommit single-op conveniences (one snapshot per op — the
     # reference's per-operation snapshot loop, demos/02_time_travel/demo.py:92-97)
-    def create_table(self, name, schema, primary_key=()):
+    def create_table(self, name, schema, primary_key=(), partition_by=()):
         with self.transaction() as tx:
-            tx.create_table(name, schema, primary_key)
+            tx.create_table(name, schema, primary_key, partition_by)
 
-    def ctas(self, name, df: DataFrame, primary_key=()):
+    def ctas(self, name, df: DataFrame, primary_key=(), partition_by=()):
         with self.transaction() as tx:
-            tx.ctas(name, df, primary_key)
+            tx.ctas(name, df, primary_key, partition_by)
 
     def insert(self, name, df: DataFrame):
         with self.transaction() as tx:
@@ -169,6 +169,10 @@ class LakeCatalog:
     def delete(self, name, where: Optional[str] = None) -> int:
         with self.transaction() as tx:
             return tx.delete(name, where)
+
+    def merge(self, name, source: DataFrame, on: list, **kw) -> dict:
+        with self.transaction() as tx:
+            return tx.merge(name, source, on, **kw)
 
     def add_column(self, name, col, type_, default=None, backfill=None):
         with self.transaction() as tx:
@@ -600,15 +604,27 @@ class Transaction:
         return self.c._build_df(st.files, st.inlined, st.schemas, st.schema)
 
     # -- DDL -------------------------------------------------------------
-    def create_table(self, name: str, schema, primary_key=()) -> None:
-        """D9 (transactional DDL — demos/01_transaction_rollback/demo.py:33-55)."""
+    def create_table(self, name: str, schema, primary_key=(), partition_by=()) -> None:
+        """D9 (transactional DDL — demos/01_transaction_rollback/demo.py:33-55).
+
+        ``partition_by`` declares clustering columns: every write range-
+        repartitions on them so each data file covers a narrow value interval
+        and the catalog's min/max file skipping becomes partition pruning
+        (the scan-path half of what hive-style partitioning buys, without
+        path-encoded values — stats already do the pruning)."""
         exists = self._state(name, must_exist=False)
         if exists is not None and not exists.dropped:
             raise LakeError(f"table {name!r} already exists")
         if not isinstance(schema, TableSchema):
-            schema = TableSchema.from_struct(schema, primary_key)
-        elif primary_key:
-            schema = TableSchema(schema.fields, tuple(primary_key))
+            schema = TableSchema.from_struct(schema, primary_key, partition_by)
+        elif primary_key or partition_by:
+            schema = TableSchema(
+                schema.fields,
+                tuple(primary_key) or schema.primary_key,
+                tuple(partition_by) or schema.partition_by,
+            )
+        for c in schema.partition_by:
+            schema.field_by_name(c)  # KeyError -> unknown partition column
         data_dir = os.path.join(
             self.c.root, f"{name}_{uuid.uuid4().hex[:8]}"
         )
@@ -626,10 +642,10 @@ class Transaction:
         st.changes.add("tables_created")
         self._states[name] = st
 
-    def ctas(self, name: str, df: DataFrame, primary_key=()) -> None:
+    def ctas(self, name: str, df: DataFrame, primary_key=(), partition_by=()) -> None:
         """S5: CREATE TABLE AS SELECT (``utils/ducklake_utils.py:101-111``) —
         schema inferred from the DataFrame."""
-        self.create_table(name, df.schema, primary_key)
+        self.create_table(name, df.schema, primary_key, partition_by)
         self.insert(name, df)
 
     def drop_table(self, name: str) -> None:
@@ -720,9 +736,18 @@ class Transaction:
                     f"primary key violation on {pk} in table {st.name!r}"
                 )
 
-    def _write_staged(self, st: TableState, df: DataFrame) -> list:
+    def _write_staged(self, st: TableState, df: DataFrame, cluster: bool = True) -> list:
         """Write df as staged parquet; return FileEntry list (stats from
-        footers — at cluster scale these arrive from write-task metrics)."""
+        footers — at cluster scale these arrive from write-task metrics).
+
+        Clustered tables range-repartition on their partition columns first:
+        each output file then covers a narrow min/max interval, so stats
+        pruning (read / UPDATE / DELETE candidate selection) skips whole
+        files — the partition-pruning path at 100 TB. No explicit partition
+        count: AQE coalesces small writes to few files, big writes spread."""
+        pcols = st.schemas[st.schema_version].partition_by
+        if cluster and pcols and all(c in df.columns for c in pcols):
+            df = df.repartitionByRange(*[F.col(c) for c in pcols])
         stagedir = os.path.join(st.data_dir, f"stage-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(stagedir)
         self._staged_dirs.append(stagedir)
@@ -871,6 +896,101 @@ class Transaction:
         st.changes.add("tables_deleted_from")
         return n
 
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        on: list,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> dict:
+        """MERGE/upsert (Delta-style CDC apply; beyond the reference surface,
+        which reaches the same state via UPDATE+INSERT pairs, e.g.
+        demos/01_transaction_rollback/demo.py:96-102 + :58-66).
+
+        ``when_matched``: "update" replaces the matched target row with the
+        source row, "delete" removes it, "skip" keeps it. ``when_not_matched``:
+        "insert" appends unmatched source rows, "skip" drops them.
+
+        Scale path: the source's per-key min/max bounds prune the candidate
+        file list exactly like UPDATE/DELETE (stats.py) — merging a day's CDC
+        batch into a 100 TB key-clustered table rewrites only the files whose
+        key ranges overlap the batch. One shuffle join over candidates+source;
+        untouched files never read."""
+        if when_matched not in ("update", "delete", "skip"):
+            raise LakeError(f"bad when_matched {when_matched!r}")
+        if when_not_matched not in ("insert", "skip"):
+            raise LakeError(f"bad when_not_matched {when_not_matched!r}")
+        st = self._state(name)
+        sch = st.schema
+        for k in on:
+            sch.field_by_name(k)
+        src = self._align(source, sch).persist()
+        try:
+            if (
+                src.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+                .count() > 0
+            ):
+                raise ConstraintViolation(
+                    f"duplicate merge keys {list(on)} in source"
+                )
+            bounds = src.agg(
+                *[F.min(k).alias(f"mn_{k}") for k in on],
+                *[F.max(k).alias(f"mx_{k}") for k in on],
+            ).first()
+            conjuncts = []
+            for k in on:
+                mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
+                if mn is not None and mx is not None:
+                    conjuncts.extend([(k, ">=", mn), (k, "<=", mx)])
+            candidates = [
+                fe
+                for fe in st.files
+                if not conjuncts
+                or file_may_match(
+                    fe.col_stats, conjuncts, st.schemas[fe.schema_version]
+                )
+            ]
+            touched_inlined = list(st.inlined)
+            target = self.c._build_df(candidates, touched_inlined, st.schemas, sch)
+            matched = target.join(src, on, "left_semi").count()
+            inserted = (src.count() - matched) if when_not_matched == "insert" else 0
+            effective = matched if when_matched != "skip" else 0
+            if effective == 0 and inserted == 0:
+                return {"matched": matched, "inserted": 0}
+
+            keep = target if when_matched == "skip" else target.join(
+                src, on, "left_anti"
+            )
+            parts = [keep]
+            if when_matched == "update" and when_not_matched == "insert":
+                parts.append(src)  # all source rows land
+            elif when_matched == "update":
+                parts.append(src.join(target, on, "left_semi"))
+            elif when_not_matched == "insert":
+                parts.append(src.join(target, on, "left_anti"))
+            out = reduce(DataFrame.unionByName, parts)
+
+            for fe in candidates:
+                st.files.remove(fe)
+                if not fe.staged:
+                    st.removed_file_ids.append(fe.file_id)
+            for ie in touched_inlined:
+                st.inlined.remove(ie)
+                if not ie.staged:
+                    st.removed_inlined_ids.append(ie.row_id)
+            st.files.extend(self._write_staged(st, out))
+            if effective:
+                st.changes.add(
+                    "tables_deleted_from" if when_matched == "delete"
+                    else "tables_updated"
+                )
+            if inserted:
+                st.changes.add("tables_inserted_into")
+            return {"matched": matched, "inserted": inserted}
+        finally:
+            src.unpersist()
+
     # -- maintenance (M1/M2) --------------------------------------------
     def flush_inlined(self, name: str) -> None:
         """Materialize inlined rows to a parquet file (the compaction half of
@@ -884,7 +1004,8 @@ class Transaction:
             if not ie.staged:
                 st.removed_inlined_ids.append(ie.row_id)
         st.inlined.clear()
-        st.files.extend(self._write_staged(st, df))
+        # a flushed inline batch is tiny — one file, not worth a cluster shuffle
+        st.files.extend(self._write_staged(st, df, cluster=False))
         st.changes.add("tables_compacted")
 
     def compact(self, name: str, target_file_bytes: int = 128 << 20) -> None:
@@ -896,7 +1017,13 @@ class Transaction:
             return
         nparts = max(1, -(-total // target_file_bytes))
         df = self.c._build_df(st.files, st.inlined, st.schemas, st.schema)
-        df = df.coalesce(int(nparts))
+        pcols = st.schema.partition_by
+        if pcols:
+            # re-cluster on the partition columns (coalesce would interleave
+            # value ranges across files and destroy skipping selectivity)
+            df = df.repartitionByRange(int(nparts), *[F.col(c) for c in pcols])
+        else:
+            df = df.coalesce(int(nparts))
         for fe in st.files:
             if not fe.staged:
                 st.removed_file_ids.append(fe.file_id)
@@ -905,7 +1032,8 @@ class Transaction:
             if not ie.staged:
                 st.removed_inlined_ids.append(ie.row_id)
         st.inlined.clear()
-        st.files.extend(self._write_staged(st, df))
+        # already clustered/sized above; don't re-shuffle in the write path
+        st.files.extend(self._write_staged(st, df, cluster=False))
         st.changes.add("tables_compacted")
 
     # -- commit / rollback ----------------------------------------------

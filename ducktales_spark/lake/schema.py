@@ -41,6 +41,11 @@ class Field:
 class TableSchema:
     fields: tuple  # tuple[Field, ...]
     primary_key: tuple = ()  # column names (current names)
+    # Clustering spec: writes range-repartition on these columns so each data
+    # file covers a narrow min/max interval, which makes the catalog's
+    # stats-based file skipping (stats.py) act as partition pruning — the
+    # 100 TB analog of hive partitioning without encoding values in paths.
+    partition_by: tuple = ()
 
     # -- conversions ------------------------------------------------------
     def to_struct(self) -> StructType:
@@ -52,12 +57,12 @@ class TableSchema:
         )
 
     @staticmethod
-    def from_struct(st: StructType, primary_key=()) -> "TableSchema":
+    def from_struct(st: StructType, primary_key=(), partition_by=()) -> "TableSchema":
         fields = tuple(
             Field(i + 1, f.name, f.dataType.simpleString(), f.nullable)
             for i, f in enumerate(st.fields)
         )
-        return TableSchema(fields, tuple(primary_key))
+        return TableSchema(fields, tuple(primary_key), tuple(partition_by))
 
     def to_json(self) -> str:
         return json.dumps(
@@ -73,6 +78,7 @@ class TableSchema:
                     for f in self.fields
                 ],
                 "primary_key": list(self.primary_key),
+                "partition_by": list(self.partition_by),
             }
         )
 
@@ -85,6 +91,7 @@ class TableSchema:
                 for f in d["fields"]
             ),
             tuple(d.get("primary_key", ())),
+            tuple(d.get("partition_by", ())),
         )
 
     # -- helpers ----------------------------------------------------------
@@ -105,14 +112,18 @@ class TableSchema:
         if name in self.names():
             raise ValueError(f"column {name!r} exists")
         nf = Field(self.max_field_id() + 1, name, type_, True, default)
-        return TableSchema(self.fields + (nf,), self.primary_key)
+        return TableSchema(self.fields + (nf,), self.primary_key, self.partition_by)
 
     def drop_column(self, name: str) -> "TableSchema":
         self.field_by_name(name)
         if name in self.primary_key:
             raise ValueError(f"cannot drop primary-key column {name!r}")
+        if name in self.partition_by:
+            raise ValueError(f"cannot drop partitioning column {name!r}")
         return TableSchema(
-            tuple(f for f in self.fields if f.name != name), self.primary_key
+            tuple(f for f in self.fields if f.name != name),
+            self.primary_key,
+            self.partition_by,
         )
 
     def rename_column(self, old: str, new: str) -> "TableSchema":
@@ -123,6 +134,7 @@ class TableSchema:
         return TableSchema(
             tuple(nf if g.field_id == f.field_id else g for g in self.fields),
             tuple(new if c == old else c for c in self.primary_key),
+            tuple(new if c == old else c for c in self.partition_by),
         )
 
     def set_not_null(self, name: str) -> "TableSchema":
@@ -131,6 +143,7 @@ class TableSchema:
         return TableSchema(
             tuple(nf if g.field_id == f.field_id else g for g in self.fields),
             self.primary_key,
+            self.partition_by,
         )
 
 

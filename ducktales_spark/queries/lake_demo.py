@@ -403,3 +403,66 @@ def l16_read_with_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = lake.read("nation_l", where="n_nationkey >= 13")
     assert len(pruned.inputFiles()) == 1  # the <13 file was skipped
     return pruned
+
+
+@register(
+    "l17_merge_upsert",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal FROM (
+            SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_custkey % 10 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_custkey <= 50
+        ) t""",
+    survey_ids=("D1", "D3"),
+)
+def l17_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (Delta-style CDC apply — beyond the reference surface,
+    which composes it from UPDATE + INSERT): one batch updates every 10th
+    customer's balance and inserts 50 remapped new keys; the oracle
+    recomputes the final state relationally. Candidate files are pruned by
+    the source's key bounds, so at scale a CDC batch rewrites only
+    key-overlapping files."""
+    lake = _fresh_lake(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    lake.ctas("customer_l", cust, primary_key=["c_custkey"])
+    src = cust.filter("c_custkey % 10 = 0").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    ).unionByName(
+        cust.filter("c_custkey <= 50").withColumn(
+            "c_custkey", F.col("c_custkey") + 1_000_000
+        )
+    )
+    lake.merge("customer_l", src, on=["c_custkey"])
+    return lake.read("customer_l")
+
+
+@register(
+    "l18_partitioned_prune",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01'
+        GROUP BY o_orderpriority""",
+    survey_ids=("S2", "P4", "A8"),
+)
+def l18_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A date-clustered lake table (partition_by range-repartitions writes so
+    each file covers a narrow o_orderdate interval); a selective read then
+    skips non-overlapping files via catalog stats — hive-partition pruning
+    semantics at 100 TB without path-encoded values."""
+    lake = _fresh_lake(spark)
+    orders = table(spark, sf_dir, "orders")
+    lake.ctas("orders_p", orders, partition_by=["o_orderdate"])
+    recent = lake.read("orders_p", where="o_orderdate >= '1997-01-01'")
+    return recent.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

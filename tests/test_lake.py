@@ -534,3 +534,124 @@ def test_at_version_sql_syntax(lake, spark):
             WHERE cur.id IS NULL"""
     ).collect()
     assert [r["id"] for r in diff] == [1]
+
+
+def test_partitioned_clustered_writes_prune(lake, spark):
+    """``partition_by`` range-clusters every write so each file covers a
+    narrow value interval and stats skipping becomes partition pruning —
+    the scan path a hive-partitioned 100 TB table needs. Also: the spec
+    survives rename + compaction, and partition columns can't be dropped."""
+    # tiny AQE sizing so multiple clustered files survive at test scale
+    sizing = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4KB",
+    }
+    old = {k: spark.conf.get(k) for k in sizing}
+    for k, v in sizing.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.range(0, 20_000).select(
+            (F.col("id") % 100).cast("int").alias("bucket"),
+            F.col("id").cast("int").alias("val"),
+        )
+        lake.ctas("events_p", df, partition_by=["bucket"])
+        nfiles = len(lake.read("events_p").inputFiles())
+        assert nfiles > 1
+        pruned = lake.read("events_p", where="bucket = 7")
+        assert len(pruned.inputFiles()) < nfiles
+        assert pruned.count() == 200
+
+        # a second clustered insert: pruning holds across both writes
+        lake.insert("events_p", df)
+        pruned2 = lake.read("events_p", where="bucket = 7")
+        assert pruned2.count() == 400
+        assert len(pruned2.inputFiles()) < len(
+            lake.read("events_p").inputFiles()
+        )
+
+        # rename keeps the clustering spec attached to the column
+        lake.rename_column("events_p", "bucket", "b")
+        lake.insert("events_p", df.withColumnRenamed("bucket", "b"))
+        assert lake.read("events_p", where="b = 7").count() == 600
+
+        # compaction re-clusters instead of interleaving ranges
+        lake.compact("events_p", target_file_bytes=16 << 10)
+        after_files = len(lake.read("events_p").inputFiles())
+        pruned3 = lake.read("events_p", where="b = 7")
+        assert pruned3.count() == 600
+        assert len(pruned3.inputFiles()) < after_files
+
+        with pytest.raises(Exception, match="partition"):
+            lake.drop_column("events_p", "b")
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_merge_upsert(lake, spark):
+    """MERGE/upsert: matched rows replaced, unmatched inserted, with
+    stats-based candidate-file pruning (only key-overlapping files rewritten)
+    and delete/skip clause variants."""
+    lake.create_table(
+        "kv",
+        StructType(
+            [
+                StructField("id", IntegerType(), False),
+                StructField("v", StringType(), True),
+            ]
+        ),
+        primary_key=["id"],
+    )
+    # two widely separated key-range files
+    lake.insert("kv", spark.createDataFrame(
+        [(i, f"lo{i}") for i in range(100)], "id int, v string").coalesce(1))
+    lake.insert("kv", spark.createDataFrame(
+        [(i, f"hi{i}") for i in range(10_000, 10_100)],
+        "id int, v string").coalesce(1))
+    lo_files = set(lake.read("kv", where="id < 1000").inputFiles())
+
+    src = spark.createDataFrame(
+        [(10_050, "updated"), (10_200, "new")], "id int, v string"
+    )
+    res = lake.merge("kv", src, on=["id"])
+    assert res == {"matched": 1, "inserted": 1}
+    got = {r["id"]: r["v"] for r in lake.read("kv").collect()}
+    assert len(got) == 201
+    assert got[10_050] == "updated" and got[10_200] == "new"
+    assert got[0] == "lo0"
+    # the low-range file was outside the source key bounds -> untouched
+    assert lo_files <= set(lake.read("kv").inputFiles())
+
+    # when_matched="delete": matched keys removed, unmatched sources dropped
+    res = lake.merge(
+        "kv",
+        spark.createDataFrame([(0, None), (99_999, None)], "id int, v string"),
+        on=["id"],
+        when_matched="delete",
+        when_not_matched="skip",
+    )
+    assert res == {"matched": 1, "inserted": 0}
+    assert lake.count("kv") == 200
+    assert 0 not in {r["id"] for r in lake.read("kv").collect()}
+
+    # when_matched="skip": existing row wins, only new keys land
+    res = lake.merge(
+        "kv",
+        spark.createDataFrame([(1, "clobber"), (500, "kept")], "id int, v string"),
+        on=["id"],
+        when_matched="skip",
+    )
+    assert res == {"matched": 1, "inserted": 1}
+    got = {r["id"]: r["v"] for r in lake.read("kv").collect()}
+    assert got[1] == "lo1" and got[500] == "kept"
+
+    # duplicate source keys rejected
+    with pytest.raises(ConstraintViolation):
+        lake.merge(
+            "kv",
+            spark.createDataFrame([(7, "a"), (7, "b")], "id int, v string"),
+            on=["id"],
+        )
+    # merge is transactional: version history intact, time travel works
+    # (v1=create, v2=first insert, v3=second insert)
+    assert lake.read("kv", version=3).count() == 200
