@@ -92,3 +92,100 @@ def start_lake_ingest(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_lake_cdc_merge(
+    stream_df: DataFrame,
+    lake: LakeCatalog,
+    table: str,
+    on: list,
+    *,
+    checkpoint_dir: str,
+    order_by: Optional[list] = None,
+    when_matched: str = "update",
+    trigger_seconds: Optional[float] = None,
+    available_now: bool = False,
+    query_name: str = "lake_cdc_merge",
+):
+    """Streaming CDC apply: each micro-batch is MERGEd (upsert) into a lake
+    table instead of appended — the standard change-stream -> lakehouse
+    pattern (e.g. keyed device state, dimension updates).
+
+    Same exactly-once protocol as :func:`start_lake_ingest` (the
+    ``_ingest_epoch`` marker row commits in the SAME snapshot as the merge,
+    so a replayed batch is a no-op). Duplicates of a key WITHIN one batch
+    would violate merge's unique-source-key rule, so the batch is pre-deduped
+    keeping the last row per key by ``order_by`` (e.g. a sequence/commit-ts
+    column — the CDC stream's event order); without one, an
+    arbitrary-but-deterministic row wins (all non-key columns descending).
+
+    Scale: merge prunes candidate files by the batch's key bounds — a
+    micro-batch of CDC events against a 100 TB key-clustered table rewrites
+    only the files its keys overlap.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    epoch_table = "_ingest_epoch"
+    if epoch_table not in lake.tables():
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        lake.create_table(
+            epoch_table,
+            StructType(
+                [
+                    StructField("target", StringType(), False),
+                    StructField("batch_id", LongType(), False),
+                ]
+            ),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # one deterministic row per key (last by order_by, CDC event order)
+        ordering = order_by or [c for c in batch_df.columns if c not in on]
+        w = Window.partitionBy(*on).orderBy(
+            *[F.col(c).desc_nulls_last() for c in ordering]
+        )
+        deduped = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
+        for attempt in range(5):
+            try:
+                with lake.transaction() as tx:
+                    seen = (
+                        tx.read(epoch_table)
+                        .filter(
+                            f"target = '{table}' AND batch_id = {int(batch_id)}"
+                        )
+                        .count()
+                    )
+                    if seen:
+                        return
+                    tx.merge(table, deduped, on, when_matched=when_matched)
+                    tx.insert_rows(
+                        epoch_table,
+                        [{"target": table, "batch_id": int(batch_id)}],
+                    )
+                return
+            except ConflictError:
+                continue
+        raise ConflictError(f"batch {batch_id}: gave up after retries")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -146,3 +146,46 @@ def test_sessionize_stateful(spark, tmp_path, source_dir):
     assert (1, _mins(130), _mins(140), 2) in sess
     # user 2: [5,15] never followed by a gap -> still open, not emitted
     assert all(u != 2 for (u, *_rest) in sess)
+
+
+def test_lake_cdc_merge_stream(spark, tmp_path):
+    """Streaming CDC apply: each micro-batch MERGEs into a keyed lake table;
+    replays are idempotent; within-batch duplicate keys collapse to one row."""
+    from ducktales_spark.streaming import start_lake_cdc_merge
+
+    schema = "id bigint, v string, seq bigint"
+    d = tmp_path / "cdc"
+    # batch 1: initial keys 1..3 (key 2 duplicated in-batch; seq 2 must win)
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "stale", 1), (2, "b", 2), (3, "c", 1)], schema
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    # batch 2: update key 1, insert key 4
+    spark.createDataFrame(
+        [(1, "a2", 3), (4, "d", 1)], schema
+    ).coalesce(1).write.parquet(str(d / "f2"))
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark, inline_threshold=2)
+    lake.create_table("state", spark.createDataFrame([], schema).schema)
+
+    def run():
+        q = start_lake_cdc_merge(
+            _stream(spark, d, schema),
+            lake,
+            "state",
+            on=["id"],
+            order_by=["seq"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {r["id"]: (r["v"], r["seq"]) for r in lake.read("state").collect()}
+    assert got == {1: ("a2", 3), 2: ("b", 2), 3: ("c", 1), 4: ("d", 1)}
+
+    # replay with the same checkpoint: no changes, no new data snapshots
+    v = lake.current_version()
+    run()
+    assert lake.current_version() == v
+    got2 = {r["id"]: (r["v"], r["seq"]) for r in lake.read("state").collect()}
+    assert got2 == got
