@@ -130,6 +130,7 @@ class LakeCatalog:
         self.root = data_dir
         os.makedirs(self.root, exist_ok=True)
         self.inline_threshold = inline_threshold
+        self._sql_exec = None  # lazily-created SQL statement executor
         if self.ms.one("SELECT 1 FROM lake_snapshot WHERE snapshot_id=0") is None:
             with self.ms.tx() as t:
                 t.exec(
@@ -463,15 +464,26 @@ class LakeCatalog:
             self.spark.sql(vsql).createOrReplaceTempView(vname)
 
     def sql(self, query: str, version=None) -> DataFrame:
-        """Run Spark SQL against the lake, with DuckLake's time-travel
-        syntax: ``FROM t AT (VERSION => 3)`` / ``AT (TIMESTAMP =>
-        '2024-01-01T00:00:00')`` (README.md:216-220; demos/02_time_travel/
-        demo.py:163-196). No parser extension needed: the AT clause is
-        rewritten to a pre-registered versioned temp view before Catalyst
-        sees the query (SURVEY.md §4 'snapshot-scoped scan binding')."""
-        import re as _re
+        """Execute ONE SQL statement against the lake — the reference's
+        ``conn.execute(sql)`` surface (``utils/ducklake_utils.py:53``).
 
-        self.bind(version)
+        Reads run through Catalyst with DuckLake's time-travel syntax
+        ``FROM t AT (VERSION => 3)`` / ``AT (TIMESTAMP => ...)``
+        (README.md:216-220) rewritten to versioned temp views. DDL/DML/
+        transaction statements (CREATE/ALTER/DROP/INSERT/UPDATE/DELETE/
+        BEGIN/COMMIT/ROLLBACK) dispatch to the transactional API — see
+        :mod:`ducktales_spark.lake.sql` for the statement inventory."""
+        if self._sql_exec is None:
+            from .sql import SQLExecutor
+
+            self._sql_exec = SQLExecutor(self)
+        return self._sql_exec.execute(query, version)
+
+    def _rewrite_at(self, query: str) -> str:
+        """Rewrite ``t AT (VERSION|TIMESTAMP => x)`` clauses to registered
+        versioned temp views (SURVEY.md §4 'snapshot-scoped scan binding' —
+        no Catalyst parser extension needed)."""
+        import re as _re
 
         def _rewrite(m: "_re.Match") -> str:
             tname, kind, val = m.group(1), m.group(2).upper(), m.group(3)
@@ -487,14 +499,13 @@ class LakeCatalog:
             df.createOrReplaceTempView(view)
             return view
 
-        rewritten = _re.sub(
+        return _re.sub(
             r"\b([A-Za-z_][A-Za-z0-9_]*)\s+AT\s*\(\s*(VERSION|TIMESTAMP)"
             r"\s*=>\s*([^)]+)\)",
             _rewrite,
             query,
             flags=_re.I,
         )
-        return self.spark.sql(rewritten)
 
     def export_to(self, other: "LakeCatalog") -> None:
         """Catalog migration (D15, demos/05_catalog_portability/demo.py:199-280):

@@ -1,0 +1,383 @@
+"""SQL statement executor for the lake.
+
+The reference's entire user surface is SQL strings driven through
+``conn.execute(...)`` (``utils/ducklake_utils.py:53``; every demo) — DDL,
+DML, transactions, and reads. This module gives ``LakeCatalog.sql()`` the
+same statement coverage so a reference user can port scripts verbatim:
+
+* ``BEGIN [TRANSACTION]`` / ``COMMIT`` / ``ROLLBACK``
+  (demos/01_transaction_rollback/demo.py:85-104)
+* ``USE <catalog>`` (demo.py:30) — accepted, single-catalog no-op
+* ``CREATE TABLE t (col TYPE [PRIMARY KEY] [NOT NULL] [DEFAULT lit], ...)``
+  (demo.py:33-55)
+* ``CREATE [OR REPLACE] TABLE t AS <select>`` (utils/ducklake_utils.py:101-111)
+* ``CREATE [OR REPLACE] VIEW v AS <select>``
+  (demos/03_schema_evolution/demo.py:273-288)
+* ``DROP TABLE / DROP VIEW``
+* ``ALTER TABLE t ADD COLUMN c TYPE [DEFAULT lit]`` / ``DROP COLUMN`` /
+  ``RENAME COLUMN a TO b`` / ``ALTER COLUMN c SET NOT NULL``
+  (demos/03_schema_evolution/demo.py:118,195,196,221)
+* ``INSERT INTO t [(cols)] VALUES (...), (...)`` (demo 01:58-66) and
+  ``INSERT INTO t [(cols)] <select>`` (demos/02_time_travel/demo.py:228-235)
+* ``UPDATE t SET a = expr [, ...] [WHERE pred]`` (demo 01:96-102)
+* ``DELETE FROM t [WHERE pred]`` (demos/02_time_travel/demo.py:112)
+* anything else -> read query via Catalyst, with the ``AT (VERSION|TIMESTAMP
+  =>)`` time-travel rewrite (README.md:216-220)
+
+Statement heads are dispatched with regexes; every *query body* (SELECT in
+CTAS/INSERT/VIEW, VALUES lists, SET/WHERE expressions) is handed to Spark
+SQL — we never re-implement expression parsing, so the full Catalyst surface
+is available inside each statement. Inside an open transaction, reads see
+read-your-writes (touched tables bind to the transaction's staged state).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from .schema import Field, TableSchema
+
+__all__ = ["SQLExecutor", "LakeSQLError"]
+
+
+class LakeSQLError(Exception):
+    pass
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+# reference (DuckDB) type -> Spark DDL type string (SURVEY.md §1.2)
+_TYPE_MAP = {
+    "integer": "int",
+    "int": "int",
+    "int4": "int",
+    "bigint": "bigint",
+    "int8": "bigint",
+    "smallint": "smallint",
+    "tinyint": "tinyint",
+    "varchar": "string",
+    "text": "string",
+    "string": "string",
+    "double": "double",
+    "real": "float",
+    "float": "float",
+    "boolean": "boolean",
+    "bool": "boolean",
+    "timestamp": "timestamp",
+    "date": "date",
+}
+
+
+def _map_type(t: str) -> str:
+    t = t.strip().lower()
+    m = re.fullmatch(r"(varchar|char)\s*\(\s*\d+\s*\)", t)
+    if m:
+        return "string"  # length is a hint, unenforced (SURVEY §1.2)
+    m = re.fullmatch(r"(decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return f"decimal({m.group(2)},{m.group(3)})"
+    if t in _TYPE_MAP:
+        return _TYPE_MAP[t]
+    return t  # assume already a Spark DDL type (array<float> etc.)
+
+
+def _strip(sql: str) -> str:
+    """Remove comments + trailing semicolons, collapse leading space."""
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
+    return sql.strip().rstrip(";").strip()
+
+
+def _split_top(s: str) -> list:
+    """Split on top-level commas (outside parens and quotes)."""
+    out, depth, cur, in_str = [], 0, [], False
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+class SQLExecutor:
+    """Stateful statement executor bound to one LakeCatalog (the analog of a
+    DuckDB connection with the ducklake catalog attached)."""
+
+    def __init__(self, catalog):
+        self.c = catalog
+        self._tx = None  # open explicit transaction, if any
+
+    # ------------------------------------------------------------------
+    def execute(self, sql: str, version=None) -> DataFrame:
+        q = _strip(sql)
+        head = q[:40].upper()
+
+        if re.match(r"^BEGIN(\s+TRANSACTION)?$", q, re.I):
+            if self._tx is not None:
+                raise LakeSQLError("transaction already open")
+            self._tx = self.c.transaction()
+            return self._status("BEGIN", 0)
+        if re.match(r"^COMMIT$", q, re.I):
+            if self._tx is None:
+                raise LakeSQLError("no open transaction")
+            tx, self._tx = self._tx, None
+            v = tx.commit()
+            return self._status("COMMIT", v)
+        if re.match(r"^ROLLBACK$", q, re.I):
+            if self._tx is None:
+                raise LakeSQLError("no open transaction")
+            tx, self._tx = self._tx, None
+            tx.rollback()
+            return self._status("ROLLBACK", 0)
+        if re.match(rf"^USE\s+{_IDENT}$", q, re.I):
+            return self._status("USE", 0)  # single attached catalog
+
+        m = re.match(
+            rf"^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+(.*)$",
+            q,
+            re.I | re.S,
+        )
+        if m:
+            replace, name, body = m.group(1), m.group(2), m.group(3)
+            if not replace and name in self.c.views():
+                raise LakeSQLError(f"view {name!r} exists")
+            self._run(lambda tx: tx.create_view(name, body))
+            return self._status("CREATE VIEW", 0)
+
+        m = re.match(
+            rf"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+AS\s+(.*)$",
+            q,
+            re.I | re.S,
+        )
+        if m:  # CTAS (S5)
+            replace, name, body = m.group(1), m.group(2), m.group(3)
+            df = self._query(body)
+
+            def op(tx):
+                if replace and name in self.c.tables():
+                    tx.drop_table(name)
+                tx.ctas(name, df)
+
+            self._run(op)
+            return self._status("CREATE TABLE AS", df.count())
+
+        m = re.match(
+            rf"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$",
+            q,
+            re.I | re.S,
+        )
+        if m:
+            if_not, name, cols = m.group(1), m.group(2), m.group(3)
+            if name in self.c.tables():
+                if if_not:
+                    return self._status("CREATE TABLE", 0)
+                raise LakeSQLError(f"table {name!r} exists")
+            schema = self._parse_coldefs(cols)
+            self._run(lambda tx: tx.create_table(name, schema))
+            return self._status("CREATE TABLE", 0)
+
+        m = re.match(rf"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})$", q, re.I)
+        if m:
+            if m.group(1) and m.group(2) not in self.c.tables():
+                return self._status("DROP TABLE", 0)
+            self._run(lambda tx: tx.drop_table(m.group(2)))
+            return self._status("DROP TABLE", 0)
+        m = re.match(rf"^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})$", q, re.I)
+        if m:
+            if m.group(1) and m.group(2) not in self.c.views():
+                return self._status("DROP VIEW", 0)
+            self._run(lambda tx: tx.drop_view(m.group(2)))
+            return self._status("DROP VIEW", 0)
+
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+({_IDENT})\s+"
+            r"([A-Za-z0-9_]+(?:\s*\([^)]*\))?)"
+            r"(?:\s+DEFAULT\s+(.+?))?$",
+            q,
+            re.I | re.S,
+        )
+        if m:
+            t, c, typ, dflt = m.groups()
+            default = self._literal(dflt) if dflt is not None else None
+            self._run(lambda tx: tx.add_column(t, c, _map_type(typ), default))
+            return self._status("ALTER TABLE", 0)
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})$", q, re.I
+        )
+        if m:
+            self._run(lambda tx: tx.drop_column(m.group(1), m.group(2)))
+            return self._status("ALTER TABLE", 0)
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})$",
+            q,
+            re.I,
+        )
+        if m:
+            self._run(lambda tx: tx.rename_column(*m.group(1, 2, 3)))
+            return self._status("ALTER TABLE", 0)
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+SET\s+NOT\s+NULL$",
+            q,
+            re.I,
+        )
+        if m:
+            self._run(lambda tx: tx.set_not_null(m.group(1), m.group(2)))
+            return self._status("ALTER TABLE", 0)
+
+        m = re.match(
+            rf"^INSERT\s+INTO\s+({_IDENT})\s*(.*)$", q, re.I | re.S
+        )
+        if m:
+            name, body = m.groups()
+            cols = None
+            # a leading "(a, b, c)" identifier list is the column list; a
+            # leading "(SELECT ..." is a parenthesized query body
+            mm = re.match(r"^\(([^)]*)\)\s*(.*)$", body, re.S)
+            if mm and all(
+                re.fullmatch(_IDENT, c.strip())
+                for c in mm.group(1).split(",")
+            ):
+                cols = [c.strip() for c in mm.group(1).split(",")]
+                body = mm.group(2)
+            if re.match(r"^VALUES\b", body, re.I):
+                df = self.c.spark.sql(f"SELECT * FROM ({body})")
+                # VALUES yields col1..colN: name them from the column list,
+                # else positionally in table order
+                names = cols or [
+                    f.name for f in self._schema_of(name).fields
+                ][: len(df.columns)]
+                df = df.toDF(*names)
+            else:
+                df = self._query(body)
+                if cols is not None:
+                    if len(cols) != len(df.columns):
+                        raise LakeSQLError(
+                            f"column list has {len(cols)} names, query "
+                            f"produces {len(df.columns)} columns"
+                        )
+                    df = df.toDF(*cols)
+            n = df.count()
+            self._run(lambda tx: tx.insert(name, df))
+            return self._status("INSERT", n)
+
+        m = re.match(
+            rf"^UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            q,
+            re.I | re.S,
+        )
+        if m:
+            name, setlist, where = m.groups()
+            sets = {}
+            for part in _split_top(setlist):
+                mm = re.match(rf"^({_IDENT})\s*=\s*(.+)$", part, re.S)
+                if not mm:
+                    raise LakeSQLError(f"bad SET clause: {part!r}")
+                sets[mm.group(1)] = mm.group(2).strip()
+            n = [0]
+
+            def op(tx):
+                n[0] = tx.update(name, sets, where)
+
+            self._run(op)
+            return self._status("UPDATE", n[0])
+
+        m = re.match(
+            rf"^DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$", q, re.I | re.S
+        )
+        if m:
+            name, where = m.groups()
+            n = [0]
+
+            def op(tx):
+                n[0] = tx.delete(name, where)
+
+            self._run(op)
+            return self._status("DELETE", n[0])
+
+        return self._query(q, version)
+
+    # ------------------------------------------------------------------
+    def _run(self, op) -> None:
+        """Run a transactional op: inside the open explicit txn, or
+        autocommit (one snapshot — the reference's per-op snapshot loop)."""
+        if self._tx is not None:
+            op(self._tx)
+        else:
+            with self.c.transaction() as tx:
+                op(tx)
+
+    def _query(self, body: str, version=None) -> DataFrame:
+        """Evaluate a read query through Catalyst, binding lake tables (with
+        read-your-writes for tables touched by the open txn) and rewriting
+        the AT (VERSION|TIMESTAMP =>) clauses."""
+        self.c.bind(version)
+        if self._tx is not None:
+            for nm, st in list(self._tx._states.items()):
+                if not st.dropped:
+                    self.c._build_df(
+                        st.files, st.inlined, st.schemas, st.schema
+                    ).createOrReplaceTempView(nm)
+        return self.c.spark.sql(self.c._rewrite_at(body))
+
+    def _schema_of(self, name: str) -> TableSchema:
+        if self._tx is not None:
+            return self._tx._state(name).schema
+        v = self.c.current_version()
+        tid, _ = self.c._table_at(name, v)
+        schemas = self.c._schemas_at(tid, v)
+        return schemas[max(schemas)]
+
+    def _parse_coldefs(self, cols: str) -> TableSchema:
+        fields, pk = [], []
+        for i, part in enumerate(_split_top(cols)):
+            mm = re.match(
+                r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", part, re.I
+            )  # table-level PK
+            if mm:
+                pk.extend(c.strip() for c in mm.group(1).split(","))
+                continue
+            mm = re.match(
+                rf"^({_IDENT})\s+([A-Za-z0-9_]+(?:\s*\([^)]*\))?)(.*)$",
+                part,
+                re.S,
+            )
+            if not mm:
+                raise LakeSQLError(f"bad column definition: {part!r}")
+            name, typ, rest = mm.group(1), _map_type(mm.group(2)), mm.group(3)
+            nullable = not re.search(r"\bNOT\s+NULL\b", rest, re.I)
+            if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
+                pk.append(name)
+                nullable = False
+            md = re.search(r"\bDEFAULT\s+('[^']*'|\S+)", rest, re.I)
+            default = self._literal(md.group(1)) if md else None
+            fields.append(
+                Field(len(fields) + 1, name, typ, nullable, default)
+            )
+        return TableSchema(tuple(fields), tuple(pk))
+
+    def _literal(self, tok: str):
+        """Evaluate a DEFAULT literal via Spark (handles quoting/casts),
+        JSON-encoded for storage in the schema row."""
+        from .schema import value_to_json
+
+        row = self.c.spark.sql(f"SELECT {tok} AS v").first()
+        return value_to_json(row["v"])
+
+    def _status(self, op: str, rows: int) -> DataFrame:
+        return self.c.spark.createDataFrame(
+            [(op, int(rows))], "op string, rows bigint"
+        )

@@ -1,0 +1,148 @@
+"""SQL-statement surface tests: the reference drives everything through
+``conn.execute(sql)`` (utils/ducklake_utils.py:53); these tests run the
+demos' statements nearly verbatim through ``LakeCatalog.sql`` — DDL, DML,
+explicit transactions, schema evolution, and time-travel reads."""
+
+from __future__ import annotations
+
+import pytest
+
+from ducktales_spark.lake import LakeCatalog
+from ducktales_spark.lake.sql import LakeSQLError
+
+
+@pytest.fixture()
+def lake(spark, tmp_path) -> LakeCatalog:
+    return LakeCatalog(str(tmp_path / "lake"), spark, inline_threshold=4)
+
+
+def test_demo01_transaction_flow_sql(lake):
+    """demos/01_transaction_rollback/demo.py:30-104 as SQL statements."""
+    lake.sql("USE lake")
+    lake.sql(
+        """
+        CREATE TABLE inventory (
+            product_id INTEGER PRIMARY KEY,
+            product_name VARCHAR,
+            quantity INTEGER,
+            price DECIMAL(10, 2)
+        )
+    """
+    )
+    lake.sql(
+        """
+        INSERT INTO inventory VALUES
+            (1, 'DuckDB T-Shirt', 100, 29.99),
+            (2, 'DuckDB Mug', 50, 14.99),
+            (3, 'DuckDB Sticker Pack', 200, 4.99),
+            (4, 'DuckDB Hoodie', 25, 59.99)
+    """
+    )
+    lake.sql(
+        """
+        CREATE TABLE orders (
+            order_id INTEGER,
+            product_id INTEGER,
+            quantity INTEGER,
+            customer_name VARCHAR
+        )
+    """
+    )
+    lake.sql("BEGIN TRANSACTION")
+    lake.sql(
+        "INSERT INTO orders (order_id, product_id, quantity, customer_name)"
+        " VALUES (1, 1, 5, 'Alice')"
+    )
+    lake.sql("UPDATE inventory SET quantity = quantity - 5 WHERE product_id = 1")
+    # read-your-writes inside the open transaction
+    n = lake.sql(
+        "SELECT quantity AS q FROM inventory WHERE product_id = 1"
+    ).first()["q"]
+    assert n == 95
+    lake.sql("COMMIT")
+    assert lake.read("orders").count() == 1
+    assert (
+        lake.read("inventory").filter("product_id = 1").first()["quantity"]
+        == 95
+    )
+
+    # rollback: both tables revert (demo.py:118-151)
+    v = lake.current_version()
+    lake.sql("BEGIN TRANSACTION")
+    lake.sql(
+        "INSERT INTO orders (order_id, product_id, quantity, customer_name)"
+        " VALUES (2, 2, 3, 'Bob')"
+    )
+    lake.sql("UPDATE inventory SET quantity = quantity - 3 WHERE product_id = 2")
+    lake.sql("ROLLBACK")
+    assert lake.current_version() == v
+    assert lake.read("orders").count() == 1
+    assert (
+        lake.read("inventory").filter("product_id = 2").first()["quantity"]
+        == 50
+    )
+
+
+def test_schema_evolution_sql(lake):
+    """demos/03_schema_evolution/demo.py:118,195-196,221 statement forms."""
+    lake.sql("CREATE TABLE events (id INTEGER NOT NULL, event_data VARCHAR)")
+    lake.sql("INSERT INTO events VALUES (1, '{\"k\": 1}'), (2, 'oops')")
+    lake.sql("ALTER TABLE events ADD COLUMN priority INTEGER DEFAULT 5")
+    rows = {r["id"]: r["priority"] for r in lake.read("events").collect()}
+    assert rows == {1: 5, 2: 5}  # default fills pre-existing files
+
+    lake.sql("ALTER TABLE events ADD COLUMN event_data_validated VARCHAR")
+    lake.sql("UPDATE events SET event_data_validated = event_data")
+    lake.sql("ALTER TABLE events DROP COLUMN event_data")
+    lake.sql(
+        "ALTER TABLE events RENAME COLUMN event_data_validated TO event_data"
+    )
+    got = {r["id"]: r["event_data"] for r in lake.read("events").collect()}
+    assert got == {1: '{"k": 1}', 2: "oops"}
+
+    lake.sql("ALTER TABLE events ALTER COLUMN priority SET NOT NULL")
+    cols = dict(
+        (n, nullable) for n, _, nullable in lake.columns("events")
+    )
+    assert cols["priority"] is False
+
+
+def test_ctas_views_insert_select_delete_sql(lake, spark):
+    """CTAS (utils/ducklake_utils.py:101-111), views (demo 05:150-164),
+    INSERT..SELECT recovery (demo 02:228-235), DELETE, AT (VERSION =>)."""
+    spark.range(10).selectExpr(
+        "CAST(id AS INT) AS id", "id * 2 AS v"
+    ).createOrReplaceTempView("src10")
+    lake.sql("CREATE TABLE t AS SELECT * FROM src10")
+    assert lake.count("t") == 10
+    v_full = lake.current_version()
+
+    lake.sql("DELETE FROM t WHERE id % 2 = 1")
+    assert lake.count("t") == 5
+    # recovery via INSERT ... SELECT from a time-travel read
+    lake.sql(
+        f"INSERT INTO t SELECT * FROM t AT (VERSION => {v_full}) old "
+        "WHERE old.id % 2 = 1"
+    )
+    assert lake.count("t") == 10
+
+    lake.sql(
+        "CREATE OR REPLACE VIEW t_sum AS SELECT COUNT(*) AS n, SUM(v) AS s FROM t"
+    )
+    row = lake.sql("SELECT * FROM t_sum").first()
+    assert (row["n"], row["s"]) == (10, 90)
+
+    lake.sql("DROP VIEW t_sum")
+    assert "t_sum" not in lake.views()
+    lake.sql("DROP TABLE t")
+    assert lake.tables() == []
+
+
+def test_sql_errors(lake):
+    with pytest.raises(LakeSQLError):
+        lake.sql("COMMIT")  # no open txn
+    lake.sql("CREATE TABLE x (a INTEGER)")
+    with pytest.raises(LakeSQLError):
+        lake.sql("CREATE TABLE x (a INTEGER)")  # exists
+    lake.sql("CREATE TABLE IF NOT EXISTS x (a INTEGER)")  # no-op
+    lake.sql("DROP TABLE IF EXISTS nope")  # no-op
