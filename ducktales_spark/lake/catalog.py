@@ -131,7 +131,10 @@ class LakeCatalog:
         os.makedirs(self.root, exist_ok=True)
         self.inline_threshold = inline_threshold
         self._sql_exec = None  # lazily-created SQL statement executor
-        if self.ms.one("SELECT 1 FROM lake_snapshot WHERE snapshot_id=0") is None:
+        # "any snapshot" probe, not snapshot 0: expire_snapshots may have
+        # retired the early history, and re-seeding id 0 would make expired
+        # versions readable again (as silently-wrong empty states)
+        if self.ms.one("SELECT 1 FROM lake_snapshot LIMIT 1") is None:
             with self.ms.tx() as t:
                 t.exec(
                     "INSERT INTO lake_snapshot (snapshot_id, ts, changes) "
@@ -519,6 +522,102 @@ class LakeCatalog:
                 tx.insert(name, self.read(name))
         for vname, vsql in self.views().items():
             other.create_view(vname, vsql)
+
+    def expire_snapshots(
+        self,
+        before_version: Optional[int] = None,
+        before_timestamp=None,
+        keep_last: Optional[int] = None,
+    ) -> dict:
+        """Retention maintenance (beyond the reference surface — its
+        ``cleanup_ducklake`` is test teardown; this is the Iceberg
+        expire-snapshots / Delta VACUUM analog a production lakehouse needs:
+        without it history grows without bound and no data file can ever be
+        physically deleted).
+
+        Expires every snapshot strictly below the cutoff: those versions are
+        no longer time-travelable, and data files / inlined rows visible
+        ONLY to expired versions (``removed_snapshot <= cutoff``) are purged
+        from the catalog and disk. Files live at the cutoff or later are
+        untouched, as is everything needed to read any retained version.
+        Metadata changes commit in one catalog transaction; physical file
+        deletion happens after (a crash in between leaves unreferenced
+        files, collected by :meth:`gc`)."""
+        if keep_last is not None:
+            cutoff = max(0, self.current_version() - keep_last + 1)
+        elif before_timestamp is not None:
+            cutoff = self._resolve_version(timestamp=before_timestamp)
+        elif before_version is not None:
+            cutoff = before_version
+        else:
+            raise LakeError(
+                "pass before_version, before_timestamp, or keep_last"
+            )
+        cutoff = min(cutoff, self.current_version())  # never expire HEAD
+        doomed = self.ms.q(
+            "SELECT path, file_bytes FROM lake_data_file WHERE "
+            "removed_snapshot IS NOT NULL AND removed_snapshot <= ?",
+            (cutoff,),
+        )
+        with self.ms.tx() as t:
+            t.exec(
+                self.ms._ph(
+                    "DELETE FROM lake_data_file WHERE removed_snapshot IS "
+                    "NOT NULL AND removed_snapshot <= ?"
+                ),
+                (cutoff,),
+            )
+            inl = t.exec(
+                self.ms._ph(
+                    "DELETE FROM lake_inlined WHERE removed_snapshot IS "
+                    "NOT NULL AND removed_snapshot <= ?"
+                ),
+                (cutoff,),
+            ).rowcount
+            t.exec(
+                self.ms._ph(
+                    "DELETE FROM lake_view WHERE dropped_snapshot IS "
+                    "NOT NULL AND dropped_snapshot <= ?"
+                ),
+                (cutoff,),
+            )
+            # tables dropped before the cutoff are gone from every retained
+            # version; remove their metadata entirely
+            for (tid,) in t.exec(
+                self.ms._ph(
+                    "SELECT table_id FROM lake_table WHERE dropped_snapshot "
+                    "IS NOT NULL AND dropped_snapshot <= ?"
+                ),
+                (cutoff,),
+            ).fetchall():
+                t.exec(
+                    self.ms._ph("DELETE FROM lake_schema WHERE table_id=?"),
+                    (tid,),
+                )
+                t.exec(
+                    self.ms._ph("DELETE FROM lake_table WHERE table_id=?"),
+                    (tid,),
+                )
+            ns = t.exec(
+                self.ms._ph(
+                    "DELETE FROM lake_snapshot WHERE snapshot_id < ?"
+                ),
+                (cutoff,),
+            ).rowcount
+        removed_bytes = 0
+        for path, nbytes in doomed:
+            try:
+                os.remove(path)
+                removed_bytes += nbytes or 0
+            except OSError:
+                pass  # already gone; harmless
+        return {
+            "cutoff_version": cutoff,
+            "snapshots_expired": ns,
+            "files_deleted": len(doomed),
+            "bytes_reclaimed": removed_bytes,
+            "inlined_rows_purged": inl,
+        }
 
     def gc(self) -> list:
         """Delete parquet files on disk that no catalog row references

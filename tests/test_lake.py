@@ -655,3 +655,52 @@ def test_merge_upsert(lake, spark):
     # merge is transactional: version history intact, time travel works
     # (v1=create, v2=first insert, v3=second insert)
     assert lake.read("kv", version=3).count() == 200
+
+
+def test_expire_snapshots(lake, spark, tmp_path):
+    """Retention: expired versions stop being readable, files visible only
+    to them are purged from catalog + disk, retained versions stay exact."""
+    import os
+
+    lake.create_table(
+        "t", StructType([StructField("id", IntegerType(), True)])
+    )
+    lake.insert("t", spark.range(0, 100).select(
+        F.col("id").cast("int")).coalesce(1))
+    lake.insert("t", spark.range(100, 200).select(
+        F.col("id").cast("int")).coalesce(1))
+    v_live = lake.current_version()
+    lake.delete("t", "id < 100")  # rewrites/removes the first file
+    lake.compact("t")             # removes every pre-compaction file
+    v_head = lake.current_version()
+
+    all_paths = [
+        r[0] for r in lake.ms.q("SELECT path FROM lake_data_file")
+    ]
+    dead_paths = [
+        r[0]
+        for r in lake.ms.q(
+            "SELECT path FROM lake_data_file WHERE removed_snapshot IS NOT NULL"
+        )
+    ]
+    assert dead_paths  # the delete/compact actually retired files
+
+    res = lake.expire_snapshots(keep_last=1)
+    assert res["cutoff_version"] == v_head
+    assert res["files_deleted"] == len(dead_paths)
+    for p in dead_paths:
+        assert not os.path.exists(p)
+    live = [r[0] for r in lake.ms.q("SELECT path FROM lake_data_file")]
+    assert live and all(os.path.exists(p) for p in live)
+    assert set(live) == set(all_paths) - set(dead_paths)
+
+    # HEAD still exact; expired versions now unknown
+    assert lake.read("t").count() == 100
+    assert lake.count("t") == 100
+    with pytest.raises(LakeError):
+        lake.read("t", version=v_live)
+
+    # a fresh catalog handle on the same location agrees (no id-0 reseed)
+    lake2 = LakeCatalog(lake.ms.db_path.rsplit("/", 1)[0], lake.spark)
+    assert lake2.current_version() == v_head
+    assert lake2.read("t").count() == 100
