@@ -30,13 +30,19 @@ op_update = st.tuples(
     st.just("update"), st.integers(0, 6), st.integers(1, 50)
 )
 op_delete = st.tuples(st.just("delete"), st.integers(0, 9), st.just(0))
+op_merge = st.tuples(
+    st.just("merge"), st.integers(1, 10), st.integers(0, 100)
+)
 op_maint = st.tuples(
     st.sampled_from(["compact", "flush", "rename_roundtrip"]),
     st.just(0),
     st.just(0),
 )
+op_expire = st.tuples(st.just("expire"), st.integers(1, 3), st.just(0))
 ops_strategy = st.lists(
-    st.one_of(op_insert, op_update, op_delete, op_maint),
+    st.one_of(
+        op_insert, op_update, op_delete, op_merge, op_maint, op_expire
+    ),
     min_size=2,
     max_size=6,
 )
@@ -48,24 +54,40 @@ def prop_tmp(tmp_path_factory):
 
 
 @settings(
-    max_examples=6,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(ops=ops_strategy, seed=st.integers(0, 10_000))
-def test_random_dml_matches_model(spark, prop_tmp, ops, seed):
+@given(
+    ops=ops_strategy,
+    seed=st.integers(0, 10_000),
+    clustered=st.booleans(),
+)
+def test_random_dml_matches_model(spark, prop_tmp, ops, seed, clustered):
     import uuid
 
     lake = LakeCatalog(
         str(prop_tmp / uuid.uuid4().hex[:10]), spark, inline_threshold=4
     )
-    lake.create_table("t", SCHEMA)
+    # clustered=True runs the SAME op sequence on a range-clustered table:
+    # partitioning must be invisible to every result
+    lake.create_table(
+        "t", SCHEMA, partition_by=["id"] if clustered else ()
+    )
     model: dict = {}  # id -> v
     next_id = 0
     history = [dict(model)]  # snapshot i == lake version (i + base)
     base = lake.current_version()
+    min_live = 0  # first history index still time-travelable (expire op)
 
     for kind, a, b in ops:
+        if kind == "expire":
+            res = lake.expire_snapshots(keep_last=a)
+            min_live = max(min_live, res["cutoff_version"] - base)
+            # no snapshot committed -> no history entry; HEAD unaffected
+            got = {r["id"]: r["v"] for r in lake.read("t").collect()}
+            assert got == model, f"after expire: {got} != {model}"
+            continue
         if kind == "insert":
             rows = [(next_id + i, (b + i * 7) % 97) for i in range(a)]
             next_id += a
@@ -85,6 +107,22 @@ def test_random_dml_matches_model(spark, prop_tmp, ops, seed):
             assert n == len(doomed)
             for k in doomed:
                 del model[k]
+        elif kind == "merge":
+            # upsert a batch straddling existing ids [0, a) and new ids
+            # [next_id, next_id + a) — updates and inserts in one MERGE
+            batch = {k: (b + k * 3) % 89 for k in range(a)}
+            batch.update(
+                {next_id + k: (b + k * 5) % 89 for k in range(a)}
+            )
+            next_id += a
+            res = lake.merge(
+                "t",
+                spark.createDataFrame(sorted(batch.items()), SCHEMA),
+                on=["id"],
+            )
+            assert res["matched"] == len(set(batch) & set(model))
+            assert res["inserted"] == len(set(batch) - set(model))
+            model.update(batch)
         elif kind == "compact":
             lake.compact("t")
         elif kind == "flush":
@@ -101,9 +139,14 @@ def test_random_dml_matches_model(spark, prop_tmp, ops, seed):
         assert got == model, f"after {kind}: {got} != {model}"
         assert lake.count("t") == len(model)
 
-    # time travel: every recorded version equals its model snapshot
+    # time travel: every retained version equals its model snapshot;
+    # expired versions must refuse to read
     assert lake.current_version() - base == len(history) - 1
     for i in (0, len(history) // 2, len(history) - 1):
+        if i < min_live:
+            with pytest.raises(Exception, match="unknown snapshot"):
+                lake.read("t", version=base + i)
+            continue
         got = {
             r["id"]: r[-1]  # value column regardless of current name
             for r in lake.read("t", version=base + i).collect()
