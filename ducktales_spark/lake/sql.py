@@ -323,7 +323,8 @@ class SQLExecutor:
     def _query(self, body: str, version=None) -> DataFrame:
         """Evaluate a read query through Catalyst, binding lake tables (with
         read-your-writes for tables touched by the open txn) and rewriting
-        the AT (VERSION|TIMESTAMP =>) clauses."""
+        the AT (VERSION|TIMESTAMP =>) clauses plus the ducklake_* metadata
+        table functions."""
         self.c.bind(version)
         if self._tx is not None:
             for nm, st in list(self._tx._states.items()):
@@ -331,7 +332,58 @@ class SQLExecutor:
                     self.c._build_df(
                         st.files, st.inlined, st.schemas, st.schema
                     ).createOrReplaceTempView(nm)
-        return self.c.spark.sql(self.c._rewrite_at(body))
+        return self.c.spark.sql(self._rewrite_meta_fns(self.c._rewrite_at(body)))
+
+    def _rewrite_meta_fns(self, q: str) -> str:
+        """The reference's metadata table functions (``ducklake_snapshots(db)``
+        utils/ducklake_utils.py:58-62, ``ducklake_table_info(db)``
+        exploration/ducklake_analysis.sh:105, ``ducklake_table_changes(db,
+        schema, t, v1, v2)`` utils/ducklake_utils.py:65-78) -> temp views
+        materialized from the catalog DB (driver-side metadata, no scan)."""
+        spark = self.c.spark
+
+        if re.search(r"\bducklake_snapshots\s*\(", q, re.I):
+            self.c.snapshots_df().createOrReplaceTempView("__lake_snapshots")
+            q = re.sub(
+                r"\bducklake_snapshots\s*\([^)]*\)",
+                "__lake_snapshots",
+                q,
+                flags=re.I,
+            )
+        if re.search(r"\bducklake_table_info\s*\(", q, re.I):
+            rows = [
+                (
+                    t["table_name"],
+                    t["file_count"],
+                    t["row_count"],
+                    t["file_bytes"],
+                    t["inlined_rows"],
+                )
+                for t in self.c.table_info()
+            ]
+            spark.createDataFrame(
+                rows,
+                "table_name string, file_count bigint, row_count bigint, "
+                "file_bytes bigint, inlined_rows bigint",
+            ).createOrReplaceTempView("__lake_table_info")
+            q = re.sub(
+                r"\bducklake_table_info\s*\([^)]*\)",
+                "__lake_table_info",
+                q,
+                flags=re.I,
+            )
+
+        def _changes(m: "re.Match") -> str:
+            args = [a.strip().strip("'\"") for a in m.group(1).split(",")]
+            tname, v1, v2 = args[-3], int(args[-2]), int(args[-1])
+            view = f"__lake_changes_{tname}_{v1}_{v2}"
+            self.c.table_changes(tname, v1, v2).createOrReplaceTempView(view)
+            return view
+
+        q = re.sub(
+            r"\bducklake_table_changes\s*\(([^)]*)\)", _changes, q, flags=re.I
+        )
+        return q
 
     def _schema_of(self, name: str) -> TableSchema:
         if self._tx is not None:

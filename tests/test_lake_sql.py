@@ -146,3 +146,42 @@ def test_sql_errors(lake):
         lake.sql("CREATE TABLE x (a INTEGER)")  # exists
     lake.sql("CREATE TABLE IF NOT EXISTS x (a INTEGER)")  # no-op
     lake.sql("DROP TABLE IF EXISTS nope")  # no-op
+
+
+def test_metadata_table_functions_sql(lake, spark):
+    """The reference's introspection table functions work as SQL
+    (utils/ducklake_utils.py:58-78; exploration/ducklake_analysis.sh:105)."""
+    lake.sql("CREATE TABLE t (id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    v1 = lake.current_version()
+    lake.sql("UPDATE t SET v = 'z' WHERE id = 2")
+    v2 = lake.current_version()
+
+    snaps = lake.sql(
+        "SELECT snapshot_id, changes FROM ducklake_snapshots('lake') "
+        "ORDER BY snapshot_id DESC"
+    ).collect()
+    assert snaps[0]["snapshot_id"] == v2
+    assert "tables_updated" in snaps[0]["changes"]
+
+    info = lake.sql(
+        "SELECT table_name, row_count FROM ducklake_table_info('lake')"
+    ).collect()
+    assert {(r["table_name"], r["row_count"]) for r in info} == {("t", 3)}
+
+    ch = lake.sql(
+        "SELECT change_type, id, v FROM "
+        f"ducklake_table_changes('lake', 'main', 't', {v1}, {v2}) "
+        "ORDER BY change_type, id"
+    ).collect()
+    assert [(r["change_type"], r["id"], r["v"]) for r in ch] == [
+        ("delete", 2, "b"),
+        ("insert", 2, "z"),
+    ]
+
+    # DESCRIBE works through the bound temp view (S8)
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in lake.sql("DESCRIBE t").collect()
+    }
+    assert desc.get("id") == "int" and desc.get("v") == "string"
