@@ -903,7 +903,14 @@ class Transaction:
     def insert_rows(self, name: str, rows: list) -> None:
         """INSERT ... VALUES convenience: list of dicts/tuples. Coerces plain
         Python literals to the declared types (float -> Decimal etc.), like a
-        SQL VALUES clause would."""
+        SQL VALUES clause would.
+
+        Tiny batches on PK-less tables take the pure-driver fast path: rows
+        go straight into the inlined-rows buffer with Python-side NOT NULL
+        checks — no Spark job, no parquet file. With the single-SQL-txn
+        commit this is the reference's 'sub-millisecond writes with
+        inlining' claim (README.md:243; M1). PK tables still need the
+        distributed duplicate check, so they use the DataFrame path."""
         import decimal
 
         st = self._state(name)
@@ -917,11 +924,45 @@ class Transaction:
             return v
 
         if rows and isinstance(rows[0], dict):
-            data = [tuple(coerce(r.get(f.name), f) for f in fields) for r in rows]
+            # absent key -> declared DEFAULT; present-but-None -> NULL
+            data = [
+                tuple(
+                    coerce(
+                        r[f.name] if f.name in r else value_from_json(f.default),
+                        f,
+                    )
+                    for f in fields
+                )
+                for r in rows
+            ]
         else:
             data = [
                 tuple(coerce(v, f) for v, f in zip(r, fields)) for r in rows
             ]
+        if 0 < len(data) <= self.c.inline_threshold and not st.schema.primary_key:
+            for tup in data:
+                if len(tup) != len(fields):
+                    raise LakeError(
+                        f"row width {len(tup)} != {len(fields)} columns"
+                    )
+                for v, f in zip(tup, fields):
+                    if v is None and not f.nullable:
+                        raise ConstraintViolation(
+                            f"NOT NULL violated for {f.name!r}"
+                        )
+                st.inlined.append(
+                    InlinedEntry(
+                        None,
+                        st.schema_version,
+                        row_to_json(
+                            {f.name: v for f, v in zip(fields, tup)},
+                            st.schema,
+                        ),
+                        True,
+                    )
+                )
+            st.changes.add("tables_inserted_into")
+            return
         self.insert(
             name, self.c.spark.createDataFrame(data, st.schema.to_struct())
         )

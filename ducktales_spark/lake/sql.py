@@ -260,7 +260,14 @@ class SQLExecutor:
                 names = cols or [
                     f.name for f in self._schema_of(name).fields
                 ][: len(df.columns)]
-                df = df.toDF(*names)
+                # a literal VALUES plan is a LocalRelation — collect() is
+                # driver-side, so tiny inserts take insert_rows' no-Spark-job
+                # inlining fast path (sub-ms writes, README.md:243)
+                rows = [
+                    dict(zip(names, tup)) for tup in df.toDF(*names).collect()
+                ]
+                self._run(lambda tx: tx.insert_rows(name, rows))
+                return self._status("INSERT", len(rows))
             else:
                 df = self._query(body)
                 if cols is not None:
