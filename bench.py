@@ -58,10 +58,15 @@ def main() -> None:
     for name in HEADLINE:
         specs[name].fn(spark, warm_dir).count()
 
-    # Two timed runs at the target SF, min per query (the host has external
-    # load noise; min-of-2 reports the achievable steady-state rate).
+    # Three timed runs at the target SF, min per query (the host has heavy
+    # external load noise — loadavg spikes >10 with nothing of ours running;
+    # min-of-3 reports the achievable steady-state rate). Queries that
+    # persist() intermediates leave cache entries behind; clear them between
+    # repeats so later rounds aren't measured under accumulated memory
+    # pressure.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
+        spark.catalog.clearCache()
         for name in HEADLINE:
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
