@@ -114,6 +114,16 @@ def lake_ops(spark, sf_dir: str) -> dict:
     lake.insert("orders_l", small)
     t["insert_1k"] = round(time.perf_counter() - t0, 3)
 
+    # the reference's headline inlining claim (README.md:243): a tiny write
+    # on a PK-less table is a driver-side buffer append + one catalog-DB txn
+    # — no Spark job, no parquet file
+    row = orders.first().asDict()
+    row["o_orderkey"] += 300_000_000
+    t0 = time.perf_counter()
+    with lake.transaction() as tx:
+        tx.insert_rows("orders_l", [row])
+    t["insert_1row_inlined"] = round(time.perf_counter() - t0, 4)
+
     big = orders.limit(50000).withColumn(
         "o_orderkey", F.col("o_orderkey") + 200_000_000
     )

@@ -704,3 +704,34 @@ def test_expire_snapshots(lake, spark, tmp_path):
     lake2 = LakeCatalog(lake.ms.db_path.rsplit("/", 1)[0], lake.spark)
     assert lake2.current_version() == v_head
     assert lake2.read("t").count() == 100
+
+
+def test_insert_rows_driver_fast_path(lake, spark):
+    """Tiny PK-less inserts take the pure-driver inlining fast path
+    (README.md:243 'sub-millisecond writes with inlining'): no data file is
+    written, declared DEFAULTs fill absent keys (explicit None stays NULL),
+    NOT NULL is enforced driver-side, and rollback discards the buffer."""
+    lake.sql("CREATE TABLE t (a INT, b VARCHAR DEFAULT 'dflt', c INT NOT NULL)")
+
+    lake.sql("INSERT INTO t VALUES (1, 'x', 10), (2, NULL, 20)")
+    with lake.transaction() as tx:
+        tx.insert_rows("t", [{"a": 3, "c": 30}])  # absent b -> DEFAULT
+    got = sorted((r.a, r.b, r.c) for r in lake.read("t").collect())
+    assert got == [(1, "x", 10), (2, None, 20), (3, "dflt", 30)]
+    info = {i["table_name"]: i for i in lake.table_info()}["t"]
+    assert info["file_count"] == 0 and info["inlined_rows"] == 3
+
+    with pytest.raises(ConstraintViolation):
+        with lake.transaction() as tx:
+            tx.insert_rows("t", [{"a": 4, "c": None}])
+    with pytest.raises(RuntimeError, match="boom"):
+        with lake.transaction() as tx:
+            tx.insert_rows("t", [{"a": 5, "c": 5}])
+            raise RuntimeError("boom")
+    assert lake.read("t").count() == 3
+
+    # above the threshold -> distributed DataFrame path writes a real file
+    with lake.transaction() as tx:
+        tx.insert_rows("t", [{"a": i, "c": i} for i in range(50)])
+    info = {i["table_name"]: i for i in lake.table_info()}["t"]
+    assert info["file_count"] >= 1 and info["row_count"] == 53
