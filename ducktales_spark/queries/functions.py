@@ -83,14 +83,14 @@ def f06_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast family ::VARCHAR ::BIGINT ::DECIMAL ::DATE (reference:
     exploration/ducklake_analysis.sh:88-91).
 
-    Note: double->BIGINT rounds in DuckDB but truncates in ANSI SQL; Spark
-    matches DuckDB when going through ROUND first, so we make the rounding
-    explicit on the Spark side.
+    Note: double->BIGINT rounds half-to-even in DuckDB (ties: 490342.5 ->
+    490342) but truncates in ANSI SQL; Spark matches DuckDB via BROUND
+    (banker's rounding) — plain ROUND is HALF_UP and diverges on .5 ties.
     """
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
     return o.select(
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.round("o_totalprice", 0).cast("bigint").alias("price_int"),
+        F.bround("o_totalprice", 0).cast("bigint").alias("price_int"),
         F.col("o_totalprice").cast(T.DecimalType(12, 2)).alias("price_dec"),
         F.col("o_orderdate").cast("date").alias("order_date"),
     )
