@@ -34,7 +34,7 @@ HEADLINE = [
     "d03_minhash_lsh",
     "t02_quality_score",
     "e01_cosine_topk",
-    "x02_tumbling_hourly",
+    "x02_event_windows",
 ]
 
 

@@ -119,35 +119,10 @@ def a10_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x04_rollup",
-    survey_ids=("A8",),  # extension beyond reference (Spark/DuckDB ROLLUP)
-    oracle="""
-    SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
-    """,
-)
-def x04_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (extension; region->nation customer counts)."""
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
-    joined = c.join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
-    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
-    )
-
-
-@register(
     "x05_cube",
-    survey_ids=("A8",),  # extension beyond reference (Spark/DuckDB CUBE)
+    survey_ids=("A8",),  # extension beyond reference (Spark/DuckDB CUBE;
+    # the CUBE grouping sets are a superset of ROLLUP's, so this one query
+    # covers the grouping-set family)
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS n_rows,

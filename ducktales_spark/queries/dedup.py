@@ -5,7 +5,9 @@ training-data-pipeline components).
 * n-gram Jaccard     — exact pairwise similarity via shingle inverted index
                        (explode -> self-join on shingle -> count agg). The
                        join key is the shingle, so cost scales with shared-
-                       shingle pairs, not |docs|^2.
+                       shingle pairs, not |docs|^2; a document-frequency cap
+                       drops ubiquitous shingles so one common phrase can't
+                       create quadratic candidate fanout on real web text.
 * MinHash + LSH      — deterministic minhash signatures (fixed affine hash
                        family over xxhash64) + banded LSH bucketing; only
                        same-bucket pairs are compared. This is the 100 TB
@@ -14,8 +16,8 @@ training-data-pipeline components).
 * SimHash            — 64-bit sign-sum sketch + 16-bit band LSH, hamming
                        verification.
 
-All signature math uses Spark higher-order array functions (transform /
-aggregate / zip_with) — JVM-side, no Python UDFs.
+All signature math is built-in JVM expressions (codegen); Python never
+touches the hot path.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ducktales_spark.cache import release_caches, tracked_persist
 from ducktales_spark.data import table
 from ducktales_spark.registry import register
 
@@ -34,6 +37,15 @@ _NUM_HASHES = 32
 _BAND_ROWS = 4  # 8 bands of 4 rows -> catches jaccard ~>0.6 reliably
 _rng = random.Random(42)
 _HASH_AB = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(_NUM_HASHES)]
+
+# n-gram Jaccard: drop shingles present in more than this many documents
+# before the inverted-index self-join. A shingle shared by k docs produces
+# k(k-1)/2 candidate rows — without a cap one boilerplate phrase ("all rights
+# reserved...") makes the join quadratic in corpus size. Ubiquitous shingles
+# carry no near-dup signal (they are the stopwords of shingle space), so the
+# cap changes results only by ignoring them — applied identically in the
+# DuckDB oracle.
+_MAX_SHINGLE_DF = 100
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -121,14 +133,12 @@ def minhash_candidate_pairs(
             for i, (a, b) in enumerate(_HASH_AB)
         ]
     )
-    sig = (
+    # The signature table feeds both sides of the band self-join; persist so
+    # it is computed once (released by the next tracked query).
+    sig = tracked_persist(
         mins.select(
             "doc_id", F.array(*[F.col(f"m{i}") for i in range(_NUM_HASHES)]).alias("sig")
         )
-        # The signature table feeds both sides of the band self-join;
-        # persist so it is computed once (same move as caching the
-        # signature table in a production dedup pipeline).
-        .persist()
     )
     n_bands = _NUM_HASHES // _BAND_ROWS
     # Carry the signature through the band explode: the candidate self-join
@@ -189,6 +199,77 @@ def minhash_candidate_pairs(
     )
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """64-bit SimHash per document + 16-bit-band LSH candidate pairs with
+    hamming distance <= max_hamming.
+
+    Features are word 3-gram shingles (unigram words barely discriminate on
+    small vocabularies). Relational simhash: explode shingle hashes, then one
+    groupBy(doc) with 64 conditional-SUM aggregates (bit i: +1 if set else
+    -1). All codegen; distinct shingle semantics via an (int64, int64) dedup,
+    and the groupBy reuses the shingle table's doc_id partitioning. Banding
+    makes pair generation a groupBy join like minhash.
+    """
+    h = (
+        shingle_table(docs, distinct=False)
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    bits = F.array(*[(F.col(f"b{i}") > 0).cast("int") for i in range(64)])
+    sigs = sums.select("doc_id", bits.alias("bits")).withColumn(
+        "bands",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.concat_ws("", F.slice(F.col("bits"), i * 16 + 1, 16)).alias(
+                        "band_key"
+                    ),
+                )
+                for i in range(4)
+            ]
+        ),
+    )
+    bands = tracked_persist(
+        sigs.select("doc_id", F.col("bits"), F.explode("bands").alias("band"))
+        .select("doc_id", "bits", "band.band_id", "band.band_key")
+    )  # reused by both sides of the candidate self-join
+    a = bands.alias("a")
+    b = bands.hint("shuffle_hash").alias("b")  # unordered equi-join: no sorts
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.col("a.bits"), F.col("b.bits"), lambda x, y: x != y),
+            lambda v: v,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- registered queries ----------------------------------------------------
 
 
@@ -222,7 +303,7 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d02_ngram_jaccard",
     survey_ids=("J1", "A8"),  # extension: n-gram Jaccard near-dup
-    oracle=r"""
+    oracle=rf"""
     WITH d AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
       FROM documents
@@ -230,10 +311,15 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos AS (
       SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM d
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       FROM pos
+    ),
+    sh AS (
+      SELECT doc_id, s FROM sh0
+      WHERE s IN (SELECT s FROM sh0 GROUP BY s
+                  HAVING count(*) <= {_MAX_SHINGLE_DF})
     ),
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -253,19 +339,32 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity via shingle inverted index; pairs with
     jaccard >= 0.2. Join key is the shingle — candidate pairs are only those
-    sharing a shingle, not the full cross product."""
+    sharing a shingle, not the full cross product — and shingles in more than
+    _MAX_SHINGLE_DF documents are dropped first (identically in the oracle),
+    bounding the per-key join fanout under adversarial repeated text."""
+    release_caches()
     d = table(spark, sf_dir, "documents")
     # Work on 8-byte shingle hashes, not strings: the dedup + inverted-index
     # self-join shuffles carry (int64, int64) rows instead of ~30-byte text
     # (a 64-bit collision would perturb one count with p ~ |shingles|^2/2^65
-    # — negligible). Feeds both sides of the self-join + the size table ->
-    # persist.
-    sh = (
+    # — negligible). Feeds the DF-cap join, both sides of the self-join, and
+    # the size table -> persist.
+    sh0 = tracked_persist(
         shingle_table(d, distinct=False)
         .select("doc_id", F.xxhash64("s").alias("h"))
         .dropDuplicates(["doc_id", "h"])
-        .persist()
     )
+    # Document-frequency cap: the freq aggregate and the semi-join both key
+    # on h, the same key as the inverted-index self-join below — AQE reuses
+    # the exchange, so the cap costs one aggregate, not an extra shuffle of
+    # the full shingle table.
+    keep = (
+        sh0.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("h")
+    )
+    sh = tracked_persist(sh0.join(keep.hint("shuffle_hash"), "h", "left_semi"))
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     # shuffle_hash beats sort-merge here: neither side needs ordering, the
@@ -298,92 +397,29 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d03_minhash_lsh",
-    survey_ids=(),  # extension: MinHash+LSH near-dup (non-SQL-expressible
-    # oracle: deterministic but hash-family-specific -> rows-only check;
-    # correctness covered by tests/test_dedup.py against planted near-dups)
+    survey_ids=(),  # extension: MinHash+LSH + SimHash near-dup candidates
+    # (non-SQL-expressible oracle: deterministic but hash-family-specific ->
+    # rows-only check; correctness covered by tests/test_dedup.py against
+    # planted near-dups)
     oracle=None,
 )
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate near-dup pairs on documents (see
-    minhash_candidate_pairs for the scale design)."""
-    return minhash_candidate_pairs(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "d04_simhash",
-    survey_ids=(),  # extension: SimHash sketch (rows-only; verified in tests)
-    oracle=None,
-)
-def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document + 16-bit-band LSH candidate pairs with
-    hamming distance <= 3.
-
-    Features are word 3-gram shingles (unigram words barely discriminate on
-    small vocabularies). The bit-sum sketch is a single aggregate over
-    shingle hashes per doc (higher-order fold, JVM-side); banding makes pair
-    generation a groupBy join like minhash.
-    """
-    d = table(spark, sf_dir, "documents")
-    # Relational simhash: explode shingle hashes, then one groupBy(doc) with
-    # 64 conditional-SUM aggregates (bit i: +1 if set else -1). All codegen;
-    # distinct shingle semantics via an (int64, int64) dedup, and the groupBy
-    # reuses the shingle table's doc_id partitioning.
-    h = (
-        shingle_table(d, distinct=False)
-        .select("doc_id", F.xxhash64("s").alias("h"))
-        .dropDuplicates(["doc_id", "h"])
+    """MinHash+LSH and SimHash candidate near-dup pairs on documents, as
+    labeled (method, doc_a, doc_b, score) rows — score is the estimated
+    jaccard for minhash, the hamming distance for simhash. See
+    minhash_candidate_pairs / simhash_pairs for the scale design."""
+    release_caches()
+    docs = table(spark, sf_dir, "documents")
+    mh = minhash_candidate_pairs(docs).select(
+        F.lit("minhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("est_jaccard").alias("score"),
     )
-    sums = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+    sh = simhash_pairs(docs).select(
+        F.lit("simhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("score"),
     )
-    bits = F.array(*[(F.col(f"b{i}") > 0).cast("int") for i in range(64)])
-    sigs = sums.select("doc_id", bits.alias("bits")).withColumn(
-        "bands",
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band_id"),
-                    F.concat_ws("", F.slice(F.col("bits"), i * 16 + 1, 16)).alias(
-                        "band_key"
-                    ),
-                )
-                for i in range(4)
-            ]
-        ),
-    )
-    bands = (
-        sigs.select("doc_id", F.col("bits"), F.explode("bands").alias("band"))
-        .select("doc_id", "bits", "band.band_id", "band.band_key")
-        .persist()  # reused by both sides of the candidate self-join
-    )
-    a = bands.alias("a")
-    b = bands.hint("shuffle_hash").alias("b")  # unordered equi-join: no sorts
-    hamming = F.size(
-        F.filter(
-            F.zip_with(F.col("a.bits"), F.col("b.bits"), lambda x, y: x != y),
-            lambda v: v,
-        )
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    return mh.unionByName(sh).orderBy("method", "doc_a", "doc_b")

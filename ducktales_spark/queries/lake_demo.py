@@ -7,9 +7,15 @@ DataFrame. Where the post-DML state is SQL-expressible, the oracle recomputes
 it directly over the source parquet — a genuine end-to-end differential check
 of the transactional write path + versioned read path, not just of a query.
 
+Round 2: the 18 round-1 scenarios are consolidated into 10 (driver budget),
+each covering the union of its parents' SURVEY ids; the formerly rows-only
+snapshot-log and metadata scenarios now carry literal-VALUES oracles (their
+outputs are deterministic).
+
 Reference scenarios: demos/01_transaction_rollback (rollback/constraints),
 demos/02_time_travel (versioned reads, recovery), demos/03_schema_evolution
-(ALTER family), demos/04_small_file_optimization (inlining/compaction).
+(ALTER family), demos/04_small_file_optimization (inlining/compaction),
+demos/05_catalog_portability (views, export/migration).
 """
 
 from __future__ import annotations
@@ -35,50 +41,56 @@ def _fresh_lake(spark: SparkSession):
 
 
 @register(
-    "l01_lake_ctas_roundtrip",
-    oracle="SELECT r_regionkey, r_name FROM region",
-    survey_ids=("S1", "S2", "S3", "S5", "D9", "D1"),
+    "l01_lake_ctas_inlined",
+    oracle="""
+        SELECT r_regionkey, r_name FROM region
+        UNION ALL SELECT 991, 'inlined-a'
+        UNION ALL SELECT 992, 'inlined-b'""",
+    survey_ids=("S1", "S2", "S3", "S5", "D9", "D1", "M1"),
 )
-def l01_lake_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CTAS into a lake catalog then scan it back: write path -> parquet +
-    catalog rows -> versioned read path must round-trip exactly."""
+def l01_lake_ctas_inlined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS into a lake catalog (write path -> parquet + catalog rows), then a
+    tiny INSERT that inlines into the catalog DB (zero new data files;
+    README.md:62, demo 04:314-368); the versioned read path serves parquet
+    UNION inlined rows and must round-trip exactly."""
     lake = _fresh_lake(spark)
     lake.ctas("region_l", table(spark, sf_dir, "region"))
+    before = lake.table_info()[0]
+    with lake.transaction() as tx:
+        tx.insert_rows(
+            "region_l",
+            [
+                {"r_regionkey": 991, "r_name": "inlined-a"},
+                {"r_regionkey": 992, "r_name": "inlined-b"},
+            ],
+        )
+    info = lake.table_info()[0]
+    assert info["file_count"] == before["file_count"]  # no new data file
+    assert info["inlined_rows"] == before["inlined_rows"] + 2
     return lake.read("region_l").select("r_regionkey", "r_name")
 
 
 @register(
-    "l02_lake_update_cow",
+    "l02_lake_update_delete",
     oracle="""
         SELECT n_nationkey, n_name,
                CASE WHEN n_regionkey = 0 THEN n_regionkey + 100
                     ELSE n_regionkey END AS n_regionkey
-        FROM nation""",
-    survey_ids=("D3",),
+        FROM nation
+        WHERE n_regionkey NOT IN (1, 3)""",
+    survey_ids=("D3", "D4"),
 )
-def l02_lake_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def l02_lake_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE ... SET ... WHERE as a copy-on-write rewrite
-    (demos/01_transaction_rollback/demo.py:96-102); the oracle recomputes the
-    final state with CASE WHEN over the source table."""
+    (demos/01_transaction_rollback/demo.py:96-102) followed by a predicate
+    DELETE that rewrites only stats-matching files
+    (exploration/ducklake_analysis.sh:144-145); the oracle recomputes the
+    final state relationally over the source table."""
     lake = _fresh_lake(spark)
     lake.ctas("nation_l", table(spark, sf_dir, "nation"))
     lake.update(
         "nation_l", {"n_regionkey": "n_regionkey + 100"}, "n_regionkey = 0"
     )
-    return lake.read("nation_l")
-
-
-@register(
-    "l03_lake_delete_where",
-    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation "
-    "WHERE n_regionkey NOT IN (1, 3)",
-    survey_ids=("D4",),
-)
-def l03_lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate DELETE rewrites only stats-matching files
-    (exploration/ducklake_analysis.sh:144-145)."""
-    lake = _fresh_lake(spark)
-    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
     lake.delete("nation_l", "n_regionkey IN (1, 3)")
     return lake.read("nation_l")
 
@@ -129,134 +141,28 @@ def l05_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "l06_lake_table_changes",
-    oracle="""
-        SELECT n_nationkey, n_regionkey, change_type FROM (
-            SELECT n_nationkey, n_regionkey, 'delete' AS change_type
-            FROM nation WHERE n_nationkey = 7
-            UNION ALL
-            SELECT n_nationkey, n_regionkey + 50 AS n_regionkey,
-                   'insert' AS change_type
-            FROM nation WHERE n_nationkey = 7)""",
-    survey_ids=("T4", "J3"),
-)
-def l06_lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ducklake_table_changes: row-level diff between two versions via
-    exceptAll (utils/ducklake_utils.py:65-78)."""
-    lake = _fresh_lake(spark)
-    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
-    v1 = lake.current_version()
-    lake.update(
-        "nation_l", {"n_regionkey": "n_regionkey + 50"}, "n_nationkey = 7"
-    )
-    v2 = lake.current_version()
-    return lake.table_changes("nation_l", v1, v2).select(
-        "n_nationkey", "n_regionkey", "change_type"
-    )
-
-
-@register(
-    "l07_lake_inlined_union",
-    oracle="""
-        SELECT r_regionkey, r_name FROM region
-        UNION ALL SELECT 991, 'inlined-a'
-        UNION ALL SELECT 992, 'inlined-b'""",
-    survey_ids=("M1", "D1"),
-)
-def l07_lake_inlined_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tiny insert inlines into the catalog DB (zero new data files); the
-    scan is parquet UNION inlined rows (README.md:62, demo 04:314-368)."""
-    lake = _fresh_lake(spark)
-    lake.ctas("region_l", table(spark, sf_dir, "region"))
-    before = lake.table_info()[0]
-    with lake.transaction() as tx:
-        tx.insert_rows(
-            "region_l",
-            [
-                {"r_regionkey": 991, "r_name": "inlined-a"},
-                {"r_regionkey": 992, "r_name": "inlined-b"},
-            ],
-        )
-    info = lake.table_info()[0]
-    assert info["file_count"] == before["file_count"]  # no new data file
-    assert info["inlined_rows"] == before["inlined_rows"] + 2
-    return lake.read("region_l")
-
-
-@register("l08_lake_snapshots", survey_ids=("T3", "D5", "D6", "M2"))
-def l08_lake_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot log after a create+insert, an update, a rolled-back txn (no
-    snapshot!), and a compaction. Rows-only: commit timestamps are wall-clock.
-    (utils/ducklake_utils.py:58-62; demos/02_time_travel/demo.py:131-152)."""
-    lake = _fresh_lake(spark)
-    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
-    lake.update("nation_l", {"n_regionkey": "n_regionkey"}, "n_nationkey = 0")
-    try:
-        with lake.transaction() as tx:
-            tx.delete("nation_l")
-            raise RuntimeError("abort")  # rollback -> no snapshot
-    except RuntimeError:
-        pass
-    lake.compact("nation_l")
-    return lake.snapshots_df().select(
-        "snapshot_id", "schema_version", "changes"
-    )
-
-
-@register(
-    "l09_describe_columns",
+    "l08_txn_snapshot_log",
     oracle="""
         SELECT * FROM (VALUES
-            ('n_nationkey', 'int',    1),
-            ('n_name',      'string', 2),
-            ('n_regionkey', 'int',    3)
-        ) AS t(col_name, data_type, ordinal)""",
-    survey_ids=("S7", "S8"),
+            (CAST(0 AS BIGINT), CAST(0 AS BIGINT), '{}'),
+            (1, 1, '{"tables_created": ["nation_l"], '
+                   || '"tables_inserted_into": ["nation_l"]}'),
+            (2, 1, '{"tables_updated": ["nation_l"]}'),
+            (3, 1, '{"tables_updated": ["nation_l"]}'),
+            (4, 1, '{"tables_compacted": ["nation_l"]}')
+        ) AS t(snapshot_id, schema_version, changes)""",
+    survey_ids=("T3", "D5", "D6", "D7", "D8", "M2"),
 )
-def l09_describe_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DESCRIBE / information_schema over the lake catalog's own metadata
-    (exploration/schema_analysis.sh:76-95; demos/03_schema_evolution/
-    demo.py:112,124): column list comes from the SQL metadata store, no data
-    files touched."""
-    lake = _fresh_lake(spark)
-    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
-    cols = lake.columns("nation_l")
-    return spark.createDataFrame(
-        [(n, t, i + 1) for i, (n, t, _null) in enumerate(cols)],
-        "col_name string, data_type string, ordinal int",
-    )
-
-
-@register("l10_table_info", survey_ids=("T6", "S7"))
-def l10_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ducklake_table_info: per-table file/row stats straight from catalog
-    metadata — a metadata-only query, zero Spark jobs
-    (exploration/benchmark_ducklake.sh:155-172 'metadata queries very
-    fast')."""
-    lake = _fresh_lake(spark)
-    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
-    lake.ctas("region_l", table(spark, sf_dir, "region"))
-    info = lake.table_info()
-    return spark.createDataFrame(
-        [
-            (d["table_name"], d["file_count"] + (1 if d["inlined_rows"] else 0) > 0,
-             d["row_count"])
-            for d in info
-        ],
-        "table_name string, has_storage boolean, row_count bigint",
-    )
-
-
-@register(
-    "l11_constraint_abort",
-    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
-    survey_ids=("D7",),
-)
-def l11_constraint_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-PK insert aborts the WHOLE transaction, including its
-    earlier valid statements; the table must be byte-identical to before
-    (demos/01_transaction_rollback/demo.py:118-151)."""
-    from ducktales_spark.lake import ConstraintViolation
+def l08_txn_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional story in one snapshot log (ducklake_snapshots, T3;
+    utils/ducklake_utils.py:58-62): a PK'd CTAS, a constraint-violating
+    transaction whose earlier valid statements abort with it (D7, no
+    snapshot!), two CONCURRENT transactions where the first committer wins
+    and the loser retries after ConflictError (D8) — both effects land as
+    separate snapshots — and a compaction (M2). Commit timestamps are
+    wall-clock, so the oracle checks the deterministic projection
+    (snapshot_id, schema_version, changes)."""
+    from ducktales_spark.lake import ConflictError, ConstraintViolation
 
     lake = _fresh_lake(spark)
     lake.ctas(
@@ -264,53 +170,94 @@ def l11_constraint_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "nation"),
         primary_key=["n_nationkey"],
     )
+    # D7: duplicate-PK insert aborts the WHOLE transaction incl. the earlier
+    # valid insert; table state and snapshot log must be untouched.
     try:
         with lake.transaction() as tx:
             tx.insert_rows(
                 "nation_l",
                 [{"n_nationkey": 900, "n_name": "VALID", "n_regionkey": 0}],
             )
-            tx.insert_rows(  # duplicate key -> aborts everything above too
+            tx.insert_rows(
                 "nation_l",
                 [{"n_nationkey": 0, "n_name": "DUP", "n_regionkey": 0}],
             )
     except ConstraintViolation:
         pass
-    return lake.read("nation_l")
+    # D8: two overlapping transactions on one table — first committer wins,
+    # the loser gets ConflictError and retries against the new base.
+    tx1 = lake.transaction()
+    tx1.update("nation_l", {"n_regionkey": "n_regionkey + 1"}, "n_nationkey = 0")
+    tx2 = lake.transaction()
+    tx2.update("nation_l", {"n_regionkey": "n_regionkey + 2"}, "n_nationkey = 1")
+    tx1.commit()
+    try:
+        tx2.commit()
+        raise AssertionError("expected first-committer-wins conflict")
+    except ConflictError:
+        with lake.transaction() as tx:  # retry sees tx1's committed state
+            tx.update(
+                "nation_l", {"n_regionkey": "n_regionkey + 2"}, "n_nationkey = 1"
+            )
+    lake.compact("nation_l")
+    return lake.snapshots_df().select(
+        "snapshot_id", "schema_version", "changes"
+    )
 
 
 @register(
-    "l12_lake_view",
-    oracle="SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 2",
-    survey_ids=("D14",),
+    "l09_catalog_metadata",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('nation_l', 'n_nationkey', 'int',    1, CAST(25 AS BIGINT)),
+            ('nation_l', 'n_name',      'string', 2, 25),
+            ('nation_l', 'n_regionkey', 'int',    3, 25),
+            ('region_l', 'r_regionkey', 'int',    1, 5),
+            ('region_l', 'r_name',      'string', 2, 5)
+        ) AS t(table_name, col_name, data_type, ordinal, row_count)""",
+    survey_ids=("S7", "S8", "T6"),
 )
-def l12_lake_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CREATE VIEW persisted in the catalog; session bind re-materializes it
-    for Spark SQL (demos/05_catalog_portability/demo.py:150-164)."""
+def l09_catalog_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE / information_schema + ducklake_table_info over the lake
+    catalog's own metadata (exploration/schema_analysis.sh:76-95,
+    exploration/benchmark_ducklake.sh:155-172; demos/03_schema_evolution/
+    demo.py:112,124): column lists and per-table row stats come straight from
+    the SQL metadata store — zero Spark jobs, no data files touched."""
     lake = _fresh_lake(spark)
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
     lake.ctas("region_l", table(spark, sf_dir, "region"))
-    lake.create_view(
+    stats = {d["table_name"]: d["row_count"] for d in lake.table_info()}
+    rows = []
+    for t in lake.tables():
+        for i, (cname, ctype, _null) in enumerate(lake.columns(t)):
+            rows.append((t, cname, ctype, i + 1, stats[t]))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, col_name string, data_type string, "
+        "ordinal int, row_count bigint",
+    )
+
+
+@register(
+    "l12_view_export",
+    oracle="SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 2",
+    survey_ids=("D14", "D15", "S10"),
+)
+def l12_view_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW persisted in the catalog + catalog migration dev->prod
+    (demos/05_catalog_portability/demo.py:150-164,199-280): the export
+    recreates schema+PK+data AND views in a second catalog; the view is then
+    served from the TARGET. The same export path drives the PostgreSQL
+    backend — only the metastore dialect changes (S10)."""
+    dev = _fresh_lake(spark)
+    dev.ctas("region_l", table(spark, sf_dir, "region"))
+    dev.create_view(
         "big_regions",
         "SELECT r_regionkey, r_name FROM region_l WHERE r_regionkey >= 2",
     )
-    return lake.sql("SELECT * FROM big_regions")
-
-
-@register(
-    "l13_export_roundtrip",
-    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
-    survey_ids=("D15", "S10"),
-)
-def l13_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Catalog migration dev->prod (demos/05_catalog_portability/
-    demo.py:199-280): recreate schema+PK+data in a second catalog, then read
-    from the TARGET. The same export path drives the PostgreSQL backend —
-    only the metastore dialect changes (S10)."""
-    dev = _fresh_lake(spark)
-    dev.ctas("nation_l", table(spark, sf_dir, "nation"))
     prod = _fresh_lake(spark)
     dev.export_to(prod)
-    return prod.read("nation_l")
+    return prod.sql("SELECT * FROM big_regions")
 
 
 @register(
@@ -324,11 +271,13 @@ def l13_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT 2, n_nationkey, 'delete' FROM nation WHERE n_nationkey = 2
         )""",
-    survey_ids=("T5", "J3", "T4"),
+    survey_ids=("T4", "T5", "J3"),
 )
 def l14_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot-diff audit (demos/02_time_travel/demo.py:248-304): iterate
-    consecutive versions and build a change log from row-level diffs."""
+    """ducklake_table_changes (T4: row-level diff between two versions via
+    exceptAll, utils/ducklake_utils.py:65-78) driving the snapshot-diff audit
+    (demos/02_time_travel/demo.py:248-304): iterate consecutive versions and
+    build a change log from row-level diffs."""
     from functools import reduce
 
     from pyspark.sql import DataFrame as DF
@@ -348,61 +297,6 @@ def l14_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DF.unionByName, steps)
-
-
-@register(
-    "l15_concurrent_retry",
-    oracle="""
-        SELECT n_nationkey, n_name,
-               CASE WHEN n_nationkey = 0 THEN n_regionkey + 1
-                    WHEN n_nationkey = 1 THEN n_regionkey + 2
-                    ELSE n_regionkey END AS n_regionkey
-        FROM nation""",
-    survey_ids=("D8",),
-)
-def l15_concurrent_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concurrent writers (D8, demos/03_schema_evolution/demo.py:32-72):
-    two overlapping transactions on one table — the first committer wins,
-    the loser gets ConflictError and retries against the new base; BOTH
-    effects must land."""
-    from ducktales_spark.lake import ConflictError
-
-    lake = _fresh_lake(spark)
-    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
-    tx1 = lake.transaction()
-    tx1.update("nation_l", {"n_regionkey": "n_regionkey + 1"}, "n_nationkey = 0")
-    tx2 = lake.transaction()
-    tx2.update("nation_l", {"n_regionkey": "n_regionkey + 2"}, "n_nationkey = 1")
-    tx1.commit()
-    try:
-        tx2.commit()
-        raise AssertionError("expected first-committer-wins conflict")
-    except ConflictError:
-        with lake.transaction() as tx:  # retry sees tx1's committed state
-            tx.update(
-                "nation_l", {"n_regionkey": "n_regionkey + 2"}, "n_nationkey = 1"
-            )
-    return lake.read("nation_l")
-
-
-@register(
-    "l16_read_with_skipping",
-    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation "
-    "WHERE n_nationkey >= 13",
-    survey_ids=("P4", "S2"),
-)
-def l16_read_with_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Catalog-side data skipping (SURVEY §4): read(where=...) prunes the
-    file list with min/max stats before the scan exists, then applies the
-    exact predicate. Two disjoint-range files (13/12 rows — both above the
-    inline threshold); the low file never enters the plan."""
-    lake = _fresh_lake(spark)
-    n = table(spark, sf_dir, "nation")
-    lake.ctas("nation_l", n.filter("n_nationkey < 13").coalesce(1))
-    lake.insert("nation_l", n.filter("n_nationkey >= 13").coalesce(1))
-    pruned = lake.read("nation_l", where="n_nationkey >= 13")
-    assert len(pruned.inputFiles()) == 1  # the <13 file was skipped
-    return pruned
 
 
 @register(
@@ -454,11 +348,22 @@ def l17_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("S2", "P4", "A8"),
 )
 def l18_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A date-clustered lake table (partition_by range-repartitions writes so
-    each file covers a narrow o_orderdate interval); a selective read then
-    skips non-overlapping files via catalog stats — hive-partition pruning
+    """Catalog-side data skipping (SURVEY §4), both flavors: (a) two
+    disjoint-range files where read(where=...) prunes the non-matching file
+    from the plan entirely (asserted via inputFiles), and (b) a
+    date-clustered table (partition_by range-repartitions writes so each file
+    covers a narrow o_orderdate interval) where a selective read skips
+    non-overlapping files via catalog stats — hive-partition pruning
     semantics at 100 TB without path-encoded values."""
     lake = _fresh_lake(spark)
+    # (a) two-file range-skipping assertion (13/12 rows, both above the
+    # inline threshold); the low file never enters the plan.
+    n = table(spark, sf_dir, "nation")
+    lake.ctas("nation_l", n.filter("n_nationkey < 13").coalesce(1))
+    lake.insert("nation_l", n.filter("n_nationkey >= 13").coalesce(1))
+    pruned = lake.read("nation_l", where="n_nationkey >= 13")
+    assert len(pruned.inputFiles()) == 1  # the <13 file was skipped
+    # (b) partition-clustered orders + selective aggregate
     orders = table(spark, sf_dir, "orders")
     lake.ctas("orders_p", orders, partition_by=["o_orderdate"])
     recent = lake.read("orders_p", where="o_orderdate >= '1997-01-01'")

@@ -35,22 +35,56 @@ def m01_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m02_image_features", survey_ids=())
-def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract images (Arrow-batched mapInPandas)."""
-    feats = image_features(_media(spark, sf_dir))
-    return feats.orderBy("media_id").limit(100)
+@register("m02_media_features", survey_ids=())
+def m02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract across all three modalities (Arrow-batched
+    mapInPandas), melted to long-format (media_id, kind, feature, value)
+    rows: image mean/std intensity + dimensions, audio duration/RMS, and
+    per-sampled-frame mean intensity."""
+    media = _media(spark, sf_dir)
 
-
-@register("m03_audio_features", survey_ids=())
-def m03_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = audio_features(_media(spark, sf_dir))
-    return feats.orderBy("media_id").limit(100)
-
-
-@register("m04_frame_sample", survey_ids=())
-def m04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-video frame sampling: one row per sampled frame."""
-    return sample_frames(_media(spark, sf_dir), k=2).orderBy(
-        "media_id", "frame_index"
-    ).limit(200)
+    img = image_features(media).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("width"), F.lit("height"),
+                    F.lit("mean_intensity"), F.lit("std_intensity"),
+                ),
+                F.array(
+                    F.col("width").cast("double"),
+                    F.col("height").cast("double"),
+                    "mean_intensity", "std_intensity",
+                ),
+            )
+        ).alias("feature", "value"),
+    )
+    aud = audio_features(media).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("sample_rate"), F.lit("duration_s"), F.lit("rms")
+                ),
+                F.array(
+                    F.col("sample_rate").cast("double"), "duration_s", "rms"
+                ),
+            )
+        ).alias("feature", "value"),
+    )
+    vid = sample_frames(media, k=2).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.concat(F.lit("frame_"), F.col("frame_index"), F.lit("_mean")).alias(
+            "feature"
+        ),
+        F.col("mean_intensity").alias("value"),
+    )
+    return (
+        img.unionByName(aud)
+        .unionByName(vid)
+        .orderBy("media_id", "feature")
+        .limit(500)
+    )

@@ -4,6 +4,11 @@ Every filter here compiles to a parquet-pushed predicate (check:
 `PushedFilters` in .explain("formatted")) and every projection prunes the
 read schema — these are scan-dominated plans with zero shuffles, the ideal
 shape at 100 TB.
+
+Round-2 note: the driver's correctness sweep has a fixed per-round query
+budget, so the single-predicate queries are consolidated into predicate-
+family queries (one per pushdown class) — each still compiles to one pushed
+scan; the covered SURVEY ids are the union of the merged queries'.
 """
 
 from __future__ import annotations
@@ -16,36 +21,23 @@ from ducktales_spark.registry import register
 
 
 @register(
-    "p01_projection_alias",
-    survey_ids=("P1",),
-    oracle="""
-    SELECT c_custkey AS customer_id, c_name AS customer_name, c_mktsegment AS segment
-    FROM customer
-    """,
-)
-def p01_projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column projection with aliases (reference: demos/02_time_travel/demo.py:184)."""
-    return table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("customer_id"),
-        F.col("c_name").alias("customer_name"),
-        F.col("c_mktsegment").alias("segment"),
-    )
-
-
-@register(
     "p02_expr_concat",
-    survey_ids=("P2", "F1", "F10"),
+    survey_ids=("P1", "P2", "F1", "F10"),
     oracle="""
     SELECT o_orderkey,
+           o_custkey AS customer_id,
            o_orderpriority || '/' || o_orderstatus AS tag,
            o_totalprice * 1.15                     AS uplifted
     FROM orders
     """,
 )
 def p02_expr_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expression projection: `||` concat + arithmetic (reference: utils/ducklake_utils.py:106-107)."""
+    """Projection with aliases (P1) + expression projection: `||` concat and
+    arithmetic (reference: utils/ducklake_utils.py:106-107,
+    demos/02_time_travel/demo.py:184)."""
     return table(spark, sf_dir, "orders").select(
         "o_orderkey",
+        F.col("o_custkey").alias("customer_id"),
         F.concat(
             F.col("o_orderpriority"), F.lit("/"), F.col("o_orderstatus")
         ).alias("tag"),
@@ -54,108 +46,65 @@ def p02_expr_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p03_filter_eq",
-    survey_ids=("P3",),
+    "p03_filter_family",
+    survey_ids=("P3", "P4", "P7"),
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
     FROM lineitem
     WHERE l_returnflag = 'R' AND l_linestatus != 'O'
+      AND (l_quantity < 5 OR l_quantity > 45)
+      AND l_discount > 0.05
+      AND l_extendedprice >= 1000 AND l_extendedprice < 80000
     """,
 )
-def p03_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equality / inequality filters (reference: demos/01_transaction_rollback/demo.py:101)."""
+def p03_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison-predicate family in one pushed scan: equality / inequality
+    (P3), range < >= (P4), compound AND/OR (P7) (reference:
+    demos/01_transaction_rollback/demo.py:101,
+    exploration/ducklake_analysis.sh:124,144-145)."""
     li = table(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_returnflag") == "R") & (F.col("l_linestatus") != "O")
-    ).select("l_orderkey", "l_linenumber", "l_quantity")
-
-
-@register(
-    "p04_range_pred",
-    survey_ids=("P4",),
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    WHERE o_totalprice >= 100000 AND o_totalprice < 200000
-    """,
-)
-def p04_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range predicates < >= (reference: exploration/ducklake_analysis.sh:124,144)."""
-    o = table(spark, sf_dir, "orders")
-    return o.filter(
-        (F.col("o_totalprice") >= 100000) & (F.col("o_totalprice") < 200000)
-    ).select("o_orderkey", "o_totalprice")
-
-
-@register(
-    "p05_like",
-    survey_ids=("P5",),
-    oracle="""
-    SELECT p_partkey, p_name, p_type
-    FROM part
-    WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%'
-    """,
-)
-def p05_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIKE patterns (reference: demos/03_schema_evolution/demo.py:150-151)."""
-    p = table(spark, sf_dir, "part")
-    return p.filter(
-        F.col("p_type").like("%BRASS%") | F.col("p_name").like("a%")
-    ).select("p_partkey", "p_name", "p_type")
-
-
-@register(
-    "p06_in_list",
-    survey_ids=("P6",),
-    oracle="""
-    SELECT c_custkey, c_mktsegment
-    FROM customer
-    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
-    """,
-)
-def p06_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN literal list (reference: demos/01_transaction_rollback/demo.py:168)."""
-    return (
-        table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
-        .select("c_custkey", "c_mktsegment")
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_linestatus") != "O")
+        & ((F.col("l_quantity") < 5) | (F.col("l_quantity") > 45))
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_extendedprice") >= 1000)
+        & (F.col("l_extendedprice") < 80000)
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice",
     )
 
 
 @register(
-    "p07_compound_bool",
-    survey_ids=("P7",),
+    "p05_like_in_null",
+    survey_ids=("P5", "P6", "P8", "F7"),
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
-    FROM lineitem
-    WHERE (l_quantity < 5 OR l_quantity > 45) AND l_discount > 0.05
-    """,
-)
-def p07_compound_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compound AND/OR predicate (reference: exploration/ducklake_analysis.sh:124,145)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.filter(
-        ((F.col("l_quantity") < 5) | (F.col("l_quantity") > 45))
-        & (F.col("l_discount") > 0.05)
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-
-
-@register(
-    "p08_null_check",
-    survey_ids=("P8", "F7"),
-    oracle="""
-    SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_or_null,
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
            COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label
     FROM orders
-    WHERE NULLIF(o_orderstatus, 'O') IS NULL
+    WHERE (o_orderpriority LIKE '%URGENT%' OR o_orderpriority LIKE '1%')
+      AND o_orderstatus IN ('O', 'F', 'P')
+      AND NULLIF(o_orderstatus, 'O') IS NULL
     """,
 )
-def p08_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IS NULL predicate + COALESCE fill (reference: demos/03_schema_evolution/demo.py:188,215)."""
+def p05_like_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/membership/null predicate family: LIKE contains+prefix (P5),
+    IN list (P6), IS NULL (P8) and COALESCE fill (F7) (reference:
+    demos/03_schema_evolution/demo.py:150-151,188,215,
+    demos/01_transaction_rollback/demo.py:168)."""
     o = table(spark, sf_dir, "orders").withColumn(
         "status_or_null", F.nullif(F.col("o_orderstatus"), F.lit("O"))
     )
-    return o.filter(F.col("status_or_null").isNull()).select(
+    return o.filter(
+        (
+            F.col("o_orderpriority").like("%URGENT%")
+            | F.col("o_orderpriority").like("1%")
+        )
+        & F.col("o_orderstatus").isin("O", "F", "P")
+        & F.col("status_or_null").isNull()
+    ).select(
         "o_orderkey",
         "status_or_null",
         F.coalesce(F.col("status_or_null"), F.lit("OPEN")).alias("status_label"),
@@ -163,23 +112,8 @@ def p08_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p09_modulo",
-    survey_ids=("P9", "F11"),
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    WHERE o_orderkey % 7 = 0
-    """,
-)
-def p09_modulo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Modulo predicate id % k = 0 (reference: exploration/benchmark_ducklake.sh:127)."""
-    o = table(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey", "o_totalprice")
-
-
-@register(
-    "p10_case_when",
-    survey_ids=("P10", "A1", "A8"),
+    "p09_mod_case",
+    survey_ids=("P9", "P10", "F11", "A1", "A8"),
     oracle="""
     SELECT CASE WHEN o_totalprice > 250000 THEN 'large'
                 WHEN o_totalprice > 100000 THEN 'medium'
@@ -187,17 +121,24 @@ def p09_modulo(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)          AS n_orders,
            sum(o_totalprice) AS revenue
     FROM orders
+    WHERE o_orderkey % 7 = 0
     GROUP BY 1
     ORDER BY size_bucket
     """,
 )
-def p10_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Searched CASE WHEN, incl. nested in agg (reference: exploration/ducklake_analysis.sh:92-97)."""
-    o = table(spark, sf_dir, "orders").withColumn(
-        "size_bucket",
-        F.when(F.col("o_totalprice") > 250000, "large")
-        .when(F.col("o_totalprice") > 100000, "medium")
-        .otherwise("small"),
+def p09_mod_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modulo predicate (P9/F11) feeding a searched CASE WHEN bucket
+    aggregation (P10) (reference: exploration/benchmark_ducklake.sh:127,
+    exploration/ducklake_analysis.sh:92-97)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn(
+            "size_bucket",
+            F.when(F.col("o_totalprice") > 250000, "large")
+            .when(F.col("o_totalprice") > 100000, "medium")
+            .otherwise("small"),
+        )
     )
     return (
         o.groupBy("size_bucket")

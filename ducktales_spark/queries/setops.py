@@ -3,6 +3,7 @@ extensions, and the S4 range() generator source.
 
 UNION ALL is shuffle-free (concatenated partitions). INTERSECT/EXCEPT lower
 to aggregate-distinct + semi/anti join — one shuffle on the full row value.
+Consolidated to one labeled-slice query (driver budget; see projections.py).
 """
 
 from __future__ import annotations
@@ -15,60 +16,57 @@ from ducktales_spark.registry import register
 
 
 @register(
-    "u01_union_all",
-    survey_ids=("U1", "P10"),
+    "u01_setops",
+    survey_ids=("U1", "P4"),
     oracle="""
-    SELECT 'high' AS tier, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+    SELECT 'high' AS kind, o_orderkey AS set_key
+    FROM orders WHERE o_totalprice > 300000
     UNION ALL
-    SELECT 'low' AS tier, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000
+    SELECT 'low' AS kind, o_orderkey AS set_key
+    FROM orders WHERE o_totalprice < 5000
+    UNION ALL
+    SELECT 'both_status' AS kind, set_key FROM (
+        SELECT o_custkey AS set_key FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'never_ordered' AS kind, set_key FROM (
+        SELECT c_custkey AS set_key FROM customer
+        EXCEPT
+        SELECT CAST(o_custkey AS BIGINT) FROM orders
+    )
     """,
 )
-def u01_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL of two labeled slices — the reference's snapshot-comparison
-    shape (reference: exploration/ducklake_analysis.sh:167-183)."""
+def u01_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of labeled slices (U1, the reference's snapshot-comparison
+    shape, exploration/ducklake_analysis.sh:167-183) + INTERSECT (customers
+    with both finished and open orders) + EXCEPT (customers that never
+    ordered), all as (kind, set_key) rows."""
     o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
     high = o.filter(F.col("o_totalprice") > 300000).select(
-        F.lit("high").alias("tier"), "o_orderkey", "o_totalprice"
+        F.lit("high").alias("kind"), F.col("o_orderkey").alias("set_key")
     )
     low = o.filter(F.col("o_totalprice") < 5000).select(
-        F.lit("low").alias("tier"), "o_orderkey", "o_totalprice"
+        F.lit("low").alias("kind"), F.col("o_orderkey").alias("set_key")
     )
-    return high.unionByName(low)
-
-
-@register(
-    "u02_intersect",
-    survey_ids=("U1",),  # extension: INTERSECT (distinct)
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def u02_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: customers with both finished and open orders (extension)."""
-    o = table(spark, sf_dir, "orders")
-    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.intersect(op)
-
-
-@register(
-    "u03_except",
-    survey_ids=("U1",),  # extension: EXCEPT (distinct)
-    oracle="""
-    SELECT c_custkey FROM customer
-    EXCEPT
-    SELECT CAST(o_custkey AS BIGINT) FROM orders
-    """,
-)
-def u03_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customer keys that never ordered (extension)."""
-    c = table(spark, sf_dir, "customer").select("c_custkey")
-    o = table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").cast("bigint").alias("c_custkey")
+    both = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("set_key"))
+        .intersect(
+            o.filter(F.col("o_orderstatus") == "O").select(
+                F.col("o_custkey").alias("set_key")
+            )
+        )
+        .select(F.lit("both_status").alias("kind"), "set_key")
     )
-    return c.subtract(o)
+    never = (
+        c.select(F.col("c_custkey").alias("set_key"))
+        .subtract(o.select(F.col("o_custkey").cast("bigint").alias("set_key")))
+        .select(F.lit("never_ordered").alias("kind"), "set_key")
+    )
+    return high.unionByName(low).unionByName(both).unionByName(never)
 
 
 @register(

@@ -9,10 +9,13 @@
   interpreted by Catalyst and ran ~10x slower.
 * IVF-bucketed ANN — the scale path: assign every vector to its nearest of C
   centroids (broadcast centroids, argmax inside the same batch kernel), then
-  probe only the query's centroid bucket. Probe cost drops ~C vs brute force.
+  probe only the query's centroid bucket. C scales as sqrt(N) (the standard
+  IVF nlist heuristic), so the expected bucket population is also sqrt(N) —
+  probe cost and per-bucket memory both stay sublinear as the corpus grows.
 * embedding near-dup — pairwise cosine >= 0.95 searched within IVF buckets
-  via ``applyInPandas``: each bucket computes one gram matrix; vectors ship
-  through the shuffle once, pairs never materialize outside numpy.
+  via ``applyInPandas``: vectors ship through the shuffle once; the pair
+  space exists only inside numpy, and the gram matrix is computed in fixed-
+  size blocks so peak memory is O(block^2), not O(|bucket|^2).
 
 Cosines are computed in float64 and rounded to 9 dp on both engines so the
 oracle hash is float-drift-proof.
@@ -20,7 +23,7 @@ oracle hash is float-drift-proof.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -32,7 +35,12 @@ from ducktales_spark.registry import register
 
 _N_QUERIES = 5
 _TOP_K = 10
+# Floor for the centroid count; the effective C is max(_N_CENTROIDS, sqrt(N))
+# so bucket population stays ~sqrt(N) instead of N/16 as the corpus grows.
 _N_CENTROIDS = 16
+# Gram-matrix block edge for the in-bucket pair search: peak score-matrix
+# memory is _GRAM_BLOCK^2 * 8 bytes (~32 MB) regardless of bucket size.
+_GRAM_BLOCK = 2048
 
 
 def as_double(v: Column) -> Column:
@@ -47,6 +55,13 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _np(pdf_col) -> np.ndarray:
     return np.array(pdf_col.tolist(), dtype=np.float64)
+
+
+def n_centroids_for(v: DataFrame) -> int:
+    """IVF nlist heuristic: C = max(floor, sqrt(N)). One cheap single-column
+    count; at scale this would come from table stats instead."""
+    n = v.select("vec_id").count()
+    return max(_N_CENTROIDS, int(np.sqrt(n)))
 
 
 def cosine_scores(
@@ -131,10 +146,13 @@ def e01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(sims, _TOP_K)
 
 
-def assign_buckets(v: DataFrame, n_centroids: int) -> DataFrame:
+def assign_buckets(v: DataFrame, n_centroids: Optional[int] = None) -> DataFrame:
     """IVF bucket assignment: nearest (max-cosine) centroid per vector, ties
     to the lowest centroid id. Centroids are the first C vectors
-    (deterministic; a k-means loop would refine them — same plumbing)."""
+    (deterministic; a k-means loop would refine them — same plumbing).
+    C defaults to the sqrt(N) heuristic (n_centroids_for)."""
+    if n_centroids is None:
+        n_centroids = n_centroids_for(v)
     cpdf = v.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").toPandas()
     cids = cpdf["vec_id"].to_numpy()
     C = _np(cpdf["e"])
@@ -163,28 +181,43 @@ def assign_buckets(v: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
-@register(
-    "e02_ivf_ann",
-    survey_ids=(),  # extension: IVF approximate NN (rows-only; recall vs
-    # brute force asserted in tests/test_similarity.py)
-    oracle=None,
-)
+_N_PROBE = 4  # buckets probed per query (IVF nprobe)
+
+
 def e02_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: nearest-centroid bucketing, probe one
-    bucket (the query's own). Queries are grouped by bucket in a broadcast
-    lookup; each candidate batch scores only against the queries of its own
-    bucket — no join, one candidate scan, probe cost ~1/C of brute force."""
-    assigned = assign_buckets(_vectors(spark, sf_dir), _N_CENTROIDS)
-    qpdf = assigned.filter(F.col("vec_id") < _N_QUERIES).toPandas()
-    probe_buckets = sorted(set(qpdf["centroid_id"]))
+    """IVF-style approximate top-k: nearest-centroid bucketing, probe the
+    nprobe nearest buckets per query. Queries are grouped by probed bucket in
+    a broadcast lookup; each candidate batch scores only against the queries
+    probing its bucket — no join, one candidate scan, probe cost
+    ~nprobe/C of brute force."""
+    v = _vectors(spark, sf_dir)
+    C = n_centroids_for(v)
+    assigned = assign_buckets(v, C)
+    qpdf = v.filter(F.col("vec_id") < _N_QUERIES).toPandas()
+    cpdf = v.filter(F.col("vec_id") < C).orderBy("vec_id").toPandas()
+    Q, Cm = _np(qpdf["e"]), _np(cpdf["e"])
+    cids = cpdf["vec_id"].to_numpy()
+    # nprobe nearest centroids per query (driver-side: |Q| x C is small)
+    S = (Q @ Cm.T) / (
+        np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(Cm, axis=1)[None, :]
+    )
+    nprobe = min(_N_PROBE, len(cids))
+    probes = cids[np.argsort(-S, axis=1)[:, :nprobe]]  # (|Q|, nprobe)
+    lookup: dict = {}
+    for qi in range(len(qpdf)):
+        qid = int(qpdf["vec_id"].iloc[qi])
+        qe = Q[qi]
+        for cid in probes[qi]:
+            lookup.setdefault(int(cid), []).append((qid, qe))
     lookup = {
         cid: (
-            grp["vec_id"].to_numpy(),
-            _np(grp["e"]),
-            np.linalg.norm(_np(grp["e"]), axis=1),
+            np.array([q for q, _ in qs], dtype=np.int64),
+            np.stack([e for _, e in qs]),
+            np.linalg.norm(np.stack([e for _, e in qs]), axis=1),
         )
-        for cid, grp in qpdf.groupby("centroid_id")
+        for cid, qs in lookup.items()
     }
+    probe_buckets = sorted(lookup)
     bc = spark.sparkContext.broadcast(lookup)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -215,12 +248,17 @@ def e02_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def neardup_pairs(
-    v: DataFrame, n_centroids: int = _N_CENTROIDS, threshold: float = 0.95
+    v: DataFrame,
+    n_centroids: Optional[int] = None,
+    threshold: float = 0.95,
+    block: int = _GRAM_BLOCK,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) searched within IVF
-    buckets: applyInPandas computes one gram matrix per bucket — vectors
-    cross the shuffle once; the |bucket|^2 pair space exists only inside
-    numpy, never as Spark rows."""
+    buckets: applyInPandas walks each bucket's gram matrix in block x block
+    tiles — vectors cross the shuffle once; pairs exist only inside numpy,
+    and the score-matrix tile is at most block^2 doubles no matter how
+    populated (or skewed) a bucket is. With sqrt(N) centroids the bucket
+    frame itself is ~sqrt(N) vectors, so per-group memory is sublinear."""
     assigned = assign_buckets(v, n_centroids)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -228,18 +266,33 @@ def neardup_pairs(
         vids = pdf["vec_id"].to_numpy()
         order = np.argsort(vids)
         E, vids = E[order], vids[order]
-        norm = np.linalg.norm(E, axis=1)
-        S = (E @ E.T) / (norm[:, None] * norm[None, :])
-        iu = np.triu_indices(len(vids), k=1)
-        sims = np.round(S[iu], 9)
-        keep = sims >= threshold
-        return pd.DataFrame(
-            {
-                "vec_a": vids[iu[0][keep]],
-                "vec_b": vids[iu[1][keep]],
-                "cos_sim": sims[keep],
-            }
-        )
+        En = E / np.linalg.norm(E, axis=1)[:, None]
+        n = len(vids)
+        outs = []
+        for i0 in range(0, n, block):
+            Ei = En[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                S = Ei @ En[j0 : j0 + block].T
+                ii, jj = np.nonzero(np.round(S, 9) >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj  # upper triangle across tiles
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": vids[gi[keep]],
+                                "vec_b": vids[gj[keep]],
+                                "cos_sim": np.round(S[ii[keep], jj[keep]], 9),
+                            }
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         assigned.groupBy("centroid_id")
@@ -250,12 +303,34 @@ def neardup_pairs(
     )
 
 
-@register(
-    "e03_embedding_neardup",
-    survey_ids=(),  # extension: embedding-cosine near-dup pairs (rows-only)
-    oracle=None,
-)
 def e03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs over the embeddings table (see
-    neardup_pairs for the bucketed gram-matrix design)."""
+    neardup_pairs for the bucketed blocked-gram-matrix design)."""
     return neardup_pairs(_vectors(spark, sf_dir))
+
+
+@register(
+    "e02_ivf_family",
+    survey_ids=(),  # extension: IVF ANN top-k + embedding near-dup pairs
+    # (rows-only: recall + planted-duplicate gates live in
+    # tests/test_similarity.py)
+    oracle=None,
+)
+def e02_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k and embedding-cosine near-dup pairs as
+    labeled rows: (kind, id_a, id_b, cos_sim, rnk) — rnk only for ann rows."""
+    ann = e02_ivf_ann(spark, sf_dir).select(
+        F.lit("ann_topk").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cos_sim",
+        "rnk",
+    )
+    nd = e03_embedding_neardup(spark, sf_dir).select(
+        F.lit("neardup").alias("kind"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        "cos_sim",
+        F.lit(None).cast("bigint").alias("rnk"),
+    )
+    return ann.unionByName(nd).orderBy("kind", "id_a", "id_b")

@@ -18,6 +18,11 @@ from ducktales_spark.registry import register
 # Tiny deterministic english stopword list for the n-gram language heuristic.
 _EN_STOP = r"\b(the|and|of|to|in|is|a|for|on|with)\b"
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs RE2 (DuckDB) and
+# Java regex (Spark) treat identically: optional leading space + letter run /
+# digit run / punctuation run.
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization, shared by the text + dedup operators."""
@@ -26,30 +31,41 @@ def tokens(text: Column) -> Column:
 
 @register(
     "t01_token_count",
-    survey_ids=(),  # extension: token counting
-    oracle=r"""
+    survey_ids=(),  # extension: token counting (whitespace + BPE-ish regex)
+    oracle=rf"""
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
                AS n_tokens,
-           CAST(length(text) AS INTEGER) AS n_chars_seen
+           CAST(length(text) AS INTEGER) AS n_chars_seen,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER)
+               AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}')))
+               AS INTEGER) AS n_distinct_tokens
     FROM documents
     """,
 )
 def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + char count per document."""
+    """Token counting per document, both units a training-data token budget
+    is measured in: whitespace tokens + chars, and BPE-style pre-tokenization
+    (the regex split a GPT-2/tiktoken BPE applies before merges: letter runs,
+    digit runs, punctuation runs with attached leading space). JVM
+    regexp_extract_all; no Python."""
     d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
     return d.select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
         F.length("text").alias("n_chars_seen"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
     )
 
 
 @register(
     "t02_quality_score",
-    survey_ids=(),  # extension: quality scoring
-    oracle=r"""
-    SELECT doc_id,
+    survey_ids=(),  # extension: quality scoring + language-ID heuristic
+    oracle=rf"""
+    SELECT doc_id, lang,
            CAST(length(text) AS INTEGER) AS n_chars,
            round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                  / greatest(length(text), 1), 6) AS alpha_ratio,
@@ -57,20 +73,28 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_words,
            round(CAST(length(text) AS DOUBLE)
                  / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
-               AS chars_per_word
+               AS chars_per_word,
+           CAST(len(regexp_extract_all(lower(text), '{_EN_STOP}')) AS INTEGER)
+               AS n_en_stopwords,
+           round(CAST(len(regexp_extract_all(lower(text), '{_EN_STOP}')) AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+               AS en_stopword_ratio
     FROM documents
     WHERE length(text) >= 20
     """,
 )
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality features: length, alphabetic ratio, words-per-doc,
-    chars-per-word — the length/punct/stopword family of heuristics."""
+    """Document quality features (length, alphabetic ratio, words-per-doc,
+    chars-per-word — the length/punct family) + the stopword-ratio language
+    signal (n-gram heuristic family), in one pushed scan."""
     d = table(spark, sf_dir, "documents")
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     n_words = F.size(tokens(F.col("text")))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_EN_STOP), 0))
     return d.filter(n_chars >= 20).select(
         "doc_id",
+        "lang",
         n_chars.alias("n_chars"),
         F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias(
             "alpha_ratio"
@@ -79,30 +103,6 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             n_chars.cast("double") / F.greatest(n_words, F.lit(1)), 6
         ).alias("chars_per_word"),
-    )
-
-
-@register(
-    "t03_lang_heuristic",
-    survey_ids=(),  # extension: language-ID heuristic
-    oracle=rf"""
-    SELECT doc_id, lang,
-           CAST(len(regexp_extract_all(lower(text), '{_EN_STOP}')) AS INTEGER)
-               AS n_en_stopwords,
-           round(CAST(len(regexp_extract_all(lower(text), '{_EN_STOP}')) AS DOUBLE)
-                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
-               AS en_stopword_ratio
-    FROM documents
-    """,
-)
-def t03_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio language signal (n-gram heuristic family)."""
-    d = table(spark, sf_dir, "documents")
-    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_EN_STOP), 0))
-    n_words = F.size(tokens(F.col("text")))
-    return d.select(
-        "doc_id",
-        "lang",
         n_stop.alias("n_en_stopwords"),
         F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 6).alias(
             "en_stopword_ratio"
@@ -128,35 +128,3 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
     )
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
-
-
-# GPT-2-style pre-tokenizer shape, restricted to constructs RE2 (DuckDB) and
-# Java regex (Spark) treat identically: optional leading space + letter run /
-# digit run / punctuation run.
-_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
-
-
-@register(
-    "t05_bpe_tokens",
-    survey_ids=(),  # extension: BPE-ish regex token counting
-    oracle=rf"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER)
-               AS n_bpe_tokens,
-           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}')))
-               AS INTEGER) AS n_distinct_tokens
-    FROM documents
-    """,
-)
-def t05_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-style pre-tokenization (the regex split a GPT-2/tiktoken BPE
-    applies before merges): letter runs, digit runs, punctuation runs with
-    attached leading space. Token counts per doc — the unit a training-data
-    token budget is measured in. JVM regexp_extract_all; no Python."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_bpe_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-    )

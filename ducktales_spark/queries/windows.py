@@ -1,5 +1,7 @@
-"""Window operators: W1 (SURVEY.md §2.5) + ranking/analytic extensions, and
-sort/limit operators O1-O4 (§2.6).
+"""Window operators: W1 (SURVEY.md §2.5) + ranking/analytic extensions,
+sort/limit operators O1-O4 (§2.6), and the event-time window family
+(the batch shape of the Structured-Streaming operators in
+ducktales_spark.streaming).
 
 Scale notes: every window here is PARTITIONED (partitionBy) so state is
 bounded per key and the plan is one shuffle on the partition key + in-
@@ -89,39 +91,13 @@ def w02_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w03_running_sum",
-    survey_ids=("W1",),  # extension: analytic frame
+    "w03_analytic",
+    survey_ids=("W1",),  # extension: analytic frame + lag in one window
     oracle="""
     SELECT user_id, event_id, value,
            sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS running_value
-    FROM events
-    WHERE user_id % 50 = 0
-    ORDER BY user_id, event_id
-    """,
-)
-def w03_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running sum over event time (extension; frame spec)."""
-    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return e.select(
-        "user_id",
-        "event_id",
-        "value",
-        F.sum("value").over(w).alias("running_value"),
-    ).orderBy("user_id", "event_id")
-
-
-@register(
-    "w04_lag_delta",
-    survey_ids=("W1",),  # extension: lag/lead
-    oracle="""
-    SELECT user_id, event_id, value,
+               AS running_value,
            value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS delta
     FROM events
@@ -129,21 +105,26 @@ def w03_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, event_id
     """,
 )
-def w04_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """value - lag(value) per user (extension; session-style delta)."""
+def w03_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum (frame spec) + lag delta over event time — both
+    analytic functions share ONE window partition/sort, so the plan has a
+    single shuffle + sort (extension)."""
     e = table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "user_id",
         "event_id",
         "value",
+        F.sum("value")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("running_value"),
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
     ).orderBy("user_id", "event_id")
 
 
 @register(
     "o01_sort_limit_topk",
-    survey_ids=("O1", "O2", "O4"),
+    survey_ids=("O1", "O2", "O3", "O4"),
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderdate
     FROM orders
@@ -152,8 +133,10 @@ def w04_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def o01_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY ... DESC LIMIT n -> TakeOrderedAndProject
-    (reference: demos/02_time_travel/demo.py:132-137)."""
+    """Multi-column ORDER BY ... DESC LIMIT n -> TakeOrderedAndProject
+    (reference: demos/02_time_travel/demo.py:132-137,
+    exploration/ducklake_analysis.sh:183). Covers ORDER BY (O1), DESC (O2),
+    multi-column sort (O3) and LIMIT top-k (O4) in one plan."""
     return (
         table(spark, sf_dir, "orders")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -163,28 +146,14 @@ def o01_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "o03_multi_sort",
-    survey_ids=("O1", "O3"),
+    "x02_event_windows",
+    survey_ids=("A1", "A3", "A8"),  # extension: tumbling + sliding windows
     oracle="""
-    SELECT n_nationkey, n_name, n_regionkey
-    FROM nation
-    ORDER BY n_regionkey, n_name
-    """,
-)
-def o03_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-column ORDER BY (reference: exploration/ducklake_analysis.sh:183)."""
-    return (
-        table(spark, sf_dir, "nation")
-        .orderBy("n_regionkey", "n_name")
-        .select("n_nationkey", "n_name", "n_regionkey")
-    )
-
-
-@register(
-    "x03_sliding_window",
-    survey_ids=("A1", "A3", "A8"),  # extension: sliding event-time window
-    oracle="""
-    WITH buckets AS (
+    WITH tumb AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, value
+        FROM events
+    ),
+    slide AS (
         SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, value
         FROM events
         UNION ALL
@@ -192,35 +161,47 @@ def o03_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
                value
         FROM events
     )
-    SELECT win_start,
+    SELECT 'tumbling' AS kind, win_start,
            win_start + INTERVAL '1 hour' AS win_end,
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 6) AS sum_value
-    FROM buckets
-    GROUP BY win_start
-    ORDER BY win_start
+    FROM tumb GROUP BY win_start
+    UNION ALL
+    SELECT 'sliding' AS kind, win_start,
+           win_start + INTERVAL '1 hour' AS win_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM slide GROUP BY win_start
+    ORDER BY kind, win_start
     """,
 )
-def x03_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 1-hour/30-minute window counts over events — the batch shape
-    of windowed_counts(slide=...) in ducktales_spark.streaming. Each event
-    lands in exactly 2 windows; the DuckDB oracle materializes both bucket
-    memberships via UNION ALL."""
+def x02_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h) + sliding (1h / 30min) event-time windows over the
+    events table — the batch shape of the Structured-Streaming windowed aggs
+    in ducktales_spark.streaming. Spark window() and DuckDB time_bucket are
+    both epoch-aligned; in the sliding case each event lands in exactly two
+    windows (the oracle materializes both memberships via UNION ALL)."""
     e = table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+
+    def agg(win, kind):
+        return (
+            e.groupBy(win.alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
-            "n_events",
-            "sum_value",
-        )
-        .orderBy("win_start")
-    )
+
+    tumb = agg(F.window("ts", "1 hour"), "tumbling")
+    slide = agg(F.window("ts", "1 hour", "30 minutes"), "sliding")
+    return tumb.unionByName(slide).orderBy("kind", "win_start")
 
 
 @register(

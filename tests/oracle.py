@@ -31,7 +31,10 @@ def _norm(v):
     if isinstance(v, bool):
         return v
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # Deliberately NOT normalized to float: the driver's hash is exact,
+        # so a Decimal-vs-float or scale mismatch between Spark and DuckDB
+        # must fail here too (round-1 f06 lesson).
+        return v
     if isinstance(v, float):
         return v
     if isinstance(v, int):
@@ -60,6 +63,9 @@ def _rows(cols, data):
 def _values_close(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
+    if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
+        # exact-compare mode: both sides must be Decimal AND equal
+        return type(a) is type(b) and a == b
     if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not (
         isinstance(a, bool) or isinstance(b, bool)
     ):

@@ -83,7 +83,7 @@ def test_no_python_udf_in_jvm_queries(spark, sf_dir):
         "q1_pricing_summary", "j01_inner_join_revenue_by_region",
         "a09_groupby_multikey", "w02_topk_per_group", "d01_dedup_exact",
         "d02_ngram_jaccard", "d03_minhash_lsh", "t01_token_count",
-        "t02_quality_score", "x02_tumbling_hourly",
+        "t02_quality_score", "x02_event_windows",
     ]:
         s = plan_str(SPECS[name].fn(spark, sf_dir))
         assert "EvalPython" not in s, f"{name} fell off the JVM path"
