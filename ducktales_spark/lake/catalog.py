@@ -245,7 +245,7 @@ class LakeCatalog:
         row = self.ms.one(
             "SELECT table_id, data_dir FROM lake_table WHERE name=? AND "
             "created_snapshot<=? AND (dropped_snapshot IS NULL OR "
-            "dropped_snapshot>?)",
+            "dropped_snapshot>?) ORDER BY created_snapshot DESC",
             (name, v, v),
         )
         if row is None:
@@ -594,7 +594,10 @@ class LakeCatalog:
                 (cutoff,),
             )
             # tables dropped before the cutoff are gone from every retained
-            # version; remove their metadata entirely
+            # version; remove their metadata entirely — INCLUDING data-file /
+            # inlined rows still marked live (drop_table doesn't touch them),
+            # else their parquet survives forever and gc() keeps seeing it
+            # referenced (permanent storage leak).
             for (tid,) in t.exec(
                 self.ms._ph(
                     "SELECT table_id FROM lake_table WHERE dropped_snapshot "
@@ -602,6 +605,23 @@ class LakeCatalog:
                 ),
                 (cutoff,),
             ).fetchall():
+                doomed.extend(
+                    t.exec(
+                        self.ms._ph(
+                            "SELECT path, file_bytes FROM lake_data_file "
+                            "WHERE table_id=?"
+                        ),
+                        (tid,),
+                    ).fetchall()
+                )
+                t.exec(
+                    self.ms._ph("DELETE FROM lake_data_file WHERE table_id=?"),
+                    (tid,),
+                )
+                inl += t.exec(
+                    self.ms._ph("DELETE FROM lake_inlined WHERE table_id=?"),
+                    (tid,),
+                ).rowcount
                 t.exec(
                     self.ms._ph("DELETE FROM lake_schema WHERE table_id=?"),
                     (tid,),
@@ -660,6 +680,10 @@ class Transaction:
         self.base_version = catalog.current_version()
         self._states: dict = {}
         self._view_ops: list = []  # (name, sql_or_None)
+        # pre-existing tables dropped then re-created in THIS txn (CREATE OR
+        # REPLACE): table_id -> name. Their TableState is overwritten by the
+        # new table's, so commit must close the old lake_table row from here.
+        self._replaced: dict = {}
         self._staged_dirs: list = []
         self._done = False
 
@@ -737,6 +761,11 @@ class Transaction:
         exists = self._state(name, must_exist=False)
         if exists is not None and not exists.dropped:
             raise LakeError(f"table {name!r} already exists")
+        if exists is not None and exists.dropped and not exists.created:
+            # drop+recreate of a pre-existing table: the new TableState below
+            # replaces the dropped one in _states, so retain the drop here or
+            # commit would leave two live lake_table rows under one name.
+            self._replaced[exists.table_id] = name
         if not isinstance(schema, TableSchema):
             schema = TableSchema.from_struct(schema, primary_key, partition_by)
         elif primary_key or partition_by:
@@ -936,7 +965,17 @@ class Transaction:
             return v
 
         if rows and isinstance(rows[0], dict):
-            # absent key -> declared DEFAULT; present-but-None -> NULL
+            # absent key -> declared DEFAULT; present-but-None -> NULL;
+            # unknown key -> error (mirrors _align on the DataFrame path —
+            # silently storing the DEFAULT on a typo'd column is data loss)
+            known = {f.name for f in fields}
+            for r in rows:
+                unknown = set(r) - known
+                if unknown:
+                    raise LakeError(
+                        f"unknown column(s) {sorted(unknown)} for table "
+                        f"{name!r}; have {sorted(known)}"
+                    )
             data = [
                 tuple(
                     coerce(
@@ -1090,13 +1129,6 @@ class Transaction:
             sch.field_by_name(k)
         src = self._align(source, sch).persist()
         try:
-            if (
-                src.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
-                .count() > 0
-            ):
-                raise ConstraintViolation(
-                    f"duplicate merge keys {list(on)} in source"
-                )
             bounds = src.agg(
                 *[F.min(k).alias(f"mn_{k}") for k in on],
                 *[F.max(k).alias(f"mx_{k}") for k in on],
@@ -1116,15 +1148,48 @@ class Transaction:
             ]
             touched_inlined = list(st.inlined)
             target = self.c._build_df(candidates, touched_inlined, st.schemas, sch)
-            matched = target.join(src, on, "left_semi").count()
-            inserted = (src.count() - matched) if when_not_matched == "insert" else 0
-            effective = matched if when_matched != "skip" else 0
+            # One action answers dup-key check + matched + unmatched: src keys
+            # left-join per-key target counts, then a global aggregate.
+            # `matched` counts TARGET rows hit (PK-less targets may hold
+            # duplicate keys); `inserted` is the anti-join count, NOT
+            # src.count()-matched, which goes negative on duplicate targets.
+            stats = (
+                src.groupBy(*on).agg(F.count(F.lit(1)).alias("_sc"))
+                .join(
+                    target.groupBy(*on).agg(F.count(F.lit(1)).alias("_tc")),
+                    on, "left",
+                )
+                .agg(
+                    F.max("_sc").alias("_dup"),
+                    F.sum("_tc").alias("_matched"),
+                    F.count(F.when(F.col("_tc").isNull(), 1)).alias("_unmatched"),
+                )
+                .first()
+            )
+            if (stats["_dup"] or 0) > 1:
+                raise ConstraintViolation(
+                    f"duplicate merge keys {list(on)} in source"
+                )
+            matched = int(stats["_matched"] or 0)
+            inserted = (
+                int(stats["_unmatched"] or 0)
+                if when_not_matched == "insert" else 0
+            )
+            if when_matched == "skip":
+                # target rows untouched: no COW rewrite — append unmatched
+                # source rows as new files and leave every candidate in place.
+                if inserted == 0:
+                    return {"matched": matched, "inserted": 0}
+                st.files.extend(
+                    self._write_staged(st, src.join(target, on, "left_anti"))
+                )
+                st.changes.add("tables_inserted_into")
+                return {"matched": matched, "inserted": inserted}
+            effective = matched
             if effective == 0 and inserted == 0:
                 return {"matched": matched, "inserted": 0}
 
-            keep = target if when_matched == "skip" else target.join(
-                src, on, "left_anti"
-            )
+            keep = target.join(src, on, "left_anti")
             parts = [keep]
             if when_matched == "update" and when_not_matched == "insert":
                 parts.append(src)  # all source rows land
@@ -1291,6 +1356,13 @@ class Transaction:
                             f"row_id IN ({','.join('?' * len(st.removed_inlined_ids))})",
                             (new_v, *st.removed_inlined_ids),
                         )
+                for tid, nm in self._replaced.items():
+                    t.exec(
+                        "UPDATE lake_table SET dropped_snapshot=? WHERE "
+                        "table_id=? AND dropped_snapshot IS NULL",
+                        (new_v, tid),
+                    )
+                    changes.setdefault("tables_dropped", []).append(nm)
                 for vname, vsql in self._view_ops:
                     t.exec(
                         "UPDATE lake_view SET dropped_snapshot=? WHERE name=? "

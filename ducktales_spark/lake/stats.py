@@ -194,6 +194,20 @@ def file_may_match(
             continue  # nulls count doesn't tell us total rows; stay safe
         if mn is None or mx is None:
             continue
+        if op == "in":
+            # coerce each member; an un-coercible member MAY match (stay
+            # safe), so it blocks pruning rather than counting as outside
+            # the interval. (The scalar coercion below would turn the whole
+            # list into None and skip this conjunct entirely.)
+            coerced = [_coerce_like(v, mn) for v in val]
+            try:
+                if all(c is not None for c in coerced) and all(
+                    c < mn or c > mx for c in coerced
+                ):
+                    return False
+            except TypeError:
+                pass
+            continue
         val = _coerce_like(val, mn)
         if val is None:
             continue
@@ -207,12 +221,6 @@ def file_may_match(
             if op == ">" and mx <= val:
                 return False
             if op == ">=" and mx < val:
-                return False
-            if op == "in" and all(
-                (_coerce_like(v, mn) is None or _coerce_like(v, mn) < mn
-                 or _coerce_like(v, mn) > mx)
-                for v in val
-            ):
                 return False
             # op == "!=" prunes only single-value files; skip (rare win)
         except TypeError:

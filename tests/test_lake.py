@@ -735,3 +735,153 @@ def test_insert_rows_driver_fast_path(lake, spark):
         tx.insert_rows("t", [{"a": i, "c": i} for i in range(50)])
     info = {i["table_name"]: i for i in lake.table_info()}["t"]
     assert info["file_count"] >= 1 and info["row_count"] == 53
+
+
+def test_create_or_replace_table(lake, spark):
+    """ADVICE r1 (high): DROP+CREATE of one table inside a single txn (the
+    CREATE OR REPLACE TABLE path) must close the old lake_table row at
+    commit; otherwise two live rows share the name and reads resolve to the
+    stale table."""
+    _inventory(lake)
+    v_old = lake.current_version()
+    lake.sql("CREATE OR REPLACE TABLE inventory AS SELECT 99 AS a, 999 AS b")
+    got = lake.read("inventory").collect()
+    assert [(r.a, r.b) for r in got] == [(99, 999)]
+    live = lake.ms.q(
+        "SELECT table_id FROM lake_table WHERE name='inventory' AND "
+        "dropped_snapshot IS NULL"
+    )
+    assert len(live) == 1  # exactly one live row for the name
+    # the pre-replace table is still time-travelable
+    assert lake.read("inventory", version=v_old).count() == 3
+    # snapshot log records both sides of the replace
+    import json as _json
+    changes = _json.loads(
+        lake.ms.one(
+            "SELECT changes FROM lake_snapshot ORDER BY snapshot_id DESC",
+        )[0]
+    )
+    assert "inventory" in changes.get("tables_dropped", [])
+    assert "inventory" in changes.get("tables_created", [])
+    # same via the explicit transaction API
+    with lake.transaction() as tx:
+        tx.drop_table("inventory")
+        tx.create_table(
+            "inventory", StructType([StructField("z", IntegerType(), True)])
+        )
+        tx.insert_rows("inventory", [{"z": 7}])
+    assert [r.z for r in lake.read("inventory").collect()] == [7]
+    assert (
+        len(
+            lake.ms.q(
+                "SELECT table_id FROM lake_table WHERE name='inventory' "
+                "AND dropped_snapshot IS NULL"
+            )
+        )
+        == 1
+    )
+
+
+def test_merge_duplicate_target_keys(lake, spark):
+    """ADVICE r1 (medium): on a PK-less target with duplicate keys,
+    `inserted` must come from an anti-join count (src.count()-matched goes
+    negative), and when_matched='skip' must still insert genuinely
+    unmatched source rows instead of early-returning."""
+    lake.create_table(
+        "d",
+        StructType(
+            [
+                StructField("k", IntegerType(), True),
+                StructField("v", StringType(), True),
+            ]
+        ),
+    )
+    lake.insert(
+        "d", spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    )
+    # skip matched, insert unmatched: k=2 must land despite matched=2 > src rows with new keys
+    res = lake.merge(
+        "d",
+        spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string"),
+        on=["k"],
+        when_matched="skip",
+    )
+    assert res == {"matched": 2, "inserted": 1}
+    got = sorted((r.k, r.v) for r in lake.read("d").collect())
+    assert got == [(1, "a"), (1, "b"), (2, "y")]
+    # update path collapses both duplicate target rows into the source row
+    res = lake.merge(
+        "d",
+        spark.createDataFrame([(1, "u"), (3, "n")], "k int, v string"),
+        on=["k"],
+    )
+    assert res == {"matched": 2, "inserted": 1}
+    got = sorted((r.k, r.v) for r in lake.read("d").collect())
+    assert got == [(1, "u"), (2, "y"), (3, "n")]
+
+
+def test_insert_rows_unknown_column_rejected(lake):
+    """ADVICE r1 (medium): a typo'd dict key must error, not silently store
+    the DEFAULT (mirrors the DataFrame path's _align)."""
+    lake.sql("CREATE TABLE t (a INT, b VARCHAR DEFAULT 'd')")
+    with pytest.raises(LakeError, match="unknown column"):
+        with lake.transaction() as tx:
+            tx.insert_rows("t", [{"a": 1, "bb": "oops"}])
+    assert lake.count("t") == 0  # txn rolled back
+
+
+def test_expire_reclaims_dropped_table_files(lake, spark):
+    """ADVICE r1 (low): expire_snapshots must purge a dropped table's data
+    files (rows + parquet on disk), not just its table/schema metadata."""
+    import os
+
+    lake.create_table(
+        "doomed", StructType([StructField("id", IntegerType(), True)])
+    )
+    lake.insert(
+        "doomed",
+        spark.range(0, 100).select(F.col("id").cast("int")).coalesce(1),
+    )
+    paths = [
+        r[0]
+        for r in lake.ms.q(
+            "SELECT path FROM lake_data_file WHERE table_id="
+            "(SELECT table_id FROM lake_table WHERE name='doomed')"
+        )
+    ]
+    assert paths and all(os.path.exists(p) for p in paths)
+    lake.drop_table("doomed")
+    res = lake.expire_snapshots(keep_last=1)
+    assert res["files_deleted"] >= len(paths)
+    assert not lake.ms.q("SELECT 1 FROM lake_table WHERE name='doomed'")
+    assert not lake.ms.q(
+        "SELECT 1 FROM lake_data_file WHERE path IN (%s)"
+        % ",".join("?" * len(paths)),
+        tuple(paths),
+    )
+    for p in paths:
+        assert not os.path.exists(p)
+    # nothing left for gc either
+    assert lake.gc() == []
+
+
+def test_in_list_file_pruning(lake, spark):
+    """ADVICE r1 (low): IN-list predicates prune files via per-member
+    min/max checks (was dead code), and never prune on un-coercible
+    members."""
+    lake.create_table(
+        "skipper2", StructType([StructField("id", IntegerType(), True)])
+    )
+    lake.insert("skipper2", spark.range(0, 100).select(
+        F.col("id").cast("int")).coalesce(1))
+    lake.insert("skipper2", spark.range(10000, 10100).select(
+        F.col("id").cast("int")).coalesce(1))
+    hit = lake.read("skipper2", where="id IN (5, 7)")
+    assert len(hit.inputFiles()) == 1  # high-range file pruned
+    assert hit.count() == 2
+    miss = lake.read("skipper2", where="id IN (20000, 30000)")
+    assert len(miss.inputFiles()) == 0
+    assert miss.count() == 0
+    straddle = lake.read("skipper2", where="id IN (5, 10005)")
+    assert len(straddle.inputFiles()) == 2
+    assert straddle.count() == 2
