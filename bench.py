@@ -73,6 +73,10 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    twin = duckdb_twin(specs, sf_dir)
+    matched = round(
+        sum(v for k, v in timings.items() if k in twin), 3
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -81,11 +85,47 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_twin": twin,
+                "spark_matched_total": matched,
+                "ratio_vs_twin": (
+                    round(matched / twin["total"], 2) if twin.get("total") else None
+                ),
                 "lake_ops": lake_ops(spark, sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def duckdb_twin(specs, sf_dir: str) -> dict:
+    """Time each headline query's own oracle SQL in single-threaded-free
+    DuckDB on the same parquet (min of 3) — the per-round yardstick for the
+    'within 2x of a single-node engine' gate. Queries without an oracle
+    (d03) are skipped."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = specs[name].oracle
+        if not sql:
+            continue
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    out["total"] = round(sum(out.values()), 3)
+    return out
 
 
 def lake_ops(spark, sf_dir: str) -> dict:

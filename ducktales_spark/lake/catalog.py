@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .metastore import ConflictError, Metastore, open_metastore
 from .schema import (
     TableSchema,
+    default_expr,
+    default_fill,
     row_from_json,
     row_to_json,
     value_from_json,
@@ -846,6 +848,21 @@ class Transaction:
     def drop_view(self, name) -> None:
         self._view_ops.append((name, None))
 
+    def _eval_default(self, f) -> object:
+        """Insert-time default: expression defaults re-evaluate per INSERT
+        (driver-side for the common clock expressions, keeping the inlined
+        fast path Spark-job-free); literals decode as stored."""
+        expr = default_expr(f)
+        if expr is None:
+            return default_fill(f)
+        key = expr.strip().upper().rstrip("()").strip()
+        if key in ("CURRENT_TIMESTAMP", "NOW", "LOCALTIMESTAMP", "GET_CURRENT_TIMESTAMP"):
+            return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        if key in ("CURRENT_DATE", "TODAY"):
+            return _dt.datetime.now(_dt.timezone.utc).date()
+        row = self.c.spark.sql(f"SELECT {expr} AS v").first()
+        return row["v"]
+
     # -- DML -------------------------------------------------------------
     def _align(self, df: DataFrame, schema: TableSchema) -> DataFrame:
         extra = set(df.columns) - set(schema.names())
@@ -856,9 +873,9 @@ class Transaction:
             if f.name in df.columns:
                 cols.append(F.col(f.name).cast(f.type).alias(f.name))
             else:
-                cols.append(
-                    F.lit(value_from_json(f.default)).cast(f.type).alias(f.name)
-                )
+                expr = default_expr(f)
+                base = F.expr(expr) if expr else F.lit(default_fill(f))
+                cols.append(base.cast(f.type).alias(f.name))
         return df.select(*cols)
 
     def _check_constraints(self, st: TableState, df: DataFrame) -> None:
@@ -979,7 +996,7 @@ class Transaction:
             data = [
                 tuple(
                     coerce(
-                        r[f.name] if f.name in r else value_from_json(f.default),
+                        r[f.name] if f.name in r else self._eval_default(f),
                         f,
                     )
                     for f in fields
@@ -1411,7 +1428,9 @@ def _project(df: DataFrame, stored: TableSchema, current: TableSchema) -> DataFr
         if sf is not None:
             cols.append(F.col(sf.name).cast(f.type).alias(f.name))
         else:
-            cols.append(F.lit(value_from_json(f.default)).cast(f.type).alias(f.name))
+            # rows predating the field get the DDL-time frozen value, never a
+            # per-read re-evaluation (a read must not change the data)
+            cols.append(F.lit(default_fill(f)).cast(f.type).alias(f.name))
     return df.select(*cols)
 
 

@@ -34,7 +34,14 @@ class Field:
     name: str
     type: str  # Spark DDL type string, e.g. "int", "decimal(10,2)", "array<float>"
     nullable: bool = True
-    default: Any = None  # JSON-encodable default for files predating the field
+    # JSON-encodable default. Either a plain literal (value_to_json form) or
+    # an expression marker {"$expr": "<sql>", "$frozen": <literal>}:
+    # "$expr" is re-evaluated at every INSERT (DEFAULT CURRENT_TIMESTAMP gets
+    # a fresh value per write — demos/05_catalog_portability/demo.py:224);
+    # "$frozen" is the expression's value at DDL time, used to fill rows that
+    # PREDATE the column (DuckDB ALTER ADD COLUMN evaluates the default once
+    # for existing rows).
+    default: Any = None
 
 
 @dataclass(frozen=True)
@@ -182,6 +189,23 @@ def value_from_json(v: Any) -> Any:
     return v
 
 
+def default_expr(f: Field):
+    """Insert-time SQL expression for an expression default, else None."""
+    d = f.default
+    if isinstance(d, dict) and "$expr" in d:
+        return d["$expr"]
+    return None
+
+
+def default_fill(f: Field):
+    """Read-time fill value for rows predating the field: the frozen
+    DDL-time value for expression defaults, the literal otherwise."""
+    d = f.default
+    if isinstance(d, dict) and "$expr" in d:
+        return value_from_json(d.get("$frozen"))
+    return value_from_json(d)
+
+
 def row_to_json(row: dict, schema: TableSchema) -> str:
     """Encode a {column_name: value} dict as {field_id: json_value}."""
     out = {}
@@ -200,5 +224,5 @@ def row_from_json(
         if str(f.field_id) in d:
             vals.append(value_from_json(d[str(f.field_id)]))
         else:
-            vals.append(value_from_json(f.default))
+            vals.append(default_fill(f))
     return tuple(vals)

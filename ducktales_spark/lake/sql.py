@@ -428,12 +428,23 @@ class SQLExecutor:
             )
         return TableSchema(tuple(fields), tuple(pk))
 
+    _EXPR_DEFAULTS = re.compile(
+        r"^(CURRENT_TIMESTAMP|CURRENT_DATE|LOCALTIMESTAMP|"
+        r"NOW\(\)|RANDOM\(\)|RAND\(\)|UUID\(\))$",
+        re.I,
+    )
+
     def _literal(self, tok: str):
-        """Evaluate a DEFAULT literal via Spark (handles quoting/casts),
-        JSON-encoded for storage in the schema row."""
+        """DEFAULT clause: literals evaluate once here (DDL time); volatile
+        expressions store an {"$expr", "$frozen"} marker so each INSERT
+        re-evaluates them (demos/05_catalog_portability/demo.py:224 —
+        created_at DEFAULT CURRENT_TIMESTAMP must differ between writes)
+        while rows predating the column read the DDL-time frozen value."""
         from .schema import value_to_json
 
         row = self.c.spark.sql(f"SELECT {tok} AS v").first()
+        if self._EXPR_DEFAULTS.match(tok.strip()):
+            return {"$expr": tok.strip(), "$frozen": value_to_json(row["v"])}
         return value_to_json(row["v"])
 
     def _status(self, op: str, rows: int) -> DataFrame:
