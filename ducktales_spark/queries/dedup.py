@@ -27,7 +27,6 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducktales_spark.cache import release_caches, tracked_persist
 from ducktales_spark.data import table
 from ducktales_spark.registry import register
 
@@ -108,8 +107,24 @@ def shingle_table(
     return sh.dropDuplicates(["doc_id", "s"]) if distinct else sh
 
 
-def minhash_candidate_pairs(
+def hashed_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, h64) — 8-byte xxhash64 per word-3-gram shingle occurrence
+    (multiset: no per-doc dedup). The shared upstream of every sketch:
+    minhash folds it with MIN aggregates (multiset-invariant), simhash
+    dedups (doc_id, h64) first. d03 builds ONE of these and feeds both
+    sketches — one scan + shingle explode instead of two."""
+    return shingle_table(docs, id_col, text_col, distinct=False).select(
+        "doc_id", F.xxhash64("s").alias("h64")
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs with estimated jaccard.
 
@@ -124,21 +139,24 @@ def minhash_candidate_pairs(
     # over the set, so the shingle dedup shuffle is skipped entirely
     # (distinct=False); the groupBy(doc_id) reuses the shingle table's hash
     # distribution — one shuffle total before banding.
-    h = shingle_table(docs, id_col, text_col, distinct=False).select(
-        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_P)).alias("h")
+    base = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, id_col, text_col)
     )
+    h = base.select("doc_id", F.pmod(F.col("h64"), F.lit(_P)).alias("h"))
     mins = h.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"m{i}")
             for i, (a, b) in enumerate(_HASH_AB)
         ]
     )
-    # The signature table feeds both sides of the band self-join; persist so
-    # it is computed once (released by the next tracked query).
-    sig = tracked_persist(
-        mins.select(
-            "doc_id", F.array(*[F.col(f"m{i}") for i in range(_NUM_HASHES)]).alias("sig")
-        )
+    # The signature table feeds both sides of the band self-join as the SAME
+    # canonical subtree — AQE computes the band exchange once and reuses it,
+    # so no persist (a cache here is a materialization barrier locally and
+    # unbounded executor storage at scale).
+    sig = mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(_NUM_HASHES)]).alias("sig")
     )
     n_bands = _NUM_HASHES // _BAND_ROWS
     # Carry the signature through the band explode: the candidate self-join
@@ -195,11 +213,12 @@ def minhash_candidate_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.round(est, 6).alias("est_jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, shingles: DataFrame | None = None
+) -> DataFrame:
     """64-bit SimHash per document + 16-bit-band LSH candidate pairs with
     hamming distance <= max_hamming.
 
@@ -210,11 +229,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     and the groupBy reuses the shingle table's doc_id partitioning. Banding
     makes pair generation a groupBy join like minhash.
     """
-    h = (
-        shingle_table(docs, distinct=False)
-        .select("doc_id", F.xxhash64("s").alias("h"))
-        .dropDuplicates(["doc_id", "h"])
-    )
+    base = shingles if shingles is not None else hashed_shingles(docs)
+    h = base.withColumnRenamed("h64", "h").dropDuplicates(["doc_id", "h"])
     sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -240,10 +256,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             ]
         ),
     )
-    bands = tracked_persist(
+    # both self-join sides are the same canonical subtree -> AQE exchange
+    # reuse; no persist needed
+    bands = (
         sigs.select("doc_id", F.col("bits"), F.explode("bands").alias("band"))
         .select("doc_id", "bits", "band.band_id", "band.band_key")
-    )  # reused by both sides of the candidate self-join
+    )
     a = bands.alias("a")
     b = bands.hint("shuffle_hash").alias("b")  # unordered equi-join: no sorts
     hamming = F.size(
@@ -266,7 +284,6 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -342,29 +359,37 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a shingle, not the full cross product — and shingles in more than
     _MAX_SHINGLE_DF documents are dropped first (identically in the oracle),
     bounding the per-key join fanout under adversarial repeated text."""
-    release_caches()
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
-    # Work on 8-byte shingle hashes, not strings: the dedup + inverted-index
+    # Work on 8-byte shingle hashes, not strings: the inverted-index
     # self-join shuffles carry (int64, int64) rows instead of ~30-byte text
     # (a 64-bit collision would perturb one count with p ~ |shingles|^2/2^65
-    # — negligible). Feeds the DF-cap join, both sides of the self-join, and
-    # the size table -> persist.
-    sh0 = tracked_persist(
+    # — negligible). The (doc_id, h) dedup rides the shingle table's
+    # existing doc_id partitioning (HashPartitioning(doc_id) satisfies the
+    # (doc_id, h) clustering), so it costs no extra shuffle. Deliberately
+    # NOT persisted: every consumer sits on the single h-exchange below,
+    # which AQE computes once and reuses — a cache would only add a
+    # materialization barrier (measured +0.5 s at sf0.1) and, at 100 TB,
+    # executor storage for a table that is never re-read.
+    sh0 = (
         shingle_table(d, distinct=False)
         .select("doc_id", F.xxhash64("s").alias("h"))
         .dropDuplicates(["doc_id", "h"])
     )
-    # Document-frequency cap: the freq aggregate and the semi-join both key
-    # on h, the same key as the inverted-index self-join below — AQE reuses
-    # the exchange, so the cap costs one aggregate, not an extra shuffle of
-    # the full shingle table.
-    keep = (
-        sh0.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # Document-frequency cap as a count-over-window keyed on h: ONE exchange
+    # on h that the self-join below then consumes in place on both sides
+    # (identical subtrees -> one reused shuffle, no re-exchange). The
+    # agg + semi-join formulation costs two extra exchanges because the
+    # cache boundary's AQE-coalesced partitioning can't satisfy the join's
+    # requirement.
+    sh = (
+        sh0.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("h")
+        .drop("df")
     )
-    sh = tracked_persist(sh0.join(keep.hint("shuffle_hash"), "h", "left_semi"))
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     # shuffle_hash beats sort-merge here: neither side needs ordering, the
@@ -382,16 +407,16 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # denominator joins are broadcasts (|docs| rows each side)
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    # Denominator joins broadcast ONE shared cnt plan (aliased, not
+    # re-projected: identical canonical subtrees let AQE build the
+    # broadcast once and reuse it for both probes — measured 1.7 -> 1.1 s).
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = F.col("c") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        inter.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -408,18 +433,23 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled (method, doc_a, doc_b, score) rows — score is the estimated
     jaccard for minhash, the hamming distance for simhash. See
     minhash_candidate_pairs / simhash_pairs for the scale design."""
-    release_caches()
     docs = table(spark, sf_dir, "documents")
-    mh = minhash_candidate_pairs(docs).select(
+    # One hashed-shingle plan feeds both sketches. NOT persisted: measured
+    # 2.9 s vs 4.1 s at sf0.1 — the cache materialization barrier costs more
+    # than the recompute, and at 100 TB a TB-scale shingle cache would
+    # thrash executor storage while each sketch's own exchange already
+    # bounds its recompute to one pass.
+    shingles = hashed_shingles(docs)
+    mh = minhash_candidate_pairs(docs, shingles=shingles).select(
         F.lit("minhash").alias("method"),
         "doc_a",
         "doc_b",
         F.col("est_jaccard").alias("score"),
     )
-    sh = simhash_pairs(docs).select(
+    sh = simhash_pairs(docs, shingles=shingles).select(
         F.lit("simhash").alias("method"),
         "doc_a",
         "doc_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionByName(sh).orderBy("method", "doc_a", "doc_b")
+    return mh.unionByName(sh)
