@@ -95,3 +95,41 @@ def test_neardup_finds_planted_duplicates(spark):
     # the standard corpus query still runs and respects the threshold
     std = e03_embedding_neardup(spark, SF).collect()
     assert all(r["cos_sim"] >= 0.95 for r in std)
+
+
+def test_neardup_skewed_bucket_blocked_gram(spark):
+    """VERDICT r1 (e03 scale hardening): one bucket ~10x the mean must not
+    blow memory — the gram matrix is tiled at `block` granularity. Run with
+    a tiny block (7) so a 60-vector skewed bucket spans many tiles, and
+    check pairs are found across tile boundaries with no duplicates."""
+    import numpy as np
+    import pandas as pd
+    from ducktales_spark.queries.similarity import neardup_pairs
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    rows = []
+    # ids 0-7 become the centroids (first C vectors). Centroid 0 anchors the
+    # skewed cluster; 1-7 are independent random directions.
+    base = rng.normal(size=dim)
+    base /= np.linalg.norm(base)
+    rows.append((0, [float(x) for x in base]))
+    for i in range(1, 8):
+        rows.append((i, [float(x) for x in rng.normal(size=dim)]))
+    # skewed cluster: 59 tiny perturbations of centroid 0's direction ->
+    # ONE bucket holds 60 vectors (~10x the 90/8 mean), pairwise cosine ~1
+    cluster = [0] + list(range(8, 67))
+    for i in range(8, 67):
+        v = base + rng.normal(scale=1e-4, size=dim)
+        rows.append((i, [float(x) for x in v]))
+    # background: random vectors, no near-dups at 0.95 in 16-d
+    for i in range(67, 90):
+        rows.append((i, [float(x) for x in rng.normal(size=dim)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, e array<double>")
+    got = neardup_pairs(df, n_centroids=8, threshold=0.95, block=7).collect()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in got]
+    assert len(pairs) == len(set(pairs))  # no tile-boundary duplicates
+    expected = {
+        (a, b) for a in cluster for b in cluster if a < b
+    }
+    assert set(pairs) == expected  # every skewed-cluster pair, nothing else
