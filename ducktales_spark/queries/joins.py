@@ -141,3 +141,69 @@ def j05_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_a", "nation_b")
     )
+
+
+@register(
+    "j06_asof_join",
+    survey_ids=(),  # extension: as-of (nearest-prior-event) join
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id  AS user_id,
+           e.event_id AS prior_error_id,
+           CAST(date_diff('microsecond', e.ts, c.ts) AS BIGINT)
+               AS micros_since_error
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    ORDER BY click_id
+    """,
+)
+def j06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the user's most recent error
+    at or before it (DuckDB expresses this natively as ASOF LEFT JOIN —
+    the oracle). Spark has no asof primitive, so this uses the canonical
+    distributed formulation: union both event kinds with a marker, ONE
+    shuffle on user_id, and a running last_value(ignorenulls) window ordered
+    by time — cost is sort + single pass, never the range-join pair
+    explosion, and it scales to arbitrarily many rows per key. Errors sort
+    before clicks at equal timestamps so 'at or before' includes ties."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("err_id"),
+        F.lit(None).cast("bigint").alias("click_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("err_id"),
+        F.col("event_id").alias("click_id"),
+    )
+    u = errors.unionByName(clicks)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("err_id").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prior = F.last(
+        F.when(
+            F.col("err_id").isNotNull(),
+            F.struct(F.col("err_id"), F.col("ts").alias("err_ts")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        u.withColumn("prior", prior)
+        .filter(F.col("click_id").isNotNull())
+        .select(
+            F.col("click_id"),
+            F.col("user_id"),
+            F.col("prior.err_id").alias("prior_error_id"),
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prior.err_ts"))
+            ).alias("micros_since_error"),
+        )
+    )

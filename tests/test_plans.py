@@ -140,3 +140,27 @@ def test_lake_read_prunes_files(spark, tmp_path):
     }
     # the 0-99 file survived (its max stat < 10000 -> pruned from the rewrite)
     assert len(files_before & files_after) == 1
+
+
+def test_d02_no_cache_barriers_single_selfjoin_exchange(spark, sf_dir):
+    """d02's round-2 shape: no InMemoryRelation (cache barriers forced
+    re-exchanges), no sort-merge join, and a bounded exchange count — the
+    self-join consumes the DF-cap window's h-exchange in place."""
+    spark.catalog.clearCache()
+    df = SPECS["d02_ngram_jaccard"].fn(spark, sf_dir)
+    s = plan_str(df)
+    assert "InMemoryRelation" not in s
+    assert "SortMergeJoin" not in s
+    # static plan duplicates the shared self-join subtree (AQE reuses the
+    # exchange at runtime); the r1 cache-barrier shape counted 31 here
+    assert n_exchanges(df) <= 12, s[:3000]
+
+
+def test_d03_no_persist_no_python(spark, sf_dir):
+    """d03 (minhash+simhash union): pure JVM expressions, no cache
+    barriers; both sketches' self-joins rely on AQE exchange reuse."""
+    spark.catalog.clearCache()
+    df = SPECS["d03_minhash_lsh"].fn(spark, sf_dir)
+    s = plan_str(df)
+    assert "InMemoryRelation" not in s
+    assert "EvalPython" not in s
