@@ -44,6 +44,10 @@ def main() -> None:
     from ducktales_spark.session import get_spark
 
     specs = load_all()
+    # Time the DuckDB twins BEFORE the Spark JVM exists: with a live 128 GB
+    # heap + executor threads in-process, the twin numbers inflate ~10x from
+    # CPU/memory contention and the ratio becomes meaningless.
+    twin = duckdb_twin(specs, sf_dir)
     spark = get_spark("ducktales-bench")
 
     # Steady-state warmup: a long-lived cluster has the JVM JIT'd, the Janino
@@ -73,7 +77,6 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
-    twin = duckdb_twin(specs, sf_dir)
     matched = round(
         sum(v for k, v in timings.items() if k in twin), 3
     )

@@ -38,7 +38,6 @@ def a02_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_nationkey").alias("n_nations"),
             F.count(F.lit(1)).alias("n_customers"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -66,7 +65,6 @@ def a06_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_finished"),
             F.avg("o_totalprice").alias("avg_price"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -91,7 +89,6 @@ def a09_groupby_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus", "ship_year")
         .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus", "ship_year")
     )
 
 
@@ -138,8 +135,4 @@ def x05_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
     )

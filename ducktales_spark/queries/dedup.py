@@ -313,7 +313,6 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .orderBy("keeper_doc_id")
     )
 
 

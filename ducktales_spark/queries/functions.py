@@ -170,6 +170,7 @@ def f02_gen_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('setting',  'spark.sql.shuffle.partitions', CAST(1 AS BOOLEAN)),
         ('setting',  'spark.sql.session.timeZone',   CAST(1 AS BOOLEAN))
     ) AS t(kind, name, has_value)
+    ORDER BY kind, name
     """,
 )
 def s09_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:

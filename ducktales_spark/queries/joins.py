@@ -48,7 +48,6 @@ def j01_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("region_name")
     )
 
 
@@ -77,7 +76,6 @@ def j02_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
             F.count("o_orderkey").alias("n_orders"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -139,7 +137,6 @@ def j05_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_name").alias("nation_b"),
             F.col("a.n_regionkey").alias("regionkey"),
         )
-        .orderBy("nation_a", "nation_b")
     )
 
 

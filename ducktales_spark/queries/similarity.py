@@ -104,7 +104,6 @@ def _topk(sims: DataFrame, k: int) -> DataFrame:
     return (
         sims.select("*", F.row_number().over(w).cast("bigint").alias("rnk"))
         .filter(F.col("rnk") <= k)
-        .orderBy("query_id", "rnk")
     )
 
 
@@ -299,7 +298,6 @@ def neardup_pairs(
         .applyInPandas(
             bucket_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
         )
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -333,4 +331,4 @@ def e02_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         F.lit(None).cast("bigint").alias("rnk"),
     )
-    return ann.unionByName(nd).orderBy("kind", "id_a", "id_b")
+    return ann.unionByName(nd)

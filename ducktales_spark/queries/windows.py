@@ -86,7 +86,6 @@ def w02_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("c_mktsegment", "rn")
     )
 
 
@@ -119,7 +118,7 @@ def w03_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("running_value"),
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 @register(
@@ -201,7 +200,7 @@ def x02_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tumb = agg(F.window("ts", "1 hour"), "tumbling")
     slide = agg(F.window("ts", "1 hour", "30 minutes"), "sliding")
-    return tumb.unionByName(slide).orderBy("kind", "win_start")
+    return tumb.unionByName(slide)
 
 
 @register(
@@ -266,5 +265,4 @@ def x06_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id", "session_no")
     )
