@@ -1035,7 +1035,13 @@ class Transaction:
             name, self.c.spark.createDataFrame(data, st.schema.to_struct())
         )
 
-    def _rewrite(self, st: TableState, where: Optional[str], transform) -> int:
+    def _rewrite(
+        self,
+        st: TableState,
+        where: Optional[str],
+        transform,
+        deleting: bool = False,
+    ) -> int:
         """Copy-on-write core for UPDATE/DELETE: pick candidate files by
         min/max stats pruning, include live inlined rows, rewrite candidates
         with ``transform(df, pred)``, swap in metadata. Non-matching files are
@@ -1053,10 +1059,46 @@ class Transaction:
             return 0
         src = self.c._build_df(candidates, touched_inlined, st.schemas, sch)
         pred = F.expr(where) if where else F.lit(True)
-        matched = src.filter(pred).count()
+        # The matched count piggybacks on the rewrite pass — candidates are
+        # read ONCE, not twice (a separate count() is a full second scan of
+        # every candidate file at 100 TB):
+        # * deleting=True: matched = rows-before (pure metadata: file
+        #   row_counts + inlined) minus rows actually written.
+        # * update, unclustered: an Observation on the write job.
+        # * update, clustered: repartitionByRange's sampling pass would
+        #   double-fire the observed metrics (verified), so only this path
+        #   keeps the separate pre-count.
+        clustered = bool(st.schemas[st.schema_version].partition_by)
+        obs = None
+        if deleting:
+            out = transform(src, pred)
+        elif clustered:
+            matched = src.filter(pred).count()
+            if matched == 0:
+                return 0
+            out = transform(src, pred)
+        else:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = transform(
+                src.observe(
+                    obs, F.sum(F.when(pred, 1).otherwise(0)).alias("matched")
+                ),
+                pred,
+            )
+        staged = self._write_staged(st, out)
+        if deleting:
+            before = sum(fe.row_count for fe in candidates) + len(touched_inlined)
+            matched = before - sum(e.row_count for e in staged)
+        elif obs is not None:
+            matched = int(obs.get["matched"] or 0)
         if matched == 0:
+            # nothing actually matched (stats pruning false positives):
+            # discard the identical rewrite, keep the original files live
+            d = self._staged_dirs.pop()
+            shutil.rmtree(d, ignore_errors=True)
             return 0
-        out = transform(src, pred)
         # swap: remove candidates + all inlined, add rewritten files
         for fe in candidates:
             if fe.staged:
@@ -1068,7 +1110,7 @@ class Transaction:
             st.inlined.remove(ie)
             if not ie.staged:
                 st.removed_inlined_ids.append(ie.row_id)
-        st.files.extend(self._write_staged(st, out))
+        st.files.extend(staged)
         return matched
 
     def update(self, name: str, set_exprs: dict, where: Optional[str] = None) -> int:
@@ -1110,7 +1152,10 @@ class Transaction:
             st.inlined.clear()
         else:
             n = self._rewrite(
-                st, where, lambda df, pred: df.filter(~pred | pred.isNull())
+                st,
+                where,
+                lambda df, pred: df.filter(~pred | pred.isNull()),
+                deleting=True,
             )
         st.changes.add("tables_deleted_from")
         return n
