@@ -158,6 +158,11 @@ def minhash_candidate_pairs(
     sig = mins.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(_NUM_HASHES)]).alias("sig")
     )
+    return _minhash_pairs_from_sig(sig)
+
+
+def _minhash_pairs_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, sig array) -> LSH-banded candidate pairs with est_jaccard."""
     n_bands = _NUM_HASHES // _BAND_ROWS
     # Carry the signature through the band explode: the candidate self-join
     # then yields both signatures directly — one shuffle join total instead
@@ -241,6 +246,11 @@ def simhash_pairs(
             for i in range(64)
         ]
     )
+    return _simhash_pairs_from_sums(sums, max_hamming)
+
+
+def _simhash_pairs_from_sums(sums: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_id, b0..b63 sign-sums) -> banded candidate pairs with hamming."""
     bits = F.array(*[(F.col(f"b{i}") > 0).cast("int") for i in range(64)])
     sigs = sums.select("doc_id", bits.alias("bits")).withColumn(
         "bands",
@@ -430,25 +440,48 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH and SimHash candidate near-dup pairs on documents, as
     labeled (method, doc_a, doc_b, score) rows — score is the estimated
-    jaccard for minhash, the hamming distance for simhash. See
-    minhash_candidate_pairs / simhash_pairs for the scale design."""
+    jaccard for minhash, the hamming distance for simhash.
+
+    Both sketches fold out of ONE pass: a shared deduped shingle-hash table
+    (the (doc_id, h64) dedup rides the shingle table's doc_id partitioning —
+    no extra shuffle; simhash requires the dedup, minhash is indifferent
+    since MIN over a set equals MIN over the multiset) feeds a single
+    groupBy(doc_id) carrying all 96 aggregates (32 minhash MINs + 64 simhash
+    sign-SUMs, all codegen). One scan + one aggregation shuffle produce both
+    signature tables; each sketch's band self-join then reuses its own
+    exchange via AQE. No persists anywhere (a cache barrier measured slower
+    locally and would be TB-scale executor storage at 100 TB)."""
     docs = table(spark, sf_dir, "documents")
-    # One hashed-shingle plan feeds both sketches. NOT persisted: measured
-    # 2.9 s vs 4.1 s at sf0.1 — the cache materialization barrier costs more
-    # than the recompute, and at 100 TB a TB-scale shingle cache would
-    # thrash executor storage while each sketch's own exchange already
-    # bounds its recompute to one pass.
-    shingles = hashed_shingles(docs)
-    mh = minhash_candidate_pairs(docs, shingles=shingles).select(
+    sh = hashed_shingles(docs).dropDuplicates(["doc_id", "h64"])
+    h = F.pmod(F.col("h64"), F.lit(_P))
+    sketch = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))).alias(f"m{i}")
+            for i, (a, b) in enumerate(_HASH_AB)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h64"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    sig = sketch.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(_NUM_HASHES)]).alias("sig"),
+    )
+    mh = _minhash_pairs_from_sig(sig).select(
         F.lit("minhash").alias("method"),
         "doc_a",
         "doc_b",
         F.col("est_jaccard").alias("score"),
     )
-    sh = simhash_pairs(docs, shingles=shingles).select(
+    sh2 = _simhash_pairs_from_sums(sketch).select(
         F.lit("simhash").alias("method"),
         "doc_a",
         "doc_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionByName(sh)
+    return mh.unionByName(sh2)
