@@ -31,7 +31,7 @@ import shutil
 import uuid
 from dataclasses import dataclass, field as _dcfield
 from functools import reduce
-from typing import Any, Optional
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

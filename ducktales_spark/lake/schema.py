@@ -23,7 +23,7 @@ import datetime as _dt
 import json
 from dataclasses import dataclass, field as _field
 from decimal import Decimal
-from typing import Any, Optional
+from typing import Any
 
 from pyspark.sql.types import DataType, StructField, StructType
 

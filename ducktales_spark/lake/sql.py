@@ -34,7 +34,7 @@ read-your-writes (touched tables bind to the transaction's staged state).
 from __future__ import annotations
 
 import re
-from typing import Optional
+
 
 from pyspark.sql import DataFrame
 
