@@ -848,20 +848,33 @@ class Transaction:
     def drop_view(self, name) -> None:
         self._view_ops.append((name, None))
 
-    def _eval_default(self, f) -> object:
-        """Insert-time default: expression defaults re-evaluate per INSERT
-        (driver-side for the common clock expressions, keeping the inlined
-        fast path Spark-job-free); literals decode as stored."""
+    def _default_maker(self, f):
+        """Per-statement thunk producing the insert-time default for one
+        field. Clock expressions evaluate ONCE per statement (SQL-standard
+        statement-constant CURRENT_TIMESTAMP, matching the DataFrame path's
+        single F.expr) and volatile ones (uuid/rand) per ROW — all
+        driver-side, so the inlined fast path never launches a Spark job.
+        Unrecognized expressions fall back to one spark.sql eval per
+        statement."""
         expr = default_expr(f)
         if expr is None:
-            return default_fill(f)
+            v = default_fill(f)
+            return lambda: v
         key = expr.strip().upper().rstrip("()").strip()
-        if key in ("CURRENT_TIMESTAMP", "NOW", "LOCALTIMESTAMP", "GET_CURRENT_TIMESTAMP"):
-            return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        if key in ("CURRENT_TIMESTAMP", "NOW", "LOCALTIMESTAMP"):
+            v = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            return lambda: v
         if key in ("CURRENT_DATE", "TODAY"):
-            return _dt.datetime.now(_dt.timezone.utc).date()
-        row = self.c.spark.sql(f"SELECT {expr} AS v").first()
-        return row["v"]
+            v = _dt.datetime.now(_dt.timezone.utc).date()
+            return lambda: v
+        if key in ("UUID",):
+            return lambda: str(uuid.uuid4())
+        if key in ("RAND", "RANDOM"):
+            import random as _random
+
+            return _random.random
+        v = self.c.spark.sql(f"SELECT {expr} AS v").first()["v"]
+        return lambda: v
 
     # -- DML -------------------------------------------------------------
     def _align(self, df: DataFrame, schema: TableSchema) -> DataFrame:
@@ -993,10 +1006,11 @@ class Transaction:
                         f"unknown column(s) {sorted(unknown)} for table "
                         f"{name!r}; have {sorted(known)}"
                     )
+            makers = {f.name: self._default_maker(f) for f in fields}
             data = [
                 tuple(
                     coerce(
-                        r[f.name] if f.name in r else self._eval_default(f),
+                        r[f.name] if f.name in r else makers[f.name](),
                         f,
                     )
                     for f in fields
@@ -1061,7 +1075,12 @@ class Transaction:
         pred = F.expr(where) if where else F.lit(True)
         # The matched count piggybacks on the rewrite pass — candidates are
         # read ONCE, not twice (a separate count() is a full second scan of
-        # every candidate file at 100 TB):
+        # every candidate file at 100 TB). Trade-off: when stats pruning
+        # admits candidate files that turn out to contain NO matching row,
+        # this writes (then discards) a copy of those files where the old
+        # pre-count returned after a read; matched DML saves a full read.
+        # True no-ops with non-overlapping stats still return above without
+        # touching data.
         # * deleting=True: matched = rows-before (pure metadata: file
         #   row_counts + inlined) minus rows actually written.
         # * update, unclustered: an Observation on the write job.
@@ -1362,6 +1381,11 @@ class Transaction:
                         continue
                     for marker in sorted(st.changes):
                         changes.setdefault(marker, []).append(nm)
+                    if st.created and st.dropped:
+                        # created AND dropped inside this txn: net effect is
+                        # no table — emit neither a lake_table row nor files
+                        # (markers above still record both events)
+                        continue
                     if st.created:
                         t.exec(
                             "INSERT INTO lake_table (name, data_dir, "

@@ -304,6 +304,7 @@ class _MyTx:  # pragma: no cover - exercised only with a live MySQL server
                 conn.rollback()
         finally:
             self.cur.execute("SELECT RELEASE_LOCK(%s)", (self.LOCK_NAME,))
+            self.cur.fetchall()  # drain: an unread result poisons the conn
         return False
 
     def exec(self, sql, params=()):
@@ -327,16 +328,16 @@ def _parse_mysql_url(url: str):  # pragma: no cover
                 "MySQL catalog backend requires PyMySQL or mysql-connector; "
                 "install one or use a SQLite/PostgreSQL catalog"
             ) from e
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     u = urlparse(url)
     kw = {"host": u.hostname or "localhost", "database": (u.path or "/").lstrip("/")}
     if u.port:
         kw["port"] = u.port
     if u.username:
-        kw["user"] = u.username
+        kw["user"] = unquote(u.username)
     if u.password:
-        kw["password"] = u.password
+        kw["password"] = unquote(u.password)  # %xx and @ arrive encoded
     return kw, drv
 
 

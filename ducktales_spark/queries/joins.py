@@ -149,8 +149,10 @@ def j05_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            e.event_id AS prior_error_id,
            CAST(date_diff('microsecond', e.ts, c.ts) AS BIGINT)
                AS micros_since_error
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+    FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+          FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+                    FROM events WHERE event_type = 'error') e
       ON c.user_id = e.user_id AND c.ts >= e.ts
     ORDER BY click_id
     """,

@@ -145,14 +145,25 @@ def e01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(sims, _TOP_K)
 
 
-def assign_buckets(v: DataFrame, n_centroids: Optional[int] = None) -> DataFrame:
+def _centroids(v: DataFrame, n_centroids: int) -> pd.DataFrame:
+    """Collect the centroid rows (first C vectors) once, driver-side."""
+    return v.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").toPandas()
+
+
+def assign_buckets(
+    v: DataFrame,
+    n_centroids: Optional[int] = None,
+    centroids: Optional[pd.DataFrame] = None,
+) -> DataFrame:
     """IVF bucket assignment: nearest (max-cosine) centroid per vector, ties
     to the lowest centroid id. Centroids are the first C vectors
     (deterministic; a k-means loop would refine them — same plumbing).
-    C defaults to the sqrt(N) heuristic (n_centroids_for)."""
+    C defaults to the sqrt(N) heuristic (n_centroids_for); pass
+    ``centroids`` (a _centroids pdf) to skip the collect when the caller
+    already holds it."""
     if n_centroids is None:
         n_centroids = n_centroids_for(v)
-    cpdf = v.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").toPandas()
+    cpdf = centroids if centroids is not None else _centroids(v, n_centroids)
     cids = cpdf["vec_id"].to_numpy()
     C = _np(cpdf["e"])
     bc = v.sparkSession.sparkContext.broadcast(
@@ -183,17 +194,23 @@ def assign_buckets(v: DataFrame, n_centroids: Optional[int] = None) -> DataFrame
 _N_PROBE = 4  # buckets probed per query (IVF nprobe)
 
 
-def e02_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e02_ivf_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: Optional[int] = None,
+    centroids: Optional[pd.DataFrame] = None,
+) -> DataFrame:
     """IVF-style approximate top-k: nearest-centroid bucketing, probe the
     nprobe nearest buckets per query. Queries are grouped by probed bucket in
     a broadcast lookup; each candidate batch scores only against the queries
     probing its bucket — no join, one candidate scan, probe cost
-    ~nprobe/C of brute force."""
+    ~nprobe/C of brute force. ``n_centroids``/``centroids`` let a caller
+    (e02_ivf_family) share the count job and centroid collect."""
     v = _vectors(spark, sf_dir)
-    C = n_centroids_for(v)
-    assigned = assign_buckets(v, C)
+    C = n_centroids if n_centroids is not None else n_centroids_for(v)
+    cpdf = centroids if centroids is not None else _centroids(v, C)
+    assigned = assign_buckets(v, C, centroids=cpdf)
     qpdf = v.filter(F.col("vec_id") < _N_QUERIES).toPandas()
-    cpdf = v.filter(F.col("vec_id") < C).orderBy("vec_id").toPandas()
     Q, Cm = _np(qpdf["e"]), _np(cpdf["e"])
     cids = cpdf["vec_id"].to_numpy()
     # nprobe nearest centroids per query (driver-side: |Q| x C is small)
@@ -251,6 +268,7 @@ def neardup_pairs(
     n_centroids: Optional[int] = None,
     threshold: float = 0.95,
     block: int = _GRAM_BLOCK,
+    centroids: Optional[pd.DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) searched within IVF
     buckets: applyInPandas walks each bucket's gram matrix in block x block
@@ -258,7 +276,7 @@ def neardup_pairs(
     and the score-matrix tile is at most block^2 doubles no matter how
     populated (or skewed) a bucket is. With sqrt(N) centroids the bucket
     frame itself is ~sqrt(N) vectors, so per-group memory is sublinear."""
-    assigned = assign_buckets(v, n_centroids)
+    assigned = assign_buckets(v, n_centroids, centroids=centroids)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         E = _np(pdf["e"])
@@ -316,15 +334,20 @@ def e03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e02_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k and embedding-cosine near-dup pairs as
-    labeled rows: (kind, id_a, id_b, cos_sim, rnk) — rnk only for ann rows."""
-    ann = e02_ivf_ann(spark, sf_dir).select(
+    labeled rows: (kind, id_a, id_b, cos_sim, rnk) — rnk only for ann rows.
+    One count job + one centroid collect feed BOTH branches (they were
+    previously recomputed per branch: 2 counts + 3 collects per run)."""
+    v = _vectors(spark, sf_dir)
+    C = n_centroids_for(v)
+    cpdf = _centroids(v, C)
+    ann = e02_ivf_ann(spark, sf_dir, n_centroids=C, centroids=cpdf).select(
         F.lit("ann_topk").alias("kind"),
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
         "cos_sim",
         "rnk",
     )
-    nd = e03_embedding_neardup(spark, sf_dir).select(
+    nd = neardup_pairs(v, n_centroids=C, centroids=cpdf).select(
         F.lit("neardup").alias("kind"),
         F.col("vec_a").alias("id_a"),
         F.col("vec_b").alias("id_b"),

@@ -64,8 +64,11 @@ def _values_close(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
-        # exact-compare mode: both sides must be Decimal AND equal
-        return type(a) is type(b) and a == b
+        # exact-compare mode: both sides must be Decimal AND string-identical.
+        # Decimal('123.4') == Decimal('123.40') is True, but the driver's
+        # hash is over value REPRESENTATIONS — a scale mismatch must fail
+        # here too (the round-1 f06 lesson this mode exists for).
+        return type(a) is type(b) and str(a) == str(b)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not (
         isinstance(a, bool) or isinstance(b, bool)
     ):

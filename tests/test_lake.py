@@ -935,3 +935,37 @@ def test_mysql_dispatch():
     with pytest.raises((ImportError, Exception)) as ei:
         open_metastore("mysql://u:p@localhost:1/nosuchdb")
     assert not isinstance(ei.value, AssertionError)
+
+
+def test_create_then_drop_same_txn_commits_nothing(lake, spark):
+    """Review r2: a table created AND dropped inside one transaction must
+    not survive the commit as a live lake_table row."""
+    with lake.transaction() as tx:
+        tx.create_table(
+            "ephemeral", StructType([StructField("x", IntegerType(), True)])
+        )
+        tx.insert_rows("ephemeral", [{"x": 1}])
+        tx.drop_table("ephemeral")
+    assert "ephemeral" not in lake.tables()
+    assert not lake.ms.q(
+        "SELECT 1 FROM lake_table WHERE name='ephemeral' AND "
+        "dropped_snapshot IS NULL"
+    )
+    # the name is reusable afterwards
+    lake.sql("CREATE TABLE ephemeral (y INT)")
+    assert "ephemeral" in lake.tables()
+
+
+def test_defaults_statement_constant_and_volatile(lake, spark):
+    """Review r2: clock defaults are statement-constant (one value per
+    INSERT, SQL semantics) while uuid()/rand() defaults vary per row —
+    and neither launches a Spark job on the inlined fast path."""
+    lake.sql(
+        "CREATE TABLE d (id INT, at TIMESTAMP DEFAULT CURRENT_TIMESTAMP, "
+        "u VARCHAR DEFAULT UUID())"
+    )
+    with lake.transaction() as tx:
+        tx.insert_rows("d", [{"id": i} for i in range(5)])
+    rows = lake.read("d").collect()
+    assert len({r.at for r in rows}) == 1  # one timestamp per statement
+    assert len({r.u for r in rows}) == 5  # uuid per row
