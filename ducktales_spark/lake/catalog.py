@@ -795,11 +795,11 @@ class Transaction:
         st.changes.add("tables_created")
         self._states[name] = st
 
-    def ctas(self, name: str, df: DataFrame, primary_key=(), partition_by=()) -> None:
+    def ctas(self, name: str, df: DataFrame, primary_key=(), partition_by=()) -> int:
         """S5: CREATE TABLE AS SELECT (``utils/ducklake_utils.py:101-111``) —
-        schema inferred from the DataFrame."""
+        schema inferred from the DataFrame. Returns rows written."""
         self.create_table(name, df.schema, primary_key, partition_by)
-        self.insert(name, df)
+        return self.insert(name, df)
 
     def drop_table(self, name: str) -> None:
         st = self._state(name)
@@ -943,10 +943,12 @@ class Transaction:
             )
         return entries
 
-    def insert(self, name: str, df: DataFrame) -> None:
+    def insert(self, name: str, df: DataFrame) -> int:
         """D1/D2: append rows (VALUES or query result). Tiny batches inline
         into the catalog DB instead of creating a data file (M1,
-        README.md:62; demos/04_small_file_optimization/demo.py:314-368)."""
+        README.md:62; demos/04_small_file_optimization/demo.py:314-368).
+        Returns the number of rows written (from the write's own file
+        footers — callers must not re-execute the source to count)."""
         st = self._state(name)
         df = self._align(df, st.schema)
         self._check_constraints(st, df)
@@ -970,6 +972,7 @@ class Transaction:
         else:
             st.files.extend(entries)
         st.changes.add("tables_inserted_into")
+        return total
 
     def insert_rows(self, name: str, rows: list) -> None:
         """INSERT ... VALUES convenience: list of dicts/tuples. Coerces plain

@@ -85,10 +85,43 @@ def _map_type(t: str) -> str:
 
 
 def _strip(sql: str) -> str:
-    """Remove comments + trailing semicolons, collapse leading space."""
-    sql = re.sub(r"--[^\n]*", " ", sql)
-    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
-    return sql.strip().rstrip(";").strip()
+    """Remove comments + trailing semicolons, collapse leading space.
+    Quote-aware: ``--`` or ``/*`` INSIDE a string literal is data, not a
+    comment (``SELECT 'a--b'`` must survive intact)."""
+    out = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                # '' is an escaped quote inside the literal
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j == -1 else j  # keep the newline as separator
+            out.append(" ")
+            continue
+        if ch == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+            out.append(" ")
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out).strip().rstrip(";").strip()
 
 
 def _split_top(s: str) -> list:
@@ -113,6 +146,31 @@ def _split_top(s: str) -> list:
     return out
 
 
+def _split_last_where(s: str):
+    """Split ``s`` at the LAST top-level WHERE (outside parens and string
+    literals). Returns (head, predicate_or_None). A first-match split breaks
+    ``SET a = (SELECT ... WHERE ...) WHERE id = 2`` and literals containing
+    the word."""
+    depth, in_str = 0, False
+    last = None
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and s[i : i + 5].upper() == "WHERE":
+                before_ok = i == 0 or s[i - 1].isspace()
+                after = s[i + 5 : i + 6]
+                if before_ok and (after == "" or after.isspace()):
+                    last = i
+    if last is None:
+        return s, None
+    return s[:last].rstrip(), s[last + 5 :].strip()
+
+
 class SQLExecutor:
     """Stateful statement executor bound to one LakeCatalog (the analog of a
     DuckDB connection with the ducklake catalog attached)."""
@@ -121,10 +179,26 @@ class SQLExecutor:
         self.c = catalog
         self._tx = None  # open explicit transaction, if any
 
+    # -- staged-aware existence (an open txn's DDL must be visible to the
+    # next statement's checks, not just committed state) -----------------
+    def _table_exists(self, name: str) -> bool:
+        if self._tx is not None:
+            st = self._tx._state(name, must_exist=False)
+            if st is not None:
+                return not st.dropped
+        return name in self.c.tables()
+
+    def _view_exists(self, name: str) -> bool:
+        exists = name in self.c.views()
+        if self._tx is not None:
+            for vname, vsql in self._tx._view_ops:
+                if vname == name:
+                    exists = vsql is not None
+        return exists
+
     # ------------------------------------------------------------------
     def execute(self, sql: str, version=None) -> DataFrame:
         q = _strip(sql)
-        head = q[:40].upper()
 
         if re.match(r"^BEGIN(\s+TRANSACTION)?$", q, re.I):
             if self._tx is not None:
@@ -153,7 +227,7 @@ class SQLExecutor:
         )
         if m:
             replace, name, body = m.group(1), m.group(2), m.group(3)
-            if not replace and name in self.c.views():
+            if not replace and self._view_exists(name):
                 raise LakeSQLError(f"view {name!r} exists")
             self._run(lambda tx: tx.create_view(name, body))
             return self._status("CREATE VIEW", 0)
@@ -166,14 +240,18 @@ class SQLExecutor:
         if m:  # CTAS (S5)
             replace, name, body = m.group(1), m.group(2), m.group(3)
             df = self._query(body)
+            n = [0]
 
             def op(tx):
-                if replace and name in self.c.tables():
+                st = tx._state(name, must_exist=False)
+                if replace and st is not None and not st.dropped:
                     tx.drop_table(name)
-                tx.ctas(name, df)
+                n[0] = tx.ctas(name, df)
 
             self._run(op)
-            return self._status("CREATE TABLE AS", df.count())
+            # row count comes from the write itself (tx.ctas), not a second
+            # execution of the source query
+            return self._status("CREATE TABLE AS", n[0])
 
         m = re.match(
             rf"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$",
@@ -182,7 +260,7 @@ class SQLExecutor:
         )
         if m:
             if_not, name, cols = m.group(1), m.group(2), m.group(3)
-            if name in self.c.tables():
+            if self._table_exists(name):
                 if if_not:
                     return self._status("CREATE TABLE", 0)
                 raise LakeSQLError(f"table {name!r} exists")
@@ -192,13 +270,13 @@ class SQLExecutor:
 
         m = re.match(rf"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})$", q, re.I)
         if m:
-            if m.group(1) and m.group(2) not in self.c.tables():
+            if m.group(1) and not self._table_exists(m.group(2)):
                 return self._status("DROP TABLE", 0)
             self._run(lambda tx: tx.drop_table(m.group(2)))
             return self._status("DROP TABLE", 0)
         m = re.match(rf"^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})$", q, re.I)
         if m:
-            if m.group(1) and m.group(2) not in self.c.views():
+            if m.group(1) and not self._view_exists(m.group(2)):
                 return self._status("DROP VIEW", 0)
             self._run(lambda tx: tx.drop_view(m.group(2)))
             return self._status("DROP VIEW", 0)
@@ -277,17 +355,28 @@ class SQLExecutor:
                             f"produces {len(df.columns)} columns"
                         )
                     df = df.toDF(*cols)
-            n = df.count()
-            self._run(lambda tx: tx.insert(name, df))
-            return self._status("INSERT", n)
+            n = [0]
+
+            def op(tx):
+                n[0] = tx.insert(name, df)
+
+            self._run(op)
+            # count from the write itself — not a second source execution
+            return self._status("INSERT", n[0])
 
         m = re.match(
-            rf"^UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            rf"^UPDATE\s+({_IDENT})\s+SET\s+(.*)$",
             q,
             re.I | re.S,
         )
         if m:
-            name, setlist, where = m.groups()
+            name, rest = m.groups()
+            # split at the LAST top-level WHERE: a first-match split breaks
+            # SET expressions containing subqueries or 'where' in a literal
+            setlist, where = _split_last_where(rest)
+            # bind table views so scalar subqueries in SET/WHERE resolve
+            # (against pre-statement state, DuckDB UPDATE semantics)
+            self._bind_tables()
             sets = {}
             for part in _split_top(setlist):
                 mm = re.match(rf"^({_IDENT})\s*=\s*(.+)$", part, re.S)
@@ -307,6 +396,7 @@ class SQLExecutor:
         )
         if m:
             name, where = m.groups()
+            self._bind_tables()  # subqueries in WHERE resolve pre-statement
             n = [0]
 
             def op(tx):
@@ -328,18 +418,33 @@ class SQLExecutor:
                 op(tx)
 
     def _query(self, body: str, version=None) -> DataFrame:
-        """Evaluate a read query through Catalyst, binding lake tables (with
-        read-your-writes for tables touched by the open txn) and rewriting
-        the AT (VERSION|TIMESTAMP =>) clauses plus the ducklake_* metadata
-        table functions."""
-        self.c.bind(version)
-        if self._tx is not None:
+        """Evaluate a read query through Catalyst, binding lake tables and
+        rewriting the AT (VERSION|TIMESTAMP =>) clauses plus the ducklake_*
+        metadata table functions.
+
+        Inside an open transaction the binding is snapshot-isolated:
+        untouched tables bind at the txn's BASE version (a concurrent
+        writer's commit must not appear mid-transaction), touched tables
+        bind to the staged state (read-your-writes), and tables dropped in
+        the txn are unregistered so reads of them fail."""
+        self._bind_tables(version)
+        return self.c.spark.sql(self._rewrite_meta_fns(self.c._rewrite_at(body)))
+
+    def _bind_tables(self, version=None) -> None:
+        """Register every table as a temp view for Catalyst resolution —
+        snapshot-isolated inside an open txn (base version + staged
+        overlays, dropped tables unregistered)."""
+        if self._tx is not None and version is None:
+            self.c.bind(self._tx.base_version)
             for nm, st in list(self._tx._states.items()):
-                if not st.dropped:
+                if st.dropped:
+                    self.c.spark.catalog.dropTempView(nm)
+                else:
                     self.c._build_df(
                         st.files, st.inlined, st.schemas, st.schema
                     ).createOrReplaceTempView(nm)
-        return self.c.spark.sql(self._rewrite_meta_fns(self.c._rewrite_at(body)))
+        else:
+            self.c.bind(version)
 
     def _rewrite_meta_fns(self, q: str) -> str:
         """The reference's metadata table functions (``ducklake_snapshots(db)``

@@ -5,21 +5,65 @@ append (``demos/03_schema_evolution/demo.py:39-70``). The Spark-native
 equivalent is a Structured Streaming query whose ``foreachBatch`` sink runs
 each micro-batch through ``LakeCatalog.transaction()`` — giving exactly-once
 *appends* (Spark replays a failed batch; the conflict check plus the
-``_ingest_epoch`` watermark table below make replayed batches idempotent) and
-a queryable snapshot per batch, with tiny batches inlined into the catalog DB
-instead of producing a small parquet file (M1).
+per-target ``_ingest_epoch__<table>`` watermark table below make replayed
+batches idempotent) and a queryable snapshot per batch, with tiny batches
+inlined into the catalog DB instead of producing a small parquet file (M1).
 
 Scale: the sink's Spark job is fully distributed; only the metadata commit is
 a driver->catalog round trip, which is the design point (README.md:202-209).
+Each stream's epoch marker lives in its OWN table — concurrent streams into
+different targets never write-conflict on shared metadata (the commit
+conflict check intersects touched table names).
 """
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 from pyspark.sql import DataFrame
 
 from ducktales_spark.lake import ConflictError, LakeCatalog
+
+
+def _epoch_table(lake: LakeCatalog, target: str) -> str:
+    """Ensure and return the per-target epoch watermark table."""
+    name = f"_ingest_epoch__{target}"
+    if name not in lake.tables():
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        lake.create_table(
+            name,
+            StructType([StructField("batch_id", LongType(), False)]),
+        )
+    return name
+
+
+def _commit_batch(lake: LakeCatalog, epoch_table: str, batch_id: int, apply):
+    """Run ``apply(tx)`` + the epoch marker in ONE snapshot, idempotently.
+
+    A replayed batch (batch_id already marked) rolls the txn back — commit
+    would otherwise append a spurious empty snapshot per replay. Conflict
+    retries back off exponentially so N concurrent streams into one target
+    don't thrash."""
+    for attempt in range(5):
+        try:
+            with lake.transaction() as tx:
+                seen = (
+                    tx.read(epoch_table)
+                    .filter(f"batch_id = {int(batch_id)}")
+                    .count()
+                )
+                if seen:
+                    tx.rollback()  # replay: no data AND no empty snapshot
+                    return
+                apply(tx)
+                tx.insert_rows(epoch_table, [{"batch_id": int(batch_id)}])
+            return
+        except ConflictError:
+            time.sleep(0.05 * (2**attempt))
+            continue
+    raise ConflictError(f"batch {batch_id}: gave up after retries")
 
 
 def start_lake_ingest(
@@ -35,51 +79,16 @@ def start_lake_ingest(
     """Start a streaming query appending ``stream_df`` into ``lake.table``.
 
     Each micro-batch commits one lake snapshot. Batch ids already ingested
-    (tracked in the ``_ingest_epoch`` lake table, committed in the SAME
-    transaction as the data) are skipped on replay -> exactly-once appends
-    even though foreachBatch itself is at-least-once.
+    (tracked in the per-target ``_ingest_epoch__<table>`` lake table,
+    committed in the SAME transaction as the data) are skipped on replay ->
+    exactly-once appends even though foreachBatch itself is at-least-once.
     """
-    epoch_table = "_ingest_epoch"
-    if epoch_table not in lake.tables():
-        from pyspark.sql.types import (
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-        )
-
-        lake.create_table(
-            epoch_table,
-            StructType(
-                [
-                    StructField("target", StringType(), False),
-                    StructField("batch_id", LongType(), False),
-                ]
-            ),
-        )
+    epoch_table = _epoch_table(lake, table)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for attempt in range(5):
-            try:
-                with lake.transaction() as tx:
-                    seen = (
-                        tx.read(epoch_table)
-                        .filter(
-                            f"target = '{table}' AND batch_id = {int(batch_id)}"
-                        )
-                        .count()
-                    )
-                    if seen:
-                        return  # replayed batch — already committed
-                    tx.insert(table, batch_df)
-                    tx.insert_rows(
-                        epoch_table,
-                        [{"target": table, "batch_id": int(batch_id)}],
-                    )
-                return
-            except ConflictError:
-                continue
-        raise ConflictError(f"batch {batch_id}: gave up after retries")
+        _commit_batch(
+            lake, epoch_table, batch_id, lambda tx: tx.insert(table, batch_df)
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
@@ -111,13 +120,15 @@ def start_lake_cdc_merge(
     table instead of appended — the standard change-stream -> lakehouse
     pattern (e.g. keyed device state, dimension updates).
 
-    Same exactly-once protocol as :func:`start_lake_ingest` (the
-    ``_ingest_epoch`` marker row commits in the SAME snapshot as the merge,
-    so a replayed batch is a no-op). Duplicates of a key WITHIN one batch
-    would violate merge's unique-source-key rule, so the batch is pre-deduped
-    keeping the last row per key by ``order_by`` (e.g. a sequence/commit-ts
-    column — the CDC stream's event order); without one, an
-    arbitrary-but-deterministic row wins (all non-key columns descending).
+    Same exactly-once protocol as :func:`start_lake_ingest` (the per-target
+    ``_ingest_epoch__<table>`` marker row commits in the SAME snapshot as
+    the merge, so a replayed batch is a no-op). Duplicates of a key WITHIN
+    one batch would violate merge's unique-source-key rule, so the batch is
+    pre-deduped keeping the last row per key by ``order_by`` (e.g. a
+    sequence/commit-ts column — the CDC stream's event order); without one,
+    an arbitrary-but-deterministic row wins (all non-key columns
+    descending), and a key-only stream (every column a merge key)
+    deduplicates directly.
 
     Scale: merge prunes candidate files by the batch's key bounds — a
     micro-batch of CDC events against a 100 TB key-clustered table rewrites
@@ -126,57 +137,30 @@ def start_lake_cdc_merge(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    epoch_table = "_ingest_epoch"
-    if epoch_table not in lake.tables():
-        from pyspark.sql.types import (
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-        )
-
-        lake.create_table(
-            epoch_table,
-            StructType(
-                [
-                    StructField("target", StringType(), False),
-                    StructField("batch_id", LongType(), False),
-                ]
-            ),
-        )
+    epoch_table = _epoch_table(lake, table)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # one deterministic row per key (last by order_by, CDC event order)
         ordering = order_by or [c for c in batch_df.columns if c not in on]
-        w = Window.partitionBy(*on).orderBy(
-            *[F.col(c).desc_nulls_last() for c in ordering]
+        if not ordering:
+            # key-only batch: an empty window ORDER BY is invalid — plain
+            # key dedup is equivalent
+            deduped = batch_df.dropDuplicates(on)
+        else:
+            w = Window.partitionBy(*on).orderBy(
+                *[F.col(c).desc_nulls_last() for c in ordering]
+            )
+            deduped = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+            )
+        _commit_batch(
+            lake,
+            epoch_table,
+            batch_id,
+            lambda tx: tx.merge(table, deduped, on, when_matched=when_matched),
         )
-        deduped = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .drop("__rn")
-        )
-        for attempt in range(5):
-            try:
-                with lake.transaction() as tx:
-                    seen = (
-                        tx.read(epoch_table)
-                        .filter(
-                            f"target = '{table}' AND batch_id = {int(batch_id)}"
-                        )
-                        .count()
-                    )
-                    if seen:
-                        return
-                    tx.merge(table, deduped, on, when_matched=when_matched)
-                    tx.insert_rows(
-                        epoch_table,
-                        [{"target": table, "batch_id": int(batch_id)}],
-                    )
-                return
-            except ConflictError:
-                continue
-        raise ConflictError(f"batch {batch_id}: gave up after retries")
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

@@ -115,9 +115,12 @@ def sessionize(
     state updates; state size is O(active users). Input needs (user_id, ts).
 
     With ``timeout_ms`` set, idle open sessions are flushed by a
-    processing-time timeout (continuous production mode); with None, sessions
-    close only on an event-time gap, so a bounded input drains promptly under
-    ``availableNow`` (test/backfill mode)."""
+    processing-time timeout (continuous production mode); with None, a
+    session emits only when a LATER event proves the gap elapsed — each
+    key's final still-open session deliberately stays in state (it is not
+    finished; emitting it early would be wrong if more events arrive). For
+    complete sessionization of bounded data use the batch twin
+    (queries/windows.py x06), which sees the end of input."""
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")

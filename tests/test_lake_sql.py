@@ -185,3 +185,72 @@ def test_metadata_table_functions_sql(lake, spark):
         for r in lake.sql("DESCRIBE t").collect()
     }
     assert desc.get("id") == "int" and desc.get("v") == "string"
+
+
+def test_comments_inside_string_literals(lake):
+    """Review r2: -- and /* inside a string literal are data, not comments."""
+    lake.sql("CREATE TABLE s (id INT, note VARCHAR)")
+    lake.sql("INSERT INTO s VALUES (1, 'a--b'), (2, 'x /* y */ z')")
+    got = {r.id: r.note for r in lake.sql("SELECT * FROM s").collect()}
+    assert got == {1: "a--b", 2: "x /* y */ z"}
+    # real comments still stripped
+    n = lake.sql(
+        "SELECT count(*) AS n FROM s -- trailing comment\n/* block */"
+    ).collect()[0]["n"]
+    assert n == 2
+
+
+def test_update_with_subquery_and_where_in_literal(lake):
+    """Review r2: the SET/WHERE split happens at the last top-level WHERE,
+    so subqueries and literals containing 'where' parse correctly."""
+    lake.sql("CREATE TABLE u (id INT, a INT, note VARCHAR)")
+    lake.sql("INSERT INTO u VALUES (1, 10, NULL), (2, 20, NULL)")
+    lake.sql(
+        "UPDATE u SET a = (SELECT MAX(a) FROM u WHERE id = 1) WHERE id = 2"
+    )
+    got = {r.id: r.a for r in lake.sql("SELECT id, a FROM u").collect()}
+    assert got == {1: 10, 2: 10}
+    lake.sql("UPDATE u SET note = 'paid where due' WHERE id = 1")
+    assert (
+        lake.sql("SELECT note FROM u WHERE id = 1").collect()[0]["note"]
+        == "paid where due"
+    )
+    # no-WHERE update still hits every row
+    lake.sql("UPDATE u SET a = 0")
+    assert {r.a for r in lake.sql("SELECT a FROM u").collect()} == {0}
+
+
+def test_in_txn_ddl_visibility(lake):
+    """Review r2: DDL existence checks see the open transaction's staged
+    state — create/drop sequences inside one txn behave like DuckDB."""
+    lake.sql("CREATE TABLE t0 (x INT)")
+    lake.sql("BEGIN")
+    lake.sql("CREATE TABLE fresh (x INT)")
+    lake.sql("DROP TABLE IF EXISTS fresh")  # staged table must be visible
+    lake.sql("DROP TABLE t0")
+    lake.sql("CREATE TABLE t0 (y INT)")  # drop+recreate inside the txn
+    lake.sql("COMMIT")
+    assert "fresh" not in lake.tables()
+    assert lake.read("t0").columns == ["y"]
+
+
+def test_txn_read_snapshot_isolation(lake, spark):
+    """Review r2: reads inside an open txn bind untouched tables at the
+    txn's base version and refuse tables dropped in the txn."""
+    from ducktales_spark.lake import LakeCatalog
+
+    lake.sql("CREATE TABLE iso (x INT)")
+    lake.sql("INSERT INTO iso VALUES (1)")
+    lake.sql("BEGIN")
+    n0 = lake.sql("SELECT count(*) AS n FROM iso").collect()[0]["n"]
+    # a concurrent writer commits while our txn is open
+    other = LakeCatalog(lake.ms.db_path.rsplit("/", 1)[0], spark)
+    with other.transaction() as otx:
+        otx.insert_rows("iso", [{"x": 2}])
+    n1 = lake.sql("SELECT count(*) AS n FROM iso").collect()[0]["n"]
+    assert n1 == n0 == 1  # non-repeatable read prevented
+    lake.sql("DROP TABLE iso")
+    with pytest.raises(Exception):
+        lake.sql("SELECT * FROM iso").collect()
+    lake.sql("ROLLBACK")
+    assert lake.sql("SELECT count(*) AS n FROM iso").collect()[0]["n"] == 2

@@ -189,3 +189,23 @@ def test_lake_cdc_merge_stream(spark, tmp_path):
     assert lake.current_version() == v
     got2 = {r["id"]: (r["v"], r["seq"]) for r in lake.read("state").collect()}
     assert got2 == got
+
+
+def test_replayed_batch_no_empty_snapshot(spark, tmp_path):
+    """Review r2: a replayed batch must be a FULL no-op — no duplicate rows
+    AND no spurious empty snapshot from committing the idempotency check."""
+    from ducktales_spark.streaming.ingest import _commit_batch, _epoch_table
+
+    lake = LakeCatalog(str(tmp_path / "lk"), spark)
+    lake.sql("CREATE TABLE tgt (x INT)")
+    ep = _epoch_table(lake, "tgt")
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    _commit_batch(lake, ep, 0, lambda tx: tx.insert("tgt", df))
+    v_after = lake.current_version()
+    _commit_batch(lake, ep, 0, lambda tx: tx.insert("tgt", df))  # replay
+    assert lake.current_version() == v_after  # no empty snapshot
+    assert lake.count("tgt") == 2  # no duplicate rows
+    # a second stream into a different target gets its own epoch table
+    lake.sql("CREATE TABLE tgt2 (x INT)")
+    ep2 = _epoch_table(lake, "tgt2")
+    assert ep2 != ep
