@@ -36,8 +36,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The data is microsecond-granular, so `DIV 1000` is lossless.
     """
     if name == "events":
+        # scope the legacy conf to this read: schema resolution happens at
+        # read time, so restoring afterwards doesn't affect this DataFrame
+        # — but leaving it set would silently turn TIMESTAMP(NANOS) columns
+        # into bigint for every LATER parquet read in the session
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         from pyspark.sql import functions as F
 
         return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))

@@ -42,7 +42,6 @@ from .schema import (
     default_fill,
     row_from_json,
     row_to_json,
-    value_from_json,
 )
 from .stats import collect_file_stats, file_may_match, parse_conjuncts
 
@@ -138,11 +137,16 @@ class LakeCatalog:
         # versions readable again (as silently-wrong empty states)
         if self.ms.one("SELECT 1 FROM lake_snapshot LIMIT 1") is None:
             with self.ms.tx() as t:
-                t.exec(
-                    "INSERT INTO lake_snapshot (snapshot_id, ts, changes) "
-                    "VALUES (?, ?, ?)",
-                    (0, _now_iso(), "{}"),
-                )
+                # re-check under the write lock: two processes opening a
+                # fresh catalog concurrently must not both insert id 0
+                if t.exec(
+                    self.ms._ph("SELECT 1 FROM lake_snapshot LIMIT 1")
+                ).fetchone() is None:
+                    t.exec(
+                        "INSERT INTO lake_snapshot (snapshot_id, ts, changes) "
+                        "VALUES (?, ?, ?)",
+                        (0, _now_iso(), "{}"),
+                    )
 
     # ------------------------------------------------------------------
     # transactions
@@ -228,6 +232,17 @@ class LakeCatalog:
         if timestamp is not None:  # AT (TIMESTAMP => ts) — T2
             if isinstance(timestamp, _dt.datetime):
                 timestamp = _iso(timestamp)
+            else:
+                # normalize to the stored isoformat ('T' separator, UTC
+                # naive): the common space-separated SQL form would compare
+                # lexicographically BEFORE any same-day 'T' timestamp and
+                # silently resolve to the previous day's snapshot
+                try:
+                    timestamp = _iso(
+                        _dt.datetime.fromisoformat(str(timestamp).strip())
+                    )
+                except ValueError:
+                    raise LakeError(f"unparseable timestamp {timestamp!r}")
             row = self.ms.one(
                 "SELECT MAX(snapshot_id) FROM lake_snapshot WHERE ts <= ?",
                 (timestamp,),
@@ -297,12 +312,14 @@ class LakeCatalog:
         ]
         if where is not None:
             conjuncts = parse_conjuncts(where)
+            # pruning resolves predicate names against the CURRENT schema:
+            # stats are keyed by stable field_id, so this survives renames
+            # (the write-time schema would miss renamed columns and, after
+            # a name reuse, prune against the WRONG column's stats)
             files = [
                 fe
                 for fe in files
-                if file_may_match(
-                    fe.col_stats, conjuncts, schemas[fe.schema_version]
-                )
+                if file_may_match(fe.col_stats, conjuncts, current)
             ]
             return self._build_df(files, inlined, schemas, current).filter(
                 F.expr(where)
@@ -653,9 +670,17 @@ class LakeCatalog:
             "inlined_rows_purged": inl,
         }
 
-    def gc(self) -> list:
+    def gc(self, min_age_seconds: float = 3600.0) -> list:
         """Delete parquet files on disk that no catalog row references
-        (staged-but-never-committed leftovers after a crash)."""
+        (staged-but-never-committed leftovers after a crash).
+
+        Only files older than ``min_age_seconds`` are removed: a file staged
+        by an IN-FLIGHT transaction in another process is also unreferenced
+        until its commit — deleting it would corrupt that table the moment
+        the writer publishes its lake_data_file rows."""
+        import time as _time
+
+        cutoff = _time.time() - min_age_seconds
         referenced = {
             r[0] for r in self.ms.q("SELECT path FROM lake_data_file")
         }
@@ -663,8 +688,13 @@ class LakeCatalog:
         for p in _glob.glob(os.path.join(self.root, "**", "*.parquet"),
                             recursive=True):
             if p not in referenced:
-                os.remove(p)
-                removed.append(p)
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # possibly staged by an in-flight writer
+                    os.remove(p)
+                    removed.append(p)
+                except OSError:
+                    pass  # vanished concurrently; fine
         return removed
 
 
@@ -818,7 +848,11 @@ class Transaction:
         ``backfill`` (SQL expr string) additionally rewrites existing rows
         (the add+backfill pattern, demo.py:140-158)."""
         st = self._state(name)
-        self._evolve(st, st.schema.add_column(col, type_, default),
+        # next field id = max over EVERY schema version, not just live
+        # columns: a dropped column's id must never be reused (old files
+        # would resurrect its data under the new column's name)
+        nid = max(s.max_field_id() for s in st.schemas.values()) + 1
+        self._evolve(st, st.schema.add_column(col, type_, default, nid),
                      "tables_altered")
         if backfill is not None:
             self.update(name, {col: backfill}, None)
@@ -861,11 +895,21 @@ class Transaction:
             v = default_fill(f)
             return lambda: v
         key = expr.strip().upper().rstrip("()").strip()
-        if key in ("CURRENT_TIMESTAMP", "NOW", "LOCALTIMESTAMP"):
-            v = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-            return lambda: v
-        if key in ("CURRENT_DATE", "TODAY"):
-            v = _dt.datetime.now(_dt.timezone.utc).date()
+        if key in ("CURRENT_TIMESTAMP", "NOW", "LOCALTIMESTAMP",
+                   "CURRENT_DATE", "TODAY"):
+            # evaluate in the SESSION timezone, matching the DataFrame
+            # path's F.expr('CURRENT_TIMESTAMP') — naive UTC here would make
+            # the stored value depend on which write path the row took
+            try:
+                from zoneinfo import ZoneInfo
+
+                tz = ZoneInfo(
+                    self.c.spark.conf.get("spark.sql.session.timeZone")
+                )
+            except Exception:
+                tz = _dt.timezone.utc
+            now = _dt.datetime.now(tz).replace(tzinfo=None)
+            v = now.date() if key in ("CURRENT_DATE", "TODAY") else now
             return lambda: v
         if key in ("UUID",):
             return lambda: str(uuid.uuid4())
@@ -1021,6 +1065,12 @@ class Transaction:
                 for r in rows
             ]
         else:
+            for r in rows:
+                # check BEFORE zip: zip silently truncates too-wide rows
+                if len(r) != len(fields):
+                    raise LakeError(
+                        f"row width {len(r)} != {len(fields)} columns"
+                    )
             data = [
                 tuple(coerce(v, f) for v, f in zip(r, fields)) for r in rows
             ]
@@ -1069,7 +1119,7 @@ class Transaction:
             fe
             for fe in st.files
             if where is None
-            or file_may_match(fe.col_stats, conjuncts, st.schemas[fe.schema_version])
+            or file_may_match(fe.col_stats, conjuncts, sch)
         ]
         touched_inlined = list(st.inlined)
         if not candidates and not touched_inlined:
@@ -1226,9 +1276,7 @@ class Transaction:
                 fe
                 for fe in st.files
                 if not conjuncts
-                or file_may_match(
-                    fe.col_stats, conjuncts, st.schemas[fe.schema_version]
-                )
+                or file_may_match(fe.col_stats, conjuncts, sch)
             ]
             touched_inlined = list(st.inlined)
             target = self.c._build_df(candidates, touched_inlined, st.schemas, sch)

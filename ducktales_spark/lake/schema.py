@@ -115,10 +115,19 @@ class TableSchema:
         return max((f.field_id for f in self.fields), default=0)
 
     # -- evolution (each returns a NEW TableSchema) -----------------------
-    def add_column(self, name: str, type_: str, default: Any = None) -> "TableSchema":
+    def add_column(
+        self, name: str, type_: str, default: Any = None, field_id: int = None
+    ) -> "TableSchema":
+        """``field_id`` must be the max field id across ALL schema versions
+        + 1 (the catalog passes it): reusing a DROPPED column's id would
+        resurrect its data from old files under the new column's name.
+        Defaults to max-over-live + 1 for fresh schemas with no history."""
         if name in self.names():
             raise ValueError(f"column {name!r} exists")
-        nf = Field(self.max_field_id() + 1, name, type_, True, default)
+        nf = Field(
+            field_id if field_id is not None else self.max_field_id() + 1,
+            name, type_, True, default,
+        )
         return TableSchema(self.fields + (nf,), self.primary_key, self.partition_by)
 
     def drop_column(self, name: str) -> "TableSchema":

@@ -38,6 +38,8 @@ def collect_file_stats(path: str, schema: TableSchema) -> tuple:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    mm_groups: dict = {}  # fid -> row groups contributing min/max
+    null_groups: dict = {}  # fid -> row groups with a KNOWN null_count
     name_to_id = {f.name: f.field_id for f in schema.fields}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -52,6 +54,7 @@ def collect_file_stats(path: str, schema: TableSchema) -> tuple:
                 continue
             if st.null_count is not None:
                 nulls[fid] = nulls.get(fid, 0) + st.null_count
+                null_groups[fid] = null_groups.get(fid, 0) + 1
             try:
                 if st.has_min_max:
                     mn, mx = st.min, st.max
@@ -59,15 +62,27 @@ def collect_file_stats(path: str, schema: TableSchema) -> tuple:
                     continue
             except Exception:  # types pyarrow can't decode stats for
                 continue
+            mm_groups[fid] = mm_groups.get(fid, 0) + 1
             if fid not in mins or _lt(mn, mins[fid]):
                 mins[fid] = mn
             if fid not in maxs or _lt(maxs[fid], mx):
                 maxs[fid] = mx
+    # a stat is usable only if EVERY row group contributed it: a partial
+    # min/max (or null count) says nothing about the uncovered groups and
+    # pruning on it would silently drop matching rows. Unknown null count
+    # stores None -> the IS NULL branch treats it as 'may match'.
+    n_rg = md.num_row_groups
     stats = {
         str(fid): {
-            "min": value_to_json(mins.get(fid)),
-            "max": value_to_json(maxs.get(fid)),
-            "nulls": nulls.get(fid, 0),
+            "min": value_to_json(
+                mins.get(fid) if mm_groups.get(fid) == n_rg else None
+            ),
+            "max": value_to_json(
+                maxs.get(fid) if mm_groups.get(fid) == n_rg else None
+            ),
+            "nulls": (
+                nulls.get(fid) if null_groups.get(fid) == n_rg else None
+            ),
         }
         for fid in set(mins) | set(maxs) | set(nulls)
     }
@@ -178,15 +193,20 @@ def file_may_match(
     stats = json.loads(col_stats_json)
     for col, op, val in conjuncts:
         try:
-            fid = str(schema.field_by_name(col).field_id)
+            f = schema.field_by_name(col)  # CURRENT schema: name -> fid
         except KeyError:
             return True
+        if f.type.split("(")[0] not in _PRUNABLE:
+            continue  # type whose stats ordering we don't trust: may match
+        fid = str(f.field_id)
         s = stats.get(fid)
         if s is None:
             continue
         mn = value_from_json(s.get("min"))
         mx = value_from_json(s.get("max"))
         if op == "is_null":
+            # nulls is None when any row group lacked a null count -> the
+            # file MAY contain NULLs; only a known 0 can prune
             if s.get("nulls", 1) == 0:
                 return False
             continue

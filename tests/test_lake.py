@@ -459,7 +459,7 @@ def test_gc_removes_unreferenced(lake, spark):
         "id int, product string, quantity int, price decimal(10,2)",
     ))
     tx._done = True  # abandon without rollback (process crash)
-    removed = lake.gc()
+    removed = lake.gc(min_age_seconds=0)
     assert removed  # orphaned staged files collected
     assert lake.read("inventory").count() == 3
 
