@@ -442,46 +442,145 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled (method, doc_a, doc_b, score) rows — score is the estimated
     jaccard for minhash, the hamming distance for simhash.
 
-    Both sketches fold out of ONE pass: a shared deduped shingle-hash table
-    (the (doc_id, h64) dedup rides the shingle table's doc_id partitioning —
-    no extra shuffle; simhash requires the dedup, minhash is indifferent
-    since MIN over a set equals MIN over the multiset) feeds a single
-    groupBy(doc_id) carrying all 96 aggregates (32 minhash MINs + 64 simhash
-    sign-SUMs, all codegen). One scan + one aggregation shuffle produce both
-    signature tables; each sketch's band self-join then reuses its own
-    exchange via AQE. No persists anywhere (a cache barrier measured slower
-    locally and would be TB-scale executor storage at 100 TB)."""
+    Both sketches fold out of ONE pass AND one self-join: a shared deduped
+    shingle-hash table (the (doc_id, h64) dedup rides the shingle table's
+    doc_id partitioning — no extra shuffle; simhash requires the dedup,
+    minhash is indifferent since MIN over a set equals MIN over the
+    multiset) feeds a single groupBy(doc_id) carrying all 97 aggregates
+    (32 minhash MINs + 64 simhash bit-SUMs + a count, all codegen; summing
+    the raw bit and comparing 2*sum > count is ~2x cheaper per aggregate
+    than a CASE'd +1/-1 sign sum). The simhash packs into ONE bigint, so
+    hamming is a single bit_count(a^b) and each 16-bit LSH band is a
+    mask-and-shift.
+
+    Crucial scale/perf shape: BOTH sketches' LSH bands land in one exploded
+    band table (minhash bands 0-7 keyed by xxhash64 of 4 signature slots,
+    simhash bands 8-11 keyed by the 16-bit block), so candidate generation
+    is a SINGLE self-join whose two sides are the same canonical subtree —
+    AQE builds the band exchange once, meaning the expensive sketch
+    aggregation runs ONCE. The previous two-join union recomputed the
+    97-agg sketch per sketch (measured 3.8s -> this shape 2x less agg
+    work). Per-pair band dedup is the first-matching-band rule (a bounded
+    projection, no distinct() shuffle). No persists anywhere (a cache
+    barrier measured slower locally and would be TB-scale executor storage
+    at 100 TB)."""
     docs = table(spark, sf_dir, "documents")
-    sh = hashed_shingles(docs).dropDuplicates(["doc_id", "h64"])
-    h = F.pmod(F.col("h64"), F.lit(_P))
-    sketch = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))).alias(f"m{i}")
+    return unified_sketch_pairs(docs)
+
+
+def unified_sketch_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """One-scan, one-self-join minhash+simhash candidate pairs (see d03).
+
+    The big expression blocks are built as SQL strings (``F.expr`` /
+    ``selectExpr``), not Column objects: constructing ~100 aggregates
+    through the Column API costs ~0.9 s of py4j round-trips per build,
+    while the parsed-string form is ~0.15 s with an identical Catalyst
+    plan (JVM-side planning itself is <0.1 s either way)."""
+    n_bands = _NUM_HASHES // _BAND_ROWS  # minhash bands: ids 0..n_bands-1
+    sh = hashed_shingles(docs, id_col, text_col).dropDuplicates(
+        ["doc_id", "h64"]
+    )
+    aggs = (
+        [
+            f"cast(min(pmod({a}L * pmod(h64, {_P}) + {b}L, {_P})) as int)"
+            f" as m{i}"
             for i, (a, b) in enumerate(_HASH_AB)
-        ],
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h64"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ],
+        ]
+        + [f"sum(shiftright(h64, {i}) & 1) as s{i}" for i in range(64)]
+        + ["count(1) as cnt"]
     )
-    sig = sketch.select(
-        "doc_id",
-        F.array(*[F.col(f"m{i}") for i in range(_NUM_HASHES)]).alias("sig"),
+    sketch = sh.groupBy("doc_id").agg(
+        F.expr(aggs[0]), *[F.expr(e) for e in aggs[1:]]
     )
-    mh = _minhash_pairs_from_sig(sig).select(
-        F.lit("minhash").alias("method"),
-        "doc_a",
-        "doc_b",
-        F.col("est_jaccard").alias("score"),
+    # pack the 64 majority bits into one bigint: bit i set iff more than
+    # half the shingles have h64 bit i set (2*sum > count == sign-sum > 0)
+    packed = " + ".join(
+        f"shiftleft(cast(2 * s{i} > cnt as bigint), {i})" for i in range(64)
     )
-    sh2 = _simhash_pairs_from_sums(sketch).select(
-        F.lit("simhash").alias("method"),
-        "doc_a",
-        "doc_b",
-        F.col("hamming").cast("double").alias("score"),
+    sig = "array(" + ", ".join(f"m{i}" for i in range(_NUM_HASHES)) + ")"
+    sig_sh = sketch.selectExpr("doc_id", f"{sig} as sig", f"({packed}) as sh64")
+    mh_bands = ", ".join(
+        "struct({i} as band_id, xxhash64({cols}) as band_key)".format(
+            i=i,
+            cols=", ".join(
+                f"sig[{i * _BAND_ROWS + j}]" for j in range(_BAND_ROWS)
+            ),
+        )
+        for i in range(n_bands)
     )
-    return mh.unionByName(sh2)
+    sim_bands = ", ".join(
+        f"struct({n_bands + j} as band_id,"
+        f" shiftrightunsigned(sh64, {16 * j}) & 65535 as band_key)"
+        for j in range(4)
+    )
+    bands = sig_sh.selectExpr(
+        "doc_id", "sig", "sh64",
+        f"explode(array({mh_bands}, {sim_bands})) as band",
+    ).selectExpr("doc_id", "sig", "sh64", "band.band_id", "band.band_key")
+
+    a = bands.alias("a")
+    b = bands.hint("shuffle_hash").alias("b")  # unordered equi-join: no sorts
+    pairs = a.join(
+        b,
+        F.expr(
+            "a.band_id = b.band_id and a.band_key = b.band_key"
+            " and a.doc_id < b.doc_id"
+        ),
+    ).selectExpr(
+        "a.band_id as band_id",
+        "a.doc_id as doc_a",
+        "b.doc_id as doc_b",
+        "a.sig as sig_a",
+        "b.sig as sig_b",
+        "(a.sh64 ^ b.sh64) as x",
+    )
+
+    # first-matching-band dedup, per method. Minhash: slice-compare carried
+    # signatures over earlier bands. Simhash: earlier band j matches iff the
+    # XOR's 16-bit block j is all-zero — unrolled mask tests, fully codegen.
+    def _mask(j: int) -> int:  # signed-int64 view of 0xFFFF << 16j
+        m = 0xFFFF << (16 * j)
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    def _sim_earlier(jj: int) -> str:  # any of blocks 0..jj-1 all-zero?
+        if jj == 0:
+            return "false"
+        return " or ".join(f"(x & {_mask(j)}L) = 0" for j in range(jj))
+
+    earlier_min = (
+        "case when band_id = 0 then false else"
+        " exists(sequence(0, band_id - 1),"
+        f" j -> slice(sig_a, j * {_BAND_ROWS} + 1, {_BAND_ROWS})"
+        f" = slice(sig_b, j * {_BAND_ROWS} + 1, {_BAND_ROWS})) end"
+    )
+    earlier_sim = "case band_id " + " ".join(
+        f"when {n_bands + jj} then ({_sim_earlier(jj)})" for jj in range(4)
+    ) + " end"
+    est = (
+        "size(filter(zip_with(sig_a, sig_b, (p, q) -> p = q), v -> v))"
+        f" / {float(_NUM_HASHES)}"
+    )
+    return (
+        pairs.filter(
+            F.expr(
+                f"not (case when band_id < {n_bands} then {earlier_min}"
+                f" else {earlier_sim} end)"
+            )
+        )
+        .filter(
+            F.expr(f"band_id < {n_bands} or bit_count(x) <= {max_hamming}")
+        )
+        .selectExpr(
+            f"case when band_id < {n_bands} then 'minhash'"
+            " else 'simhash' end as method",
+            "doc_a",
+            "doc_b",
+            f"case when band_id < {n_bands} then round({est}, 6)"
+            " else cast(bit_count(x) as double) end as score",
+        )
+    )
