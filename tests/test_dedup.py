@@ -77,6 +77,29 @@ def test_minhash_estimate_tracks_true_jaccard(spark, planted):
         assert abs(est[(a, b)] - true_j) < 0.2
 
 
+def test_unified_sketch_recall(spark, planted):
+    """The one-join minhash+simhash operator (d03's engine): planted
+    near-dup pairs must surface via minhash, and exact duplicates must
+    surface via simhash with hamming 0 (a 1-word-in-50 mutation can flip
+    several simhash bits, so only identical docs are guaranteed)."""
+    from ducktales_spark.queries.dedup import unified_sketch_pairs
+
+    docs, truth = planted
+    # append exact duplicates of the first 5 base docs under new ids
+    base5 = [(900 + i, r["text"]) for i, r in enumerate(
+        docs.filter("doc_id < 5").orderBy("doc_id").collect())]
+    docs2 = docs.union(docs.sparkSession.createDataFrame(
+        base5, "doc_id bigint, text string"))
+    rows = unified_sketch_pairs(docs2).collect()
+    mh = {(r["doc_a"], r["doc_b"]) for r in rows if r["method"] == "minhash"}
+    sh = {(r["doc_a"], r["doc_b"]): r["score"]
+          for r in rows if r["method"] == "simhash"}
+    found = sum(1 for t in truth if t in mh)
+    assert found / len(truth) >= 0.9
+    for i in range(5):  # exact dup -> simhash hamming 0
+        assert sh.get((i, 900 + i)) == 0.0, (i, sh.get((i, 900 + i)))
+
+
 def test_shingle_table_matches_naive(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e"), (2, "x y"), (3, "  p  q r s  ")],

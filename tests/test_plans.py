@@ -158,9 +158,26 @@ def test_d02_no_cache_barriers_single_selfjoin_exchange(spark, sf_dir):
 
 def test_d03_no_persist_no_python(spark, sf_dir):
     """d03 (minhash+simhash union): pure JVM expressions, no cache
-    barriers; both sketches' self-joins rely on AQE exchange reuse."""
+    barriers; both sketches' bands feed ONE self-join."""
     spark.catalog.clearCache()
     df = SPECS["d03_minhash_lsh"].fn(spark, sf_dir)
     s = plan_str(df)
     assert "InMemoryRelation" not in s
     assert "EvalPython" not in s
+
+
+def test_d03_single_join_reuses_sketch(spark, sf_dir):
+    """The unified band table must make candidate generation a single
+    self-join whose build side is a ReusedExchange — i.e. the 97-aggregate
+    sketch computes ONCE. Two joins (one per sketch) would recompute the
+    whole sketch per method; a missing ReusedExchange doubles it too."""
+    spark.catalog.clearCache()
+    df = SPECS["d03_minhash_lsh"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes reuse only in the executed plan
+    final = plan_str(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"ShuffledHashJoin", final)) == 1, final[:3000]
+    assert "ReusedExchange" in final, final[:3000]
+    # one sketch aggregation node in the final plan, not two
+    assert len(re.findall(r"functions=\[partial_min\(pmod", final)) == 1, (
+        final[:3000]
+    )
