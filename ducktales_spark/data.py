@@ -50,8 +50,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # re-materialized copies (tools/replicate_sf.py) store ts as a real
+        # micros timestamp — only rebuild when the reader saw nanos-as-long
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
