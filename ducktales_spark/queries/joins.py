@@ -201,8 +201,11 @@ def j06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_id"),
             F.col("user_id"),
             F.col("prior.err_id").alias("prior_error_id"),
-            (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prior.err_ts"))
+            # timestampdiff works for both TIMESTAMP and TIMESTAMP_NTZ (the
+            # driver's events.ts has shipped as both nanos-as-long and
+            # micros-NTZ across data generations); unix_micros would reject NTZ
+            F.expr(
+                "timestampdiff(MICROSECOND, prior.err_ts, ts)"
             ).alias("micros_since_error"),
         )
     )
