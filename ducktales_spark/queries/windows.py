@@ -236,14 +236,23 @@ def x06_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id serves both window functions AND the final aggregation."""
     e = table(spark, sf_dir, "events").select("user_id", "ts")
     w = W.partitionBy("user_id").orderBy("ts")
+    # timestampdiff works for both TIMESTAMP and TIMESTAMP_NTZ (the driver's
+    # events.ts has shipped as both across data generations); casting NTZ to
+    # BIGINT is a DATATYPE_MISMATCH analysis error.
     flagged = e.select(
         "user_id",
         "ts",
+        F.lag("ts").over(w).alias("lag_ts"),
+    ).select(
+        "user_id",
+        "ts",
         F.when(
-            F.lag("ts").over(w).isNull()
+            F.col("lag_ts").isNull()
+            # MICROSECOND so sub-second gap fractions compare exactly like
+            # the oracle's `ts - lag(ts) > INTERVAL '30 minutes'`
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                > 30 * 60
+                F.expr("timestampdiff(MICROSECOND, lag_ts, ts)")
+                > 30 * 60 * 1_000_000
             ),
             1,
         )
