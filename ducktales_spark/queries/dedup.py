@@ -110,13 +110,22 @@ def shingle_table(
 def hashed_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, h64) — 8-byte xxhash64 per word-3-gram shingle occurrence
+    """(doc_id, h64) — 60-bit hash per word-3-gram shingle occurrence
     (multiset: no per-doc dedup). The shared upstream of every sketch:
     minhash folds it with MIN aggregates (multiset-invariant), simhash
     dedups (doc_id, h64) first. d03 builds ONE of these and feeds both
-    sketches — one scan + shingle explode instead of two."""
+    sketches — one scan + shingle explode instead of two.
+
+    The hash is the first 15 hex digits of md5 as a BIGINT — chosen over
+    xxhash64 because BOTH engines compute it identically (DuckDB:
+    ``('0x' || substr(md5(s),1,15))::BIGINT``), which makes the whole
+    deterministic sketch pipeline expressible as driver-checkable oracle
+    SQL. Still uniform, still 8 bytes in the shuffle."""
     return shingle_table(docs, id_col, text_col, distinct=False).select(
-        "doc_id", F.xxhash64("s").alias("h64")
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+        ).alias("h64"),
     )
 
 
@@ -429,13 +438,102 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d03_oracle_sql() -> str:
+    """DuckDB SQL for the ENTIRE d03 sketch pipeline — possible because every
+    step is deterministic arithmetic over a hash both engines share (md5
+    first-15-hex-digits as BIGINT; see hashed_shingles). Same _HASH_AB
+    constants inlined; band keys are the same exact string encodings; the
+    first-matching-band dedup is equivalently a DISTINCT over (method, pair).
+    """
+    n_bands = _NUM_HASHES // _BAND_ROWS
+    mins = ",\n        ".join(
+        f"min(({a} * (h64 % {_P}) + {b}) % {_P}) AS m{i}"
+        for i, (a, b) in enumerate(_HASH_AB)
+    )
+    sums = ",\n        ".join(f"sum((h64 >> {i}) & 1) AS s{i}" for i in range(64))
+    bits = ",\n        ".join(
+        f"(2 * s{i} > cnt)::BIGINT AS b{i}" for i in range(64)
+    )
+    mh_band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {i} AS band_id, "
+        + " || '-' || ".join(
+            f"m{i * _BAND_ROWS + j}::VARCHAR" for j in range(_BAND_ROWS)
+        )
+        + " AS band_key FROM sig"
+        for i in range(n_bands)
+    )
+    sim_band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {n_bands + j} AS band_id, CAST(("
+        + " + ".join(f"b{16 * j + k} * {1 << k}" for k in range(16))
+        + ") AS VARCHAR) AS band_key FROM sig"
+        for j in range(4)
+    )
+    est = "(" + " + ".join(
+        f"(sa.m{i} = sb.m{i})::INT" for i in range(_NUM_HASHES)
+    ) + f") / {float(_NUM_HASHES)}"
+    hamming = "(" + " + ".join(
+        f"(sa.b{i} <> sb.b{i})::INT" for i in range(64)
+    ) + ")"
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+      FROM d WHERE len(ws) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+                             1, 15))::BIGINT AS h64
+      FROM pos
+    ),
+    sk AS (
+      SELECT doc_id,
+        {mins},
+        {sums},
+        count(*) AS cnt
+      FROM sh GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"m{i}" for i in range(_NUM_HASHES))},
+        {bits}
+      FROM sk
+    ),
+    bands AS (
+      {mh_band_rows}
+      UNION ALL
+      {sim_band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.band_id < {n_bands} AS is_mh,
+             a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT CASE WHEN is_mh THEN 'minhash' ELSE 'simhash' END AS method,
+             doc_a, doc_b,
+             CASE WHEN is_mh THEN round({est}, 6)
+                  ELSE CAST({hamming} AS DOUBLE) END AS score
+      FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+    )
+    SELECT method, doc_a, doc_b, score
+    FROM scored
+    WHERE method = 'minhash' OR score <= 3
+    ORDER BY method, doc_a, doc_b
+    """
+
+
 @register(
     "d03_minhash_lsh",
     survey_ids=(),  # extension: MinHash+LSH + SimHash near-dup candidates
-    # (non-SQL-expressible oracle: deterministic but hash-family-specific ->
-    # rows-only check; correctness covered by tests/test_dedup.py against
-    # planted near-dups)
-    oracle=None,
+    oracle=_d03_oracle_sql(),
 )
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH and SimHash candidate near-dup pairs on documents, as
@@ -454,7 +552,7 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask-and-shift.
 
     Crucial scale/perf shape: BOTH sketches' LSH bands land in one exploded
-    band table (minhash bands 0-7 keyed by xxhash64 of 4 signature slots,
+    band table (minhash bands 0-7 keyed by the 4 signature slots dash-joined,
     simhash bands 8-11 keyed by the 16-bit block), so candidate generation
     is a SINGLE self-join whose two sides are the same canonical subtree —
     AQE builds the band exchange once, meaning the expensive sketch
@@ -504,8 +602,13 @@ def unified_sketch_pairs(
     )
     sig = "array(" + ", ".join(f"m{i}" for i in range(_NUM_HASHES)) + ")"
     sig_sh = sketch.selectExpr("doc_id", f"{sig} as sig", f"({packed}) as sh64")
+    # Band keys are EXACT string encodings of the band tuple (minhash: the 4
+    # signature slots dash-joined; simhash: the 16-bit block value), not a
+    # hash of it — injective keys mean zero false candidates, and the oracle
+    # SQL reproduces them verbatim. ~25 bytes/row in the band shuffle vs 8
+    # for a hashed key; the carried 32-int signature dominates either way.
     mh_bands = ", ".join(
-        "struct({i} as band_id, xxhash64({cols}) as band_key)".format(
+        "struct({i} as band_id, concat_ws('-', {cols}) as band_key)".format(
             i=i,
             cols=", ".join(
                 f"sig[{i * _BAND_ROWS + j}]" for j in range(_BAND_ROWS)
@@ -515,7 +618,8 @@ def unified_sketch_pairs(
     )
     sim_bands = ", ".join(
         f"struct({n_bands + j} as band_id,"
-        f" shiftrightunsigned(sh64, {16 * j}) & 65535 as band_key)"
+        f" cast(shiftrightunsigned(sh64, {16 * j}) & 65535 as string)"
+        " as band_key)"
         for j in range(4)
     )
     bands = sig_sh.selectExpr(
