@@ -100,34 +100,44 @@ def decode_external(b: bytes, fmt: str):
 # --------------------------------------------------------------------------
 def synth_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic FAKEMEDIA payload to every id: kind cycles
-    image/audio/video; pixel/sample content is seeded by the id, so every
-    downstream feature is reproducible (and assertable in tests)."""
+    image/audio/video; content follows a CLOSED-FORM pattern in (id, offset)
+    — flat element i of an image/video is ``(id*31 + 7*i) % 256``, audio
+    sample i is ``((id*131 + 11*i) % 16384) - 8192``. Closed form (rather
+    than a seeded RNG) so downstream features are re-derivable by plain SQL:
+    the driver's DuckDB oracle recomputes them from the spec (m01/m02), and
+    tests assert exact values."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid in pdf[id_col].astype("int64"):
-                rng = np.random.default_rng(int(mid))
-                kind = ("image", "audio", "video")[int(mid) % 3]
+                mid = int(mid)
+                kind = ("image", "audio", "video")[mid % 3]
                 if kind == "image":
-                    w, h, c = 32 + int(mid) % 32, 24 + int(mid) % 24, 3
-                    data = _pack_image(
-                        rng.integers(0, 256, (h, w, c), dtype=np.uint8)
-                    )
+                    w, h, c = 32 + mid % 32, 24 + mid % 24, 3
+                    vals = (
+                        mid * 31 + 7 * np.arange(h * w * c, dtype=np.int64)
+                    ) % 256
+                    data = _pack_image(vals.astype(np.uint8).reshape(h, w, c))
                     meta = (w, h, c, None, None, "fimg")
                 elif kind == "audio":
-                    rate, n = 16000, 1600 + int(mid) % 800
-                    data = _pack_audio(
-                        rng.integers(-(2 ** 14), 2 ** 14, n).astype("<i2"), rate
-                    )
+                    rate, n = 16000, 1600 + mid % 800
+                    s = (
+                        (mid * 131 + 11 * np.arange(n, dtype=np.int64)) % 16384
+                    ) - 8192
+                    data = _pack_audio(s.astype("<i2"), rate)
                     meta = (None, None, None, rate, None, "faud")
                 else:
-                    nf, w, h, c = 4 + int(mid) % 5, 16, 12, 3
+                    nf, w, h, c = 4 + mid % 5, 16, 12, 3
+                    vals = (
+                        mid * 31
+                        + 7 * np.arange(nf * h * w * c, dtype=np.int64)
+                    ) % 256
                     data = _pack_video(
-                        rng.integers(0, 256, (nf, h, w, c), dtype=np.uint8)
+                        vals.astype(np.uint8).reshape(nf, h, w, c)
                     )
                     meta = (w, h, c, None, nf, "fvid")
-                rows.append((int(mid), kind, data, meta))
+                rows.append((mid, kind, data, meta))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "data", "meta"]
             )
@@ -150,7 +160,13 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """Decode + per-channel feature extraction for image rows."""
+    """Decode + per-channel feature extraction for image rows.
+
+    Stats are derived from EXACT integer sums (s1=Σx, s2=Σx², both < 2^53)
+    and then a fixed sequence of IEEE double ops — mean = s1/n,
+    std = sqrt(n·s2 − s1²)/n — so any engine recomputing from the same
+    pixels (e.g. the driver's DuckDB oracle) gets bit-identical doubles;
+    a float accumulation would differ in the last ulp by summation order."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,14 +175,16 @@ def image_features(media: DataFrame) -> DataFrame:
                 if r["kind"] != "image":
                     continue
                 arr = _unpack_image(bytes(r["data"]))
+                a = arr.astype(np.int64)
+                n, s1, s2 = a.size, int(a.sum()), int((a * a).sum())
                 out.append(
                     (
                         int(r["media_id"]),
                         arr.shape[1],
                         arr.shape[0],
                         arr.shape[2],
-                        float(np.round(arr.mean(), 6)),
-                        float(np.round(arr.std(), 6)),
+                        s1 / n,
+                        float(np.sqrt(float(n * s2 - s1 * s1))) / n,
                     )
                 )
             yield pd.DataFrame(
@@ -227,16 +245,15 @@ def audio_features(media: DataFrame) -> DataFrame:
                 if r["kind"] != "audio":
                     continue
                 samples, rate = _unpack_audio(bytes(r["data"]))
+                # exact Σs² then sqrt(s2/n): bit-identical when recomputed
+                # by SQL (see image_features)
+                s = samples.astype(np.int64)
+                n, s2 = len(s), int((s * s).sum())
                 out.append(
                     (
-                        int(r["media_id"]), rate, len(samples),
-                        float(np.round(len(samples) / rate, 6)),
-                        float(
-                            np.round(
-                                np.sqrt(np.mean(samples.astype(np.float64) ** 2)),
-                                6,
-                            )
-                        ),
+                        int(r["media_id"]), rate, n,
+                        n / rate,
+                        float(np.sqrt(s2 / n)) if n else 0.0,
                     )
                 )
             yield pd.DataFrame(
@@ -269,11 +286,12 @@ def sample_frames(media: DataFrame, k: int = 2) -> DataFrame:
                 frames = _unpack_video(bytes(r["data"]))
                 n = frames.shape[0]
                 for idx in (np.arange(k) * n // k).astype(int):
-                    fr = frames[idx]
+                    fr = frames[idx].astype(np.int64)
+                    # exact Σ then /size: bit-identical under SQL recompute
                     out.append(
                         (
                             int(r["media_id"]), int(idx), fr.shape[1],
-                            fr.shape[0], float(np.round(fr.mean(), 6)),
+                            fr.shape[0], int(fr.sum()) / fr.size,
                         )
                     )
             yield pd.DataFrame(

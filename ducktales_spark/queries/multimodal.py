@@ -1,6 +1,11 @@
-"""Multimodal pipeline queries (rows-only checks: the decode path is numpy
-inside mapInPandas, not SQL-expressible — the pytest suite asserts exact
-deterministic values instead; see tests/test_multimodal.py)."""
+"""Multimodal pipeline queries.
+
+Oracle-checkable even though the decode path is numpy inside mapInPandas:
+the FAKEMEDIA corpus is closed-form in (media_id, offset) (see
+ducktales_spark.multimodal.synth_media) and features are exact-integer-sum
+math, so the DuckDB oracle re-derives every payload byte and feature value
+from the spec by SQL — no literal fixtures, valid at any SF. The pytest
+suite additionally asserts exact values (tests/test_multimodal.py)."""
 
 from __future__ import annotations
 
@@ -20,7 +25,27 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth_media(table(spark, sf_dir, "documents"), "doc_id")
 
 
-@register("m01_media_catalog", survey_ids=())
+@register(
+    "m01_media_catalog",
+    survey_ids=(),
+    # payload byte sizes are closed-form in media_id: FIMG = 16-byte header +
+    # w*h*3, FAUD = 12 + 2*n_samples, FVID = 20 + nf*16*12*3
+    oracle="""
+    WITH m AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             CASE doc_id % 3
+               WHEN 0 THEN 16 + (32 + doc_id % 32) * (24 + doc_id % 24) * 3
+               WHEN 1 THEN 12 + 2 * (1600 + doc_id % 800)
+               ELSE 20 + (4 + doc_id % 5) * 16 * 12 * 3 END AS nbytes
+      FROM documents
+    )
+    SELECT kind, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes
+    FROM m GROUP BY kind ORDER BY kind
+    """,
+)
 def m01_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media corpus catalog: typed metadata stays queryable without
     touching payload bytes (meta-only projection)."""
@@ -35,7 +60,72 @@ def m01_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m02_media_features", survey_ids=())
+_M02_ORACLE = """
+    WITH docs AS (SELECT doc_id AS mid FROM documents),
+    img_px AS (
+      SELECT mid, w, h,
+             (mid * 31 + 7 * unnest(range(0, w * h * 3))) % 256 AS v
+      FROM (SELECT mid, 32 + mid % 32 AS w, 24 + mid % 24 AS h
+            FROM docs WHERE mid % 3 = 0)
+    ),
+    img_agg AS (
+      SELECT mid, w, h, count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
+      FROM img_px GROUP BY mid, w, h
+    ),
+    img_feats AS (
+      SELECT mid, 'width' AS feature, CAST(w AS DOUBLE) AS value FROM img_agg
+      UNION ALL
+      SELECT mid, 'height', CAST(h AS DOUBLE) FROM img_agg
+      UNION ALL
+      SELECT mid, 'mean_intensity', CAST(s1 AS DOUBLE) / n FROM img_agg
+      UNION ALL
+      SELECT mid, 'std_intensity',
+             sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n FROM img_agg
+    ),
+    aud_smp AS (
+      SELECT mid, n,
+             ((mid * 131 + 11 * unnest(range(0, n))) % 16384) - 8192 AS s
+      FROM (SELECT mid, 1600 + mid % 800 AS n FROM docs WHERE mid % 3 = 1)
+    ),
+    aud_agg AS (
+      SELECT mid, n, CAST(sum(s * s) AS BIGINT) AS s2
+      FROM aud_smp GROUP BY mid, n
+    ),
+    aud_feats AS (
+      SELECT mid, 'sample_rate' AS feature, CAST(16000 AS DOUBLE) AS value
+      FROM aud_agg
+      UNION ALL
+      SELECT mid, 'duration_s', CAST(n AS DOUBLE) / 16000 FROM aud_agg
+      UNION ALL
+      SELECT mid, 'rms', sqrt(CAST(s2 AS DOUBLE) / n) FROM aud_agg
+    ),
+    vid_frame_px AS (
+      SELECT mid, idx,
+             (mid * 31 + 7 * (idx * 576 + unnest(range(0, 576)))) % 256 AS v
+      FROM (SELECT mid, unnest([0, (4 + mid % 5) // 2]) AS idx
+            FROM docs WHERE mid % 3 = 2)
+    ),
+    vid_feats AS (
+      SELECT mid, 'frame_' || idx || '_mean' AS feature,
+             CAST(sum(v) AS DOUBLE) / 576 AS value
+      FROM vid_frame_px GROUP BY mid, idx
+    ),
+    allf AS (
+      SELECT mid, 'image' AS kind, feature, value FROM img_feats
+      UNION ALL
+      SELECT mid, 'audio', feature, value FROM aud_feats
+      UNION ALL
+      SELECT mid, 'video', feature, value FROM vid_feats
+    )
+    SELECT mid AS media_id, kind, feature, value
+    FROM allf
+    ORDER BY media_id, feature
+    LIMIT 500
+    """
+
+
+@register("m02_media_features", survey_ids=(), oracle=_M02_ORACLE)
 def m02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract across all three modalities (Arrow-batched
     mapInPandas), melted to long-format (media_id, kind, feature, value)

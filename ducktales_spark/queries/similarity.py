@@ -177,7 +177,11 @@ def assign_buckets(
                 continue
             E = _np(pdf["e"])
             S = (E @ Cm.T) / (np.linalg.norm(E, axis=1)[:, None] * Cn[None, :])
-            best = cids[np.argmax(S, axis=1)]  # argmax -> first max -> low id
+            # round to 9 dp BEFORE the argmax (like every emitted cos_sim):
+            # assignment then depends only on the rounded value, so the
+            # DuckDB oracle's dot/(|a||b|) evaluation order can't flip a
+            # bucket on a last-ulp difference. first max -> lowest cid.
+            best = cids[np.argmax(np.round(S, 9), axis=1)]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
@@ -218,7 +222,10 @@ def e02_ivf_ann(
         np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(Cm, axis=1)[None, :]
     )
     nprobe = min(_N_PROBE, len(cids))
-    probes = cids[np.argsort(-S, axis=1)[:, :nprobe]]  # (|Q|, nprobe)
+    # rounded + stable sort: probe choice depends only on the 9-dp value,
+    # ties to the lowest centroid id — exactly the oracle's
+    # `ORDER BY cos DESC, cid` ranking
+    probes = cids[np.argsort(-np.round(S, 9), axis=1, kind="stable")[:, :nprobe]]
     lookup: dict = {}
     for qi in range(len(qpdf)):
         qid = int(qpdf["vec_id"].iloc[qi])
@@ -325,12 +332,95 @@ def e03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(_vectors(spark, sf_dir))
 
 
+def _e02_oracle_sql() -> str:
+    """DuckDB SQL twin of the full IVF family: same deterministic centroids
+    (first C = max(16, floor(sqrt(N))) vectors), same 9-dp-rounded cosine for
+    every assignment/probe/rank decision, same nprobe/top-k/threshold
+    constants. Expressible because the Spark side rounds BEFORE each argmax,
+    so both engines rank on identical 9-dp values."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 9)"
+        )
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    params AS (
+      SELECT GREATEST({_N_CENTROIDS},
+                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS C
+      FROM v
+    ),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      WHERE vec_id < (SELECT C FROM params)
+    ),
+    assign AS (
+      SELECT vec_id, e, cid AS centroid_id
+      FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {cos("v.e", "c.ce")} DESC, c.cid) AS rn
+        FROM v, cent c
+      )
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}
+    ),
+    qprobe AS (
+      SELECT query_id, qe, cid
+      FROM (
+        SELECT q.query_id, q.qe, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cos("q.qe", "c.ce")} DESC, c.cid) AS rn
+        FROM q, cent c
+      )
+      WHERE rn <= {_N_PROBE}
+    ),
+    ann_sims AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {cos("p.qe", "a.e")} AS cos_sim
+      FROM qprobe p JOIN assign a ON a.centroid_id = p.cid
+      WHERE a.vec_id != p.query_id
+    ),
+    ann AS (
+      SELECT 'ann_topk' AS kind, query_id AS id_a, neighbor_id AS id_b,
+             cos_sim, CAST(rnk AS BIGINT) AS rnk
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM ann_sims
+      )
+      WHERE rnk <= {_TOP_K}
+    ),
+    nd AS (
+      SELECT 'neardup' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
+             {cos("a.e", "b.e")} AS cos_sim, CAST(NULL AS BIGINT) AS rnk
+      FROM assign a
+      JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {cos("a.e", "b.e")} >= 0.95
+    )
+    SELECT kind, id_a, id_b, cos_sim, rnk FROM ann
+    UNION ALL
+    SELECT kind, id_a, id_b, cos_sim, rnk FROM nd
+    ORDER BY kind, id_a, id_b
+    """
+
+
 @register(
     "e02_ivf_family",
     survey_ids=(),  # extension: IVF ANN top-k + embedding near-dup pairs
-    # (rows-only: recall + planted-duplicate gates live in
+    # (recall + planted-duplicate gates additionally in
     # tests/test_similarity.py)
-    oracle=None,
+    oracle=_e02_oracle_sql(),
 )
 def e02_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k and embedding-cosine near-dup pairs as

@@ -54,12 +54,14 @@ def test_image_features_deterministic(spark, media):
     feats = {r["media_id"]: r for r in mm.image_features(media).collect()}
     assert set(feats) == {i for i in range(30) if i % 3 == 0}
     r = feats[3]
-    # recompute expected with the same seeded generator
-    rng = np.random.default_rng(3)
+    # recompute expected from the closed-form spec: pixel i = (31*mid+7i)%256
     w, h = 32 + 3 % 32, 24 + 3 % 24
-    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    vals = (3 * 31 + 7 * np.arange(h * w * 3, dtype=np.int64)) % 256
     assert (r["width"], r["height"]) == (w, h)
-    assert r["mean_intensity"] == pytest.approx(float(arr.mean()), abs=1e-5)
+    # exact (not approx): features are integer-sum math, bit-reproducible
+    assert r["mean_intensity"] == int(vals.sum()) / vals.size
+    s1, s2, n = int(vals.sum()), int((vals * vals).sum()), vals.size
+    assert r["std_intensity"] == float(np.sqrt(float(n * s2 - s1 * s1))) / n
 
 
 def test_resize_images(spark, media):
