@@ -86,6 +86,13 @@ def shingle_table(
     multiset-invariant (minhash MIN aggregation) and saves a shuffle.
     """
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # The up-front doc_id repartition is the cheapest exchange in the whole
+    # pipeline even at scale: raw text is ~1.5 KB/doc vs ~3.2 KB/doc of
+    # exploded shingle hashes, and the (doc_id, h) dedup + groupBy(doc_id)
+    # downstream both RIDE this one exchange (HashPartitioning(doc_id)
+    # satisfies their clustering) — skipping it would cost two bigger
+    # exchanges instead. Locally it also un-serializes one-row-group
+    # parquet scans.
     toks = (
         docs.repartition(n_part, F.col(id_col))
         .select(
