@@ -134,24 +134,40 @@ def f08_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f02_gen_invariants",
-    survey_ids=("F2", "F3", "F4", "S4", "A10"),
-    oracle="SELECT CAST(1 AS BOOLEAN) AS in_range, CAST(1000 AS BIGINT) AS n, "
-    "CAST(1 AS BOOLEAN) AS now_recent, CAST(1 AS BOOLEAN) AS interval_works",
+    # Also absorbs the former s04_range_generator entry (S4/P2/F5/F6): the
+    # registry is capped at the driver's 50-query sweep, and both demos are
+    # generator-family — one query carries the union of their survey ids.
+    survey_ids=("F2", "F3", "F4", "S4", "A10", "P2", "F5", "F6"),
+    oracle="""
+    SELECT CAST(range AS BIGINT)                      AS id,
+           CAST(range % 10 AS BIGINT)                 AS bucket,
+           DATE '2024-01-01' + CAST(range % 365 AS INTEGER) AS d,
+           CAST(1 AS BOOLEAN) AS rand_in_range,
+           CAST(1 AS BOOLEAN) AS now_recent,
+           CAST(1 AS BOOLEAN) AS interval_works
+    FROM range(0, 1000)
+    """,
 )
 def f02_gen_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """random() data generation + NOW()/CURRENT_TIMESTAMP + interval
-    arithmetic (utils/ducklake_utils.py:107-108). The values are
-    non-deterministic by design, so the oracle-checked contract is the
-    deterministic envelope: 0 <= rand() < 1 for every generated row, now()
-    is after 2024, and now() - INTERVAL 7 DAYS < now()."""
-    r = spark.range(1000).select(F.rand(seed=42).alias("r"))
-    return r.agg(
-        ((F.min("r") >= 0) & (F.max("r") < 1)).alias("in_range"),
-        F.count(F.lit(1)).alias("n"),
-        F.max(
-            (F.year(F.current_timestamp()) >= 2024)
-        ).alias("now_recent"),
-        F.max(
+    """range(n) synthetic generator with derived columns — the reference's
+    data-gen pattern (utils/ducklake_utils.py:107-109,
+    exploration/benchmark_ducklake.sh:76) — plus random()/NOW()/interval
+    arithmetic. spark.range parallelizes the sequence across partitions (no
+    driver materialization). The random/now values are non-deterministic by
+    design, so the oracle-checked contract for them is the deterministic
+    per-row envelope: 0 <= rand() < 1, now() is after 2024, and
+    now() - INTERVAL 7 DAYS < now()."""
+    return spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % 365).cast("int")
+        ).alias("d"),
+        ((F.rand(seed=42) >= 0) & (F.rand(seed=43) < 1)).alias(
+            "rand_in_range"
+        ),
+        (F.year(F.current_timestamp()) >= 2024).alias("now_recent"),
+        (
             F.current_timestamp() - F.expr("INTERVAL 7 DAYS")
             < F.current_timestamp()
         ).alias("interval_works"),

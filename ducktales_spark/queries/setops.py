@@ -69,23 +69,6 @@ def u01_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return high.unionByName(low).unionByName(both).unionByName(never)
 
 
-@register(
-    "s04_range_generator",
-    survey_ids=("S4", "P2", "F5", "F6"),
-    oracle="""
-    SELECT CAST(range AS BIGINT)                      AS id,
-           CAST(range % 10 AS BIGINT)                 AS bucket,
-           DATE '2024-01-01' + CAST(range % 365 AS INTEGER) AS d
-    FROM range(0, 1000)
-    """,
-)
-def s04_range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """range(n) synthetic generator with derived columns — the reference's
-    data-gen pattern (reference: utils/ducklake_utils.py:109,
-    exploration/benchmark_ducklake.sh:76). spark.range parallelizes the
-    sequence across partitions (no driver materialization)."""
-    return spark.range(0, 1000).select(
-        F.col("id"),
-        (F.col("id") % 10).alias("bucket"),
-        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
-    )
+# (the former s04_range_generator entry lives on inside f02_gen_invariants —
+# see queries/functions.py — keeping the registry at the driver's 50-query
+# sweep size after x07_streaming_sessionize joined it)

@@ -283,3 +283,84 @@ def x06_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "x07_streaming_sessionize",
+    survey_ids=(),  # extension: the REAL stateful streaming operator under
+    # an external signal — not a batch twin; the driver's oracle checks the
+    # applyInPandasWithState output itself
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_no,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS INT) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_no
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sessions
+    QUALIFY session_no < max(session_no) OVER (PARTITION BY user_id)
+    ORDER BY user_id, session_start
+    """,
+)
+def x07_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the ACTUAL Structured-Streaming stateful sessionizer
+    (applyInPandasWithState, streaming/windows.py) over the events table via
+    a one-shot availableNow stream into a memory sink, and return its
+    output. Deterministic because with NoTimeout a session is emitted only
+    when a LATER event proves the 30-min gap elapsed — so the result is
+    exactly the batch sessionization (x06) minus each user's final
+    still-open session, which is what the oracle computes relationally.
+    This gives the custom stateful operator itself (not just its batch twin)
+    a driver-checkable external signal."""
+    from pyspark.sql.types import LongType
+
+    from ducktales_spark.streaming import sessionize
+
+    path = f"{sf_dir}/events.parquet"
+    # events.ts ships as parquet TIMESTAMP(NANOS) (see data.table); the
+    # legacy conf must stay set while the STREAM runs, not just during
+    # schema inference, so restore it only after termination.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(path).schema
+        # FileStreamSource wants a DIRECTORY; point it at the sf dir and
+        # glob-filter to the events table
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(src.schema["ts"].dataType, LongType):
+            src = src.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        q = (
+            sessionize(src, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("x07_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table("x07_sessions")

@@ -38,18 +38,18 @@ OFF = 100_000_000  # per-copy key offset; far above any sf0.1 key
 COPY_AS_IS = ["region", "nation", "supplier", "part"]
 
 REPLICATED = {
-    "lineitem": "SELECT * REPLACE (l_orderkey + k * {off} AS l_orderkey)",
+    "lineitem": "SELECT * EXCLUDE (k) REPLACE (l_orderkey + k * {off} AS l_orderkey)",
     "orders": (
-        "SELECT * REPLACE (o_orderkey + k * {off} AS o_orderkey,"
+        "SELECT * EXCLUDE (k) REPLACE (o_orderkey + k * {off} AS o_orderkey,"
         " o_custkey + k * {off} AS o_custkey)"
     ),
-    "customer": "SELECT * REPLACE (c_custkey + k * {off} AS c_custkey)",
+    "customer": "SELECT * EXCLUDE (k) REPLACE (c_custkey + k * {off} AS c_custkey)",
     "events": (
-        "SELECT * REPLACE (event_id + k * {off} AS event_id,"
+        "SELECT * EXCLUDE (k) REPLACE (event_id + k * {off} AS event_id,"
         " user_id + k * {off} AS user_id)"
     ),
     "documents": (
-        "SELECT * REPLACE (doc_id + k * {off} AS doc_id,"
+        "SELECT * EXCLUDE (k) REPLACE (doc_id + k * {off} AS doc_id,"
         " CASE WHEN k = 0 THEN text ELSE array_to_string("
         "   list_transform(string_split(text, ' '), w -> w || '_' || k),"
         "   ' ') END AS text,"
@@ -57,7 +57,7 @@ REPLICATED = {
         "   list_transform(string_split(text, ' '), w -> w || '_' || k),"
         "   ' ')) END AS n_chars)"
     ),
-    "embeddings": "SELECT * REPLACE (vec_id + k * {off} AS vec_id)",
+    "embeddings": "SELECT * EXCLUDE (k) REPLACE (vec_id + k * {off} AS vec_id)",
 }
 
 
