@@ -87,8 +87,9 @@ def main() -> None:
     # that persist() intermediates leave cache entries behind; clear them
     # between repeats so later rounds aren't measured under accumulated
     # memory pressure.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
-    for _ in range(5):
+    for _ in range(reps):
         spark.catalog.clearCache()
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -142,7 +143,8 @@ def duckdb_twin(specs, sf_dir: str) -> dict:
         if not sql:
             continue
         best = None
-        for _ in range(5):  # min-of-5, symmetric with the Spark side
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+        for _ in range(reps):  # min-of-N, symmetric with the Spark side
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             dt = time.perf_counter() - t0

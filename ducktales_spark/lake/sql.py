@@ -316,6 +316,15 @@ class SQLExecutor:
             self._run(lambda tx: tx.set_not_null(m.group(1), m.group(2)))
             return self._status("ALTER TABLE", 0)
 
+        m = re.match(rf"^(?:DESCRIBE|DESC)\s+({_IDENT})$", q, re.I)
+        if m:  # demos/03_schema_evolution/demo.py:112,124
+            return self._describe(m.group(1))
+        if re.match(r"^SHOW\s+TABLES$", q, re.I):
+            names = sorted(set(self.c.tables()) | set(self.c.views()))
+            return self.c.spark.createDataFrame(
+                [(n,) for n in names], "name string"
+            )
+
         m = re.match(
             rf"^INSERT\s+INTO\s+({_IDENT})\s*(.*)$", q, re.I | re.S
         )
@@ -335,14 +344,30 @@ class SQLExecutor:
                 df = self.c.spark.sql(f"SELECT * FROM ({body})")
                 # VALUES yields col1..colN: name them from the column list,
                 # else positionally in table order
+                schema = self._schema_of(name)
                 names = cols or [
-                    f.name for f in self._schema_of(name).fields
+                    f.name for f in schema.fields
                 ][: len(df.columns)]
+                # Cast each VALUES column to its TARGET column type before
+                # collecting: Spark types a bare `2.0` literal DECIMAL(2,1),
+                # and an un-cast Decimal stored in an inlined row would fail
+                # the read-side DataFrame build against a DOUBLE column.
+                types = {f.name: f.type for f in schema.fields}
+                from pyspark.sql import functions as F
+
+                df = df.toDF(*names).select(
+                    *[
+                        F.col(c).cast(types[c]).alias(c)
+                        if c in types
+                        else F.col(c)
+                        for c in names
+                    ]
+                )
                 # a literal VALUES plan is a LocalRelation — collect() is
                 # driver-side, so tiny inserts take insert_rows' no-Spark-job
                 # inlining fast path (sub-ms writes, README.md:243)
                 rows = [
-                    dict(zip(names, tup)) for tup in df.toDF(*names).collect()
+                    dict(zip(names, tup)) for tup in df.collect()
                 ]
                 self._run(lambda tx: tx.insert_rows(name, rows))
                 return self._status("INSERT", len(rows))
@@ -496,6 +521,40 @@ class SQLExecutor:
             r"\bducklake_table_changes\s*\(([^)]*)\)", _changes, q, flags=re.I
         )
         return q
+
+    def _describe(self, name: str) -> DataFrame:
+        """DuckDB-shaped DESCRIBE: (column_name, column_type, null YES/NO,
+        key PRI/null, default, extra) — staged-aware inside an open txn, so
+        ALTER TABLE followed by DESCRIBE shows the new column pre-commit
+        (the reference demo's exact flow)."""
+        if not self._table_exists(name):
+            raise LakeSQLError(f"no such table: {name!r}")
+        from .schema import value_from_json
+
+        schema = self._schema_of(name)
+        rows = []
+        for f in schema.fields:
+            if isinstance(f.default, dict) and "$expr" in f.default:
+                dflt = f.default["$expr"]
+            elif f.default is not None:
+                dflt = str(value_from_json(f.default))
+            else:
+                dflt = None
+            rows.append(
+                (
+                    f.name,
+                    f.type.upper(),
+                    "NO" if not f.nullable else "YES",
+                    "PRI" if f.name in schema.primary_key else None,
+                    dflt,
+                    None,
+                )
+            )
+        return self.c.spark.createDataFrame(
+            rows,
+            "column_name string, column_type string, `null` string, "
+            "key string, `default` string, extra string",
+        )
 
     def _schema_of(self, name: str) -> TableSchema:
         if self._tx is not None:

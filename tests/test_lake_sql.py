@@ -179,12 +179,12 @@ def test_metadata_table_functions_sql(lake, spark):
         ("insert", 2, "z"),
     ]
 
-    # DESCRIBE works through the bound temp view (S8)
+    # DESCRIBE as a first-class statement, DuckDB output shape (S8)
     desc = {
-        r["col_name"]: r["data_type"]
+        r["column_name"]: r["column_type"]
         for r in lake.sql("DESCRIBE t").collect()
     }
-    assert desc.get("id") == "int" and desc.get("v") == "string"
+    assert desc.get("id") == "INT" and desc.get("v") == "STRING"
 
 
 def test_comments_inside_string_literals(lake):
@@ -254,3 +254,40 @@ def test_txn_read_snapshot_isolation(lake, spark):
         lake.sql("SELECT * FROM iso").collect()
     lake.sql("ROLLBACK")
     assert lake.sql("SELECT count(*) AS n FROM iso").collect()[0]["n"] == 2
+
+
+def test_describe_and_show_tables(lake):
+    """demos/03_schema_evolution/demo.py:112,124: DESCRIBE before/after an
+    ALTER, DuckDB output shape; SHOW TABLES lists tables and views."""
+    lake.sql(
+        "CREATE TABLE events (id INTEGER PRIMARY KEY, name VARCHAR NOT NULL,"
+        " score DOUBLE DEFAULT 1.5)"
+    )
+    d = {r["column_name"]: r for r in lake.sql("DESCRIBE events").collect()}
+    assert list(d) == ["id", "name", "score"]
+    assert d["id"]["key"] == "PRI" and d["id"]["null"] == "NO"
+    assert d["name"]["null"] == "NO" and d["name"]["key"] is None
+    assert d["score"]["null"] == "YES" and d["score"]["default"] == "1.5"
+    assert d["score"]["column_type"] == "DOUBLE"
+
+    lake.sql("ALTER TABLE events ADD COLUMN tag VARCHAR DEFAULT 'x'")
+    cols = [r["column_name"] for r in lake.sql("DESCRIBE events").collect()]
+    assert cols == ["id", "name", "score", "tag"]
+
+    # staged visibility: DESCRIBE inside an open txn sees uncommitted DDL
+    lake.sql("BEGIN")
+    lake.sql("ALTER TABLE events ADD COLUMN pending INTEGER")
+    assert "pending" in [
+        r["column_name"] for r in lake.sql("DESCRIBE events").collect()
+    ]
+    lake.sql("ROLLBACK")
+    assert "pending" not in [
+        r["column_name"] for r in lake.sql("DESCRIBE events").collect()
+    ]
+
+    lake.sql("CREATE VIEW ev_v AS SELECT id FROM events")
+    names = [r["name"] for r in lake.sql("SHOW TABLES").collect()]
+    assert names == ["ev_v", "events"]
+
+    with pytest.raises(LakeSQLError, match="no such table"):
+        lake.sql("DESCRIBE missing_table")
