@@ -123,10 +123,11 @@ def main() -> None:
 
 
 def duckdb_twin(specs, sf_dir: str) -> dict:
-    """Time each headline query's own oracle SQL in single-threaded-free
-    DuckDB on the same parquet (min of 3) — the per-round yardstick for the
-    'within 2x of a single-node engine' gate. Queries without an oracle
-    (d03) are skipped."""
+    """Time each headline query's own oracle SQL in contention-free DuckDB
+    on the same parquet (min of N, symmetric with the Spark side) — the
+    per-round yardstick for the 'within 2x of a single-node engine' gate.
+    Every headline query has an oracle now (d03's sketch pipeline included),
+    so the twin covers the full matched set."""
     import duckdb
 
     con = duckdb.connect()

@@ -358,7 +358,7 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       FROM pos
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id, s FROM sh0
       WHERE s IN (SELECT s FROM sh0 GROUP BY s
                   HAVING count(*) <= {_MAX_SHINGLE_DF})
@@ -496,25 +496,25 @@ def _d03_oracle_sql() -> str:
                              1, 15))::BIGINT AS h64
       FROM pos
     ),
-    sk AS (
+    sk AS MATERIALIZED (
       SELECT doc_id,
         {mins},
         {sums},
         count(*) AS cnt
       FROM sh GROUP BY doc_id
     ),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id,
         {", ".join(f"m{i}" for i in range(_NUM_HASHES))},
         {bits}
       FROM sk
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       {mh_band_rows}
       UNION ALL
       {sim_band_rows}
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.band_id < {n_bands} AS is_mh,
              a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
