@@ -353,7 +353,7 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos AS (
       SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM d
     ),
-    sh0 AS (
+    sh0 AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       FROM pos
@@ -363,7 +363,7 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s IN (SELECT s FROM sh0 GROUP BY s
                   HAVING count(*) <= {_MAX_SHINGLE_DF})
     ),
-    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

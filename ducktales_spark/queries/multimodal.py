@@ -68,7 +68,7 @@ _M02_ORACLE = """
       FROM (SELECT mid, 32 + mid % 32 AS w, 24 + mid % 24 AS h
             FROM docs WHERE mid % 3 = 0)
     ),
-    img_agg AS (
+    img_agg AS MATERIALIZED (
       SELECT mid, w, h, count(*) AS n,
              CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
       FROM img_px GROUP BY mid, w, h
@@ -88,7 +88,7 @@ _M02_ORACLE = """
              ((mid * 131 + 11 * unnest(range(0, n))) % 16384) - 8192 AS s
       FROM (SELECT mid, 1600 + mid % 800 AS n FROM docs WHERE mid % 3 = 1)
     ),
-    aud_agg AS (
+    aud_agg AS MATERIALIZED (
       SELECT mid, n, CAST(sum(s * s) AS BIGINT) AS s2
       FROM aud_smp GROUP BY mid, n
     ),

@@ -115,7 +115,7 @@ def _topk(sims: DataFrame, k: int) -> DataFrame:
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
-    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}),
+    q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}),
     sims AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
              round(list_dot_product(q.qe, v.e)
@@ -355,11 +355,11 @@ def _e02_oracle_sql() -> str:
                       CAST(floor(sqrt(count(*))) AS BIGINT)) AS C
       FROM v
     ),
-    cent AS (
+    cent AS MATERIALIZED (
       SELECT vec_id AS cid, e AS ce FROM v
       WHERE vec_id < (SELECT C FROM params)
     ),
-    assign AS (
+    assign AS MATERIALIZED (
       SELECT vec_id, e, cid AS centroid_id
       FROM (
         SELECT v.vec_id, v.e, c.cid,
