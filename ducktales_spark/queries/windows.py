@@ -182,10 +182,13 @@ def x02_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (the oracle materializes both memberships via UNION ALL).
 
     ONE aggregation serves both kinds: the hour-aligned sliding windows ARE
-    the tumbling windows (same start/end/count/sum), so the tumbling branch
-    is a filter over the sliding agg — both union branches sit on the same
-    canonical agg subtree (AQE exchange reuse), one scan + one shuffle
-    instead of two of each. At 100 TB that halves the I/O and shuffle."""
+    the tumbling windows (same start/end/count/sum), so instead of a
+    union of two aggregations (two scans + two shuffles of events — and a
+    filter-over-the-agg union formulation is no better, because Catalyst
+    pushes the group-key minute() filter below the agg and the branches
+    stop being one reusable subtree), each aggregated sliding row explodes
+    into its kind labels: hour-aligned rows emit both 'tumbling' and
+    'sliding'. One scan + one shuffle total, at any SF."""
     e = table(spark, sf_dir, "events")
     slide = (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
@@ -200,15 +203,18 @@ def x02_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    tumb = slide.filter(F.minute("win_start") == 0).select(
-        F.lit("tumbling").alias("kind"),
-        "win_start", "win_end", "n_events", "sum_value",
+    return slide.select(
+        F.explode(
+            F.when(
+                F.minute("win_start") == 0,
+                F.array(F.lit("tumbling"), F.lit("sliding")),
+            ).otherwise(F.array(F.lit("sliding")))
+        ).alias("kind"),
+        "win_start",
+        "win_end",
+        "n_events",
+        "sum_value",
     )
-    sl = slide.select(
-        F.lit("sliding").alias("kind"),
-        "win_start", "win_end", "n_events", "sum_value",
-    )
-    return tumb.unionByName(sl)
 
 
 @register(

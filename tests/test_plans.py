@@ -181,3 +181,32 @@ def test_d03_single_join_reuses_sketch(spark, sf_dir):
     assert len(re.findall(r"functions=\[partial_min\(pmod", final)) == 1, (
         final[:3000]
     )
+
+
+def test_x02_single_aggregation_serves_both_window_kinds(spark, sf_dir):
+    """x02: both window kinds come from ONE aggregation of the events scan
+    (kind labels explode out of the aggregated sliding rows) — a union of
+    two aggregations would scan + shuffle events twice, double I/O at
+    100 TB."""
+    df = SPECS["x02_event_windows"].fn(spark, sf_dir)
+    s = plan_str(df)
+    assert len(re.findall(r"FileScan parquet", s)) == 1, s[:3000]
+    assert len(re.findall(r"partial_count\(1\)", s)) == 1, s[:3000]
+    assert "Union" not in s
+
+
+def test_j01_fact_scan_pruned_and_customer_broadcast(spark, sf_dir):
+    """j01: the orders scan must read only (o_custkey, o_totalprice), and
+    with a sub-threshold customer table every join in the chain is
+    broadcast — the fact side never shuffles. (At a 100 TB SF customer
+    outgrows the threshold and AQE flips that one join to shuffle, which
+    is the right plan there.)"""
+    df = SPECS["j01_inner_join_revenue_by_region"].fn(spark, sf_dir)
+    s = formatted(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "o_custkey", "o_totalprice",
+    }, s[:2000]
+    p = plan_str(df)
+    assert p.count("BroadcastHashJoin") == 3, p[:3000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
