@@ -345,6 +345,10 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d02_ngram_jaccard",
     survey_ids=("J1", "A8"),  # extension: n-gram Jaccard near-dup
+    # NOTE: d02's oracle CTEs are deliberately NOT materialized — DuckDB
+    # pipelines the inlined semi-join + self-join 2-3x faster at every SF
+    # (measured sf1: 3.3s vs 8.8s, sf10: 40s vs 99s). d03's oracle is the
+    # opposite case (12 reuses of a 97-agg sketch -> MATERIALIZED).
     oracle=rf"""
     WITH d AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
@@ -353,17 +357,17 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos AS (
       SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM d
     ),
-    sh0 AS MATERIALIZED (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       FROM pos
     ),
-    sh AS MATERIALIZED (
+    sh AS (
       SELECT doc_id, s FROM sh0
       WHERE s IN (SELECT s FROM sh0 GROUP BY s
                   HAVING count(*) <= {_MAX_SHINGLE_DF})
     ),
-    cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
