@@ -316,7 +316,12 @@ class SQLExecutor:
             self._run(lambda tx: tx.set_not_null(m.group(1), m.group(2)))
             return self._status("ALTER TABLE", 0)
 
-        m = re.match(rf"^(?:DESCRIBE|DESC)\s+({_IDENT})$", q, re.I)
+        # optionally catalog-qualified (exploration/ducklake_analysis.sh:194
+        # `DESCRIBE lake.sales_data`) — single attached catalog, so the
+        # qualifier is accepted and ignored
+        m = re.match(
+            rf"^(?:DESCRIBE|DESC)\s+(?:{_IDENT}\.)?({_IDENT})$", q, re.I
+        )
         if m:  # demos/03_schema_evolution/demo.py:112,124
             return self._describe(m.group(1))
         if re.match(r"^SHOW\s+TABLES$", q, re.I):

@@ -289,5 +289,9 @@ def test_describe_and_show_tables(lake):
     names = [r["name"] for r in lake.sql("SHOW TABLES").collect()]
     assert names == ["ev_v", "events"]
 
+    # catalog-qualified form (exploration/ducklake_analysis.sh:194)
+    assert [r["column_name"] for r in
+            lake.sql("DESCRIBE lake.events").collect()][0] == "id"
+
     with pytest.raises(LakeSQLError, match="no such table"):
         lake.sql("DESCRIBE missing_table")
