@@ -209,3 +209,74 @@ def test_replayed_batch_no_empty_snapshot(spark, tmp_path):
     lake.sql("CREATE TABLE tgt2 (x INT)")
     ep2 = _epoch_table(lake, "tgt2")
     assert ep2 != ep
+
+
+def test_sessionize_property_random_streams(spark, tmp_path):
+    """Property: for ANY time-split event stream (multiple micro-batches,
+    per-user state carried across batches), the stateful sessionizer's
+    emitted (closed) sessions equal the reference sessionization computed
+    in plain Python — i.e. all sessions except each user's final open one.
+    Randomized trials stand in for hypothesis (a Spark streaming query per
+    example is too slow for shrinking anyway)."""
+    import random as _random
+
+    rng = _random.Random(20260814)
+    for trial in range(6):
+        n = rng.randint(1, 30)
+        events = [
+            (rng.randint(0, 3), _mins(rng.randint(0, 4000)))
+            for _ in range(n)
+        ]
+        # time-ordered file split: batch boundaries respect event time, as
+        # a watermarked production source would guarantee
+        events.sort(key=lambda e: e[1])
+        cut = rng.randint(0, n)
+        parts = [p for p in (events[:cut], events[cut:]) if p]
+
+        # expected: per-user 30-min-gap sessions, minus each user's last
+        expected = set()
+        by_user: dict = {}
+        for uid, ts in events:
+            by_user.setdefault(uid, []).append(ts)
+        for uid, tss in by_user.items():
+            tss.sort()
+            sessions = []
+            start = last = tss[0]
+            count = 0
+            for t in tss:
+                if (t - last).total_seconds() > 1800:
+                    sessions.append((uid, start, last, count))
+                    start, count = t, 0
+                last = t
+                count += 1
+            # final session stays open (NoTimeout) -> not emitted
+            expected.update(sessions)
+
+        d = tmp_path / f"prop{trial}"
+        schema = "user_id bigint, ts timestamp"
+        for i, part in enumerate(parts):
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                str(d / f"f{i}")
+            )
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(d))
+        )
+        name = f"prop_sessions_{trial}"
+        q = (
+            sessionize(src, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in spark.table(name).collect()
+        }
+        assert got == expected, (trial, sorted(got), sorted(expected))
