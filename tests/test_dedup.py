@@ -112,3 +112,51 @@ def test_shingle_table_matches_naive(spark):
         (1, "a b c"), (1, "b c d"), (1, "c d e"),
         (3, "p q r"), (3, "q r s"),
     }  # doc 2 is shorter than n=3 -> no shingles
+
+
+def test_d03_oracle_parity_edge_corpora(spark):
+    """Cross-engine edge cases beyond the driver's corpus: exact duplicates
+    (identical signatures -> est 1.0 / hamming 0 pairs), sub-3-word docs
+    (no shingles -> excluded by BOTH engines), empty/whitespace text,
+    unicode, and heavy shared boilerplate. The registered oracle SQL runs
+    verbatim on the same rows via a registered DuckDB view."""
+    import duckdb
+    import pandas as pd
+
+    from ducktales_spark.queries.dedup import unified_sketch_pairs
+    from ducktales_spark.registry import load_all
+
+    oracle = load_all()["d03_minhash_lsh"].oracle
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and against"),
+        (3, "two words"),
+        (4, ""),
+        (5, "   \t  "),
+        (6, "répétition häufig naïve café répétition häufig naïve café ok"),
+        (7, "shared boilerplate phrase " * 8 + "unique tail seven"),
+        (8, "shared boilerplate phrase " * 8 + "unique tail eight"),
+        (9, "completely different content about spark catalyst planning"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["method"], r["doc_a"], r["doc_b"], r["score"])
+        for r in unified_sketch_pairs(sdf).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    want = {
+        (m, a, b, s) for m, a, b, s in con.execute(oracle).fetchall()
+    }
+    assert got == want
+    # the exact-dup pair must surface through both sketches with the
+    # degenerate scores; the one-word-off near-dup through minhash
+    assert ("minhash", 0, 1, 1.0) in got
+    assert ("simhash", 0, 1, 0.0) in got
+    assert any(m == "minhash" and {a, b} == {0, 2} for m, a, b, _ in got)
+    # sub-3-word/empty docs pair with nothing; the ~0.5-jaccard boilerplate
+    # twins (7, 8) sit BELOW the 8x4 LSH band threshold — correctly absent
+    assert not any({a, b} & {3, 4, 5} for _, a, b, _ in got)
