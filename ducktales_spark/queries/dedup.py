@@ -9,7 +9,8 @@ training-data-pipeline components).
                        drops ubiquitous shingles so one common phrase can't
                        create quadratic candidate fanout on real web text.
 * MinHash + LSH      — deterministic minhash signatures (fixed affine hash
-                       family over xxhash64) + banded LSH bucketing; only
+                       family over an md5-derived 60-bit shingle hash both
+                       engines share) + banded LSH bucketing; only
                        same-bucket pairs are compared. This is the 100 TB
                        path: candidate generation is a groupBy on
                        (band_id, band_key).
@@ -148,7 +149,7 @@ def minhash_candidate_pairs(
     shuffles are the band groupBy-join (key = band hash, cardinality =
     #docs * #bands) and the signature re-join on doc id.
     """
-    # Relational minhash: explode shingles, one xxhash64 per shingle, then a
+    # Relational minhash: explode shingles, one 64-bit hash per shingle, then a
     # single groupBy(doc) with 32 codegen'd MIN aggregates (one per affine
     # hash). This stays inside whole-stage codegen, unlike an array-fold
     # which Catalyst evaluates interpreted. MIN over a multiset equals MIN
