@@ -46,3 +46,17 @@ def test_registry_within_driver_budget():
     from ducktales_spark.registry import load_all
 
     assert len(load_all()) <= 50
+
+
+def test_registry_contract():
+    """The driver sweeps EXACTLY 50 registry entries in registration order:
+    more would silently drop the tail out of CORRECTNESS (round-1 lesson:
+    sweep stopped at 50 of 79), fewer wastes covered slots. As of round 3
+    every entry is oracle-backed — a regression to rows-only checking must
+    be a deliberate choice, not an accident."""
+    from ducktales_spark.registry import load_all
+
+    specs = load_all()
+    assert len(specs) == 50, f"registry has {len(specs)} entries, driver sweeps 50"
+    missing = [n for n, s in specs.items() if not s.oracle]
+    assert not missing, f"entries without oracle SQL: {missing}"
