@@ -133,3 +133,41 @@ def test_neardup_skewed_bucket_blocked_gram(spark):
         (a, b) for a in cluster for b in cluster if a < b
     }
     assert set(pairs) == expected  # every skewed-cluster pair, nothing else
+
+
+def test_e02_oracle_parity_random_embeddings(spark, tmp_path):
+    """Cross-engine parity on a synthetic corpus beyond the driver's data:
+    random vectors plus planted exact duplicates (cos 1.0 -> neardup rows)
+    and a vector colliding with a centroid. Runs the REGISTERED query and
+    its oracle verbatim against a temp sf-dir, exercising the 9-dp-rounded
+    assignment/probe/rank decisions end to end."""
+    import duckdb
+    import numpy as np
+
+    from ducktales_spark.registry import load_all
+    from tests.oracle import compare
+
+    rng = np.random.default_rng(20260814)
+    n, dim = 48, 8
+    V = rng.normal(size=(n, dim)).astype(np.float32)
+    V[37] = V[5]            # exact duplicate pair (5, 37)
+    V[41] = V[2] * 1.001    # same direction as centroid 2 -> cos ~1.0
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    sdf = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sf_dir = str(tmp_path)
+    sdf.coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+
+    spec = load_all()["e02_ivf_family"]
+    con = duckdb.connect()
+    con.execute(  # Spark wrote a parquet DIRECTORY -> glob its part files
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    mism = compare(spec.fn(spark, sf_dir), con, spec.oracle)
+    assert not mism, mism[:5]
+    # the planted duplicates must surface as neardup rows on the Spark side
+    got = spec.fn(spark, sf_dir).collect()
+    nd_pairs = {(r["id_a"], r["id_b"]) for r in got if r["kind"] == "neardup"}
+    assert (5, 37) in nd_pairs
