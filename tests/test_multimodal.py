@@ -95,3 +95,29 @@ def test_sample_frames(spark, media):
     for mid, idxs in by_id.items():
         nf = 4 + mid % 5
         assert sorted(idxs) == [0, nf // 2]
+
+
+def test_m02_oracle_parity_odd_doc_ids(spark, tmp_path):
+    """The closed-form media corpus + exact-integer-sum features must agree
+    with the DuckDB oracle for ANY doc_id set — non-contiguous, large, and
+    spanning all three modalities — not just the driver's 0..N-1 ids."""
+    import duckdb
+
+    from ducktales_spark.registry import load_all
+    from tests.oracle import compare
+
+    ids = [7, 11, 100, 1001, 65535, 999983, 123456789]
+    sdf = spark.createDataFrame(
+        [(i, f"doc {i}") for i in ids], "doc_id bigint, text string"
+    )
+    sf_dir = str(tmp_path)
+    sdf.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    for name in ("m01_media_catalog", "m02_media_features"):
+        spec = load_all()[name]
+        mism = compare(spec.fn(spark, sf_dir), con, spec.oracle)
+        assert not mism, (name, mism[:5])
