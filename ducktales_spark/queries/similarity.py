@@ -64,11 +64,31 @@ def n_centroids_for(v: DataFrame) -> int:
     return max(_N_CENTROIDS, int(np.sqrt(n)))
 
 
+def _local_topk(out: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Per-query top-k within one Arrow batch under the EXACT global window
+    ordering (rounded cos_sim desc, neighbor_id asc). Every global top-k row
+    is in its own batch's local top-k, so pruning here before the shuffle
+    changes nothing downstream — it just shrinks the window input from
+    |candidates| x |queries| rows to |batches| x |queries| x k. At 100 TB
+    that is the difference between shuffling the whole score table and
+    shuffling a few rows per task."""
+    return out.sort_values(
+        ["query_id", "cos_sim", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="stable",
+    ).groupby("query_id", sort=False).head(k)
+
+
 def cosine_scores(
-    candidates: DataFrame, query_ids: np.ndarray, Q: np.ndarray
+    candidates: DataFrame,
+    query_ids: np.ndarray,
+    Q: np.ndarray,
+    local_k: Optional[int] = None,
 ) -> DataFrame:
     """(vec_id, e) x broadcast query matrix -> (query_id, neighbor_id,
-    cos_sim) rows, numpy-matmul per Arrow batch. Self-pairs dropped."""
+    cos_sim) rows, numpy-matmul per Arrow batch. Self-pairs dropped.
+    ``local_k`` prunes each batch to its per-query top-k before emitting
+    (exact under the _topk window ordering — see _local_topk)."""
     sc = candidates.sparkSession.sparkContext
     bc = sc.broadcast((query_ids, Q, np.linalg.norm(Q, axis=1)))
 
@@ -90,7 +110,8 @@ def cosine_scores(
                     "cos_sim": np.round(S, 9).ravel(),
                 }
             )
-            yield out[out["query_id"] != out["neighbor_id"]]
+            out = out[out["query_id"] != out["neighbor_id"]]
+            yield _local_topk(out, local_k) if local_k else out
 
     return candidates.mapInPandas(
         run, "query_id bigint, neighbor_id bigint, cos_sim double"
@@ -141,7 +162,9 @@ def e01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is one scan with no shuffle before the top-k."""
     v = _vectors(spark, sf_dir)
     qpdf = v.filter(F.col("vec_id") < _N_QUERIES).toPandas()
-    sims = cosine_scores(v, qpdf["vec_id"].to_numpy(), _np(qpdf["e"]))
+    sims = cosine_scores(
+        v, qpdf["vec_id"].to_numpy(), _np(qpdf["e"]), local_k=_TOP_K
+    )
     return _topk(sims, _TOP_K)
 
 
@@ -262,7 +285,8 @@ def e02_ivf_ann(
                         "cos_sim": np.round(S, 9).ravel(),
                     }
                 )
-                yield out[out["query_id"] != out["neighbor_id"]]
+                out = out[out["query_id"] != out["neighbor_id"]]
+                yield _local_topk(out, _TOP_K)
 
     sims = assigned.filter(
         F.col("centroid_id").isin(probe_buckets)  # partition-prunable scan cut
