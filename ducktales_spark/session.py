@@ -31,6 +31,13 @@ def get_spark(app_name: str = "ducktales-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The default 100-entry generated-class cache thrashes on a mixed
+        # workload: a dozen distinct queries produce >100 codegen units, so
+        # re-running any of them recompiles its classes from scratch
+        # (measured: the 97-aggregate sketch query runs 2.5x slower when
+        # rotated with 11 other queries than alone). A long-lived cluster
+        # serving many plans wants this sized to the working set.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # Split large parquet files into 16 MB scan tasks: the test corpus is
         # ONE file per table, so the default 128 MB split would scan a
         # 175 MB fact table with 2 tasks on 32 cores (measured -14% on the
