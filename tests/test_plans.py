@@ -210,3 +210,13 @@ def test_j01_fact_scan_pruned_and_customer_broadcast(spark, sf_dir):
     p = plan_str(df)
     assert p.count("BroadcastHashJoin") == 3, p[:3000]
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_session_codegen_cache_sized_for_mixed_workload(spark):
+    """The default 100-entry generated-class cache recompiles codegen units
+    when more than ~a dozen distinct plans rotate (measured: the
+    97-aggregate sketch query ran 2.5x slower interleaved with the other
+    headline queries than alone). The session must pin a working-set-sized
+    cache; losing this config silently reintroduces per-execution
+    recompilation on any long-lived mixed workload."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1000
