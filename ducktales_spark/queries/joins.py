@@ -209,3 +209,76 @@ def j06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("micros_since_error"),
         )
     )
+
+
+def _epoch_micros(name: str):
+    """Microseconds since epoch for a TIMESTAMP or TIMESTAMP_NTZ column.
+    unix_micros rejects NTZ; timestampdiff over two TIMESTAMPs accepts both
+    once the column is cast (identity for TIMESTAMP; NTZ reinterprets the
+    wall time in the session zone, UTC everywhere in this repo)."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', "
+        f"cast({name} as timestamp))"
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    keys: tuple = (),
+    granularity_s: int = 600,
+) -> DataFrame:
+    """Range join: each point row matched to every interval row with
+    ``start <= point_ts < end`` (and equal ``keys``), as a bucketed
+    EQUI-join — the scalable formulation of an operator Spark has no
+    primitive for (the reference engine family expresses it as an
+    inequality join; DuckDB plans an IEJoin, ``SELECT ... FROM points p
+    JOIN iv ON p.ts >= iv.s AND p.ts < iv.e``).
+
+    A naive translation is a cross join + filter — quadratic, dead at any
+    scale. Here time is cut into fixed buckets of ``granularity_s``:
+    intervals explode to the buckets they overlap, points map to exactly
+    ONE bucket, and the join key is (bucket, *keys) — shuffle volume is
+    |points| + |intervals| * avg_buckets_per_interval, never |points| x
+    |intervals|. Each qualifying pair meets in exactly one bucket (the
+    point's), so no post-join dedup is needed. Pick ``granularity_s`` near
+    the median interval length: shorter means more interval replication,
+    longer means more false candidates filtered after the join. Long
+    outlier intervals only add replicated interval rows (bounded by
+    length/granularity); a hot bucket is an AQE skew-join case, not a
+    correctness one.
+    """
+    g_us = granularity_s * 1_000_000
+    p = points.withColumn(
+        "__bucket", F.floor(_epoch_micros(point_ts) / g_us)
+    )
+    s_us = _epoch_micros(start_col)
+    e_us = _epoch_micros(end_col)
+    iv = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / g_us), F.floor((e_us - 1) / g_us)
+                )
+            ),
+        )
+    )
+    cond = [p["__bucket"] == iv["__bucket"]]
+    cond += [p[k] == iv[k] for k in keys]
+    cond += [
+        p[point_ts] >= iv[start_col],
+        p[point_ts] < iv[end_col],
+    ]
+    from functools import reduce as _reduce
+    import operator as _op
+
+    joined = p.join(iv, _reduce(_op.and_, cond))
+    drop = [iv[k] for k in keys] + [p["__bucket"], iv["__bucket"]]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined

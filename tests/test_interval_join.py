@@ -1,0 +1,111 @@
+"""interval_join: the bucketed range-join operator (an operator Spark lacks
+natively; DuckDB plans it as an IEJoin — reference-family inequality join).
+Correctness is cross-checked against DuckDB's inequality join on the same
+parquet; the plan must contain NO cartesian/nested-loop join at any
+granularity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ducktales_spark.data import table
+from ducktales_spark.queries.joins import interval_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    return points, intervals
+
+
+def _oracle_pairs(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    return sorted(
+        con.execute(
+            """
+            SELECT c.event_id, e.event_id
+            FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+                  FROM events WHERE event_type = 'click') c
+            JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS s,
+                         ts::TIMESTAMP + INTERVAL 10 MINUTE AS e
+                  FROM events WHERE event_type = 'error') e
+              ON c.user_id = e.user_id AND c.ts >= e.s AND c.ts < e.e
+            """
+        ).fetchall()
+    )
+
+
+@pytest.mark.parametrize("granularity_s", [60, 600, 3600])
+def test_interval_join_matches_duckdb_iejoin(
+    spark, sf_dir, frames, granularity_s
+):
+    """Result is granularity-invariant and equals DuckDB's inequality join
+    (granularity only shifts cost between interval replication and
+    post-join filtering)."""
+    points, intervals = frames
+    out = interval_join(
+        points,
+        intervals,
+        point_ts="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        keys=("user_id",),
+        granularity_s=granularity_s,
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in out.select("event_id", "iv_id").collect()
+    )
+    assert got == _oracle_pairs(sf_dir)
+    assert len(got) > 0, "fixture corpus produced no in-window pairs"
+
+
+def test_interval_join_no_cartesian(spark, sf_dir, frames):
+    """The whole point of the bucketed formulation: the physical plan is an
+    equi-join on (bucket, keys) — never CartesianProduct or
+    BroadcastNestedLoopJoin, whose cost is |points| x |intervals|."""
+    points, intervals = frames
+    out = interval_join(
+        points, intervals, "ts", "start_ts", "end_ts", keys=("user_id",)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_half_open_and_empty_intervals(spark, frames):
+    """Boundary semantics: start inclusive, end exclusive; zero/negative-
+    length intervals match nothing."""
+    spark_ = frames[0].sparkSession
+    points = spark_.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:10:00")],
+        "pid int, ts string",
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    intervals = spark_.createDataFrame(
+        [
+            (10, "2024-01-01 00:00:00", "2024-01-01 00:10:00"),  # [p1, p2)
+            (11, "2024-01-01 00:05:00", "2024-01-01 00:05:00"),  # empty
+        ],
+        "iv int, s string, e string",
+    ).select(
+        "iv",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    out = interval_join(points, intervals, "ts", "s", "e", granularity_s=60)
+    got = sorted((r["pid"], r["iv"]) for r in out.collect())
+    assert got == [(1, 10)]  # p1 at start: in; p2 at end: out; empty: out
