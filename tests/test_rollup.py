@@ -1,0 +1,125 @@
+"""Continuous-aggregate rollups (lake/rollup.py): incremental refresh via
+table_changes must always equal a from-scratch recompute of the same
+definition, through inserts, deletes, and no-op refreshes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducktales_spark.lake import connect
+from ducktales_spark.lake.rollup import (
+    _bucket_expr,
+    create_rollup,
+    refresh_rollup,
+)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return connect(f"lake:{tmp_path}/cat", spark)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, value double"
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "value",
+    )
+
+
+BASE = [
+    (1, "2024-01-01 00:05:00", 1, 10.0),
+    (2, "2024-01-01 00:55:00", 1, 20.0),
+    (3, "2024-01-01 01:05:00", 2, 30.0),
+    (4, "2024-01-01 01:10:00", 1, 40.0),
+    (5, "2024-01-01 03:00:00", 2, 50.0),
+]
+
+
+def _recompute(lake, src="ev"):
+    return (
+        lake.read(src)
+        .groupBy(_bucket_expr("ts", 3600).alias("bucket_start"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["bucket_start"], r["user_id"], r["n_rows"], r["sum_value"])
+        for r in df.collect()
+    )
+
+
+def test_create_matches_recompute(spark, lake):
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_hourly", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+    assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake))
+
+
+def test_incremental_refresh_equals_recompute(spark, lake):
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_hourly", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+    # append into an existing bucket, a new bucket, and a new user
+    lake.insert("ev", _mk_events(spark, [
+        (6, "2024-01-01 00:20:00", 1, 5.0),    # existing (00h, u1)
+        (7, "2024-01-01 05:00:00", 3, 7.0),    # brand-new bucket + user
+    ]))
+    # delete one row from (01h, u?) — erases event 3's contribution
+    lake.delete("ev", "event_id = 3")
+    stats = refresh_rollup(lake, "ev_hourly")
+    assert stats["to_version"] > stats["from_version"]
+    assert stats["changed_buckets"] > 0
+    assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake))
+
+
+def test_bucket_vanishes_when_all_rows_deleted(spark, lake):
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_hourly", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+    lake.delete("ev", "event_id = 5")  # (03h, u2) had exactly one row
+    refresh_rollup(lake, "ev_hourly")
+    got = _rows(lake.read("ev_hourly"))
+    assert got == _rows(_recompute(lake))
+    assert all(r[2] > 0 for r in got)  # no zero-count residue rows
+
+
+def test_noop_refresh(spark, lake):
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(lake, "ev_hourly", "ev", "ts", 3600,
+                  keys=("user_id",), sum_cols=("value",))
+    before = _rows(lake.read("ev_hourly"))
+    stats = refresh_rollup(lake, "ev_hourly")
+    assert stats["changed_buckets"] == 0
+    assert stats["from_version"] == stats["to_version"]
+    assert _rows(lake.read("ev_hourly")) == before
+
+
+def test_repeated_refreshes_are_idempotent_per_version(spark, lake):
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(lake, "ev_hourly", "ev", "ts", 3600,
+                  keys=("user_id",), sum_cols=("value",))
+    for i in range(3):
+        lake.insert("ev", _mk_events(
+            spark, [(100 + i, "2024-01-01 06:00:00", 9, 1.0)]
+        ))
+        refresh_rollup(lake, "ev_hourly")
+        assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake))
+    # an extra refresh with no new writes changes nothing
+    stats = refresh_rollup(lake, "ev_hourly")
+    assert stats["changed_buckets"] == 0
