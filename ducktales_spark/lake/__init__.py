@@ -19,4 +19,5 @@ from .catalog import (  # noqa: F401
     Transaction,
     connect,
 )
+from .rollup import create_rollup, refresh_rollup  # noqa: F401
 from .schema import Field, TableSchema  # noqa: F401
