@@ -173,6 +173,23 @@ def tune_for_input(spark, sf_dir: str) -> None:
     split = max(16 << 20, min(128 << 20, largest // cores or 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    # AQE off for this suite — measured at every SF, for two distinct
+    # reasons, both properties of the workload rather than the data size:
+    # * small inputs: AQE's per-stage finalization (materialize ->
+    #   re-optimize -> resubmit, driver-side) costs ~50-100 ms per shuffle
+    #   stage with nothing to re-plan (sf0.1 headline total 2.92 s -> ~2.2 s);
+    # * large inputs: AQE's partition coalescing sizes post-shuffle
+    #   partitions by shuffle-READ bytes, but the dedup band joins read
+    #   compact sketches and EXPLODE downstream (pair expansion), so
+    #   coalescing serializes the heavy work — measured sf10 d03: AQE on
+    #   17.5-37 s, AQE on + coalescePartitions off 7.7 s, AQE off 8.0 s.
+    # The static ReuseExchange rule still deduplicates the self-join
+    # subtrees (asserted in tests/test_plans.py), so nothing is recomputed.
+    # On a real cluster the same analysis applies per workload: skew-join
+    # stays valuable for skewed joins, but coalescing must be disabled for
+    # exploding-join stages, and none of the headline plans has a skewed
+    # key by construction (DF caps / banding bound every join key).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
 
 def duckdb_twin(specs, sf_dir: str) -> dict:

@@ -183,6 +183,25 @@ def test_d03_single_join_reuses_sketch(spark, sf_dir):
     )
 
 
+def test_d02_d03_reuse_exchanges_without_aqe(spark, sf_dir):
+    """bench.py runs the headline suite with AQE disabled (AQE's coalescing
+    sizes partitions by shuffle-READ bytes, which serializes the exploding
+    band joins — measured 2-4x at sf10). That is only sound because the
+    STATIC ReuseExchange rule already deduplicates the self-join subtrees;
+    if a code change breaks canonical-plan equality between the two join
+    sides, the 97-aggregate sketch silently computes twice under bench
+    settings. Assert reuse in the non-AQE executed plan."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for q, min_reused in (("d03_minhash_lsh", 1), ("d02_ngram_jaccard", 2)):
+            df = SPECS[q].fn(spark, sf_dir)
+            s = plan_str(df)
+            assert s.count("ReusedExchange") >= min_reused, (q, s[:3000])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def test_x02_single_aggregation_serves_both_window_kinds(spark, sf_dir):
     """x02: both window kinds come from ONE aggregation of the events scan
     (kind labels explode out of the aggregated sliding rows) — a union of
