@@ -137,25 +137,22 @@ def hashed_shingles(
     )
 
 
-def minhash_candidate_pairs(
+def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH-banded candidate pairs with estimated jaccard.
+    """(doc_id, sig array<int>): deterministic 32-permutation minhash.
 
-    docs(id, text) -> (doc_a, doc_b, est_jaccard). Scale path: the only
-    shuffles are the band groupBy-join (key = band hash, cardinality =
-    #docs * #bands) and the signature re-join on doc id.
-    """
-    # Relational minhash: explode shingles, one 64-bit hash per shingle, then a
-    # single groupBy(doc) with 32 codegen'd MIN aggregates (one per affine
-    # hash). This stays inside whole-stage codegen, unlike an array-fold
-    # which Catalyst evaluates interpreted. MIN over a multiset equals MIN
-    # over the set, so the shingle dedup shuffle is skipped entirely
-    # (distinct=False); the groupBy(doc_id) reuses the shingle table's hash
-    # distribution — one shuffle total before banding.
+    Relational minhash: explode shingles, one 64-bit hash per shingle, then a
+    single groupBy(doc) with 32 codegen'd MIN aggregates (one per affine
+    hash). This stays inside whole-stage codegen, unlike an array-fold
+    which Catalyst evaluates interpreted. MIN over a multiset equals MIN
+    over the set, so the shingle dedup shuffle is skipped entirely
+    (distinct=False); the groupBy(doc_id) reuses the shingle table's hash
+    distribution — one shuffle total. Docs with fewer than 3 words have no
+    shingles and produce NO row (callers treat them as sketch-less)."""
     base = (
         shingles
         if shingles is not None
@@ -168,23 +165,19 @@ def minhash_candidate_pairs(
             for i, (a, b) in enumerate(_HASH_AB)
         ]
     )
-    # The signature table feeds both sides of the band self-join as the SAME
-    # canonical subtree — AQE computes the band exchange once and reuses it,
-    # so no persist (a cache here is a materialization barrier locally and
-    # unbounded executor storage at scale).
-    sig = mins.select(
+    return mins.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(_NUM_HASHES)]).alias("sig")
     )
-    return _minhash_pairs_from_sig(sig)
 
 
-def _minhash_pairs_from_sig(sig: DataFrame) -> DataFrame:
-    """(doc_id, sig array) -> LSH-banded candidate pairs with est_jaccard."""
+def minhash_band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, sig, band_id, band_key) exploded LSH bands.
+
+    The signature rides through the explode so band-join consumers get both
+    signatures directly from the join — no signature re-join. band_key is
+    the exact dash-joined band tuple (injective: zero false candidates)."""
     n_bands = _NUM_HASHES // _BAND_ROWS
-    # Carry the signature through the band explode: the candidate self-join
-    # then yields both signatures directly — one shuffle join total instead
-    # of a pair join plus two signature re-joins.
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         "sig",
         F.explode(
@@ -201,6 +194,38 @@ def _minhash_pairs_from_sig(sig: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
+
+
+def est_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated jaccard = fraction of agreeing minhash slots."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(_NUM_HASHES))
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """LSH-banded candidate pairs with estimated jaccard.
+
+    docs(id, text) -> (doc_a, doc_b, est_jaccard). Scale path: the only
+    shuffles are the band groupBy-join (key = band hash, cardinality =
+    #docs * #bands) and the signature re-join on doc id.
+    """
+    # The signature table feeds both sides of the band self-join as the SAME
+    # canonical subtree — the exchange is computed once and reused, so no
+    # persist (a cache here is a materialization barrier locally and
+    # unbounded executor storage at scale).
+    sig = minhash_signatures(docs, id_col, text_col, shingles=shingles)
+    return _minhash_pairs_from_sig(sig)
+
+
+def _minhash_pairs_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, sig array) -> LSH-banded candidate pairs with est_jaccard."""
+    bands = minhash_band_table(sig)
 
     a = bands.alias("a")
     b = bands.hint("shuffle_hash").alias("b")  # unordered equi-join: no sorts

@@ -1,0 +1,93 @@
+"""Training-data pipeline text operators: document chunking and PII
+redaction. Library operators (not registry queries): pure JVM expressions —
+regexp/split/slice inside whole-stage codegen, no Python, no shuffle. Both
+are embarrassingly parallel and scale as a projection over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Redaction patterns, most-specific first so a card number is not half-eaten
+# by the phone pattern. Java regex (Spark executes these JVM-side).
+_PII_PATTERNS = (
+    # local@domain.tld
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    # 13-19 digits in groups of 3-6 separated by space/dash (card-shaped)
+    ("card", r"\b(?:\d[ -]?){12,18}\d\b"),
+    # 123-45-6789 (SSN-shaped)
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    # dotted quad
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    # +1 (555) 123-4567 / 555-123-4567 / 5551234567 (7+ digits with optional
+    # separators and country code)
+    ("phone", r"(?<![\w.])\+?\d{0,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email / card / SSN / IP / phone shapes with [TYPE] tags.
+
+    A chain of regexp_replace expressions — one codegen'd projection, no
+    UDF. Pattern order is significant (see _PII_PATTERNS). Recall-oriented
+    like every regex PII pass: shapes, not checksums (a Luhn check would
+    need a UDF for marginal precision on fake-but-card-shaped numbers).
+    """
+    out = text
+    for tag, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{tag.upper()}]")
+    return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token-budget chunks:
+    (doc_id, chunk_id, n_chunk_tokens, chunk).
+
+    Tokenize once into a word array, explode the chunk-index range, slice
+    the array per chunk — all JVM array expressions, so the only data
+    amplification is the emitted chunks themselves (overlap/max_tokens
+    extra bytes). Tokens are whitespace words (the budget proxy); a
+    BPE-budget variant would swap the tokenizer regex (see
+    queries.text.t01) and keep the identical chunk plumbing.
+
+    Chunks start every ``max_tokens - overlap`` tokens; the last chunk is
+    the only one shorter than ``max_tokens``, and a document shorter than
+    ``max_tokens`` yields exactly one chunk. Empty/whitespace-only docs
+    yield one empty chunk (kept: dropping rows silently would make chunk
+    counts lie about corpus coverage; filter upstream if unwanted).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(ws)
+    # number of chunk starts: 1 + floor(max(n - max_tokens, 0) / step),
+    # +1 more if a tail remains beyond the last full window
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step))).cast("int"),
+    )
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"), ws.alias("__ws"), n_chunks.alias("__nc")
+    )
+    exploded = tokenized.select(
+        "doc_id",
+        "__ws",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+    )
+    chunk_ws = F.slice(
+        F.col("__ws"), F.col("chunk_id") * step + 1, max_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk_ws).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk_ws).alias("chunk"),
+    )

@@ -10,5 +10,6 @@ watermarked window aggregations and a custom stateful operator for the
 training-pipeline extension surface.
 """
 
+from .dedup import dedup_batch, start_lake_dedup_ingest  # noqa: F401
 from .ingest import start_lake_cdc_merge, start_lake_ingest  # noqa: F401
 from .windows import sessionize, windowed_counts  # noqa: F401

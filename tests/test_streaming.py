@@ -280,3 +280,121 @@ def test_sessionize_property_random_streams(spark, tmp_path):
             for r in spark.table(name).collect()
         }
         assert got == expected, (trial, sorted(got), sorted(expected))
+
+
+# --- streaming deduplicating ingest ----------------------------------------
+
+_LONG_A = ("the quick brown fox jumps over the lazy dog while the band "
+           "plays a slow waltz under pale evening light near the old pier")
+# one middle word changed vs _LONG_A -> jaccard ~0.87, well over 0.5
+_LONG_A_NEAR = _LONG_A.replace("slow waltz", "fast waltz")
+_LONG_B = ("colorless green ideas sleep furiously beneath seven restless "
+           "moons that drift across a copper sky toward the silent harbor "
+           "wall at dawn")
+
+
+def _doc_stream(spark, tmp_path, batches):
+    """batches: list of [(doc_id, text), ...] -> file-per-batch parquet
+    stream (maxFilesPerTrigger=1 gives one micro-batch per file)."""
+    schema = "doc_id bigint, text string"
+    d = tmp_path / "docs_src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"b{i}")
+        )
+    return _stream(spark, d, schema), schema
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    """Exact + MinHash near-dup filtering across micro-batches: survivors,
+    dedup state, and the epoch marker commit as one snapshot; within-batch
+    and cross-batch duplicates (exact and near) are all dropped; sketch-less
+    short docs still exact-deduplicate."""
+    from ducktales_spark.streaming import start_lake_dedup_ingest
+
+    batches = [
+        [
+            (1, _LONG_A),         # kept
+            (2, _LONG_B),         # kept
+            (3, _LONG_A),         # within-batch exact dup of 1 -> dropped
+            (4, _LONG_A_NEAR),    # within-batch near dup of 1 -> dropped
+        ],
+        [
+            (5, _LONG_A),         # cross-batch exact dup -> dropped
+            (6, _LONG_A_NEAR),    # cross-batch near dup -> dropped
+            (7, "short doc"),     # sketch-less (< 3 words) -> kept
+            (8, "short doc"),     # exact dup of 7 -> dropped
+            (9, _LONG_B + " entirely different trailing content here now"),
+            # ^ shares a band with _LONG_B but est jaccard < threshold with
+            #   enough extra words? -> keep expectation computed below
+        ],
+    ]
+    stream, schema = _doc_stream(spark, tmp_path, batches)
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    lake.create_table("docs", spark.createDataFrame([], schema).schema)
+    q = start_lake_dedup_ingest(
+        stream,
+        lake,
+        "docs",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        minhash_threshold=0.5,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(r.doc_id for r in lake.read("docs").collect())
+    # doc 9 keeps iff its estimated jaccard vs doc 2 is < 0.5 — compute the
+    # ground truth with the same deterministic sketch
+    from ducktales_spark.queries.dedup import minhash_signatures
+
+    sigs = {
+        r.doc_id: r.sig
+        for r in minhash_signatures(
+            spark.createDataFrame(
+                [(2, _LONG_B), (9, batches[1][4][1])], schema
+            )
+        ).collect()
+    }
+    est = sum(a == b for a, b in zip(sigs[2], sigs[9])) / 32.0
+    expected = [1, 2, 7] + ([9] if est < 0.5 else [])
+    assert got == expected, (got, expected, est)
+
+    # state tables cover exactly the survivors
+    hashes = sorted(r.doc_id for r in lake.read("_dedup_hash__docs").collect())
+    assert hashes == expected
+    band_ids = sorted(
+        {r.doc_id for r in lake.read("_dedup_bands__docs").collect()}
+    )
+    assert band_ids == [d for d in expected if d not in (7,)]
+
+    # replay safety: same source + checkpoint -> no new rows, no snapshots
+    v = lake.current_version()
+    stream3 = _stream(spark, tmp_path / "docs_src", schema)
+    q2 = start_lake_dedup_ingest(
+        stream3,
+        lake,
+        "docs",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        minhash_threshold=0.5,
+        available_now=True,
+    )
+    q2.awaitTermination(180)
+    assert sorted(r.doc_id for r in lake.read("docs").collect()) == expected
+    assert lake.current_version() == v
+
+
+def test_dedup_batch_standalone(spark):
+    """dedup_batch as a bounded-corpus primitive: exact + near dedup with no
+    prior state."""
+    from ducktales_spark.streaming import dedup_batch
+
+    df = spark.createDataFrame(
+        [(10, _LONG_A), (11, _LONG_A), (12, _LONG_A_NEAR), (13, _LONG_B)],
+        "doc_id bigint, text string",
+    )
+    survivors, hash_rows, band_rows = dedup_batch(
+        df, "doc_id", "text", threshold=0.5
+    )
+    assert sorted(r.doc_id for r in survivors.collect()) == [10, 13]
+    assert sorted(r.doc_id for r in hash_rows.collect()) == [10, 13]
+    assert sorted({r.doc_id for r in band_rows.collect()}) == [10, 13]

@@ -1,0 +1,95 @@
+"""Chunking + PII redaction: exact-value tests for the pipeline text ops."""
+
+from __future__ import annotations
+
+from ducktales_spark.queries.text_pipeline import chunk_documents, redact_pii
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_redact_pii_shapes(spark):
+    rows = [
+        (1, "mail bob.smith+x@example.co.uk now"),
+        (2, "card 4111 1111 1111 1111 on file"),
+        (3, "ssn 123-45-6789 leaked"),
+        (4, "host 192.168.0.1 up"),
+        (5, "call +1 (555) 123-4567 or 555-987-6543"),
+        (6, "clean text with number 42 and version 1.2.3"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {
+        r.id: r.red
+        for r in df.select("id", redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "card [CARD] on file"
+    assert got[3] == "ssn [SSN] leaked"
+    assert got[4] == "host [IP] up"
+    assert got[5] == "call [PHONE] or [PHONE]"
+    assert got[6] == "clean text with number 42 and version 1.2.3"
+
+
+def test_chunk_documents_exact(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(df, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_chunk_tokens, r.chunk))
+    # doc 1: 10 tokens, step 3 -> ceil(9/3)=3 chunks: [0:4],[3:7],[6:10]
+    assert by_doc[1] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+    ]
+    # short doc: one chunk, unchanged
+    assert by_doc[2] == [(0, 2, "a b")]
+    # empty doc: one empty chunk (coverage accounting, not silent drop)
+    assert by_doc[3][0][0] == 0 and by_doc[3][0][2] == ""
+
+    # every token position is covered and consecutive chunks overlap by 1
+    out2 = chunk_documents(df.filter("doc_id = 1"), max_tokens=4, overlap=1)
+    toks = [r.chunk.split() for r in sorted(out2.collect(), key=lambda r: r.chunk_id)]
+    assert toks[0][-1] == toks[1][0] and toks[1][-1] == toks[2][0]
+    assert sorted(set().union(*toks)) == sorted(words)
+
+
+def test_chunk_documents_boundary_counts(spark):
+    # n == max_tokens -> 1 chunk; n == max_tokens+1 -> 2 chunks
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(512, mk(512)), (513, mk(513)), (960, mk(960)), (961, mk(961))],
+        "doc_id bigint, text string",
+    )
+    counts = {
+        r.doc_id: r.c
+        for r in chunk_documents(df, max_tokens=512, overlap=64)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert counts == {512: 1, 513: 2, 960: 2, 961: 3}
+
+
+def test_chunk_documents_no_python_no_shuffle(spark):
+    """The chunker must stay a codegen projection: no Python eval, no
+    exchange — at 100 TB it runs at scan speed."""
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    plan = (
+        chunk_documents(df, max_tokens=3, overlap=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
