@@ -86,7 +86,12 @@ def shingle_table(
     ``distinct=False`` skips per-doc dedup — correct for consumers that are
     multiset-invariant (minhash MIN aggregation) and saves a shuffle.
     """
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # Respect the session's shuffle sizing (spark.sql.shuffle.partitions is
+    # THE deployment-sized parallelism knob — bench.tune_for_input sets it
+    # per input volume; a cluster job sets it per cluster). defaultParallelism
+    # is the core count, which over-partitions small inputs into scheduling
+    # overhead.
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # The up-front doc_id repartition is the cheapest exchange in the whole
     # pipeline even at scale: raw text is ~1.5 KB/doc vs ~3.2 KB/doc of
     # exploded shingle hashes, and the (doc_id, h) dedup + groupBy(doc_id)
