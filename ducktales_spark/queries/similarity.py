@@ -221,41 +221,24 @@ def assign_buckets(
 _N_PROBE = 4  # buckets probed per query (IVF nprobe)
 
 
-def e02_ivf_ann(
-    spark: SparkSession,
-    sf_dir: str,
-    n_centroids: Optional[int] = None,
-    centroids: Optional[pd.DataFrame] = None,
-) -> DataFrame:
-    """IVF-style approximate top-k: nearest-centroid bucketing, probe the
-    nprobe nearest buckets per query. Queries are grouped by probed bucket in
-    a broadcast lookup; each candidate batch scores only against the queries
-    probing its bucket — no join, one candidate scan, probe cost
-    ~nprobe/C of brute force. ``n_centroids``/``centroids`` let a caller
-    (e02_ivf_family) share the count job and centroid collect."""
-    v = _vectors(spark, sf_dir)
-    C = n_centroids if n_centroids is not None else n_centroids_for(v)
-    cpdf = centroids if centroids is not None else _centroids(v, C)
-    assigned = assign_buckets(v, C, centroids=cpdf)
-    qpdf = v.filter(F.col("vec_id") < _N_QUERIES).toPandas()
+def probe_lookup(qpdf: pd.DataFrame, cpdf: pd.DataFrame, nprobe: int) -> dict:
+    """{centroid_id: (query_ids, Q matrix, Q norms)} for the nprobe nearest
+    centroids of each query (driver-side: |Q| x C is small). Rounded + stable
+    sort: probe choice depends only on the 9-dp cosine, ties to the lowest
+    centroid id — exactly the e02 oracle's `ORDER BY cos DESC, cid`."""
     Q, Cm = _np(qpdf["e"]), _np(cpdf["e"])
     cids = cpdf["vec_id"].to_numpy()
-    # nprobe nearest centroids per query (driver-side: |Q| x C is small)
     S = (Q @ Cm.T) / (
         np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(Cm, axis=1)[None, :]
     )
-    nprobe = min(_N_PROBE, len(cids))
-    # rounded + stable sort: probe choice depends only on the 9-dp value,
-    # ties to the lowest centroid id — exactly the oracle's
-    # `ORDER BY cos DESC, cid` ranking
+    nprobe = min(nprobe, len(cids))
     probes = cids[np.argsort(-np.round(S, 9), axis=1, kind="stable")[:, :nprobe]]
     lookup: dict = {}
     for qi in range(len(qpdf)):
         qid = int(qpdf["vec_id"].iloc[qi])
-        qe = Q[qi]
         for cid in probes[qi]:
-            lookup.setdefault(int(cid), []).append((qid, qe))
-    lookup = {
+            lookup.setdefault(int(cid), []).append((qid, Q[qi]))
+    return {
         cid: (
             np.array([q for q, _ in qs], dtype=np.int64),
             np.stack([e for _, e in qs]),
@@ -263,8 +246,17 @@ def e02_ivf_ann(
         )
         for cid, qs in lookup.items()
     }
+
+
+def probe_assigned(
+    assigned: DataFrame, lookup: dict, k: int = _TOP_K
+) -> DataFrame:
+    """Score a bucket-assigned candidate frame against the probe lookup:
+    each Arrow batch groups by bucket and matmuls only against the queries
+    probing that bucket, pruned to the per-batch local top-k (exact — see
+    _local_topk). No join; candidates stream through once."""
     probe_buckets = sorted(lookup)
-    bc = spark.sparkContext.broadcast(lookup)
+    bc = assigned.sparkSession.sparkContext.broadcast(lookup)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lk = bc.value
@@ -286,12 +278,32 @@ def e02_ivf_ann(
                     }
                 )
                 out = out[out["query_id"] != out["neighbor_id"]]
-                yield _local_topk(out, _TOP_K)
+                yield _local_topk(out, k)
 
     sims = assigned.filter(
         F.col("centroid_id").isin(probe_buckets)  # partition-prunable scan cut
     ).mapInPandas(run, "query_id bigint, neighbor_id bigint, cos_sim double")
-    return _topk(sims, _TOP_K)
+    return _topk(sims, k)
+
+
+def e02_ivf_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: Optional[int] = None,
+    centroids: Optional[pd.DataFrame] = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: nearest-centroid bucketing, probe the
+    nprobe nearest buckets per query. Queries are grouped by probed bucket in
+    a broadcast lookup; each candidate batch scores only against the queries
+    probing its bucket — no join, one candidate scan, probe cost
+    ~nprobe/C of brute force. ``n_centroids``/``centroids`` let a caller
+    (e02_ivf_family) share the count job and centroid collect."""
+    v = _vectors(spark, sf_dir)
+    C = n_centroids if n_centroids is not None else n_centroids_for(v)
+    cpdf = centroids if centroids is not None else _centroids(v, C)
+    assigned = assign_buckets(v, C, centroids=cpdf)
+    qpdf = v.filter(F.col("vec_id") < _N_QUERIES).toPandas()
+    return probe_assigned(assigned, probe_lookup(qpdf, cpdf, _N_PROBE), _TOP_K)
 
 
 def neardup_pairs(

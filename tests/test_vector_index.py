@@ -1,0 +1,116 @@
+"""Persistent IVF vector index: build/probe parity with the per-run e02
+path, file pruning on probe, and O(new) incremental extension."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ducktales_spark.lake import LakeCatalog
+from ducktales_spark.queries.similarity import (
+    as_double,
+    assign_buckets,
+    n_centroids_for,
+    probe_assigned,
+    probe_lookup,
+)
+from ducktales_spark.vector_index import (
+    build_vector_index,
+    extend_vector_index,
+    probe_vector_index,
+)
+
+
+@pytest.fixture()
+def vectors(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", as_double(F.col("embedding")).alias("e"))
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rnk) for r in df.collect()
+    )
+
+
+def test_index_probe_matches_per_run_ivf(spark, tmp_path, vectors):
+    """Probing the persisted index returns exactly the per-run e02 IVF
+    answer (same centroids, same probes, same ranking)."""
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    C = build_vector_index(lake, "emb_idx", vectors)
+    assert C == n_centroids_for(vectors)
+
+    queries = vectors.filter(F.col("vec_id") < 5).toPandas()
+    got = probe_vector_index(lake, "emb_idx", queries, k=10, nprobe=4)
+
+    cpdf = vectors.filter(F.col("vec_id") < C).orderBy("vec_id").toPandas()
+    expected = probe_assigned(
+        assign_buckets(vectors, C, centroids=cpdf),
+        probe_lookup(queries, cpdf, 4),
+        10,
+    )
+    assert _rows(got) == _rows(expected)
+
+
+def test_probe_prunes_index_files(spark, tmp_path, vectors):
+    """The centroid_id IN (...) probe must hit a file-pruned scan: the
+    clustered index write yields narrow per-file centroid ranges, so the
+    probed read touches strictly fewer files than the full index."""
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    # at test SF the write is tiny and AQE coalesces the range partitions
+    # into one file (right for 200 rows, wrong for the assertion): pin the
+    # partitioning so the build produces the many-files layout a real
+    # corpus gets
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        build_vector_index(lake, "emb_idx", vectors)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    all_files = set(lake.read("emb_idx").inputFiles())
+    assert len(all_files) > 1, "clustered write should produce multiple files"
+    queries = vectors.filter(F.col("vec_id") < 2).toPandas()
+    cpdf = lake.read("emb_idx__centroids").orderBy("vec_id").toPandas()
+    buckets = sorted(probe_lookup(queries, cpdf, 2))
+    pruned = set(
+        lake.read(
+            "emb_idx",
+            where="centroid_id IN (%s)" % ", ".join(map(str, buckets)),
+        ).inputFiles()
+    )
+    assert pruned and pruned < all_files
+
+
+def test_extend_index_incremental(spark, tmp_path, vectors):
+    """extend assigns only the new vectors under the frozen centroids; a
+    probe over the extended index equals a probe over an index built from
+    the union with the SAME centroid set (sqrt-N growth aside)."""
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    old = vectors.filter(F.col("vec_id") % 5 != 0)
+    new = vectors.filter(F.col("vec_id") % 5 == 0)
+    C = build_vector_index(lake, "emb_idx", old)
+    v_before = lake.current_version()
+    extend_vector_index(lake, "emb_idx", new)
+    assert lake.current_version() == v_before + 1  # one append snapshot
+
+    queries = pd.concat(
+        [old.filter(F.col("vec_id") < 20).limit(3).toPandas()]
+    )
+    got = probe_vector_index(lake, "emb_idx", queries, k=5, nprobe=3)
+    cpdf = lake.read("emb_idx__centroids").orderBy("vec_id").toPandas()
+    expected = probe_assigned(
+        assign_buckets(vectors, C, centroids=cpdf),
+        probe_lookup(queries, cpdf, 3),
+        5,
+    )
+    assert _rows(got) == _rows(expected)
+
+    # time travel: the pre-extend index still answers from the old corpus
+    got_old = probe_vector_index(
+        lake, "emb_idx", queries, k=5, nprobe=3, version=v_before
+    )
+    ids_old = {r.neighbor_id for r in got_old.collect()}
+    assert all(i % 5 != 0 for i in ids_old)
