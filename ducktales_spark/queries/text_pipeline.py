@@ -26,6 +26,74 @@ _PII_PATTERNS = (
 )
 
 
+# Character-trigram profiles: the ~20 most frequent trigrams of each
+# language (space-padded, from public frequency tables). Tiny on purpose —
+# the operator's job is the SPARK SHAPE of n-gram language ID (per-language
+# alternation counts, one codegen projection); swapping in fuller profiles
+# (or more languages) changes only this dict.
+_LANG_PROFILES = {
+    "de": ["en ", "er ", " de", "der", "ie ", " di", "die", "ein", "ich",
+           "nd ", " un", "und", "ch ", "sch", "ung", " ei", "ne ", "che",
+           "ten", " ge"],
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ion",
+           " to", "to ", "ing", "ng ", " in", "in ", "er ", "at ", "tio",
+           "ent", " is"],
+    "es": [" de", "de ", "os ", " la", "la ", " el", "el ", "as ", "ión",
+           " en", "en ", "ent", " qu", "que", "ue ", "ado", " co", "est",
+           "cio", "ar "],
+    "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion",
+           "nt ", "que", " qu", "ue ", " et", "et ", " pa", "tio", "les",
+           "on ", " co"],
+}
+
+
+def language_scores(text: Column) -> Column:
+    """Per-language trigram-hit densities as a map<lang, double>.
+
+    Score = non-overlapping occurrences of the language's profile trigrams
+    (one regex alternation per language over the lower-cased, space-padded
+    text) divided by text length. All regexp_extract_all + size — a codegen
+    projection, no UDF, no shuffle."""
+    import re as _re
+
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    entries = []
+    for lang, tris in sorted(_LANG_PROFILES.items()):
+        pat = "|".join(_re.escape(t) for t in tris)
+        hits = F.size(F.regexp_extract_all(padded, F.lit(pat), 0))
+        entries += [
+            F.lit(lang),
+            (hits.cast("double") / F.greatest(F.length(text), F.lit(1))),
+        ]
+    return F.create_map(*entries)
+
+
+def language_id(text: Column, min_score: float = 0.01) -> Column:
+    """Best-scoring language code, or 'und' (undetermined) when even the
+    best density is under ``min_score`` (e.g. word-soup, code, non-Latin
+    scripts none of the profiles cover). Ties break to the
+    lexicographically-last language (array_max over (score, lang) structs
+    — exact ties are vanishingly rare on real text)."""
+    import re as _re
+
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    structs = []
+    for lang, tris in sorted(_LANG_PROFILES.items()):
+        pat = "|".join(_re.escape(t) for t in tris)
+        hits = F.size(F.regexp_extract_all(padded, F.lit(pat), 0))
+        structs.append(
+            F.struct(
+                (hits.cast("double") / F.greatest(F.length(text), F.lit(1)))
+                .alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    return F.when(best["score"] >= min_score, best["lang"]).otherwise(
+        F.lit("und")
+    )
+
+
 def redact_pii(text: Column) -> Column:
     """Replace email / card / SSN / IP / phone shapes with [TYPE] tags.
 

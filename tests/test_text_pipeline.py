@@ -93,3 +93,61 @@ def test_chunk_documents_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+_SAMPLES = [
+    ("en", "The quick brown fox jumps over the lazy dog and runs into the "
+           "forest to find something interesting in the morning light."),
+    ("en", "This is an example of a reasonably long English sentence that "
+           "should be easy for the classifier to identify correctly."),
+    ("fr", "Le chat noir dort sur le canapé pendant que la pluie tombe "
+           "doucement sur les toits de la ville et que les gens passent."),
+    ("fr", "Il faut que nous allions au marché pour acheter des légumes "
+           "et du pain avant que les magasins ne ferment ce soir."),
+    ("de", "Der schnelle braune Fuchs springt über den faulen Hund und "
+           "die Kinder spielen im Garten während die Sonne scheint."),
+    ("de", "Ich möchte ein schönes Geschenk für meine Schwester kaufen "
+           "und wir gehen zusammen in die Stadt um etwas zu finden."),
+    ("es", "El perro corre por el parque mientras los niños juegan en la "
+           "plaza y las familias disfrutan de la tarde soleada de verano."),
+    ("es", "Es necesario que vayamos al mercado para comprar las verduras "
+           "que necesitamos para preparar la cena de esta noche."),
+]
+
+
+def test_language_id_real_text(spark):
+    from ducktales_spark.queries.text_pipeline import language_id
+
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(_SAMPLES)],
+        "id bigint, expected string, text string",
+    )
+    got = df.select(
+        "id", "expected", language_id(F.col("text")).alias("lang")
+    ).collect()
+    wrong = [(r.expected, r.lang) for r in got if r.expected != r.lang]
+    assert not wrong, wrong
+
+
+def test_language_id_undetermined(spark):
+    from ducktales_spark.queries.text_pipeline import language_id
+
+    df = spark.createDataFrame(
+        [(1, "xyzzy qwrk 12345 ####"), (2, "")],
+        "id bigint, text string",
+    )
+    got = {r.id: r.lang for r in df.select(
+        "id", language_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "und", 2: "und"}
+
+
+def test_language_scores_shape_and_plan(spark):
+    from ducktales_spark.queries.text_pipeline import language_scores
+
+    df = spark.createDataFrame([(1, _SAMPLES[0][1])], "id bigint, text string")
+    out = df.select(language_scores(F.col("text")).alias("m"))
+    m = out.first().m
+    assert set(m) == {"de", "en", "es", "fr"}
+    assert m["en"] == max(m.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
