@@ -51,18 +51,75 @@ def _centroid_table(name: str) -> str:
     return f"{name}__centroids"
 
 
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: pd.DataFrame,
+    iterations: int = 5,
+) -> pd.DataFrame:
+    """Spherical-k-means refinement of an IVF centroid set (Lloyd's
+    iterations under the cosine assignment the index probes with).
+
+    Each iteration is ONE distributed pass: assign every vector to its
+    nearest current centroid (broadcast centroids, Arrow-batched matmul —
+    the same kernel the probe path uses), then average the members of each
+    bucket. The mean is computed relationally — posexplode the vector,
+    groupBy (centroid, position), avg — so no vector set is ever collected;
+    only the C x dim mean matrix comes back to the driver. Buckets that go
+    empty keep their previous centroid (standard Lloyd's fallback).
+
+    Centroid ids stay 0..C-1-stable across iterations, so a refined set
+    drops into build_vector_index unchanged."""
+    spark = vectors.sparkSession
+    cpdf = centroids.reset_index(drop=True)
+    dim = len(cpdf["e"].iloc[0])
+    for _ in range(iterations):
+        assigned = assign_buckets(vectors, len(cpdf), centroids=cpdf)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("e").alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id", F.col("pm.m").alias("e")
+            )
+            .toPandas()
+        )
+        new = cpdf.copy()
+        by_cid = {int(r.centroid_id): list(r.e) for r in means.itertuples()}
+        # map stored centroid ids (arbitrary vec_ids) to refreshed means
+        new["e"] = [
+            by_cid.get(int(v), e) for v, e in zip(new["vec_id"], new["e"])
+        ]
+        assert all(len(e) == dim for e in new["e"])
+        cpdf = new
+    return cpdf
+
+
 def build_vector_index(
     lake: LakeCatalog,
     name: str,
     vectors: DataFrame,
     n_centroids: Optional[int] = None,
+    refine_iterations: int = 0,
 ) -> int:
     """Materialize the IVF index for ``vectors`` (vec_id, e) as lake tables
-    ``name`` + ``name__centroids``. Returns the centroid count."""
+    ``name`` + ``name__centroids``. Returns the centroid count.
+    ``refine_iterations`` > 0 runs that many spherical-k-means passes
+    (kmeans_refine) over the seed centroids before assignment — better
+    bucket balance and probe recall for the same probe cost."""
     C = n_centroids if n_centroids is not None else n_centroids_for(vectors)
     cpdf = (
         vectors.filter(F.col("vec_id") < C).orderBy("vec_id").toPandas()
     )
+    if refine_iterations:
+        cpdf = kmeans_refine(vectors, cpdf, refine_iterations)
     assigned = assign_buckets(vectors, C, centroids=cpdf)
     spark = vectors.sparkSession
     with lake.transaction() as tx:

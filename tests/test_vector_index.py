@@ -114,3 +114,48 @@ def test_extend_index_incremental(spark, tmp_path, vectors):
     )
     ids_old = {r.neighbor_id for r in got_old.collect()}
     assert all(i % 5 != 0 for i in ids_old)
+
+
+def _mean_best_cos(vpdf, cpdf):
+    import numpy as np
+
+    E = np.array(vpdf["e"].tolist(), dtype=np.float64)
+    C = np.array(cpdf["e"].tolist(), dtype=np.float64)
+    S = (E @ C.T) / (
+        np.linalg.norm(E, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    return float(np.max(np.round(S, 9), axis=1).mean())
+
+
+def test_kmeans_refine_improves_quantization(spark, vectors):
+    """Lloyd iterations under the probe's own cosine assignment must not
+    worsen — and on arbitrary seeds should improve — the mean best-centroid
+    cosine (the quantization quality that probe recall depends on)."""
+    from ducktales_spark.vector_index import kmeans_refine
+    from ducktales_spark.queries.similarity import n_centroids_for
+
+    C = n_centroids_for(vectors)
+    seed = vectors.filter(F.col("vec_id") < C).orderBy("vec_id").toPandas()
+    refined = kmeans_refine(vectors, seed, iterations=3)
+    assert len(refined) == C
+    assert list(refined["vec_id"]) == list(seed["vec_id"])  # stable ids
+    vpdf = vectors.toPandas()
+    q_seed = _mean_best_cos(vpdf, seed)
+    q_ref = _mean_best_cos(vpdf, refined)
+    assert q_ref >= q_seed - 1e-9, (q_seed, q_ref)
+    assert q_ref > q_seed, "refinement should move arbitrary seed centroids"
+
+
+def test_build_index_with_refinement_probes(spark, tmp_path, vectors):
+    from ducktales_spark.vector_index import (
+        build_vector_index,
+        probe_vector_index,
+    )
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    build_vector_index(lake, "emb_idx", vectors, refine_iterations=2)
+    queries = vectors.filter(F.col("vec_id") < 3).toPandas()
+    got = probe_vector_index(lake, "emb_idx", queries, k=5, nprobe=4)
+    rows = got.collect()
+    assert len(rows) == 15
+    assert all(r.rnk <= 5 for r in rows)
