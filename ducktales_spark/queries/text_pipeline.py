@@ -9,6 +9,79 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Gopher-style quality rules (Rae et al. 2021, table A1 family): name ->
+# (predicate builder over the doc text, as a FAILURE condition). Word/char
+# heuristics only — everything a JVM expression can see.
+def _quality_rules(min_words: int, max_words: int):
+    def rules(text: Column) -> list:
+        ws = F.split(F.trim(text), r"\s+")
+        n_words = F.size(ws)
+        n_chars = F.length(text)
+        mean_wl = n_chars.cast("double") / F.greatest(n_words, F.lit(1))
+        alpha = (
+            F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        )
+        stop = F.size(
+            F.regexp_extract_all(F.lower(text), F.lit(_EN_STOPWORDS), 0)
+        )
+        hash_ratio = (
+            F.size(F.regexp_extract_all(text, F.lit(r"[#\.]{3,}|#"), 0))
+            .cast("double") / F.greatest(n_words, F.lit(1))
+        )
+        distinct_ratio = (
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.greatest(n_words, F.lit(1))
+        )
+        return [
+            ("too_few_words", n_words < min_words),
+            ("too_many_words", n_words > max_words),
+            ("mean_word_length", (mean_wl < 3) | (mean_wl > 10)),
+            ("symbol_ratio", hash_ratio > 0.1),
+            ("alpha_ratio", alpha < 0.6),
+            ("no_stopword", stop < 2),
+            ("repetition", distinct_ratio < 0.3),
+        ]
+
+    return rules
+
+
+_EN_STOPWORDS = r"\b(the|and|of|to|in|is|a|for|on|with|that|be|are)\b"
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style composite quality gate: (doc_id, keep, reasons).
+
+    ``reasons`` lists every failed rule (empty array when keep) — a filter
+    that only says "dropped" is undebuggable at corpus scale; per-reason
+    counts are how a pipeline audits what a rule change did. One codegen
+    projection over the scan, no shuffle, no Python; the rule set is the
+    word/char family (counts, mean word length, symbol + alphabetic
+    ratios, stopword presence, distinct-word repetition)."""
+    rules = _quality_rules(min_words, max_words)(F.col(text_col))
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        reasons.alias("reasons"),
+    ).select(
+        "doc_id", (F.size("reasons") == 0).alias("keep"), "reasons"
+    )
+
+
 # Redaction patterns, most-specific first so a card number is not half-eaten
 # by the phone pattern. Java regex (Spark executes these JVM-side).
 _PII_PATTERNS = (

@@ -151,3 +151,30 @@ def test_language_scores_shape_and_plan(spark):
     assert m["en"] == max(m.values())
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_quality_filter_rules(spark):
+    from ducktales_spark.queries.text_pipeline import quality_filter
+
+    good = ("The house on the hill is quiet and the garden behind it is "
+            "full of flowers that bloom in spring when warm weather "
+            "returns and days grow long. Children walk past every morning "
+            "carrying bright bags while neighbors water small plants near "
+            "wooden fences, discussing plans for summer trips to distant "
+            "mountain villages where rivers run cold and clear.")
+    rows = [
+        (1, good),                                  # keep
+        (2, "too short to pass the gate"),          # too_few_words (+no_stop?)
+        (3, "#### #### " + " ".join(["###"] * 60)), # symbols, no stopwords
+        (4, ("spam " * 80).strip()),                # repetition, no_stopword
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in quality_filter(df, min_words=50).collect()}
+    assert out[1].keep and out[1].reasons == []
+    assert not out[2].keep and "too_few_words" in out[2].reasons
+    assert not out[3].keep and "symbol_ratio" in out[3].reasons
+    assert not out[4].keep and "repetition" in out[4].reasons
+
+    # single codegen projection: no Python, no exchange
+    plan = (quality_filter(df)._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "Exchange" not in plan
