@@ -1,0 +1,76 @@
+"""End-to-end training-corpus preparation: the pipeline the individual
+operators exist for, composed in the canonical order.
+
+    quality gate -> PII redaction -> exact + near dedup -> chunking
+
+Order matters and is deliberate:
+
+* quality FIRST — it is the cheapest stage (one codegen projection) and
+  typically drops the most bytes, so everything downstream (hashing,
+  sketching, the dedup shuffles) runs on the smallest corpus.
+* redaction BEFORE dedup — two documents differing only in their PII
+  (mirrored spam with rotated phone numbers) become exact duplicates
+  after tagging, which is what a dedup pass should treat them as.
+* chunking LAST — chunk boundaries must never split or duplicate work the
+  dedup already paid for, and chunk text must already be redacted.
+
+Every stage is the library operator (quality_filter / redact_pii /
+dedup_batch / chunk_documents) — this module only composes, so the scale
+posture of each stage is unchanged: projections for quality/redaction/
+chunking, the banded-LSH shuffles for dedup. For a STREAMING corpus the
+same composition runs per micro-batch via
+``streaming.start_lake_dedup_ingest`` with the quality/redaction stages
+applied to the stream before the sink.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ducktales_spark.queries.text_pipeline import (
+    chunk_documents,
+    quality_filter,
+    redact_pii,
+)
+from ducktales_spark.streaming.dedup import dedup_batch
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    minhash_threshold: Optional[float] = 0.7,
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> dict:
+    """Run the full preparation pipeline over a bounded corpus.
+
+    Returns lazily-built DataFrames (nothing executes until the caller
+    acts): ``quality`` (doc_id, keep, reasons — the audit table),
+    ``documents`` (surviving docs, PII-redacted), ``chunks`` (doc_id,
+    chunk_id, n_chunk_tokens, chunk). ``minhash_threshold=None`` skips
+    near-dedup (exact only)."""
+    q = quality_filter(
+        docs, id_col=id_col, text_col=text_col, min_words=min_words
+    )
+    kept = docs.join(
+        q.filter("keep").select(F.col("doc_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    redacted = kept.withColumn(text_col, redact_pii(F.col(text_col)))
+    survivors, _, _ = dedup_batch(
+        redacted, id_col, text_col, minhash_threshold
+    )
+    chunks = chunk_documents(
+        survivors,
+        id_col=id_col,
+        text_col=text_col,
+        max_tokens=max_tokens,
+        overlap=overlap,
+    )
+    return {"quality": q, "documents": survivors, "chunks": chunks}

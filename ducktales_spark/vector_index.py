@@ -37,7 +37,6 @@ from pyspark.sql import functions as F
 
 from ducktales_spark.lake import LakeCatalog
 from ducktales_spark.queries.similarity import (
-    _np,
     _TOP_K,
     _N_PROBE,
     assign_buckets,
