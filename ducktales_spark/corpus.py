@@ -1,0 +1,210 @@
+"""Corpus-assembly operators: the stage AFTER preparation (pipelines.py)
+and BEFORE the training job reads shards.
+
+    decontaminate -> mix_corpus -> write_training_shards
+
+* ``decontaminate`` — benchmark n-gram overlap removal (the GPT-3/PaLM
+  13-gram protocol): any document sharing a word 13-gram with an eval
+  benchmark is flagged so eval scores aren't inflated by memorized test
+  data.
+* ``mix_corpus`` — weighted domain mixing: each corpus domain is up- or
+  down-sampled by a real-valued weight (epochs), the standard way a
+  pretraining mixture ("web x0.6, code x2.5, books x1.0") is realized.
+* ``write_training_shards`` — deterministic global shuffle into N
+  self-contained shard files a data loader can stream independently.
+
+Everything is deterministic (md5-derived hashing, no RNG state) so a
+re-run of the same corpus produces byte-identical output — reproducible
+training data is a correctness property, not a nicety.
+
+Scale posture (100 TB corpus, 1000 executors):
+
+* decontaminate: the benchmark side is definitionally SMALL (eval suites
+  are thousands of documents -> at most a few million distinct 13-grams
+  ~= tens of MB of int64 hashes) -> broadcast. The corpus side streams
+  through one doc_id exchange (shared with shingling, dedup-style); the
+  per-doc hit count aggregation rides that same exchange
+  (HashPartitioning(doc_id) satisfies the groupBy's clustering), so the
+  whole operator costs ONE corpus shuffle regardless of benchmark count.
+* mix_corpus: pure codegen projection + explode — zero shuffle. The
+  weights table is a broadcast literal.
+* write_training_shards: exactly one full shuffle (the point of a global
+  shuffle); shard files are written by the task that owns the shard, so
+  output is one file per shard with deterministic internal order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ducktales_spark.queries.dedup import shingle_table
+
+# Same md5-derived 60-bit hash the dedup sketches use: both Spark and
+# DuckDB compute it identically (DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT),
+# so every operator here is expressible as differential-test SQL.
+_H64 = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def _h64(col_expr: str):
+    return F.expr(_H64.format(expr=col_expr))
+
+
+def benchmark_ngrams(
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Distinct hashed word n-grams of an eval benchmark: one column ``h``.
+
+    Hashes are 60-bit md5-derived ints (8 bytes each in the broadcast); the
+    distinct() collapses cross-document repeats before the broadcast so the
+    driver ships each n-gram once.
+    """
+    return (
+        shingle_table(bench, id_col=id_col, text_col=text_col, n=n, distinct=False)
+        .select(_h64("s").alias("h"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> dict:
+    """Flag corpus documents that share word ``n``-grams with a benchmark.
+
+    The GPT-3 appendix-C protocol: a document is contaminated when it
+    contains >= ``min_hits`` distinct 13-grams that also appear in the eval
+    set. Returns lazily-built DataFrames:
+
+    * ``hits``  — (doc_id, n_hits) for contaminated documents only;
+    * ``flags`` — every input doc + ``n_hits`` (0 when clean) +
+      ``contaminated`` boolean (the audit table);
+    * ``clean`` — the input rows with contaminated documents removed.
+
+    Plan shape: corpus shingles ride shingle_table's single doc_id
+    exchange; the benchmark side is broadcast (eval suites are small by
+    definition — for a benchmark too large to broadcast, drop the hint and
+    Catalyst falls back to a shuffled hash join on ``h``); the hit count
+    groupBy(doc_id) reuses the same exchange. Documents shorter than ``n``
+    words have no n-grams and are never contaminated.
+    """
+    corpus = shingle_table(
+        docs, id_col=id_col, text_col=text_col, n=n, distinct=True
+    ).select("doc_id", _h64("s").alias("h"))
+    hits = (
+        corpus.join(F.broadcast(benchmark_ngrams(bench, id_col, text_col, n)), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    flags = (
+        docs.join(hits, docs[id_col] == hits.doc_id, "left")
+        .drop(hits.doc_id)
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") >= min_hits)
+    )
+    clean = flags.filter(~F.col("contaminated")).drop("n_hits", "contaminated")
+    return {"hits": hits, "flags": flags, "clean": clean}
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: Mapping[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Realize a training mixture: sample each domain at a real-valued rate.
+
+    ``weights`` maps domain value -> epochs: 2.0 duplicates every doc of
+    the domain twice (tagged ``epoch`` 0 and 1), 0.3 keeps a deterministic
+    30% sample, 2.5 keeps 2 full copies plus a 50% third epoch. Domains
+    absent from ``weights`` (and weight 0) are dropped — a mixture spec is
+    exhaustive by design, so silence means exclude.
+
+    The keep decision for (doc, epoch) is ``u < frac`` where u is an
+    md5-derived uniform in [0,1) of (doc_id, epoch, seed) — deterministic,
+    reproducible, independent across epochs, and identical SQL in any
+    engine. Zero shuffle: the weights join is a broadcast literal and the
+    epoch explode + filter are codegen projections.
+    """
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture weights must be >= 0")
+    spark = docs.sparkSession
+    rows = [(str(d), float(w)) for d, w in weights.items() if w > 0]
+    if not rows:
+        return docs.withColumn("epoch", F.lit(0)).limit(0)
+    wdf = spark.createDataFrame(rows, f"{domain_col} string, __w double")
+    n_max = max(int(math.ceil(w)) for _, w in rows)
+    u = (
+        F.pmod(
+            _h64(
+                f"concat(cast({id_col} as string), ':', cast(__epoch as string), "
+                f"':', '{seed}')"
+            ),
+            F.lit(1_000_000_000),
+        ).cast("double")
+        / F.lit(1_000_000_000.0)
+    )
+    return (
+        docs.join(F.broadcast(wdf), domain_col)
+        .withColumn(
+            "__epoch", F.explode(F.sequence(F.lit(0), F.lit(n_max - 1)))
+        )
+        # epoch indices below floor(w) are full copies; the one fractional
+        # epoch (index floor(w)) keeps a (w - floor(w)) hash sample
+        .filter(
+            (F.col("__epoch") < F.floor("__w"))
+            | ((F.col("__epoch") < F.col("__w")) & (u < F.col("__w") - F.floor("__w")))
+        )
+        .drop("__w")
+        .withColumnRenamed("__epoch", "epoch")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """Deterministic global shuffle into ``n_shards`` parquet shards.
+
+    Training loaders want N self-contained files they can stream in
+    parallel, with document order decorrelated from ingest order and
+    byte-identical across re-runs. Shard assignment and within-shard order
+    are both md5-derived from (id, seed): repartition on the shard id puts
+    each shard wholly inside one task, ``partitionBy`` writes it as the
+    single file of its ``shard=K`` directory, and the within-partition
+    sort fixes the row order. Changing ``seed`` reshuffles both placement
+    and order.
+
+    One full shuffle — the theoretical minimum for a global shuffle. At
+    scale pick ``n_shards`` >= cluster cores so the write saturates the
+    cluster and each shard stays O(corpus/n_shards).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    keyed = df.withColumn(
+        "__h", _h64(f"concat(cast({id_col} as string), '#', '{seed}')")
+    ).withColumn("shard", F.pmod("__h", F.lit(n_shards)).cast("int"))
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__h", id_col)
+        .drop("__h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return path

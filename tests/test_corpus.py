@@ -1,0 +1,237 @@
+"""Corpus-assembly operators (ducktales_spark.corpus): benchmark
+decontamination, weighted domain mixing, deterministic shard writing.
+
+Differential tests mirror the driver's oracle protocol: the same
+md5-derived arithmetic expressed in DuckDB SQL over the same parquet,
+compared with tests.oracle.compare.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ducktales_spark.corpus import (
+    decontaminate,
+    mix_corpus,
+    write_training_shards,
+)
+from tests.oracle import duckdb_conn, compare
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- decontaminate ---------------------------------------------------------
+
+
+def test_decontaminate_planted(spark):
+    """A doc sharing a 13-gram with the benchmark is flagged; short docs and
+    non-overlapping docs are clean."""
+    words = " ".join(f"w{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro {words} outro"),  # contains the benchmark 13-gram
+            (2, "too short to have any thirteen gram at all"),  # < 13 words
+            (3, " ".join(f"z{i}" for i in range(30))),  # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"prefix {words} suffix")], "doc_id long, text string"
+    )
+    out = decontaminate(corpus, bench)
+    flags = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"])
+        for r in out["flags"].collect()
+    }
+    assert flags[1][0] and flags[1][1] >= 1
+    assert flags[2] == (False, 0)
+    assert flags[3] == (False, 0)
+    assert sorted(r["doc_id"] for r in out["clean"].collect()) == [2, 3]
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    """min_hits raises the bar: one shared 13-gram is not enough at
+    min_hits=2, two distinct shared 13-grams are."""
+    g = [f"w{i}" for i in range(14)]  # 14 words -> two distinct 13-grams
+    corpus = spark.createDataFrame(
+        [(1, " ".join(g)), (2, " ".join(g[:13]) + " unique tail here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, " ".join(g))], "doc_id long, text string")
+    out = decontaminate(corpus, bench, min_hits=2)
+    flags = {r["doc_id"]: r["contaminated"] for r in out["flags"].collect()}
+    assert flags[1] is True  # shares both 13-grams
+    assert flags[2] is False  # shares only one
+
+
+def test_decontaminate_matches_duckdb(spark, sf_dir, docs):
+    """Full cross-engine differential on the driver corpus: benchmark =
+    every 7th document, hit counts must match DuckDB's identical-hash SQL."""
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    hits = decontaminate(docs, bench)["hits"].withColumn(
+        "n_hits", F.col("n_hits").cast("long")
+    )
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(13))
+    con = duckdb_conn(sf_dir)
+    problems = compare(
+        hits,
+        con,
+        rf"""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, ws, unnest(range(1, len(ws) - 11)) AS i
+          FROM d WHERE len(ws) >= 13
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS h
+          FROM pos
+        ),
+        b AS (SELECT DISTINCT h FROM sh WHERE doc_id % 7 = 0)
+        SELECT sh.doc_id, count(*) AS n_hits
+        FROM sh JOIN b USING (h)
+        GROUP BY sh.doc_id
+        """,
+    )
+    assert problems == [], problems
+    # sanity: benchmark docs long enough self-contaminate
+    assert hits.count() > 0
+
+
+# --- mix_corpus ------------------------------------------------------------
+
+_WEIGHTS = {"src0": 2.0, "src1": 0.5, "src2": 2.5, "src3": 0.0}
+
+
+def test_mix_corpus_epoch_semantics(spark, docs):
+    mixed = mix_corpus(docs, _WEIGHTS).select("doc_id", "source", "epoch")
+    per_doc = {
+        (r["doc_id"]): r["cnt"]
+        for r in mixed.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    rows = mixed.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # integer weight: exactly w copies of every doc, epochs 0..w-1
+    assert all(per_doc[r["doc_id"]] == 2 for r in by_src["src0"])
+    assert sorted({r["epoch"] for r in by_src["src0"]}) == [0, 1]
+    # fractional-only weight: 0 or 1 copy, epoch 0, roughly half the docs
+    n_src1_docs = docs.filter(F.col("source") == "src1").count()
+    assert {r["epoch"] for r in by_src["src1"]} == {0}
+    assert 0 < len(by_src["src1"]) < n_src1_docs
+    # mixed weight: every doc 2 or 3 copies, epoch 2 is the sampled one
+    src2_counts = [
+        per_doc[d["doc_id"]]
+        for d in docs.filter(F.col("source") == "src2").collect()
+    ]
+    assert set(src2_counts) <= {2, 3} and 3 in src2_counts
+    # weight 0 and unlisted domains are excluded
+    assert "src3" not in by_src and "src4" not in by_src
+
+
+def test_mix_corpus_deterministic_and_seeded(spark, docs):
+    a = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mix_corpus(docs, _WEIGHTS).select("doc_id", "epoch").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mix_corpus(docs, _WEIGHTS).select("doc_id", "epoch").collect()
+    )
+    assert a == b
+    c = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mix_corpus(docs, _WEIGHTS, seed=7)
+        .select("doc_id", "epoch")
+        .collect()
+    )
+    assert a != c  # different seed reshuffles the fractional epochs
+
+
+def test_mix_corpus_matches_duckdb(spark, sf_dir, docs):
+    mixed = mix_corpus(docs, _WEIGHTS).select("doc_id", "epoch")
+    values = ", ".join(
+        f"('{d}', {w})" for d, w in _WEIGHTS.items() if w > 0
+    )
+    con = duckdb_conn(sf_dir)
+    problems = compare(
+        mixed,
+        con,
+        f"""
+        WITH w(source, wt) AS (VALUES {values}),
+        e AS (
+          SELECT d.doc_id, w.wt, ep.epoch
+          FROM documents d
+          JOIN w USING (source)
+          CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) ep
+        )
+        SELECT doc_id, CAST(epoch AS INT) AS epoch
+        FROM e
+        WHERE epoch < floor(wt)
+           OR (epoch < wt AND
+               (('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR
+                                     || ':' || '42'), 1, 15))::BIGINT
+                % 1000000000) / 1e9 < wt - floor(wt))
+        """,
+    )
+    assert problems == [], problems
+
+
+def test_mix_corpus_rejects_negative_weight(spark, docs):
+    with pytest.raises(ValueError):
+        mix_corpus(docs, {"src0": -1.0})
+
+
+# --- write_training_shards -------------------------------------------------
+
+
+def test_write_training_shards(spark, docs, tmp_path):
+    n = 8
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=n)
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == n
+    # exactly one data file per shard (the task that owns the shard wrote it)
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    # lossless: re-read equals input (shard is a derived column)
+    back = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+
+
+def _shard_orders(path):
+    """doc_id sequences per shard, in physical file order."""
+    orders = {}
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        f = glob.glob(os.path.join(d, "*.parquet"))[0]
+        orders[os.path.basename(d)] = pq.read_table(f, columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+    return orders
+
+
+def test_write_training_shards_deterministic(spark, docs, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, a, n_shards=4)
+    write_training_shards(docs, b, n_shards=4)
+    oa, ob = _shard_orders(a), _shard_orders(b)
+    assert oa == ob  # placement AND row order reproduce exactly
+    c = str(tmp_path / "c")
+    write_training_shards(docs, c, n_shards=4, seed=9)
+    assert _shard_orders(c) != oa  # seed reshuffles
