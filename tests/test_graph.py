@@ -1,0 +1,84 @@
+"""connected_components / dedup_components: cross-checked against a pure-
+Python union-find oracle on random graphs, plus the shapes that break
+greedy pairwise dedup (chains) and naive label propagation (deep paths)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ducktales_spark.graph import connected_components, dedup_components
+
+
+def uf_components(n_nodes, edges):
+    """Union-find oracle: {node: min-id-in-component} over touched nodes."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def spark_components(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_chain_collapses_to_one_component(spark):
+    # A~B, B~C, C~D: greedy drop-higher loses B,C,D; CC keeps one cluster
+    got = spark_components(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components_and_duplicate_reversed_edges(spark):
+    got = spark_components(
+        spark, [(5, 9), (9, 5), (5, 5), (20, 30), (30, 40), (40, 20)]
+    )
+    assert got == {5: 5, 9: 5, 20: 20, 30: 20, 40: 20}
+
+
+def test_deep_path_converges(spark):
+    # 60-node path: needs the O(log^2 n) star rounds, not 60 label hops
+    edges = [(i, i + 1) for i in range(60)]
+    got = spark_components(spark, edges)
+    assert set(got.values()) == {0} and len(got) == 61
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert spark_components(spark, edges) == uf_components(n, edges)
+
+
+def test_dedup_components_survivors(spark):
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 7)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_survivor"])
+        for r in dedup_components(pairs, docs).collect()
+    }
+    # chain 1~3~5 -> one cluster rooted at 1; 6~7 -> rooted at 6;
+    # untouched docs are their own singleton survivors
+    assert out == {
+        0: (0, True), 1: (1, True), 2: (2, True), 3: (1, False),
+        4: (4, True), 5: (1, False), 6: (6, True), 7: (6, False),
+    }
