@@ -17,7 +17,11 @@ Order matters and is deliberate:
 Every stage is the library operator (quality_filter / redact_pii /
 dedup_batch / chunk_documents) — this module only composes, so the scale
 posture of each stage is unchanged: projections for quality/redaction/
-chunking, the banded-LSH shuffles for dedup. For a STREAMING corpus the
+chunking, the banded-LSH shuffles for dedup. dedup_batch's within-batch
+near-dup drop is greedy (higher id of each colliding pair); when cluster
+audit or strict one-survivor-per-transitive-cluster semantics matter, feed
+the pair table through graph.dedup_components (connected components)
+instead. For a STREAMING corpus the
 same composition runs per micro-batch via
 ``streaming.start_lake_dedup_ingest`` with the quality/redaction stages
 applied to the stream before the sink.
