@@ -101,15 +101,18 @@ def decontaminate(
     corpus = shingle_table(
         docs, id_col=id_col, text_col=text_col, n=n, distinct=True
     ).select("doc_id", _h64("s").alias("h"))
-    hits = (
+    # raw per-doc counts, UNthresholded: `flags` must audit 1..min_hits-1
+    # docs as n_hits=k, not 0 — the threshold applies only to the
+    # contaminated/clean split (and to the returned `hits`).
+    counts = (
         corpus.join(F.broadcast(benchmark_ngrams(bench, id_col, text_col, n)), "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
-        .filter(F.col("n_hits") >= min_hits)
     )
+    hits = counts.filter(F.col("n_hits") >= min_hits)
     flags = (
-        docs.join(hits, docs[id_col] == hits.doc_id, "left")
-        .drop(hits.doc_id)
+        docs.join(counts, docs[id_col] == counts.doc_id, "left")
+        .drop(counts.doc_id)
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
         .withColumn("contaminated", F.col("n_hits") >= min_hits)
     )
@@ -140,6 +143,11 @@ def mix_corpus(
     """
     if any(w < 0 for w in weights.values()):
         raise ValueError("mixture weights must be >= 0")
+    clash = {"__w", "__epoch", "epoch"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"mix_corpus working/output columns collide with input: {sorted(clash)}"
+        )
     spark = docs.sparkSession
     rows = [(str(d), float(w)) for d, w in weights.items() if w > 0]
     if not rows:
@@ -167,8 +175,9 @@ def mix_corpus(
             (F.col("__epoch") < F.floor("__w"))
             | ((F.col("__epoch") < F.col("__w")) & (u < F.col("__w") - F.floor("__w")))
         )
-        .drop("__w")
-        .withColumnRenamed("__epoch", "epoch")
+        # the string-keyed join moved domain_col to the front: restore the
+        # input column order (+ epoch last) so both branches agree
+        .select(*docs.columns, F.col("__epoch").alias("epoch"))
     )
 
 

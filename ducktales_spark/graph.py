@@ -80,16 +80,22 @@ def connected_components(
     Returns (node, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id in that node's component — a
     deterministic canonical label. Node ids must be orderable (use int64;
-    hash string ids first). Self-loops are ignored.
+    hash string ids first). Self-loops carry no connectivity: a node whose
+    only edges are self-loops is emitted as its own singleton component.
 
     Converges when a large-star + small-star round leaves the edge set
     unchanged (at that point the edge list IS the star node->component,
     minus each component's root); raises if ``max_rounds`` is exhausted —
     at the paper's O(log^2 n) bound, 50 rounds covers any realistic graph.
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+    )
     cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -108,14 +114,15 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
-    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    labeled = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # roots + self-loop-only nodes: every edge endpoint not appearing as a
+    # star leaf labels itself (the root's label IS its own id; a node with
+    # only self-loops never entered the star rounds at all)
+    singletons = (
+        all_nodes.join(labeled, "node", "left_anti")
+        .withColumn("component", F.col("node"))
     )
-    return (
-        cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
-        .unionByName(roots)
-        .distinct()
-    )
+    return labeled.unionByName(singletons).distinct()
 
 
 def dedup_components(
@@ -131,14 +138,28 @@ def dedup_components(
     traffic for them). Survivor = minimum id per component — determinism
     matches the greedy pipelines, but chains now collapse to ONE cluster
     with one survivor instead of over-dropping every chained doc.
+
+    ``pairs`` may reference ids absent from ``docs`` (e.g. docs already
+    removed upstream): the canonical id is recomputed as the minimum id
+    among PRESENT members of each component, so every cluster with at
+    least one present doc keeps exactly one present survivor. (When pairs
+    is a subset of docs — the normal case — this is identical to the raw
+    component label; the recompute is a groupBy over the matched subset
+    only, O(|pair nodes|), not over the corpus.)
     """
     comp = connected_components(pairs, src=pair_cols[0], dst=pair_cols[1])
-    return (
+    matched = docs.select(id_col).join(
+        comp, F.col(id_col) == comp["node"]
+    ).select(id_col, "component")
+    canon = matched.groupBy("component").agg(
+        F.min(id_col).alias("canonical_id")
+    )
+    matched_out = matched.join(canon, "component").select(id_col, "canonical_id")
+    singles = (
         docs.select(id_col)
-        .join(comp, docs[id_col] == comp["node"], "left")
-        .select(
-            id_col,
-            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
-        )
-        .withColumn("is_survivor", F.col(id_col) == F.col("canonical_id"))
+        .join(comp, F.col(id_col) == comp["node"], "left_anti")
+        .select(id_col, F.col(id_col).alias("canonical_id"))
+    )
+    return matched_out.unionByName(singles).withColumn(
+        "is_survivor", F.col(id_col) == F.col("canonical_id")
     )

@@ -48,7 +48,16 @@ def j01_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    if os.path.getsize(os.path.join(sf_dir, "customer.parquet")) > (8 << 20):
+    try:
+        big_build = os.path.getsize(
+            os.path.join(sf_dir, "customer.parquet")
+        ) > (8 << 20)
+    except OSError:
+        # non-local / directory-backed layout: no driver-side stat available;
+        # leave the build side un-hinted and let Spark's auto-broadcast
+        # threshold (or AQE on a real cluster) pick the strategy
+        big_build = False
+    if big_build:
         c = c.hint("shuffle_hash")
     return (
         o.join(c, o.o_custkey == c.c_custkey)

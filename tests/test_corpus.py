@@ -67,9 +67,15 @@ def test_decontaminate_min_hits_threshold(spark):
     )
     bench = spark.createDataFrame([(9, " ".join(g))], "doc_id long, text string")
     out = decontaminate(corpus, bench, min_hits=2)
-    flags = {r["doc_id"]: r["contaminated"] for r in out["flags"].collect()}
-    assert flags[1] is True  # shares both 13-grams
-    assert flags[2] is False  # shares only one
+    flags = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"])
+        for r in out["flags"].collect()
+    }
+    assert flags[1] == (True, 2)  # shares both 13-grams
+    # below-threshold doc still audits its RAW hit count, not 0
+    assert flags[2] == (False, 1)
+    # the returned hits table itself is thresholded
+    assert {r["doc_id"] for r in out["hits"].collect()} == {1}
 
 
 def test_decontaminate_matches_duckdb(spark, sf_dir, docs):
@@ -194,6 +200,18 @@ def test_mix_corpus_matches_duckdb(spark, sf_dir, docs):
 def test_mix_corpus_rejects_negative_weight(spark, docs):
     with pytest.raises(ValueError):
         mix_corpus(docs, {"src0": -1.0})
+
+
+def test_mix_corpus_rejects_colliding_columns(spark, docs):
+    for col in ("epoch", "__w", "__epoch"):
+        with pytest.raises(ValueError, match="collide"):
+            mix_corpus(docs.withColumn(col, F.lit(1)), _WEIGHTS)
+
+
+def test_mix_corpus_preserves_column_order(spark, docs):
+    assert mix_corpus(docs, _WEIGHTS).columns == docs.columns + ["epoch"]
+    # empty-weights branch agrees on shape
+    assert mix_corpus(docs, {}).columns == docs.columns + ["epoch"]
 
 
 # --- write_training_shards -------------------------------------------------

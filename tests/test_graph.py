@@ -67,6 +67,33 @@ def test_random_graph_matches_union_find(spark, seed):
     assert spark_components(spark, edges) == uf_components(n, edges)
 
 
+def test_self_loop_only_node_is_singleton(spark):
+    # 99's only edge is a self-loop: it must still appear, as its own
+    # singleton component (it carries no connectivity)
+    got = spark_components(spark, [(1, 2), (99, 99)])
+    assert got == {1: 1, 2: 1, 99: 99}
+
+
+def test_all_self_loops(spark):
+    got = spark_components(spark, [(3, 3), (8, 8)])
+    assert got == {3: 3, 8: 8}
+
+
+def test_dedup_components_absent_pair_ids(spark):
+    # pairs reference ids not in docs (0 and 10): the canonical id must be
+    # the min PRESENT member, so no cluster silently loses its survivor
+    docs = spark.createDataFrame([(2,), (3,), (5,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 2), (2, 3), (10, 5)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_survivor"])
+        for r in dedup_components(pairs, docs).collect()
+    }
+    # component {0,2,3} min present member = 2; component {5,10} -> 5
+    assert out == {2: (2, True), 3: (2, False), 5: (5, True)}
+
+
 def test_dedup_components_survivors(spark):
     docs = spark.range(8).select(F.col("id").alias("doc_id"))
     pairs = spark.createDataFrame(
