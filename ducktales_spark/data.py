@@ -60,6 +60,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def stats_num_rows(sf_dir: str, name: str):
+    """Row count from parquet FOOTER metadata — a driver-side stats lookup
+    (milliseconds), not a Spark count job. Returns None when the table isn't
+    a locally-stattable single parquet file (remote storage, directory
+    layout); callers fall back to a count job — the same stats-else-scan
+    policy a CBO applies."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).metadata.num_rows
+    except Exception:
+        return None
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register temp views so operators can be written in Spark SQL."""
     for name in names:

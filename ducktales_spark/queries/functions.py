@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ducktales_spark.data import table
-from ducktales_spark.registry import register
+from ducktales_spark.registry import register, register_extra
 
 
 @register(
@@ -40,7 +40,7 @@ def f01_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "f05_date_arith",
     survey_ids=("F4", "F5"),
     oracle="""

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ducktales_spark.data import table
-from ducktales_spark.registry import register
+from ducktales_spark.registry import register, register_extra
 
 
 @register(
@@ -128,7 +128,7 @@ def j03_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
-@register(
+@register_extra(
     "j05_self_join",
     survey_ids=("J3",),
     oracle="""

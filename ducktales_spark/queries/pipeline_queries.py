@@ -1,0 +1,201 @@
+"""LLM-pipeline operators surfaced through the driver's correctness gate:
+benchmark decontamination, weighted corpus mixing, transitive near-dup
+clustering (distributed connected components), and chunking + PII redaction.
+
+These are the registry faces of the library operators in
+``ducktales_spark.corpus``, ``ducktales_spark.graph`` and
+``queries.text_pipeline`` — each query is a deterministic, SQL-expressible
+composition so the driver's DuckDB oracle verifies the full operator, not a
+simplification. (Round 3 shipped the operators with in-suite differentials
+only; this module promotes them to driver CORRECTNESS rows.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ducktales_spark.corpus import decontaminate, mix_corpus
+from ducktales_spark.data import table
+from ducktales_spark.graph import dedup_components
+from ducktales_spark.queries.text_pipeline import (
+    PII_PATTERNS_RE2_SAFE,
+    chunk_documents,
+    redact_pii,
+)
+from ducktales_spark.registry import register
+
+# 13-gram text as DuckDB SQL: ws[i] .. ws[i+12] joined by single spaces
+# (ws is the whitespace-split word array, i 1-based).
+_GRAM_13 = " || ' ' || ".join(f"ws[i+{j}]" for j in range(13))
+
+
+@register(
+    "c01_decontaminate",
+    survey_ids=(),  # extension: benchmark n-gram decontamination
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 11)) AS i
+      FROM d WHERE len(ws) >= 13
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5({_GRAM_13}), 1, 15))::BIGINT AS h
+      FROM pos
+    ),
+    b AS (SELECT DISTINCT h FROM sh WHERE doc_id % 7 = 0)
+    SELECT sh.doc_id, count(*) AS n_hits
+    FROM sh JOIN b USING (h)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+)
+def c01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-protocol 13-gram benchmark decontamination (corpus.decontaminate):
+    benchmark = every 7th document, output = per-doc distinct shared-13-gram
+    counts. The benchmark n-gram set is broadcast; the corpus side rides ONE
+    doc_id exchange (shingling + hit-count groupBy share it)."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return decontaminate(docs, bench)["hits"].withColumn(
+        "n_hits", F.col("n_hits").cast("long")
+    )
+
+
+_MIX_WEIGHTS = {"src0": 2.0, "src1": 0.5, "src2": 2.5, "src3": 0.0}
+_MIX_VALUES = ", ".join(
+    f"('{d}', {w})" for d, w in _MIX_WEIGHTS.items() if w > 0
+)
+
+
+@register(
+    "c02_mix_corpus",
+    survey_ids=(),  # extension: weighted corpus mixing (epoch sampling)
+    oracle=f"""
+    WITH w(source, wt) AS (VALUES {_MIX_VALUES}),
+    e AS (
+      SELECT d.doc_id, w.wt, ep.epoch
+      FROM documents d
+      JOIN w USING (source)
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) ep
+    )
+    SELECT doc_id, CAST(epoch AS INT) AS epoch
+    FROM e
+    WHERE epoch < floor(wt)
+       OR (epoch < wt AND
+           (('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR
+                                 || ':' || '42'), 1, 15))::BIGINT
+            % 1000000000) / 1e9 < wt - floor(wt))
+    ORDER BY doc_id, epoch
+    """,
+)
+def c02_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mixture realization (corpus.mix_corpus): epochs
+    0..floor(w)-1 are full copies, the fractional epoch keeps a deterministic
+    md5-hash sample. Broadcast weights join + epoch explode — zero shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return mix_corpus(docs, _MIX_WEIGHTS).select("doc_id", "epoch")
+
+
+@register(
+    "g01_dedup_components",
+    survey_ids=(),  # extension: distributed connected components
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang
+                       AND doc_id - lag(doc_id) OVER (ORDER BY doc_id) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM documents
+    ),
+    i AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id) AS island FROM f)
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY island) AS canonical_id,
+           doc_id = min(doc_id) OVER (PARTITION BY island) AS is_survivor
+    FROM i
+    ORDER BY doc_id
+    """,
+)
+def g01_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering (graph.dedup_components — alternating
+    large-star/small-star connected components) over a deterministic
+    CHAIN-heavy similarity graph: an edge joins consecutive doc_ids sharing a
+    language, so components are maximal same-lang runs — exactly the shape
+    greedy pairwise dedup over-drops on. The oracle recomputes the clusters
+    as a gaps-and-islands window (a formulation only possible because the
+    graph is chain-structured; the Spark side runs the general algorithm)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    pairs = (
+        a.join(b, "doc_a")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b")
+    )
+    return dedup_components(pairs, d.select("doc_id"))
+
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+# regexp_replace chain in DuckDB, innermost-first == _PII_PATTERNS order.
+_REDACT_SQL = "text"
+for _tag, _pat in PII_PATTERNS_RE2_SAFE:
+    _REDACT_SQL = (
+        f"regexp_replace({_REDACT_SQL}, '{_pat}', '[{_tag.upper()}]', 'g')"
+    )
+
+
+@register(
+    "t05_chunk_redact",
+    survey_ids=(),  # extension: document chunking + PII redaction
+    oracle=rf"""
+    WITH r AS (
+      SELECT doc_id, {_REDACT_SQL} AS text FROM documents
+    ),
+    t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM r
+    ),
+    n AS (
+      SELECT doc_id, ws,
+             greatest(1, CAST(ceil((len(ws) - {_CHUNK_OVERLAP})
+                                   / {_CHUNK_STEP}.0) AS INT)) AS nc
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, ws, CAST(unnest(range(0, nc)) AS INT) AS chunk_id FROM n
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(ws[chunk_id*{_CHUNK_STEP}+1 :
+                       chunk_id*{_CHUNK_STEP}+{_CHUNK_TOKENS}]) AS INT)
+               AS n_chunk_tokens,
+           array_to_string(ws[chunk_id*{_CHUNK_STEP}+1 :
+                              chunk_id*{_CHUNK_STEP}+{_CHUNK_TOKENS}], ' ')
+               AS chunk
+    FROM e
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def t05_chunk_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction -> overlapping token-budget chunking (the
+    redact-before-chunk order prepare_training_corpus uses), end to end:
+    (doc_id, chunk_id, n_chunk_tokens, chunk). Both stages are pure codegen
+    projections (regexp_replace chain; tokenize-once + explode + array
+    slice) — zero shuffle, zero Python. Redacts with the RE2-safe pattern
+    subset so the DuckDB oracle applies the byte-identical regexes."""
+    docs = table(spark, sf_dir, "documents")
+    redacted = docs.withColumn(
+        "text", redact_pii(F.col("text"), patterns=PII_PATTERNS_RE2_SAFE)
+    )
+    return chunk_documents(
+        redacted, max_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )

@@ -57,10 +57,12 @@ def _np(pdf_col) -> np.ndarray:
     return np.array(pdf_col.tolist(), dtype=np.float64)
 
 
-def n_centroids_for(v: DataFrame) -> int:
-    """IVF nlist heuristic: C = max(floor, sqrt(N)). One cheap single-column
-    count; at scale this would come from table stats instead."""
-    n = v.select("vec_id").count()
+def n_centroids_for(v: DataFrame, n: Optional[int] = None) -> int:
+    """IVF nlist heuristic: C = max(floor, sqrt(N)). Pass ``n`` when the
+    caller has it from table stats (data.stats_num_rows / catalog row
+    counts) — the count job is the fallback, not the default path."""
+    if n is None:
+        n = v.select("vec_id").count()
     return max(_N_CENTROIDS, int(np.sqrt(n)))
 
 
@@ -84,11 +86,14 @@ def cosine_scores(
     query_ids: np.ndarray,
     Q: np.ndarray,
     local_k: Optional[int] = None,
+    drop_self: bool = True,
 ) -> DataFrame:
     """(vec_id, e) x broadcast query matrix -> (query_id, neighbor_id,
-    cos_sim) rows, numpy-matmul per Arrow batch. Self-pairs dropped.
-    ``local_k`` prunes each batch to its per-query top-k before emitting
-    (exact under the _topk window ordering — see _local_topk)."""
+    cos_sim) rows, numpy-matmul per Arrow batch. Self-pairs dropped unless
+    ``drop_self=False`` (centroid RANKING must keep them: a query that is
+    itself a centroid still probes its own bucket). ``local_k`` prunes each
+    batch to its per-query top-k before emitting (exact under the _topk
+    window ordering — see _local_topk)."""
     sc = candidates.sparkSession.sparkContext
     bc = sc.broadcast((query_ids, Q, np.linalg.norm(Q, axis=1)))
 
@@ -110,7 +115,8 @@ def cosine_scores(
                     "cos_sim": np.round(S, 9).ravel(),
                 }
             )
-            out = out[out["query_id"] != out["neighbor_id"]]
+            if drop_self:
+                out = out[out["query_id"] != out["neighbor_id"]]
             yield _local_topk(out, local_k) if local_k else out
 
     return candidates.mapInPandas(
@@ -463,8 +469,10 @@ def e02_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled rows: (kind, id_a, id_b, cos_sim, rnk) — rnk only for ann rows.
     One count job + one centroid collect feed BOTH branches (they were
     previously recomputed per branch: 2 counts + 3 collects per run)."""
+    from ducktales_spark.data import stats_num_rows
+
     v = _vectors(spark, sf_dir)
-    C = n_centroids_for(v)
+    C = n_centroids_for(v, n=stats_num_rows(sf_dir, "embeddings"))
     cpdf = _centroids(v, C)
     ann = e02_ivf_ann(spark, sf_dir, n_centroids=C, centroids=cpdf).select(
         F.lit("ann_topk").alias("kind"),

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ducktales_spark.data import table
-from ducktales_spark.registry import register
+from ducktales_spark.registry import register, register_extra
 
 # Tiny deterministic english stopword list for the n-gram language heuristic.
 _EN_STOP = r"\b(the|and|of|to|in|is|a|for|on|with)\b"
@@ -110,7 +110,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "t04_fingerprint",
     survey_ids=(),  # extension: document fingerprinting
     oracle="""

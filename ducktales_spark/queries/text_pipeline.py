@@ -167,7 +167,15 @@ def language_id(text: Column, min_score: float = 0.01) -> Column:
     )
 
 
-def redact_pii(text: Column) -> Column:
+# The subset of _PII_PATTERNS whose regexes mean the same thing under Java
+# regex (Spark) and RE2 (DuckDB) — everything except phone, whose
+# false-positive guard is a lookbehind RE2 doesn't support. This is what the
+# cross-engine registry query (t05) redacts with; the library default keeps
+# the full set.
+PII_PATTERNS_RE2_SAFE = tuple(p for p in _PII_PATTERNS if p[0] != "phone")
+
+
+def redact_pii(text: Column, patterns=_PII_PATTERNS) -> Column:
     """Replace email / card / SSN / IP / phone shapes with [TYPE] tags.
 
     A chain of regexp_replace expressions — one codegen'd projection, no
@@ -176,7 +184,7 @@ def redact_pii(text: Column) -> Column:
     need a UDF for marginal precision on fake-but-card-shaped numbers).
     """
     out = text
-    for tag, pat in _PII_PATTERNS:
+    for tag, pat in patterns:
         out = F.regexp_replace(out, pat, f"[{tag.upper()}]")
     return out
 

@@ -18,10 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ducktales_spark.data import table
-from ducktales_spark.registry import register
+from ducktales_spark.registry import register, register_extra
 
 
-@register(
+@register_extra(
     "w01_row_number_global",
     survey_ids=("W1", "O2", "O4"),
     oracle="""
@@ -89,7 +89,7 @@ def w02_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "w03_analytic",
     survey_ids=("W1",),  # extension: analytic frame + lag in one window
     oracle="""

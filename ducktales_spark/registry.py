@@ -25,24 +25,39 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Parity-tested but NOT driver-swept: the driver checks exactly 50 registry
+# entries, so when a new operator family needs a CORRECTNESS slot, a query
+# whose SURVEY ids are redundantly covered rotates down here — it keeps its
+# full DuckDB differential in pytest (tests/test_oracle_parity.py) but stops
+# occupying a driver slot.
+EXTRA: dict[str, QuerySpec] = {}
 
-def register(name: str, oracle: Optional[str] = None, survey_ids: tuple = ()):
-    """Decorator: register a query implementation.
 
-    The decorated callable takes ``(spark, sf_dir)`` and returns a DataFrame.
-    Every computed column must be aliased identically in the Spark plan and in
-    ``oracle`` (the driver's value-hash sorts columns by name).
-    """
-
+def _register_into(store: dict, name, oracle, survey_ids):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        if name in REGISTRY:
+        if name in REGISTRY or name in EXTRA:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(
+        store[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, survey_ids=survey_ids, doc=fn.__doc__ or ""
         )
         return fn
 
     return deco
+
+
+def register(name: str, oracle: Optional[str] = None, survey_ids: tuple = ()):
+    """Decorator: register a query implementation for the driver sweep.
+
+    The decorated callable takes ``(spark, sf_dir)`` and returns a DataFrame.
+    Every computed column must be aliased identically in the Spark plan and in
+    ``oracle`` (the driver's value-hash sorts columns by name).
+    """
+    return _register_into(REGISTRY, name, oracle, survey_ids)
+
+
+def register_extra(name: str, oracle: Optional[str] = None, survey_ids: tuple = ()):
+    """Decorator: register a pytest-parity-only query (see EXTRA)."""
+    return _register_into(EXTRA, name, oracle, survey_ids)
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -63,9 +78,17 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         flagship,
         dedup,
+        pipeline_queries,
         similarity,
         lake_demo,
+        vector_queries,
         multimodal,
     )
 
     return REGISTRY
+
+
+def load_extra() -> dict[str, QuerySpec]:
+    """Import all query modules and return the pytest-parity-only registry."""
+    load_all()
+    return EXTRA

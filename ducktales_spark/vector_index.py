@@ -20,17 +20,26 @@ the index is versioned/time-travelable like any lake table.
 Scale: build is one assignment pass over the corpus (broadcast centroids,
 Arrow-batched matmul) + one clustered write. ``extend_vector_index``
 assigns only the new vectors against the frozen centroids and appends —
-O(new), no rebuild. Probe cost: centroid ranking on the driver
-(|C| ~ sqrt(N) rows), a pruned scan of the probed buckets, one local
-top-k + one tiny shuffle. Centroids here are the deterministic first-C
-vectors (same as e02; a k-means refinement would slot into build without
-changing any probe/IO shape).
+O(new), no rebuild. Probe cost: a distributed centroid-ranking pass over
+the centroid TABLE (only |Q| x nprobe id pairs return to the driver — the
+C x dim matrix never does), a pruned scan of the probed buckets, one
+local top-k + one tiny shuffle. Centroids here are the deterministic
+first-C vectors (same as e02; a k-means refinement would slot into build
+without changing any probe/IO shape).
+
+Driver-memory bound: the only paths that materialize the C x dim centroid
+matrix driver-side are BUILD-time (assignment broadcast, k-means means) —
+inherent to broadcasting the matrix to every task, and bounded at
+C ~ sqrt(N) (e.g. 10^6 centroids x 128 dims x 8 B = ~1 GB at 10^12
+vectors; shard the centroid set / two-level IVF beyond that). The PROBE
+path — the high-QPS one — holds only the query matrix.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,10 +48,12 @@ from ducktales_spark.lake import LakeCatalog
 from ducktales_spark.queries.similarity import (
     _TOP_K,
     _N_PROBE,
+    _np,
+    _topk,
     assign_buckets,
+    cosine_scores,
     n_centroids_for,
     probe_assigned,
-    probe_lookup,
 )
 
 
@@ -163,12 +174,35 @@ def probe_vector_index(
     driver-small). Reads ONLY the probed buckets: the ``centroid_id IN``
     predicate prunes index files via catalog stats before any Spark task
     runs."""
-    cpdf = (
-        lake.read(_centroid_table(name), version=version)
-        .orderBy("vec_id")
-        .toPandas()
+    cent = lake.read(_centroid_table(name), version=version)
+    qids = queries["vec_id"].to_numpy()
+    Q = _np(queries["e"])
+    # Rank centroids per query DISTRIBUTIVELY: the tiny query matrix is
+    # broadcast, every centroid partition scores + local-top-nprobe's in the
+    # Arrow kernel, and only |Q| x nprobe (query_id, centroid_id) PAIRS come
+    # back to the driver — never the C x dim centroid matrix (C ~ sqrt(N):
+    # a multi-GB driver object at 10^12-vector scale). Same 9-dp-rounded
+    # ordering as probe_lookup (cos desc, centroid id asc on ties), with
+    # self-pairs kept: a query that is a centroid probes its own bucket.
+    ranked = _topk(
+        cosine_scores(
+            cent.select("vec_id", "e"), qids, Q, local_k=nprobe, drop_self=False
+        ),
+        nprobe,  # yields <= C rows per query by construction when C < nprobe
     )
-    lookup = probe_lookup(queries, cpdf, nprobe)
+    pairs = ranked.select("query_id", "neighbor_id").collect()
+    qrow = {int(q): i for i, q in enumerate(qids)}
+    by_cid: dict = {}
+    for r in pairs:
+        by_cid.setdefault(int(r["neighbor_id"]), []).append(int(r["query_id"]))
+    lookup = {}
+    for cid, qs in sorted(by_cid.items()):
+        Qm = np.stack([Q[qrow[q]] for q in qs])
+        lookup[cid] = (
+            np.array(qs, dtype=np.int64),
+            Qm,
+            np.linalg.norm(Qm, axis=1),
+        )
     buckets = ", ".join(str(c) for c in sorted(lookup))
     candidates = lake.read(
         name, version=version, where=f"centroid_id IN ({buckets})"

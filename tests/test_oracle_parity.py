@@ -1,18 +1,18 @@
-"""Differential tests: every oracle-bearing query in the registry runs on
-Spark and DuckDB over the same parquet tables; results must match
-(order-insensitive, float-tolerant) — the same gate the driver applies."""
+"""Differential tests: every oracle-bearing query — the 50 driver-swept
+registry entries AND the pytest-only EXTRA tier — runs on Spark and DuckDB
+over the same parquet tables; results must match (order-insensitive,
+float-tolerant) — the same gate the driver applies."""
 
 from __future__ import annotations
 
 import pytest
 
-from ducktales_spark.registry import load_all
+from ducktales_spark.registry import load_all, load_extra
 
 from tests.oracle import compare, duckdb_conn
 
-SPECS = load_all()
-ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle)
-ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if not s.oracle)
+SPECS = {**load_all(), **load_extra()}
+ORACLE_NAMES = sorted(SPECS)
 
 
 @pytest.fixture(scope="module")
@@ -30,33 +30,13 @@ def test_oracle_parity(spark, sf_dir, con, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_queries_run(spark, sf_dir, name):
-    """Rows-only queries must at least execute and have a stable schema."""
-    spec = SPECS[name]
-    df = spec.fn(spark, sf_dir)
-    assert df.columns  # non-empty schema
-    assert df.count() >= 0
-
-
-def test_registry_within_driver_budget():
-    """The driver's correctness sweep checks at most ~50 registry entries
-    (observed in round 1: it stopped at exactly 50 of 79). Keep the
-    registry within that budget so every query gets a CORRECTNESS entry."""
-    from ducktales_spark.registry import load_all
-
-    assert len(load_all()) <= 50
-
-
 def test_registry_contract():
     """The driver sweeps EXACTLY 50 registry entries in registration order:
     more would silently drop the tail out of CORRECTNESS (round-1 lesson:
-    sweep stopped at 50 of 79), fewer wastes covered slots. As of round 3
-    every entry is oracle-backed — a regression to rows-only checking must
-    be a deliberate choice, not an accident."""
-    from ducktales_spark.registry import load_all
-
+    sweep stopped at 50 of 79), fewer wastes covered slots. Every entry —
+    registry and EXTRA — must carry an oracle: a regression to rows-only
+    checking must be a deliberate choice, not an accident."""
     specs = load_all()
     assert len(specs) == 50, f"registry has {len(specs)} entries, driver sweeps 50"
-    missing = [n for n, s in specs.items() if not s.oracle]
+    missing = [n for n, s in {**specs, **load_extra()}.items() if not s.oracle]
     assert not missing, f"entries without oracle SQL: {missing}"

@@ -84,6 +84,38 @@ def test_probe_prunes_index_files(spark, tmp_path, vectors):
     assert pruned and pruned < all_files
 
 
+def test_probe_never_collects_centroid_matrix(spark, tmp_path, vectors):
+    """The probe path must hold only the query matrix driver-side: the
+    centroid ranking runs distributed (query matrix broadcast into the
+    Arrow kernel) and only (query_id, centroid_id) id PAIRS are collected —
+    never a DataFrame carrying the C x dim vector column. Guards the
+    10^12-scale driver-memory bound documented in vector_index.py."""
+    from pyspark.sql import DataFrame
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    build_vector_index(lake, "emb_idx", vectors)
+    queries = vectors.filter(F.col("vec_id") < 3).toPandas()
+
+    pulled_cols: list = []
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+
+    def spy_topandas(self):
+        pulled_cols.append(self.columns)
+        return orig_topandas(self)
+
+    def spy_collect(self):
+        pulled_cols.append(self.columns)
+        return orig_collect(self)
+
+    DataFrame.toPandas, DataFrame.collect = spy_topandas, spy_collect
+    try:
+        probe_vector_index(lake, "emb_idx", queries, k=5, nprobe=3).collect()
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
+    vector_pulls = [c for c in pulled_cols[:-1] if "e" in c]
+    assert not vector_pulls, f"probe collected vector columns: {vector_pulls}"
+
+
 def test_extend_index_incremental(spark, tmp_path, vectors):
     """extend assigns only the new vectors under the frozen centroids; a
     probe over the extended index equals a probe over an index built from
