@@ -15,14 +15,20 @@ Order matters and is deliberate:
   dedup already paid for, and chunk text must already be redacted.
 
 Every stage is the library operator (quality_filter / redact_pii /
-dedup_batch / chunk_documents) — this module only composes, so the scale
-posture of each stage is unchanged: projections for quality/redaction/
-chunking, the banded-LSH shuffles for dedup. dedup_batch's within-batch
-near-dup drop is greedy (higher id of each colliding pair); when cluster
-audit or strict one-survivor-per-transitive-cluster semantics matter, feed
-the pair table through graph.dedup_components (connected components)
-instead. For a STREAMING corpus the
-same composition runs per micro-batch via
+dedup_batch / minhash_candidate_pairs + dedup_components /
+chunk_documents) — this module only composes, so the scale posture of each
+stage is unchanged: projections for quality/redaction/chunking, the
+banded-LSH shuffles for dedup, O(log^2 n) star rounds for clustering.
+
+Near-dup resolution defaults to TRANSITIVE clustering (connected
+components over the candidate-pair graph): exactly one survivor per
+duplicate cluster, even on chains A~B~C where A and C are not directly
+similar — the shape greedy pairwise dropping over-drops on (it would keep
+only A, discarding C whose sole similar doc B is itself dropped).
+``near_dup_strategy="greedy"`` keeps the cheaper per-pair drop for
+throughput-first ingestion — it is what the streaming sink uses
+per micro-batch, where state joins make chains rare. For a STREAMING
+corpus the same composition runs per micro-batch via
 ``streaming.start_lake_dedup_ingest`` with the quality/redaction stages
 applied to the stream before the sink.
 """
@@ -34,6 +40,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ducktales_spark.graph import dedup_components
+from ducktales_spark.queries.dedup import minhash_candidate_pairs
 from ducktales_spark.queries.text_pipeline import (
     chunk_documents,
     quality_filter,
@@ -50,6 +58,7 @@ def prepare_training_corpus(
     minhash_threshold: Optional[float] = 0.7,
     max_tokens: int = 512,
     overlap: int = 64,
+    near_dup_strategy: str = "components",
 ) -> dict:
     """Run the full preparation pipeline over a bounded corpus.
 
@@ -57,7 +66,11 @@ def prepare_training_corpus(
     acts): ``quality`` (doc_id, keep, reasons — the audit table),
     ``documents`` (surviving docs, PII-redacted), ``chunks`` (doc_id,
     chunk_id, n_chunk_tokens, chunk). ``minhash_threshold=None`` skips
-    near-dedup (exact only)."""
+    near-dedup (exact only). ``near_dup_strategy``: "components"
+    (default — one survivor per transitive cluster, min id wins) or
+    "greedy" (drop the higher id of each colliding pair)."""
+    if near_dup_strategy not in ("components", "greedy"):
+        raise ValueError(f"unknown near_dup_strategy: {near_dup_strategy!r}")
     q = quality_filter(
         docs, id_col=id_col, text_col=text_col, min_words=min_words
     )
@@ -67,9 +80,23 @@ def prepare_training_corpus(
         "left_semi",
     )
     redacted = kept.withColumn(text_col, redact_pii(F.col(text_col)))
-    survivors, _, _ = dedup_batch(
-        redacted, id_col, text_col, minhash_threshold
-    )
+    if minhash_threshold is not None and near_dup_strategy == "components":
+        # exact dedup first (lowest id per content hash), then transitive
+        # clustering of the LSH candidate pairs over the threshold
+        exact, _, _ = dedup_batch(redacted, id_col, text_col, None)
+        pairs = minhash_candidate_pairs(
+            exact.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+        ).filter(F.col("est_jaccard") >= minhash_threshold)
+        comp = dedup_components(pairs, exact.select(id_col), id_col=id_col)
+        survivors = exact.join(
+            comp.filter("is_survivor").select(id_col), id_col, "left_semi"
+        )
+    else:
+        survivors, _, _ = dedup_batch(
+            redacted, id_col, text_col, minhash_threshold
+        )
     chunks = chunk_documents(
         survivors,
         id_col=id_col,

@@ -141,13 +141,58 @@ def language_scores(text: Column) -> Column:
     return F.create_map(*entries)
 
 
+# Unicode-block script gate, checked BEFORE the Latin trigram profiles:
+# script membership is a far stronger signal than any n-gram statistic, and
+# without it every non-Latin document would fall through to 'und' at best.
+# Each entry: label -> character-class regex of the script's main blocks.
+# Labels are the dominant language of the script where that's essentially
+# unambiguous (ru/ar/hi/el/he/ko), and resolved han+kana -> ja / han -> zh
+# for CJK. Swap point for finer resolution (e.g. a Cyrillic uk/bg profile
+# pass) exactly like _LANG_PROFILES.
+_SCRIPT_BLOCKS = (
+    # kana is uniquely Japanese — checked first so han+kana text is 'ja'
+    ("ja", "[぀-ヿ]"),
+    ("ko", "[가-힯ᄀ-ᇿ㄰-㆏]"),
+    ("zh", "[一-鿿㐀-䶿]"),
+    ("ru", "[Ѐ-ӿ]"),
+    ("ar", "[؀-ۿݐ-ݿ]"),
+    ("hi", "[ऀ-ॿ]"),
+    ("el", "[Ͱ-Ͽ]"),
+    ("he", "[֐-׿]"),
+)
+# kana runs lighter than han in real Japanese text (okurigana between kanji):
+# its decisive threshold is lower than the other scripts'.
+_KANA_RATIO = 0.05
+_SCRIPT_RATIO = 0.25
+
+
 def language_id(text: Column, min_score: float = 0.01) -> Column:
     """Best-scoring language code, or 'und' (undetermined) when even the
-    best density is under ``min_score`` (e.g. word-soup, code, non-Latin
-    scripts none of the profiles cover). Ties break to the
-    lexicographically-last language (array_max over (score, lang) structs
-    — exact ties are vanishingly rare on real text)."""
+    best density is under ``min_score`` (e.g. word-soup, code, scripts no
+    block/profile covers). Two stages, both codegen projections:
+
+    1. script gate — per-script character ratios over the non-whitespace
+       length; a decisive script (>= 25%, kana >= 5%) labels immediately;
+    2. Latin trigram profiles (_LANG_PROFILES) for everything else. Ties
+       break to the lexicographically-last language (array_max over
+       (score, lang) structs — exact ties are vanishingly rare on real
+       text)."""
     import re as _re
+
+    n_visible = F.greatest(
+        F.length(F.regexp_replace(text, r"\s", "")), F.lit(1)
+    ).cast("double")
+    script_label = None
+    for label, block in reversed(_SCRIPT_BLOCKS):
+        ratio = (
+            F.size(F.regexp_extract_all(text, F.lit(block), 0)).cast("double")
+            / n_visible
+        )
+        threshold = _KANA_RATIO if label == "ja" else _SCRIPT_RATIO
+        hit = F.when(ratio >= threshold, F.lit(label))
+        script_label = (
+            hit.otherwise(script_label) if script_label is not None else hit
+        )
 
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     structs = []
@@ -162,9 +207,10 @@ def language_id(text: Column, min_score: float = 0.01) -> Column:
             )
         )
     best = F.array_max(F.array(*structs))
-    return F.when(best["score"] >= min_score, best["lang"]).otherwise(
+    latin = F.when(best["score"] >= min_score, best["lang"]).otherwise(
         F.lit("und")
     )
+    return F.coalesce(script_label, latin)
 
 
 # The subset of _PII_PATTERNS whose regexes mean the same thing under Java

@@ -33,6 +33,61 @@ def test_prepare_training_corpus(spark, sf_dir):
     assert chunks.filter(F.col("n_chunk_tokens") > 512).count() == 0
 
 
+def test_chain_corpus_keeps_one_survivor_per_cluster(spark):
+    """Transitive near-dup semantics end to end (the default strategy): a
+    chain A~B, B~C, C~D where A and D share little directly must collapse
+    to exactly ONE survivor (the min id), while greedy pairwise dropping
+    would also be fine on the pair level but cannot express 'same cluster'
+    for audit. An unrelated doc survives untouched."""
+    # sliding 40-word windows (step 8) over a 100-word sequence: adjacent
+    # windows overlap 80% (near-dups), windows two+ steps apart fall under
+    # the threshold — a genuine chain 0~1~2~3 with no shortcut edges.
+    # Letter-only synthetic words + periodic stopwords keep every doc past
+    # the quality gate (alpha ratio, stopword presence).
+    cons, vow = "bcdfglmnprstvz", "aeiou"
+
+    def synth(i):
+        return (cons[i % 14] + vow[i % 5] + cons[(i // 14) % 14]
+                + vow[(i // 5) % 5] + cons[(i // 196) % 14]
+                + vow[(i // 25) % 5])
+
+    words = ["the" if i % 9 == 4 else ("and" if i % 9 == 0 else synth(i))
+             for i in range(100)]
+    rows = [(k, " ".join(words[8 * k: 8 * k + 40])) for k in range(4)] + [
+        (99, "the weather on the coast is mild and the boats return to "
+             "the harbor before sunset while gulls circle the pier and "
+             "fishermen mend their nets beside the market stalls near "
+             "the old lighthouse that guards the bay every season")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # sanity: the chain really is a chain (adjacent pairs similar, nothing
+    # links the ends directly)
+    from ducktales_spark.queries.dedup import minhash_candidate_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(docs)
+        .filter("est_jaccard >= 0.5")
+        .collect()
+    }
+    assert pairs == {(0, 1), (1, 2), (2, 3)}, pairs
+
+    out = prepare_training_corpus(docs, min_words=10, minhash_threshold=0.5)
+    ids = sorted(r.doc_id for r in out["documents"].collect())
+    assert ids == [0, 99], ids
+
+    # greedy keeps the same set here but is an explicit opt-in
+    out_g = prepare_training_corpus(
+        docs, min_words=10, minhash_threshold=0.5, near_dup_strategy="greedy"
+    )
+    assert sorted(r.doc_id for r in out_g["documents"].collect()) == [0, 99]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="near_dup_strategy"):
+        prepare_training_corpus(docs, near_dup_strategy="nope")
+
+
 def test_redaction_before_dedup_merges_pii_variants(spark):
     """Docs identical up to their PII must collapse to one after the
     pipeline (redaction runs before dedup by design)."""

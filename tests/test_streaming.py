@@ -383,6 +383,74 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     assert lake.current_version() == v
 
 
+def test_dedup_ingest_crash_between_staging_and_commit(spark, tmp_path):
+    """Crash recovery for the exactly-once epoch protocol: the batch
+    transaction dies AFTER the sink staged survivors + dedup state but
+    BEFORE the atomic catalog publish (Transaction.commit). Nothing may be
+    visible afterwards — no partial data, no orphaned state rows, no epoch
+    marker, no snapshot — and a restart from the same checkpoint must
+    replay the batch to exactly one copy of everything."""
+    from ducktales_spark.lake.catalog import Transaction
+    from ducktales_spark.streaming import start_lake_dedup_ingest
+    from ducktales_spark.streaming.dedup import _state_tables
+    from ducktales_spark.streaming.ingest import _epoch_table
+
+    batches = [[(1, _LONG_A), (2, _LONG_B), (3, _LONG_A)]]
+    stream, schema = _doc_stream(spark, tmp_path, batches)
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    lake.create_table("docs", spark.createDataFrame([], schema).schema)
+    # ensure the epoch/state tables BEFORE injecting the crash, so the one
+    # poisoned commit is the batch transaction itself
+    _epoch_table(lake, "docs")
+    _state_tables(lake, "docs", near_dup=True)
+    v0 = lake.current_version()
+
+    real_commit = Transaction.commit
+
+    def crashing_commit(self):
+        Transaction.commit = real_commit  # fail exactly once
+        raise RuntimeError("injected crash: staged but not published")
+
+    def run():
+        return start_lake_dedup_ingest(
+            _stream(spark, tmp_path / "docs_src", schema),
+            lake,
+            "docs",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            minhash_threshold=0.5,
+            available_now=True,
+        )
+
+    Transaction.commit = crashing_commit
+    try:
+        q = run()
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(180)
+    finally:
+        Transaction.commit = real_commit
+
+    # the failed attempt left NOTHING visible
+    assert lake.read("docs").count() == 0
+    assert lake.read("_dedup_hash__docs").count() == 0
+    assert lake.read("_dedup_bands__docs").count() == 0
+    assert lake.read("_ingest_epoch__docs").count() == 0
+    assert lake.current_version() == v0
+
+    # restart from the same checkpoint: Spark replays the batch; exactly one
+    # copy of survivors + state + marker lands, in one snapshot
+    q2 = run()
+    q2.awaitTermination(180)
+    assert sorted(r.doc_id for r in lake.read("docs").collect()) == [1, 2]
+    assert sorted(
+        r.doc_id for r in lake.read("_dedup_hash__docs").collect()
+    ) == [1, 2]
+    assert sorted(
+        {r.doc_id for r in lake.read("_dedup_bands__docs").collect()}
+    ) == [1, 2]
+    assert [r.batch_id for r in lake.read("_ingest_epoch__docs").collect()] == [0]
+    assert lake.current_version() == v0 + 1
+
+
 def test_dedup_batch_standalone(spark):
     """dedup_batch as a bounded-corpus primitive: exact + near dedup with no
     prior state."""

@@ -129,6 +129,52 @@ def test_language_id_real_text(spark):
     assert not wrong, wrong
 
 
+_NONLATIN_SAMPLES = [
+    ("ru", "Быстрая коричневая лиса прыгает через ленивую собаку, а дети "
+           "играют в саду, пока светит солнце."),
+    ("ru", "Мне нужно пойти в магазин и купить хлеба и молока до того, как "
+           "магазины закроются сегодня вечером."),
+    ("zh", "敏捷的棕色狐狸跳过了懒惰的狗。孩子们在花园里玩耍,阳光明媚。"),
+    ("zh", "我需要去市场买一些蔬菜,准备今天晚上的晚饭。商店很快就要关门了。"),
+    ("ja", "素早い茶色の狐が怠け者の犬を飛び越えます。子供たちは庭で遊んで"
+           "います。"),
+    ("ja", "今晩の夕食のために野菜を買いに市場へ行く必要があります。"),
+    ("ko", "빠른 갈색 여우가 게으른 개를 뛰어넘습니다. 아이들은 해가 비치는 "
+           "동안 정원에서 놀고 있습니다."),
+    ("ar", "الثعلب البني السريع يقفز فوق الكلب الكسول ويلعب الأطفال في "
+           "الحديقة بينما تشرق الشمس."),
+    ("el", "Η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί και τα "
+           "παιδιά παίζουν στον κήπο."),
+    ("hi", "तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है और बच्चे बगीचे में खेलते हैं।"),
+]
+
+
+def test_language_id_nonlatin_scripts(spark):
+    """The unicode-block script gate: non-Latin text must label at script
+    level, never fall through to 'und' or a Latin profile."""
+    from ducktales_spark.queries.text_pipeline import language_id
+
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(_NONLATIN_SAMPLES)],
+        "id bigint, expected string, text string",
+    )
+    got = df.select(
+        "id", "expected", language_id(F.col("text")).alias("lang")
+    ).collect()
+    wrong = [(r.expected, r.lang) for r in got if r.expected != r.lang]
+    assert not wrong, wrong
+
+
+def test_language_id_script_gate_stays_codegen(spark):
+    """The gate must stay a pure projection: no Python eval, no shuffle."""
+    from ducktales_spark.queries.text_pipeline import language_id
+
+    df = spark.createDataFrame([(1, "текст")], "id bigint, text string")
+    out = df.select(language_id(F.col("text")).alias("lang"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
+
+
 def test_language_id_undetermined(spark):
     from ducktales_spark.queries.text_pipeline import language_id
 
