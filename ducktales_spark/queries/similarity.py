@@ -175,7 +175,15 @@ def e01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _centroids(v: DataFrame, n_centroids: int) -> pd.DataFrame:
-    """Collect the centroid rows (first C vectors) once, driver-side."""
+    """Collect the centroid rows (first C vectors) once, driver-side.
+
+    Driver-memory bound: C x dim doubles, C ~ sqrt(N) — ~1 GB at 10^12
+    vectors x 128 dims. Assignment inherently broadcasts this matrix to
+    every task, so the collect is the design, not an accident; the
+    REPEATED path (index probes) avoids it entirely — see
+    vector_index.probe_vector_index, which ranks centroids distributed
+    and never pulls the matrix. Beyond ~10^6 centroids, shard the
+    centroid set (two-level IVF) rather than growing this object."""
     return v.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").toPandas()
 
 

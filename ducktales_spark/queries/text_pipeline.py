@@ -117,6 +117,15 @@ _LANG_PROFILES = {
     "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion",
            "nt ", "que", " qu", "ue ", " et", "et ", " pa", "tio", "les",
            "on ", " co"],
+    "it": [" di", "di ", "to ", "la ", " la", "re ", " co", "che", " ch",
+           "he ", "no ", "one", "ne ", " pe", "per", "ell", "lla", "are",
+           " un", "ato"],
+    "nl": ["en ", " de", "de ", "et ", " he", "het", "an ", " va", "van",
+           "een", " ee", "ijn", "ij ", "wij", "aar", "aan", "oor", "nde",
+           "cht", " zo"],
+    "pt": [" de", "de ", "os ", " co", "ão ", "ção", " qu", "que", "ue ",
+           " a ", "do ", " do", "da ", " da", " o ", " pa", "par", "ara",
+           " se", "es "],
 }
 
 

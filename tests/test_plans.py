@@ -231,6 +231,57 @@ def test_j01_fact_scan_pruned_and_customer_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
+def test_t05_chunk_redact_zero_shuffle_zero_python(spark, sf_dir):
+    """t05 (redact -> chunk): both stages must stay codegen projections —
+    no Exchange (a shuffle in a per-document projection would be a plan
+    bug) and no Python eval anywhere."""
+    df = SPECS["t05_chunk_redact"].fn(spark, sf_dir)
+    s = plan_str(df)
+    assert n_exchanges(df) == 0, s[:3000]
+    assert "EvalPython" not in s
+    assert len(re.findall(r"FileScan parquet", s)) == 1
+
+
+def test_c02_mix_corpus_zero_corpus_shuffle(spark, sf_dir):
+    """c02: the weights join must be broadcast and the epoch explode a
+    projection — the corpus side reaches the output with ZERO exchanges
+    of its own (the only exchange allowed is the broadcast of the tiny
+    weights literal)."""
+    df = SPECS["c02_mix_corpus"].fn(spark, sf_dir)
+    s = plan_str(df)
+    assert "BroadcastHashJoin" in s, s[:3000]
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+    # no plain (shuffle) Exchange; BroadcastExchange of the weights is fine
+    assert not re.search(r"Exchange (hash|range|Single)", s), s[:3000]
+
+
+def test_c01_decontaminate_single_corpus_exchange(spark, sf_dir):
+    """c01: benchmark n-grams broadcast; the corpus shingles pay ONE
+    doc_id exchange which the hit-count groupBy rides — so the whole
+    operator costs a single corpus shuffle regardless of benchmark size."""
+    spark.catalog.clearCache()
+    df = SPECS["c01_decontaminate"].fn(spark, sf_dir)
+    s = plan_str(df)
+    assert "BroadcastHashJoin" in s, s[:3000]
+    # the hit-count agg rides the shingle pipeline's doc_id distribution:
+    # NO exchange between its final and partial HashAggregate nodes
+    lines = s.splitlines()
+    agg_final = next(
+        i for i, l in enumerate(lines)
+        if "HashAggregate" in l and "functions=[count(1)" in l
+    )
+    agg_partial = next(
+        i for i, l in enumerate(lines)
+        if "HashAggregate" in l and "partial_count(1)" in l
+    )
+    between = lines[agg_final + 1 : agg_partial]
+    assert not any("Exchange" in l for l in between), s[:3000]
+    # exactly one corpus-side doc_id exchange (benchmark-side exchanges sit
+    # inside the broadcast subtree and are bounded by the eval-set size)
+    corpus_doc_id = re.findall(r"Exchange hashpartitioning\(doc_id#0L", s)
+    assert len(corpus_doc_id) <= 1, s[:3000]
+
+
 def test_session_codegen_cache_sized_for_mixed_workload(spark):
     """The default 100-entry generated-class cache recompiles codegen units
     when more than ~a dozen distinct plans rotate (measured: the

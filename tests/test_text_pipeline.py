@@ -129,6 +129,36 @@ def test_language_id_real_text(spark):
     assert not wrong, wrong
 
 
+_LATIN_EXTRA_SAMPLES = [
+    ("it", "La volpe marrone veloce salta sopra il cane pigro e i bambini "
+           "giocano nel giardino mentre splende il sole della sera."),
+    ("it", "Devo andare al mercato per comprare le verdure che servono per "
+           "preparare la cena di questa sera prima della chiusura."),
+    ("nl", "De snelle bruine vos springt over de luie hond en de kinderen "
+           "spelen in de tuin terwijl de zon schijnt vanavond."),
+    ("nl", "Ik moet naar de winkel gaan om brood en melk te kopen voordat "
+           "de winkels vanavond sluiten in het centrum van de stad."),
+    ("pt", "A raposa marrom rápida salta sobre o cão preguiçoso e as "
+           "crianças brincam no jardim enquanto o sol brilha."),
+    ("pt", "Preciso de ir ao mercado para comprar os legumes de que "
+           "precisamos para preparar o jantar desta noite."),
+]
+
+
+def test_language_id_extra_latin_profiles(spark):
+    from ducktales_spark.queries.text_pipeline import language_id
+
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(_LATIN_EXTRA_SAMPLES)],
+        "id bigint, expected string, text string",
+    )
+    got = df.select(
+        "id", "expected", language_id(F.col("text")).alias("lang")
+    ).collect()
+    wrong = [(r.expected, r.lang) for r in got if r.expected != r.lang]
+    assert not wrong, wrong
+
+
 _NONLATIN_SAMPLES = [
     ("ru", "Быстрая коричневая лиса прыгает через ленивую собаку, а дети "
            "играют в саду, пока светит солнце."),
@@ -193,7 +223,7 @@ def test_language_scores_shape_and_plan(spark):
     df = spark.createDataFrame([(1, _SAMPLES[0][1])], "id bigint, text string")
     out = df.select(language_scores(F.col("text")).alias("m"))
     m = out.first().m
-    assert set(m) == {"de", "en", "es", "fr"}
+    assert set(m) == {"de", "en", "es", "fr", "it", "nl", "pt"}
     assert m["en"] == max(m.values())
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
