@@ -181,6 +181,121 @@ def mix_corpus(
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    tokens_col: str = "n_chunk_tokens",
+    text_col: str = "chunk",
+    n_shards: int = 64,
+    seed: int = 42,
+    strict: bool = True,
+) -> DataFrame:
+    """Pack chunks into training sequences of at most ``budget`` tokens:
+    (shard, seq_id, position, doc_id, chunk_id, n_chunk_tokens, chunk).
+
+    Pretraining loaders consume fixed-length sequences, not documents;
+    packing multiple short chunks per sequence is how the token budget is
+    actually filled (padding waste otherwise). Chunks are dealt to
+    ``n_shards`` hash shards (md5 of (doc, chunk, seed) — deterministic,
+    decorrelated from ingest order) and packed greedily IN SHARD ORDER, so
+    the operation is one shuffle + per-shard linear passes, embarrassingly
+    parallel across shards.
+
+    * ``strict=True`` (default): exact next-fit — a sequence closes when
+      the next chunk would overflow ``budget``. Sequential by nature, so it
+      runs as an Arrow-batched ``applyInPandas`` per shard (a linear numpy
+      pass over shard-local rows; the pair/text payload crosses the shuffle
+      once). A chunk alone larger than ``budget`` becomes its own
+      over-budget sequence (never split: chunking upstream owns lengths).
+    * ``strict=False``: pure-codegen approximation — ``seq_id =
+      floor(cum_tokens_before / budget)`` over a shard-partitioned window.
+      Zero Python; sequences may overrun ``budget`` by at most
+      ``max_chunk_tokens - 1`` (documented trade: exactness for an
+      all-JVM plan). Right when downstream truncates/pads anyway.
+
+    Both variants are deterministic for a fixed (corpus, budget, n_shards,
+    seed).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    keyed = chunks.withColumn(
+        "__h",
+        _h64(
+            f"concat(cast({id_col} as string), '@', cast({chunk_id_col} as "
+            f"string), '#', '{seed}')"
+        ),
+    ).withColumn("shard", F.pmod("__h", F.lit(n_shards)).cast("int"))
+    from pyspark.sql import Window as W
+
+    order = [F.col("__h"), F.col(id_col), F.col(chunk_id_col)]
+    if not strict:
+        w = W.partitionBy("shard").orderBy(*order)
+        cum_before = F.coalesce(
+            F.sum(tokens_col).over(
+                w.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        seq = F.floor(cum_before / budget).cast("bigint")
+        # position restarts per sequence: second window over (shard, seq)
+        out = keyed.select(
+            "shard",
+            seq.alias("seq_id"),
+            id_col,
+            chunk_id_col,
+            tokens_col,
+            text_col,
+            F.col("__h"),
+        )
+        w2 = W.partitionBy("shard", "seq_id").orderBy(
+            F.col("__h"), F.col(id_col), F.col(chunk_id_col)
+        )
+        return out.select(
+            "shard",
+            "seq_id",
+            (F.row_number().over(w2) - 1).alias("position"),
+            id_col,
+            chunk_id_col,
+            tokens_col,
+            text_col,
+        )
+
+    import pandas as pd
+
+    out_schema = (
+        f"shard int, seq_id bigint, position int, {id_col} bigint, "
+        f"{chunk_id_col} int, {tokens_col} int, {text_col} string"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__h", id_col, chunk_id_col], kind="stable"
+        ).reset_index(drop=True)
+        toks = pdf[tokens_col].to_numpy()
+        seq_ids = [0] * len(toks)
+        positions = [0] * len(toks)
+        seq, pos, used = 0, 0, 0
+        for i, t in enumerate(toks):
+            if pos and used + t > budget:
+                seq, pos, used = seq + 1, 0, 0
+            seq_ids[i], positions[i] = seq, pos
+            used += t
+            pos += 1
+        pdf = pdf.assign(seq_id=seq_ids, position=positions)
+        return pdf[
+            ["shard", "seq_id", "position", id_col, chunk_id_col,
+             tokens_col, text_col]
+        ]
+
+    return (
+        keyed.repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(pack, out_schema)
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

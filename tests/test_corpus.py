@@ -214,6 +214,82 @@ def test_mix_corpus_preserves_column_order(spark, docs):
     assert mix_corpus(docs, {}).columns == docs.columns + ["epoch"]
 
 
+# --- pack_sequences --------------------------------------------------------
+
+
+def _chunks_df(spark, docs):
+    from ducktales_spark.queries.text_pipeline import chunk_documents
+
+    return chunk_documents(docs, max_tokens=64, overlap=0)
+
+
+def test_pack_sequences_strict(spark, docs):
+    from ducktales_spark.corpus import pack_sequences
+
+    chunks = _chunks_df(spark, docs)
+    packed = pack_sequences(chunks, budget=256, n_shards=8)
+    rows = packed.collect()
+    # lossless: every chunk appears exactly once
+    assert sorted((r["doc_id"], r["chunk_id"]) for r in rows) == sorted(
+        (r["doc_id"], r["chunk_id"]) for r in chunks.collect()
+    )
+    # capacity: no multi-chunk sequence exceeds the budget; and next-fit is
+    # tight — closing a sequence means the NEXT chunk would not have fit
+    by_seq: dict = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    for (shard, seq_id), members in by_seq.items():
+        members.sort(key=lambda r: r["position"])
+        total = sum(r["n_chunk_tokens"] for r in members)
+        if len(members) > 1:
+            assert total <= 256, (shard, seq_id, total)
+        assert [r["position"] for r in members] == list(range(len(members)))
+        nxt = by_seq.get((shard, seq_id + 1))
+        if nxt:
+            first_next = min(nxt, key=lambda r: r["position"])
+            assert total + first_next["n_chunk_tokens"] > 256, (
+                "sequence closed early", shard, seq_id,
+            )
+
+
+def test_pack_sequences_relaxed_bounded_overflow(spark, docs):
+    from ducktales_spark.corpus import pack_sequences
+
+    chunks = _chunks_df(spark, docs)
+    packed = pack_sequences(chunks, budget=256, n_shards=8, strict=False)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # the all-JVM variant stays all-JVM
+    max_chunk = 64
+    totals = {}
+    for r in packed.collect():
+        k = (r["shard"], r["seq_id"])
+        totals[k] = totals.get(k, 0) + r["n_chunk_tokens"]
+    assert max(totals.values()) <= 256 + max_chunk - 1
+
+
+def test_pack_sequences_deterministic_and_oversize(spark):
+    from ducktales_spark.corpus import pack_sequences
+
+    rows = [(1, 0, 10, "a " * 10), (1, 1, 300, "b " * 300), (2, 0, 20, "c")]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id int, n_chunk_tokens int, chunk string"
+    )
+    a = sorted(map(tuple, pack_sequences(chunks, budget=256).collect()))
+    b = sorted(map(tuple, pack_sequences(chunks, budget=256).collect()))
+    assert a == b  # deterministic
+    packed = pack_sequences(chunks, budget=256, n_shards=1).collect()
+    # the 300-token chunk is alone in its over-budget sequence, never split
+    big = [r for r in packed if r["n_chunk_tokens"] == 300]
+    assert len(big) == 1
+    seq_members = [r for r in packed if r["seq_id"] == big[0]["seq_id"]]
+    assert seq_members == big
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pack_sequences(chunks, budget=0)
+
+
 # --- write_training_shards -------------------------------------------------
 
 
