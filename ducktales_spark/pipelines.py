@@ -65,10 +65,13 @@ def prepare_training_corpus(
     Returns lazily-built DataFrames (nothing executes until the caller
     acts): ``quality`` (doc_id, keep, reasons — the audit table),
     ``documents`` (surviving docs, PII-redacted), ``chunks`` (doc_id,
-    chunk_id, n_chunk_tokens, chunk). ``minhash_threshold=None`` skips
-    near-dedup (exact only). ``near_dup_strategy``: "components"
-    (default — one survivor per transitive cluster, min id wins) or
-    "greedy" (drop the higher id of each colliding pair)."""
+    chunk_id, n_chunk_tokens, chunk), and — under the components strategy —
+    ``clusters`` (doc_id, canonical_id, is_survivor: which cluster each
+    exact-deduped doc landed in, the audit trail "why was this dropped").
+    ``minhash_threshold=None`` skips near-dedup (exact only).
+    ``near_dup_strategy``: "components" (default — one survivor per
+    transitive cluster, min id wins) or "greedy" (drop the higher id of
+    each colliding pair)."""
     if near_dup_strategy not in ("components", "greedy"):
         raise ValueError(f"unknown near_dup_strategy: {near_dup_strategy!r}")
     q = quality_filter(
@@ -80,6 +83,7 @@ def prepare_training_corpus(
         "left_semi",
     )
     redacted = kept.withColumn(text_col, redact_pii(F.col(text_col)))
+    clusters = None
     if minhash_threshold is not None and near_dup_strategy == "components":
         # exact dedup first (lowest id per content hash), then transitive
         # clustering of the LSH candidate pairs over the threshold
@@ -89,9 +93,9 @@ def prepare_training_corpus(
                 F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
             )
         ).filter(F.col("est_jaccard") >= minhash_threshold)
-        comp = dedup_components(pairs, exact.select(id_col), id_col=id_col)
+        clusters = dedup_components(pairs, exact.select(id_col), id_col=id_col)
         survivors = exact.join(
-            comp.filter("is_survivor").select(id_col), id_col, "left_semi"
+            clusters.filter("is_survivor").select(id_col), id_col, "left_semi"
         )
     else:
         survivors, _, _ = dedup_batch(
@@ -104,4 +108,7 @@ def prepare_training_corpus(
         max_tokens=max_tokens,
         overlap=overlap,
     )
-    return {"quality": q, "documents": survivors, "chunks": chunks}
+    out = {"quality": q, "documents": survivors, "chunks": chunks}
+    if clusters is not None:
+        out["clusters"] = clusters
+    return out

@@ -82,6 +82,19 @@ def quality_filter(
     )
 
 
+def quality_keep(
+    text: Column, min_words: int = 50, max_words: int = 100_000
+) -> Column:
+    """The quality gate as a single boolean Column — same rules as
+    quality_filter, composable directly onto a STREAMING DataFrame (where
+    the audit-table formulation would need a stream-stream self-join).
+    ``stream.filter(quality_keep(F.col("text"), ...))`` is the streaming
+    face of the batch pipeline's quality stage."""
+    rules = _quality_rules(min_words, max_words)(text)
+    failed = F.array(*[cond for _, cond in rules])
+    return ~F.exists(failed, lambda x: x)
+
+
 # Redaction patterns, most-specific first so a card number is not half-eaten
 # by the phone pattern. Java regex (Spark executes these JVM-side).
 _PII_PATTERNS = (

@@ -75,6 +75,16 @@ def test_chain_corpus_keeps_one_survivor_per_cluster(spark):
     out = prepare_training_corpus(docs, min_words=10, minhash_threshold=0.5)
     ids = sorted(r.doc_id for r in out["documents"].collect())
     assert ids == [0, 99], ids
+    # the clusters audit table explains every drop: one cluster {0,1,2,3}
+    # canonicalized at 0, and 99 its own singleton
+    audit = {
+        r.doc_id: (r.canonical_id, r.is_survivor)
+        for r in out["clusters"].collect()
+    }
+    assert audit == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
+        99: (99, True),
+    }
 
     # greedy keeps the same set here but is an explicit opt-in
     out_g = prepare_training_corpus(

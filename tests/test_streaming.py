@@ -451,6 +451,49 @@ def test_dedup_ingest_crash_between_staging_and_commit(spark, tmp_path):
     assert lake.current_version() == v0 + 1
 
 
+def test_streaming_quality_redact_dedup_composition(spark, tmp_path):
+    """The full corpus-prep composition on a STREAM: quality gate
+    (quality_keep as a filter column) -> PII redaction -> deduplicating
+    lake sink, per micro-batch. Mirrors pipelines.prepare_training_corpus
+    stage order; PII variants of one doc must collapse to one survivor,
+    low-quality docs must never reach the sink."""
+    from pyspark.sql import functions as F
+
+    from ducktales_spark.queries.text_pipeline import quality_keep, redact_pii
+    from ducktales_spark.streaming import start_lake_dedup_ingest
+
+    base = ("contact us for the offer and the terms that apply to the "
+            "promotion which is valid in every region and includes the "
+            "standard conditions we describe in the attached document at ")
+    batches = [
+        [
+            (1, base + "alice@example.com today"),
+            (2, "junk #### #### ####"),  # fails the quality gate
+        ],
+        [
+            (3, base + "bob@sample.org today"),  # PII-variant of 1 -> dup
+            (4, _LONG_B),
+        ],
+    ]
+    stream, schema = _doc_stream(spark, tmp_path, batches)
+    gated = stream.filter(quality_keep(F.col("text"), min_words=10))
+    redacted = gated.withColumn("text", redact_pii(F.col("text")))
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    lake.create_table("corpus", spark.createDataFrame([], schema).schema)
+    q = start_lake_dedup_ingest(
+        redacted,
+        lake,
+        "corpus",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        minhash_threshold=0.5,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id: r.text for r in lake.read("corpus").collect()}
+    assert sorted(got) == [1, 4]
+    assert "[EMAIL]" in got[1] and "alice" not in got[1]
+
+
 def test_dedup_batch_standalone(spark):
     """dedup_batch as a bounded-corpus primitive: exact + near dedup with no
     prior state."""
