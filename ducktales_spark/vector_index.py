@@ -162,6 +162,79 @@ def extend_vector_index(
     lake.insert(name, assigned.select("vec_id", "e", "centroid_id"))
 
 
+def neardup_against_index(
+    lake: LakeCatalog,
+    name: str,
+    new_vectors: DataFrame,
+    threshold: float = 0.95,
+    block: int = 2048,
+    version: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW vector batch and the indexed
+    corpus: (vec_new, vec_indexed, cos_sim) with cosine >= threshold — the
+    screening step an incremental ingest runs before extend_vector_index
+    (accept only vectors with no indexed near-dup).
+
+    Distributed end to end (the new batch may be arbitrarily large, unlike
+    probe queries): new vectors are bucket-assigned under the index's
+    FROZEN centroids (one broadcast-matmul pass — the same build-time
+    C x dim driver bound, see _centroids), then each bucket's new x indexed
+    gram matrix is walked in block x block tiles inside applyInPandas —
+    vectors cross the shuffle once, pair space exists only inside numpy,
+    peak tile memory is block^2 doubles regardless of bucket skew. A new
+    vector only ever compares against its own bucket (same recall contract
+    as the in-corpus neardup_pairs)."""
+    import pandas as pd
+
+    cpdf = lake.read(_centroid_table(name), version=version).orderBy(
+        "vec_id"
+    ).toPandas()
+    assigned_new = assign_buckets(
+        new_vectors, len(cpdf), centroids=cpdf
+    ).select("vec_id", "e", "centroid_id", F.lit(True).alias("is_new"))
+    indexed = lake.read(name, version=version).select(
+        "vec_id", "e", "centroid_id", F.lit(False).alias("is_new")
+    )
+    both = assigned_new.unionByName(indexed)
+
+    def bucket_cross(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_new": pd.Series(dtype="int64"),
+             "vec_indexed": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        new = pdf[pdf["is_new"]]
+        idx = pdf[~pdf["is_new"]]
+        if not len(new) or not len(idx):
+            return empty
+        En = _np(new["e"])
+        Ei = _np(idx["e"])
+        En = En / np.linalg.norm(En, axis=1)[:, None]
+        Ei = Ei / np.linalg.norm(Ei, axis=1)[:, None]
+        nids = new["vec_id"].to_numpy()
+        iids = idx["vec_id"].to_numpy()
+        outs = []
+        for a0 in range(0, len(nids), block):
+            for b0 in range(0, len(iids), block):
+                S = En[a0 : a0 + block] @ Ei[b0 : b0 + block].T
+                ii, jj = np.nonzero(np.round(S, 9) >= threshold)
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vec_new": nids[ii + a0],
+                                "vec_indexed": iids[jj + b0],
+                                "cos_sim": np.round(S[ii, jj], 9),
+                            }
+                        )
+                    )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return both.groupBy("centroid_id").applyInPandas(
+        bucket_cross, "vec_new bigint, vec_indexed bigint, cos_sim double"
+    )
+
+
 def probe_vector_index(
     lake: LakeCatalog,
     name: str,

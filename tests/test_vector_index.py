@@ -178,6 +178,42 @@ def test_kmeans_refine_improves_quantization(spark, vectors):
     assert q_ref > q_seed, "refinement should move arbitrary seed centroids"
 
 
+def test_neardup_against_index(spark, tmp_path, vectors):
+    """Incremental-ingest screening: a new batch containing exact copies of
+    indexed vectors flags exactly those copies (cosine 1.0 against their
+    originals); genuinely new directions flag nothing."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from ducktales_spark.vector_index import neardup_against_index
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    indexed = vectors.filter(F.col("vec_id") < 150)
+    build_vector_index(lake, "emb_idx", indexed)
+
+    dim = len(indexed.first()["e"])
+    # two planted dups of indexed vectors 40 and 77, plus one orthogonal-ish
+    # random direction far from the corpus
+    dup_rows = [
+        (1040, [float(x) for x in indexed.filter("vec_id = 40").first()["e"]]),
+        (1077, [float(x) for x in indexed.filter("vec_id = 77").first()["e"]]),
+    ]
+    # alternating spike pattern is far from the testdata embeddings
+    novel = [(2000, [1000.0 * (-1) ** i for i in range(dim)])]
+    schema = StructType(
+        [StructField("vec_id", LongType()),
+         StructField("e", ArrayType(DoubleType()))]
+    )
+    new = spark.createDataFrame(dup_rows + novel, schema)
+    got = neardup_against_index(lake, "emb_idx", new, threshold=0.999)
+    pairs = {(r.vec_new, r.vec_indexed) for r in got.collect()}
+    assert (1040, 40) in pairs and (1077, 77) in pairs
+    assert all(n != 2000 for n, _ in pairs), pairs
+    # every flagged pair is new x indexed, never indexed x indexed
+    assert all(n >= 1000 and i < 150 for n, i in pairs)
+
+
 def test_build_index_with_refinement_probes(spark, tmp_path, vectors):
     from ducktales_spark.vector_index import (
         build_vector_index,
