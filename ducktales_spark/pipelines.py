@@ -112,3 +112,77 @@ def prepare_training_corpus(
     if clusters is not None:
         out["clusters"] = clusters
     return out
+
+
+def assemble_training_corpus(
+    docs: DataFrame,
+    bench: DataFrame,
+    weights,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    budget: int = 512,
+    max_tokens: int = 256,
+    overlap: int = 32,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> dict:
+    """The assembly stage end to end: a PREPARED corpus (already
+    quality-gated/redacted/deduped — see prepare_training_corpus) becomes
+    loader-ready shard files of packed training sequences:
+
+        decontaminate(bench) -> mix_corpus(weights) -> chunk -> pack ->
+        one parquet file per shard under ``path``
+
+    Every stage is the library operator, so the composition inherits their
+    scale shapes (broadcast benchmark, zero-shuffle mix, projection chunking,
+    one packing shuffle) and their determinism: the same inputs produce
+    byte-identical shard files. (doc, epoch) copies from the mixture get a
+    composite ``mix_id`` so each epoch's chunks pack independently.
+
+    Returns {"flags": per-doc contamination audit, "path": the shard dir};
+    the written rows carry (shard, seq_id, position, mix_id, chunk_id,
+    n_chunk_tokens, chunk, doc_id, epoch) — everything a loader or a
+    lineage audit needs to trace a sequence back to its documents.
+    """
+    import math
+
+    from ducktales_spark.corpus import (
+        decontaminate,
+        mix_corpus,
+        pack_sequences,
+    )
+
+    decon = decontaminate(docs, bench, id_col=id_col, text_col=text_col)
+    mixed = mix_corpus(
+        decon["clean"], weights, domain_col=domain_col, id_col=id_col,
+        seed=seed,
+    )
+    n_epochs = max(
+        (int(math.ceil(w)) for w in weights.values() if w > 0), default=1
+    )
+    mixed = mixed.withColumn(
+        "mix_id", F.col(id_col) * n_epochs + F.col("epoch")
+    )
+    chunks = chunk_documents(
+        mixed,
+        id_col="mix_id",
+        text_col=text_col,
+        max_tokens=max_tokens,
+        overlap=overlap,
+    ).withColumnRenamed("doc_id", "mix_id")
+    packed = pack_sequences(
+        chunks,
+        budget=budget,
+        id_col="mix_id",
+        n_shards=n_shards,
+        seed=seed,
+    ).withColumns(
+        {
+            id_col: F.expr(f"mix_id DIV {n_epochs}"),
+            "epoch": F.pmod("mix_id", F.lit(n_epochs)).cast("int"),
+        }
+    )
+    packed.write.mode("overwrite").partitionBy("shard").parquet(path)
+    return {"flags": decon["flags"], "path": path}

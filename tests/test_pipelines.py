@@ -98,6 +98,62 @@ def test_chain_corpus_keeps_one_survivor_per_cluster(spark):
         prepare_training_corpus(docs, near_dup_strategy="nope")
 
 
+def test_assemble_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """The assembly composition: decontaminate -> mix -> chunk -> pack ->
+    shard files. Contaminated docs never reach the shards, epochs are
+    realized per the mixture, sequences respect the budget, and the whole
+    thing is byte-reproducible."""
+    import glob
+    import os
+
+    from ducktales_spark.pipelines import assemble_training_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    weights = {f"src{i}": w for i, w in enumerate([2.0, 0.5] + [1.0] * 18)}
+    out1 = str(tmp_path / "shards1")
+    res = assemble_training_corpus(
+        docs, bench, weights, out1, budget=128, max_tokens=64, overlap=8,
+        n_shards=4,
+    )
+    flagged = {r.doc_id for r in res["flags"].filter("contaminated").collect()}
+    assert flagged  # benchmark docs long enough self-contaminate
+    back = spark.read.parquet(out1)
+    assert len(glob.glob(os.path.join(out1, "shard=*"))) == 4
+    got_docs = {r.doc_id for r in back.select("doc_id").distinct().collect()}
+    assert got_docs.isdisjoint(flagged)
+    # epochs realized: src0 docs appear with epochs {0,1}
+    src0 = docs.filter("source = 'src0'").select("doc_id").collect()
+    src0_ids = {r.doc_id for r in src0} - flagged
+    epochs = {
+        r.epoch
+        for r in back.filter(F.col("doc_id").isin(list(src0_ids))).select(
+            "epoch"
+        ).distinct().collect()
+    }
+    assert epochs == {0, 1}
+    # capacity: multi-chunk sequences within budget
+    seq_tot = (
+        back.groupBy("shard", "seq_id")
+        .agg(F.sum("n_chunk_tokens").alias("t"), F.count("*").alias("n"))
+        .filter("n > 1")
+        .agg(F.max("t"))
+        .first()[0]
+    )
+    assert seq_tot is None or seq_tot <= 128
+    # reproducible end to end
+    out2 = str(tmp_path / "shards2")
+    assemble_training_corpus(
+        docs, bench, weights, out2, budget=128, max_tokens=64, overlap=8,
+        n_shards=4,
+    )
+    a = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
+
+
 def test_redaction_before_dedup_merges_pii_variants(spark):
     """Docs identical up to their PII must collapse to one after the
     pipeline (redaction runs before dedup by design)."""
