@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducktales_spark.corpus import decontaminate, mix_corpus
+from ducktales_spark.corpus import decontaminate, mix_corpus, pack_sequences
 from ducktales_spark.data import table
 from ducktales_spark.graph import dedup_components
 from ducktales_spark.queries.text_pipeline import (
@@ -23,7 +23,7 @@ from ducktales_spark.queries.text_pipeline import (
     chunk_documents,
     redact_pii,
 )
-from ducktales_spark.registry import register
+from ducktales_spark.registry import register, register_extra
 
 # 13-gram text as DuckDB SQL: ws[i] .. ws[i+12] joined by single spaces
 # (ws is the whitespace-split word array, i 1-based).
@@ -198,4 +198,79 @@ def t05_chunk_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return chunk_documents(
         redacted, max_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
+_PACK_BUDGET = 128
+_PACK_SHARDS = 8
+_PACK_CHUNK = 64
+_PACK_STEP = _PACK_CHUNK  # overlap 0 for the packing differential
+
+
+@register_extra(
+    "c03_pack_relaxed",
+    survey_ids=(),  # extension: training-sequence packing (all-JVM variant)
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, ws,
+             greatest(1, CAST(ceil(len(ws) / {_PACK_STEP}.0) AS INT)) AS nc
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, CAST(unnest(range(0, nc)) AS INT) AS chunk_id,
+             ws[chunk_id*{_PACK_STEP}+1 : chunk_id*{_PACK_STEP}+{_PACK_CHUNK}]
+                 AS cw
+      FROM n
+    ),
+    ch AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(cw) AS INT) AS n_chunk_tokens,
+             array_to_string(cw, ' ') AS chunk,
+             ('0x' || substr(md5(doc_id::VARCHAR || '@' || chunk_id::VARCHAR
+                                 || '#' || '42'), 1, 15))::BIGINT AS h
+      FROM c
+    ),
+    sh AS (
+      SELECT *, CAST(h % {_PACK_SHARDS} AS INT) AS shard FROM ch
+    ),
+    cum AS (
+      SELECT *,
+             COALESCE(sum(n_chunk_tokens) OVER (
+               PARTITION BY shard ORDER BY h, doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM sh
+    ),
+    seq AS (
+      SELECT *, CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+      FROM cum
+    )
+    SELECT shard, seq_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard, seq_id ORDER BY h, doc_id, chunk_id
+           ) - 1 AS INT) AS position,
+           doc_id, chunk_id, n_chunk_tokens, chunk
+    FROM seq
+    ORDER BY shard, seq_id, position
+    """,
+)
+def c03_pack_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, all-JVM cumsum variant (strict=False):
+    chunk the documents (no overlap), deal chunks to md5 hash shards, and
+    assign seq_id = floor(cumulative-tokens-before / budget) over the
+    shard-ordered window. Fully SQL-expressible, so this differential
+    covers the shard hashing, the window ordering, and the bin arithmetic
+    that the strict next-fit variant shares (its only delta is the exact
+    capacity loop, covered by tests/test_corpus.py)."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=_PACK_CHUNK, overlap=0)
+    return pack_sequences(
+        chunks,
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+        strict=False,
     )
