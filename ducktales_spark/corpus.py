@@ -36,7 +36,7 @@ Scale posture (100 TB corpus, 1000 executors):
 from __future__ import annotations
 
 import math
-from typing import Mapping
+from typing import Mapping, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -181,6 +181,32 @@ def mix_corpus(
     )
 
 
+def shards_for(
+    df: DataFrame,
+    target_shard_bytes: int = 256 << 20,
+    fallback: int = 64,
+) -> int:
+    """Shard count sized to the input: ceil(plan bytes / target).
+
+    ``pack_sequences(strict=True)`` holds ONE WHOLE SHARD as a pandas frame
+    inside ``applyInPandas`` — a fixed shard count is therefore an
+    executor-memory contract violation at scale (corpus/64 at 100 TB is a
+    ~1.5 TB group). Sizing from Catalyst's plan statistics (parquet scans
+    report real file bytes; filters/projections scale them) keeps every
+    shard ~``target_shard_bytes`` regardless of corpus size, the same
+    policy ``bench.py:tune_for_input`` applies to shuffle partitions.
+
+    Python-created DataFrames (LogicalRDD) report unknown stats
+    (``defaultSizeInBytes`` = Long.MaxValue); those fall back to
+    ``fallback`` — callers with real corpora read from storage and get the
+    derived count.
+    """
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size >= 1 << 62:  # unknown-stat sentinel (defaultSizeInBytes)
+        return fallback
+    return max(1, -(-size // max(1, target_shard_bytes)))
+
+
 def pack_sequences(
     chunks: DataFrame,
     budget: int,
@@ -188,9 +214,10 @@ def pack_sequences(
     chunk_id_col: str = "chunk_id",
     tokens_col: str = "n_chunk_tokens",
     text_col: str = "chunk",
-    n_shards: int = 64,
+    n_shards: Optional[int] = None,
     seed: int = 42,
     strict: bool = True,
+    target_shard_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Pack chunks into training sequences of at most ``budget`` tokens:
     (shard, seq_id, position, doc_id, chunk_id, n_chunk_tokens, chunk).
@@ -217,9 +244,19 @@ def pack_sequences(
 
     Both variants are deterministic for a fixed (corpus, budget, n_shards,
     seed).
+
+    ``n_shards=None`` (default) derives the count from input plan stats via
+    ``shards_for`` — one shard per ~``target_shard_bytes`` of input — so a
+    strict-mode shard (one ``applyInPandas`` pandas group) stays
+    executor-memory-sized at any corpus scale. Pass an explicit ``n_shards``
+    only when the loader contract fixes the file count.
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    if n_shards is None:
+        n_shards = shards_for(chunks, target_shard_bytes=target_shard_bytes)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
     keyed = chunks.withColumn(
         "__h",
         _h64(
@@ -264,9 +301,14 @@ def pack_sequences(
 
     import pandas as pd
 
+    # passthrough columns keep their INPUT types (string ids, wide token
+    # counters, ... must round-trip untouched; only shard/seq_id/position
+    # are ours to type)
+    in_type = {f.name: f.dataType.simpleString() for f in chunks.schema.fields}
     out_schema = (
-        f"shard int, seq_id bigint, position int, {id_col} bigint, "
-        f"{chunk_id_col} int, {tokens_col} int, {text_col} string"
+        f"shard int, seq_id bigint, position int, "
+        f"{id_col} {in_type[id_col]}, {chunk_id_col} {in_type[chunk_id_col]}, "
+        f"{tokens_col} {in_type[tokens_col]}, {text_col} {in_type[text_col]}"
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -125,7 +125,7 @@ def assemble_training_corpus(
     budget: int = 512,
     max_tokens: int = 256,
     overlap: int = 32,
-    n_shards: int = 8,
+    n_shards: Optional[int] = None,
     seed: int = 42,
 ) -> dict:
     """The assembly stage end to end: a PREPARED corpus (already
@@ -180,7 +180,12 @@ def assemble_training_corpus(
         seed=seed,
     ).withColumns(
         {
-            id_col: F.expr(f"mix_id DIV {n_epochs}"),
+            # floor-division decode consistent with pmod (DIV truncates
+            # toward zero and mis-decodes negative doc_ids): subtracting the
+            # non-negative pmod first makes the division exact for any sign
+            id_col: F.expr(
+                f"(mix_id - pmod(mix_id, {n_epochs})) DIV {n_epochs}"
+            ),
             "epoch": F.pmod("mix_id", F.lit(n_epochs)).cast("int"),
         }
     )

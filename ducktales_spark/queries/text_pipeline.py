@@ -89,10 +89,15 @@ def quality_keep(
     quality_filter, composable directly onto a STREAMING DataFrame (where
     the audit-table formulation would need a stream-stream self-join).
     ``stream.filter(quality_keep(F.col("text"), ...))`` is the streaming
-    face of the batch pipeline's quality stage."""
+    face of the batch pipeline's quality stage.
+
+    NULL policy matches quality_filter exactly: an indeterminate rule
+    (NULL text -> NULL condition) is NOT a failure there (the when()
+    projection maps NULL conditions to no reason), so ``exists`` NULLs are
+    coalesced to false here — both gates keep null/indeterminate docs."""
     rules = _quality_rules(min_words, max_words)(text)
     failed = F.array(*[cond for _, cond in rules])
-    return ~F.exists(failed, lambda x: x)
+    return ~F.coalesce(F.exists(failed, lambda x: x), F.lit(False))
 
 
 # Redaction patterns, most-specific first so a card number is not half-eaten

@@ -249,6 +249,11 @@ def probe_vector_index(
     runs."""
     cent = lake.read(_centroid_table(name), version=version)
     qids = queries["vec_id"].to_numpy()
+    empty = lake.spark.createDataFrame(
+        [], "query_id bigint, neighbor_id bigint, cos_sim double, rnk bigint"
+    )
+    if not len(qids):
+        return empty
     Q = _np(queries["e"])
     # Rank centroids per query DISTRIBUTIVELY: the tiny query matrix is
     # broadcast, every centroid partition scores + local-top-nprobe's in the
@@ -264,6 +269,8 @@ def probe_vector_index(
         nprobe,  # yields <= C rows per query by construction when C < nprobe
     )
     pairs = ranked.select("query_id", "neighbor_id").collect()
+    if not pairs:  # empty centroid table -> no buckets to probe
+        return empty
     qrow = {int(q): i for i, q in enumerate(qids)}
     by_cid: dict = {}
     for r in pairs:

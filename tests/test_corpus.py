@@ -290,6 +290,66 @@ def test_pack_sequences_deterministic_and_oversize(spark):
         pack_sequences(chunks, budget=0)
 
 
+def test_pack_sequences_derives_shard_count_from_stats(
+    spark, docs, tmp_path
+):
+    """n_shards=None sizes shards from plan statistics: a corpus whose
+    stats imply MORE than the old fixed 64 shards must get the derived
+    count (one shard per ~target_shard_bytes), and packing stays lossless
+    at that count — the executor-memory contract at 100 TB."""
+    from ducktales_spark.corpus import pack_sequences, shards_for
+
+    path = str(tmp_path / "chunks")
+    _chunks_df(spark, docs).write.parquet(path)
+    chunks = spark.read.parquet(path)  # parquet scan -> real byte stats
+    target = 512  # bytes, tiny on purpose: stats must imply > 64 shards
+    derived = shards_for(chunks, target_shard_bytes=target)
+    assert derived > 64
+    size = int(
+        chunks._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert derived == -(-size // target)
+    packed = pack_sequences(chunks, budget=256, target_shard_bytes=target)
+    rows = packed.collect()
+    assert sorted((r["doc_id"], r["chunk_id"]) for r in rows) == sorted(
+        (r["doc_id"], r["chunk_id"]) for r in chunks.collect()
+    )
+    shards = {r["shard"] for r in rows}
+    assert shards <= set(range(derived)) and len(shards) > 64
+
+
+def test_pack_sequences_unknown_stats_fallback(spark):
+    """Python-created DataFrames report unknown plan stats
+    (defaultSizeInBytes); shards_for must fall back instead of deriving an
+    absurd count from the Long.MaxValue sentinel."""
+    from ducktales_spark.corpus import shards_for
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 10, "a")],
+        "doc_id long, chunk_id int, n_chunk_tokens int, chunk string",
+    )
+    assert shards_for(chunks, fallback=64) == 64
+
+
+def test_pack_sequences_strict_preserves_input_types(spark):
+    """Strict mode's applyInPandas schema is derived from the INPUT: string
+    doc ids (or any non-bigint id type) must round-trip, not crash or
+    narrow — parity with strict=False which always preserved types."""
+    from ducktales_spark.corpus import pack_sequences
+
+    rows = [("doc-a", 0, 10, "x"), ("doc-b", 0, 200, "y"),
+            ("doc-b", 1, 200, "z")]
+    chunks = spark.createDataFrame(
+        rows, "doc_id string, chunk_id int, n_chunk_tokens int, chunk string"
+    )
+    for strict in (True, False):
+        packed = pack_sequences(chunks, budget=256, n_shards=2, strict=strict)
+        assert dict(packed.dtypes)["doc_id"] == "string"
+        assert sorted(
+            (r["doc_id"], r["chunk_id"]) for r in packed.collect()
+        ) == sorted((r[0], r[1]) for r in rows)
+
+
 # --- write_training_shards -------------------------------------------------
 
 

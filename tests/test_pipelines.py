@@ -154,6 +154,32 @@ def test_assemble_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_assemble_lineage_decodes_negative_doc_ids(spark, tmp_path):
+    """mix_id encode/decode round-trip with SIGNED doc ids: the decode must
+    use floor-division semantics consistent with pmod (truncating DIV
+    mis-attributes doc_id=-1, epoch=1 to doc_id=0), so written shards carry
+    the true (doc_id, epoch) lineage for any id sign."""
+    from ducktales_spark.pipelines import assemble_training_corpus
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(-1, "a", text), (-2, "a", text + " tail"), (7, "a", text + " x")],
+        "doc_id long, source string, text string",
+    )
+    bench = spark.createDataFrame([], "doc_id long, source string, text string")
+    out = str(tmp_path / "shards_neg")
+    assemble_training_corpus(
+        docs, bench, {"a": 2.0}, out, budget=64, max_tokens=16, overlap=0,
+        n_shards=2,
+    )
+    back = spark.read.parquet(out)
+    got = {
+        (r.doc_id, r.epoch)
+        for r in back.select("doc_id", "epoch").distinct().collect()
+    }
+    assert got == {(d, e) for d in (-1, -2, 7) for e in (0, 1)}
+
+
 def test_redaction_before_dedup_merges_pii_variants(spark):
     """Docs identical up to their PII must collapse to one after the
     pipeline (redaction runs before dedup by design)."""

@@ -254,3 +254,43 @@ def test_quality_filter_rules(spark):
     # single codegen projection: no Python, no exchange
     plan = (quality_filter(df)._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_quality_keep_matches_filter_on_nulls(spark):
+    """Batch and streaming quality gates must agree on EVERY doc, including
+    NULL/indeterminate text: quality_filter's reasons array is empty for a
+    NULL doc (kept), so quality_keep must coalesce its exists() NULL to
+    keep as well — a batch/streaming divergence here silently changes the
+    corpus between the two ingest paths."""
+    from ducktales_spark.queries.text_pipeline import (
+        quality_filter,
+        quality_keep,
+    )
+
+    rows = [
+        (1, None),
+        (2, "too short"),
+        (3, ("The house on the hill is quiet and the garden behind it is "
+             "full of flowers that bloom in spring when the warm weather "
+             "returns and the days grow long for everyone in the village "
+             "near the river that runs to the sea past old stone bridges "
+             "and tall green trees that line both banks in summer.")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    batch = {
+        r.doc_id: r.keep for r in quality_filter(df, min_words=20).collect()
+    }
+    stream_face = {
+        r.doc_id: r.k
+        for r in df.select(
+            "doc_id",
+            quality_keep(F.col("text"), min_words=20).alias("k"),
+        ).collect()
+    }
+    assert batch == stream_face
+    assert batch[1] is True  # NULL text: kept by both, not dropped by one
+    # and a filter over the keep column behaves identically to the batch cut
+    kept = {r.doc_id for r in df.filter(
+        quality_keep(F.col("text"), min_words=20)
+    ).collect()}
+    assert kept == {d for d, k in batch.items() if k}

@@ -178,6 +178,18 @@ def test_kmeans_refine_improves_quantization(spark, vectors):
     assert q_ref > q_seed, "refinement should move arbitrary seed centroids"
 
 
+def test_probe_empty_query_set(spark, tmp_path, vectors):
+    """An empty query frame short-circuits to an empty result with the
+    probe output schema — not a malformed 'centroid_id IN ()' scan or an
+    np.stack crash on the empty ranking."""
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    build_vector_index(lake, "emb_idx", vectors)
+    queries = vectors.filter(F.col("vec_id") < 0).toPandas()  # zero rows
+    out = probe_vector_index(lake, "emb_idx", queries, k=5, nprobe=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rnk"]
+
+
 def test_neardup_against_index(spark, tmp_path, vectors):
     """Incremental-ingest screening: a new batch containing exact copies of
     indexed vectors flags exactly those copies (cosine 1.0 against their
