@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ducktales_spark.data import table
-from ducktales_spark.registry import register
+from ducktales_spark.registry import register, register_extra
 
 
 @register(
@@ -115,7 +115,10 @@ def a10_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # rotated to the EXTRA tier in round 5 (A8 stays driver-covered by
+    # a06/a09/q1 among others) to free a driver slot for r01_rollup_refresh;
+    # the full DuckDB differential still runs in pytest
     "x05_cube",
     survey_ids=("A8",),  # extension beyond reference (Spark/DuckDB CUBE;
     # the CUBE grouping sets are a superset of ROLLUP's, so this one query

@@ -302,3 +302,44 @@ def interval_join(
     for c in drop:
         joined = joined.drop(c)
     return joined
+
+
+@register(
+    "i01_interval_join",
+    survey_ids=("P4", "J1"),  # extension: range join, the scalable form of
+    # the reference family's inequality-predicate scans
+    # (exploration/ducklake_analysis.sh:124,144); DuckDB plans it as IEJoin
+    oracle="""
+    SELECT c.event_id, e.event_id AS iv_id
+    FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS start_ts,
+                 ts::TIMESTAMP + INTERVAL 12 HOUR AS end_ts
+          FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND c.ts >= e.start_ts AND c.ts < e.end_ts
+    ORDER BY c.event_id, iv_id
+    """,
+)
+def i01_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every click matched to each same-user error
+    window [error_ts, error_ts + 12 h). DuckDB's planner expresses the
+    inequality pair natively as an IEJoin; Spark has no range-join
+    primitive, so interval_join buckets time and joins on (bucket, user) —
+    an EQUI-join whose shuffle volume is |points| + replicated intervals,
+    never the |points| x |intervals| of a cross-join + filter (the no-
+    cartesian property is plan-asserted in tests/test_interval_join.py)."""
+    ev = table(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("end_ts"),
+    )
+    return interval_join(
+        points, intervals, "ts", "start_ts", "end_ts", keys=("user_id",),
+        granularity_s=3600,
+    ).select("event_id", "iv_id")

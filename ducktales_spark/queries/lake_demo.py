@@ -371,3 +371,61 @@ def l18_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "r01_rollup_refresh",
+    oracle="""
+        WITH src AS (
+            SELECT event_id, ts::TIMESTAMP AS ts, user_id, value FROM events
+            UNION ALL
+            SELECT event_id + 900000000, ts::TIMESTAMP, user_id, value + 1.0
+            FROM events WHERE event_id < 2
+        )
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+               user_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(value), 6) AS sum_value
+        FROM src
+        WHERE user_id % 7 != 3
+        GROUP BY 1, 2""",
+    survey_ids=("T4", "T5", "A1", "A3", "D2", "D4"),  # extension:
+    # continuous aggregate (hypertable rollup) maintained through CDC
+)
+def r01_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance end to end: create an hourly
+    (user_id-grouped) rollup of events, mutate the source (INSERT two
+    shifted copies, predicate DELETE), and refresh INCREMENTALLY — the
+    refresh folds only the table_changes diff between snapshots into the
+    affected buckets (O(changes), never O(source) — the
+    TimescaleDB/Materialize model). The oracle recomputes the final state
+    from scratch over the same mutations, so incremental == recompute is
+    exactly what the driver checks."""
+    from ducktales_spark.lake.rollup import create_rollup, refresh_rollup
+
+    lake = _fresh_lake(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    lake.ctas("ev_l", ev)
+    create_rollup(
+        lake, "ev_hourly", "ev_l", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+    new = (
+        lake.read("ev_l")
+        .filter("event_id < 2")
+        .withColumn("event_id", F.col("event_id") + 900_000_000)
+        .withColumn("value", F.col("value") + 1.0)
+    )
+    lake.insert("ev_l", new)
+    lake.delete("ev_l", "user_id % 7 = 3")
+    stats = refresh_rollup(lake, "ev_hourly")
+    assert stats["to_version"] > stats["from_version"]
+    assert stats["changed_buckets"] > 0
+    return lake.read("ev_hourly").select(
+        "bucket_start",
+        "user_id",
+        "n_rows",
+        F.round("sum_value", 6).alias("sum_value"),
+    )

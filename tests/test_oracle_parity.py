@@ -40,3 +40,26 @@ def test_registry_contract():
     assert len(specs) == 50, f"registry has {len(specs)} entries, driver sweeps 50"
     missing = [n for n, s in {**specs, **load_extra()}.items() if not s.oracle]
     assert not missing, f"entries without oracle SQL: {missing}"
+
+
+def test_registry_covers_every_survey_id():
+    """Registry rotations must never orphan a SURVEY.md §2 operator id: the
+    DRIVER-SWEPT registry (not the EXTRA tier) must keep covering every id
+    that has ever had a driver CORRECTNESS row. F12 is §2.8's 'not an
+    engine op' and has no id anywhere by design."""
+    required = {
+        # §2 ids, grouped as in SURVEY.md §2 / VERDICT's coverage table
+        "S1", "S2", "S3", "S4", "S5", "S6", "S7", "S8", "S9", "S10",
+        "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8", "P9", "P10", "P11",
+        "J1", "J2", "J3",
+        "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10",
+        "W1", "O1", "O2", "O3", "O4", "U1",
+        "F1", "F2", "F3", "F4", "F5", "F6", "F7", "F8", "F9", "F10", "F11",
+        "D1", "D2", "D3", "D4", "D5", "D6", "D7", "D8", "D9", "D10", "D11",
+        "D12", "D13", "D14", "D15",
+        "T1", "T2", "T3", "T4", "T5", "T6",
+        "M1", "M2",
+    }
+    covered = {i for s in load_all().values() for i in s.survey_ids}
+    orphaned = required - covered
+    assert not orphaned, f"SURVEY §2 ids no longer driver-swept: {sorted(orphaned)}"
