@@ -232,6 +232,60 @@ def assign_buckets(
     )
 
 
+def assign_buckets_distributed(
+    v: DataFrame,
+    centroids: DataFrame,
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Bucket assignment with a DISTRIBUTED centroid table: same semantics
+    as ``assign_buckets`` (9-dp-rounded argmax, ties to the lowest centroid
+    id) but the C x dim centroid matrix NEVER transits the driver — unlike
+    the broadcast path, whose ``toPandas`` + closure-broadcast makes the
+    driver hold (and re-ship) the full matrix on every call.
+
+    Shape: vectors are dealt to P partitions on vec_id; the centroid set is
+    replicated to every partition via an explode over partition ids (an
+    executor-to-executor shuffle of P x C rows — at C = sqrt(10^12) and
+    P = 10^3 that is ~10^9 small rows once per INGEST BATCH, vs a multi-GB
+    driver object per batch on the collect path); each cogrouped partition
+    then runs the identical numpy argmax kernel. This is the per-batch
+    ingest path (extend / near-dup screening); build-time paths may still
+    broadcast (documented bound, vector_index.py)."""
+    spark = v.sparkSession
+    P = n_partitions or spark.sparkContext.defaultParallelism
+    vp = v.withColumn("__p", F.pmod(F.col("vec_id"), F.lit(P)).cast("int"))
+    cp = centroids.select("vec_id", "e").withColumn(
+        "__p", F.explode(F.sequence(F.lit(0), F.lit(P - 1)))
+    )
+
+    def assign(vpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(vpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "e": pd.Series(dtype="object"),
+                 "centroid_id": pd.Series(dtype="int64")}
+            )
+        cpdf = cpdf.sort_values("vec_id", kind="stable")  # ties -> lowest id
+        cids = cpdf["vec_id"].to_numpy()
+        Cm = _np(cpdf["e"])
+        Cn = np.linalg.norm(Cm, axis=1)
+        E = _np(vpdf["e"])
+        S = (E @ Cm.T) / (np.linalg.norm(E, axis=1)[:, None] * Cn[None, :])
+        best = cids[np.argmax(np.round(S, 9), axis=1)]
+        return pd.DataFrame(
+            {"vec_id": vpdf["vec_id"].to_numpy(), "e": vpdf["e"],
+             "centroid_id": best}
+        )
+
+    return (
+        vp.groupBy("__p")
+        .cogroup(cp.groupBy("__p"))
+        .applyInPandas(
+            assign, "vec_id bigint, e array<double>, centroid_id bigint"
+        )
+    )
+
+
 _N_PROBE = 4  # buckets probed per query (IVF nprobe)
 
 

@@ -51,6 +51,7 @@ from ducktales_spark.queries.similarity import (
     _np,
     _topk,
     assign_buckets,
+    assign_buckets_distributed,
     cosine_scores,
     n_centroids_for,
     probe_assigned,
@@ -156,9 +157,15 @@ def extend_vector_index(
 ) -> None:
     """Append new vectors under the FROZEN centroid set — O(new) assignment
     + one clustered append, one snapshot. (Periodic re-build with a larger
-    C is the rebalancing story once the corpus outgrows sqrt(N) buckets.)"""
-    cpdf = lake.read(_centroid_table(name)).orderBy("vec_id").toPandas()
-    assigned = assign_buckets(new_vectors, len(cpdf), centroids=cpdf)
+    C is the rebalancing story once the corpus outgrows sqrt(N) buckets.)
+
+    Assignment is the DISTRIBUTED cogroup kernel: this path runs once per
+    ingest batch, so the C x dim centroid matrix must never become a
+    per-batch driver object (the build-time broadcast bound does not apply
+    here — see assign_buckets_distributed)."""
+    assigned = assign_buckets_distributed(
+        new_vectors, lake.read(_centroid_table(name))
+    )
     lake.insert(name, assigned.select("vec_id", "e", "centroid_id"))
 
 
@@ -177,20 +184,18 @@ def neardup_against_index(
 
     Distributed end to end (the new batch may be arbitrarily large, unlike
     probe queries): new vectors are bucket-assigned under the index's
-    FROZEN centroids (one broadcast-matmul pass — the same build-time
-    C x dim driver bound, see _centroids), then each bucket's new x indexed
-    gram matrix is walked in block x block tiles inside applyInPandas —
-    vectors cross the shuffle once, pair space exists only inside numpy,
-    peak tile memory is block^2 doubles regardless of bucket skew. A new
-    vector only ever compares against its own bucket (same recall contract
-    as the in-corpus neardup_pairs)."""
+    FROZEN centroids via the distributed cogroup kernel — this runs per
+    ingest batch, so no C x dim driver object is ever built (see
+    assign_buckets_distributed) — then each bucket's new x indexed gram
+    matrix is walked in block x block tiles inside applyInPandas — vectors
+    cross the shuffle once, pair space exists only inside numpy, peak tile
+    memory is block^2 doubles regardless of bucket skew. A new vector only
+    ever compares against its own bucket (same recall contract as the
+    in-corpus neardup_pairs)."""
     import pandas as pd
 
-    cpdf = lake.read(_centroid_table(name), version=version).orderBy(
-        "vec_id"
-    ).toPandas()
-    assigned_new = assign_buckets(
-        new_vectors, len(cpdf), centroids=cpdf
+    assigned_new = assign_buckets_distributed(
+        new_vectors, lake.read(_centroid_table(name), version=version)
     ).select("vec_id", "e", "centroid_id", F.lit(True).alias("is_new"))
     indexed = lake.read(name, version=version).select(
         "vec_id", "e", "centroid_id", F.lit(False).alias("is_new")

@@ -171,3 +171,38 @@ def test_e02_oracle_parity_random_embeddings(spark, tmp_path):
     got = spec.fn(spark, sf_dir).collect()
     nd_pairs = {(r["id_a"], r["id_b"]) for r in got if r["kind"] == "neardup"}
     assert (5, 37) in nd_pairs
+
+
+def test_assign_buckets_distributed_matches_broadcast(spark):
+    """The cogroup (driver-free) assignment kernel must agree with the
+    broadcast kernel vector for vector — same 9-dp rounding, same
+    ties-to-lowest-centroid rule — regardless of partition count."""
+    from ducktales_spark.data import table
+    from ducktales_spark.queries.similarity import (
+        _N_CENTROIDS,
+        as_double,
+        assign_buckets,
+        assign_buckets_distributed,
+        _centroids,
+    )
+
+    v = table(spark, SF, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    cpdf = _centroids(v, _N_CENTROIDS)
+    want = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_buckets(v, _N_CENTROIDS, centroids=cpdf).collect()
+    }
+    cdf = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.e]) for r in cpdf.itertuples()],
+        "vec_id bigint, e array<double>",
+    )
+    for p in (1, 3, 8):
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in assign_buckets_distributed(
+                v, cdf, n_partitions=p
+            ).collect()
+        }
+        assert got == want, f"n_partitions={p}"

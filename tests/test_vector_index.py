@@ -190,6 +190,42 @@ def test_probe_empty_query_set(spark, tmp_path, vectors):
     assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rnk"]
 
 
+def test_ingest_paths_never_collect_centroid_matrix(spark, tmp_path, vectors):
+    """The per-ingest-batch paths (near-dup screening AND extend) must not
+    pull the C x dim centroid matrix to the driver: assignment runs as the
+    distributed cogroup kernel, so the only driver-side pulls carry no
+    vector column. (Build-time paths may broadcast — documented bound.)"""
+    from pyspark.sql import DataFrame
+
+    from ducktales_spark.vector_index import neardup_against_index
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    build_vector_index(lake, "emb_idx", vectors.filter(F.col("vec_id") < 150))
+    new = vectors.filter(F.col("vec_id").between(150, 170)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "e"
+    )
+
+    pulled_cols: list = []
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+
+    def spy_topandas(self):
+        pulled_cols.append(self.columns)
+        return orig_topandas(self)
+
+    def spy_collect(self):
+        pulled_cols.append(self.columns)
+        return orig_collect(self)
+
+    DataFrame.toPandas, DataFrame.collect = spy_topandas, spy_collect
+    try:
+        neardup_against_index(lake, "emb_idx", new, threshold=0.99).collect()
+        extend_vector_index(lake, "emb_idx", new)
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
+    vector_pulls = [c for c in pulled_cols if "e" in c]
+    assert not vector_pulls, f"ingest collected vector columns: {vector_pulls}"
+
+
 def test_neardup_against_index(spark, tmp_path, vectors):
     """Incremental-ingest screening: a new batch containing exact copies of
     indexed vectors flags exactly those copies (cosine 1.0 against their
