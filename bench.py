@@ -236,11 +236,31 @@ def duckdb_twin(specs, sf_dir: str) -> dict:
     return out
 
 
-def lake_ops(spark, sf_dir: str) -> dict:
+def lake_ops(spark, sf_dir: str, reps: int = None) -> dict:
     """The reference's benchmark op set (exploration/benchmark_ducklake.sh:
     46-201): table creation, 1k/50k inserts, predicate update, predicate
     delete, metadata queries, time-travel reads — against our lake layer on
-    the orders table."""
+    the orders table.
+
+    Min-of-N like the headline queries: the ops are millisecond-to-second
+    scale, where a single sample is dominated by host load noise (the
+    inlined insert has measured 1.6 ms and 11.4 ms across rounds on
+    identical code). Each rep runs the WHOLE scenario on a fresh lake (the
+    ops are stateful — op k's input is op k-1's output), and the per-op min
+    is reported."""
+    reps = reps or int(os.environ.get("SPARK_GRAFT_LAKE_REPS", "3"))
+    best: dict[str, float] = {}
+    for _ in range(reps):
+        t = _lake_ops_once(spark, sf_dir)
+        for k, v in t.items():
+            best[k] = v if k not in best else min(best[k], v)
+    best["total"] = round(
+        sum(v for k, v in best.items() if k != "total"), 3
+    )
+    return best
+
+
+def _lake_ops_once(spark, sf_dir: str) -> dict:
     import tempfile
 
     from pyspark.sql import functions as F
