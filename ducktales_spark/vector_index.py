@@ -12,7 +12,13 @@ bucketing as TWO lake tables:
   just of the compute.
 * ``<name>__centroids`` — (vec_id, e), the frozen centroid set. Probes and
   incremental appends read this instead of re-deriving centroids, so the
-  bucketing stays stable as the corpus grows.
+  bucketing stays stable as the corpus grows. Above ``_COARSE_THRESHOLD``
+  fine centroids the set goes TWO-LEVEL: a third table ``<name>__coarse``
+  holds ceil(sqrt(C)) coarse centroids, ``__centroids`` gains a
+  ``coarse_id`` column and is written clustered on it, and probes
+  coarse-rank first so the fine ranking reads only the probed centroid
+  SHARDS (file-pruned) — the escape hatch for 10^6-centroid corpora where
+  even a distributed scan of all C centroids per probe batch is waste.
 
 Both commit in one lake transaction (the index is never half-built), and
 the index is versioned/time-travelable like any lake table.
@@ -113,18 +119,41 @@ def kmeans_refine(
     return cpdf
 
 
+# Fine-centroid count above which the centroid SET itself is sharded under
+# ceil(sqrt(C)) coarse centroids (two-level IVF / IMI family). Below it, a
+# probe's distributed scan of the whole centroid table is cheap; above it
+# (C -> 10^6 at trillion-vector corpora) the coarse level cuts the per-probe
+# centroid read to C_coarse + the probed shards, via the same catalog
+# file-stats pruning the index table uses.
+_COARSE_THRESHOLD = 4096
+
+
+def _coarse_table(name: str) -> str:
+    return f"{name}__coarse"
+
+
 def build_vector_index(
     lake: LakeCatalog,
     name: str,
     vectors: DataFrame,
     n_centroids: Optional[int] = None,
     refine_iterations: int = 0,
+    coarse_threshold: int = _COARSE_THRESHOLD,
 ) -> int:
     """Materialize the IVF index for ``vectors`` (vec_id, e) as lake tables
     ``name`` + ``name__centroids``. Returns the centroid count.
     ``refine_iterations`` > 0 runs that many spherical-k-means passes
     (kmeans_refine) over the seed centroids before assignment — better
-    bucket balance and probe recall for the same probe cost."""
+    bucket balance and probe recall for the same probe cost.
+
+    When C > ``coarse_threshold`` the build goes TWO-LEVEL: the first
+    ceil(sqrt(C)) fine centroids seed a coarse set (``name__coarse``), every
+    fine centroid is coarse-assigned with the DISTRIBUTED cogroup kernel
+    (no C x dim driver pass for this step), and ``name__centroids`` is
+    written clustered on ``coarse_id`` so a probe's ``coarse_id IN (...)``
+    becomes centroid-FILE pruning. Index contents are identical to the flat
+    build — corpus vectors are still assigned to their globally nearest
+    fine centroid — only the probe's centroid-ranking read path changes."""
     C = n_centroids if n_centroids is not None else n_centroids_for(vectors)
     cpdf = (
         vectors.filter(F.col("vec_id") < C).orderBy("vec_id").toPandas()
@@ -133,6 +162,27 @@ def build_vector_index(
         cpdf = kmeans_refine(vectors, cpdf, refine_iterations)
     assigned = assign_buckets(vectors, C, centroids=cpdf)
     spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.e]) for r in cpdf.itertuples()],
+        "vec_id bigint, e array<double>",
+    )
+    two_level = C > coarse_threshold
+    if two_level:
+        n_coarse = int(np.ceil(np.sqrt(C)))
+        coarse_df = spark.createDataFrame(
+            [
+                (int(r.vec_id), [float(x) for x in r.e])
+                for r in cpdf.head(n_coarse).itertuples()
+            ],
+            "vec_id bigint, e array<double>",
+        )
+        from ducktales_spark.queries.similarity import (
+            assign_buckets_distributed,
+        )
+
+        cent_df = assign_buckets_distributed(
+            cent_df, coarse_df
+        ).withColumnRenamed("centroid_id", "coarse_id")
     with lake.transaction() as tx:
         tx.ctas(
             name,
@@ -141,14 +191,11 @@ def build_vector_index(
         )
         tx.ctas(
             _centroid_table(name),
-            spark.createDataFrame(
-                [
-                    (int(r.vec_id), [float(x) for x in r.e])
-                    for r in cpdf.itertuples()
-                ],
-                "vec_id bigint, e array<double>",
-            ),
+            cent_df,
+            partition_by=("coarse_id",) if two_level else (),
         )
+        if two_level:
+            tx.ctas(_coarse_table(name), coarse_df)
     return C
 
 
@@ -247,11 +294,22 @@ def probe_vector_index(
     k: int = _TOP_K,
     nprobe: int = _N_PROBE,
     version: Optional[int] = None,
+    coarse_nprobe: int = 2 * _N_PROBE,
 ) -> DataFrame:
     """Top-k neighbors per query row of ``queries`` (vec_id, e pandas frame,
     driver-small). Reads ONLY the probed buckets: the ``centroid_id IN``
     predicate prunes index files via catalog stats before any Spark task
-    runs."""
+    runs.
+
+    On a TWO-LEVEL index (built with C > coarse_threshold) the centroid
+    ranking itself is pruned the same way: a distributed coarse-rank pass
+    picks ``coarse_nprobe`` centroid shards per query (only |Q| x
+    coarse_nprobe id pairs reach the driver), and the fine ranking scans
+    just those shards of ``name__centroids`` via ``coarse_id IN (...)``
+    file pruning — per-probe centroid reads drop from C rows to C_coarse +
+    probed shards (~coarse_nprobe * sqrt(C)). Fine ranking runs over the
+    UNION of the queries' probed shards; with ``coarse_nprobe`` >= the
+    shard count it degenerates to exactly the flat ranking."""
     cent = lake.read(_centroid_table(name), version=version)
     qids = queries["vec_id"].to_numpy()
     empty = lake.spark.createDataFrame(
@@ -260,6 +318,28 @@ def probe_vector_index(
     if not len(qids):
         return empty
     Q = _np(queries["e"])
+    if _coarse_table(name) in lake.tables(version):
+        # coarse-rank DISTRIBUTED over the (small) coarse table; collect
+        # only |Q| x coarse_nprobe (query, coarse shard) id pairs
+        coarse = lake.read(_coarse_table(name), version=version)
+        shard_pairs = _topk(
+            cosine_scores(
+                coarse.select("vec_id", "e"), qids, Q,
+                local_k=coarse_nprobe, drop_self=False,
+            ),
+            coarse_nprobe,
+        ).select("neighbor_id").distinct().collect()
+        if not shard_pairs:
+            return empty
+        shards = ", ".join(
+            str(int(r["neighbor_id"])) for r in sorted(
+                shard_pairs, key=lambda r: int(r["neighbor_id"])
+            )
+        )
+        cent = lake.read(
+            _centroid_table(name), version=version,
+            where=f"coarse_id IN ({shards})",
+        )
     # Rank centroids per query DISTRIBUTIVELY: the tiny query matrix is
     # broadcast, every centroid partition scores + local-top-nprobe's in the
     # Arrow kernel, and only |Q| x nprobe (query_id, centroid_id) PAIRS come

@@ -275,3 +275,81 @@ def test_build_index_with_refinement_probes(spark, tmp_path, vectors):
     rows = got.collect()
     assert len(rows) == 15
     assert all(r.rnk <= 5 for r in rows)
+
+
+def test_two_level_index_parity_and_pruning(spark, tmp_path, vectors):
+    """Two-level IVF (C forced above coarse_threshold): with coarse_nprobe
+    covering every shard the probe must return EXACTLY the flat index's
+    answer (the coarse level only prunes the centroid read, never changes
+    index contents), and the fine-centroid read must be file-pruned to the
+    probed shards."""
+    # centroid table must exceed the inline threshold to get data FILES
+    # (the pruning assertion below is about file skipping)
+    lake = LakeCatalog(str(tmp_path / "lake"), spark, inline_threshold=8)
+    flat = LakeCatalog(str(tmp_path / "flat"), spark, inline_threshold=8)
+    C = 64
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        build_vector_index(lake, "emb2", vectors, n_centroids=C,
+                           coarse_threshold=16)  # C=64 > 16 -> two-level
+        build_vector_index(flat, "embf", vectors, n_centroids=C)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    n_coarse = 8  # ceil(sqrt(64))
+    assert "emb2__coarse" in lake.tables()
+    assert flat.read("embf__centroids").columns == ["vec_id", "e"]
+    cent = lake.read("emb2__centroids")
+    assert "coarse_id" in cent.columns
+    # index contents identical to the flat build
+    assert sorted(
+        (r.vec_id, r.centroid_id) for r in lake.read("emb2").collect()
+    ) == sorted(
+        (r.vec_id, r.centroid_id) for r in flat.read("embf").collect()
+    )
+    queries = vectors.filter(F.col("vec_id") < 4).toPandas()
+    got = probe_vector_index(
+        lake, "emb2", queries, k=8, nprobe=3, coarse_nprobe=n_coarse
+    )
+    want = probe_vector_index(flat, "embf", queries, k=8, nprobe=3)
+    assert _rows(got) == _rows(want)
+    # centroid-table file pruning: one probed shard reads fewer files
+    all_files = set(cent.inputFiles())
+    assert len(all_files) > 1
+    one = set(lake.read("emb2__centroids", where="coarse_id IN (0)")
+              .inputFiles())
+    assert one and one < all_files
+
+
+def test_two_level_default_width_recall(spark, tmp_path, vectors):
+    """At the default coarse width the two-level probe is approximate in
+    WHICH fine buckets it ranks, but each returned neighbor must carry its
+    exact cosine, and recall of the flat probe's answer stays high."""
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    flat = LakeCatalog(str(tmp_path / "flat"), spark)
+    build_vector_index(lake, "emb2", vectors, n_centroids=64,
+                       coarse_threshold=16)
+    build_vector_index(flat, "embf", vectors, n_centroids=64)
+    queries = vectors.filter(F.col("vec_id") < 8).toPandas()
+    got = probe_vector_index(lake, "emb2", queries, k=8, nprobe=3)
+    want = probe_vector_index(flat, "embf", queries, k=8, nprobe=3)
+
+    def tops(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    g, w = tops(got), tops(want)
+    recalls = [
+        len(g.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in w.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # exact cosines: every returned pair matches the flat probe's value
+    flat_sims = {
+        (r.query_id, r.neighbor_id): r.cos_sim for r in want.collect()
+    }
+    for r in got.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in flat_sims:
+            assert r.cos_sim == pytest.approx(flat_sims[key], abs=1e-9)
