@@ -262,12 +262,31 @@ def redact_pii(text: Column, patterns=_PII_PATTERNS) -> Column:
     return out
 
 
+def bpe_pieces(text: Column) -> Column:
+    """GPT-2-style pre-tokenizer pieces — letter runs, digit runs,
+    punctuation runs, each with its attached leading space — as a JVM
+    regexp_extract_all (the same regex family queries.text.t01 counts
+    with). Each piece maps to >= 1 BPE token, so a budget measured in
+    pieces tracks a real BPE token budget far more closely than
+    whitespace words do, with zero Python in the plan.
+
+    Pieces carry their own separators, so ``joiner=""`` reassembles them
+    losslessly for text whose characters the piece regex covers (runs of
+    whitespace beyond a single inter-piece space are not representable —
+    normalize whitespace upstream if byte-exact chunks matter)."""
+    from ducktales_spark.queries.text import _BPE_RE
+
+    return F.regexp_extract_all(text, F.lit(_BPE_RE), 0)
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_tokens: int = 512,
     overlap: int = 64,
+    tokenizer=None,
+    joiner: str = " ",
 ) -> DataFrame:
     """Split documents into overlapping token-budget chunks:
     (doc_id, chunk_id, n_chunk_tokens, chunk).
@@ -275,9 +294,16 @@ def chunk_documents(
     Tokenize once into a word array, explode the chunk-index range, slice
     the array per chunk — all JVM array expressions, so the only data
     amplification is the emitted chunks themselves (overlap/max_tokens
-    extra bytes). Tokens are whitespace words (the budget proxy); a
-    BPE-budget variant would swap the tokenizer regex (see
-    queries.text.t01) and keep the identical chunk plumbing.
+    extra bytes).
+
+    The token UNIT is pluggable: ``tokenizer`` is any Column -> Column
+    function producing the array the budget counts (default: whitespace
+    words), and ``joiner`` must invert it when reassembling chunk text
+    (" " for whitespace words; "" for ``bpe_pieces``, whose pieces carry
+    their leading space). ``n_chunk_tokens`` is counted in the chosen
+    unit, so downstream ``pack_sequences`` budgets inherit it unchanged —
+    pass ``tokenizer=bpe_pieces, joiner=""`` and the whole chunk->pack
+    path budgets in BPE-piece units with no Python added to the plan.
 
     Chunks start every ``max_tokens - overlap`` tokens; the last chunk is
     the only one shorter than ``max_tokens``, and a document shorter than
@@ -288,7 +314,11 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    ws = (
+        tokenizer(F.col(text_col))
+        if tokenizer is not None
+        else F.split(F.trim(F.col(text_col)), r"\s+")
+    )
     n = F.size(ws)
     # number of chunk starts: 1 + floor(max(n - max_tokens, 0) / step),
     # +1 more if a tail remains beyond the last full window
@@ -311,5 +341,5 @@ def chunk_documents(
         "doc_id",
         "chunk_id",
         F.size(chunk_ws).alias("n_chunk_tokens"),
-        F.concat_ws(" ", chunk_ws).alias("chunk"),
+        F.concat_ws(joiner, chunk_ws).alias("chunk"),
     )

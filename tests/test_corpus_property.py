@@ -103,3 +103,55 @@ def test_packing_lossless_and_capacity(spark, token_counts, budget, strict):
                 assert total <= budget
         else:
             assert total <= budget + max_chunk - 1
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    word_counts=st.lists(st.integers(0, 120), min_size=1, max_size=6),
+    max_tokens=st.integers(8, 48),
+    budget=st.integers(48, 160),
+)
+def test_chunk_pack_under_bpe_piece_counter(
+    spark, word_counts, max_tokens, budget
+):
+    """The alternate token counter end to end: chunking with
+    tokenizer=bpe_pieces (joiner='') must still reconstruct each document
+    exactly (single-spaced text is fully piece-representable), count
+    n_chunk_tokens in PIECE units (words like 'w3x7' are >1 piece), and
+    packing under that counter must stay a lossless capacity-respecting
+    partition."""
+    from ducktales_spark.queries.text_pipeline import bpe_pieces
+
+    # 'w{i}x{j}' words: letters/digits alternate -> multiple pieces/word
+    docs = _docs(spark, word_counts)
+    chunks = chunk_documents(
+        docs, max_tokens=max_tokens, overlap=0,
+        tokenizer=bpe_pieces, joiner="",
+    )
+    rows = chunks.collect()
+    by_doc: dict = {}
+    for r in rows:
+        assert r["n_chunk_tokens"] <= max_tokens
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in enumerate(word_counts):
+        members = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        rebuilt = "".join(r["chunk"] for r in members)
+        expected = " ".join(f"w{doc_id}x{j}" for j in range(n))
+        assert rebuilt == expected, (doc_id, rebuilt[:50])
+        if n:  # piece units: each word is letters+digits+letters+digits
+            total_pieces = sum(r["n_chunk_tokens"] for r in members)
+            assert total_pieces > n  # strictly more pieces than words
+    packed = pack_sequences(chunks, budget=budget, n_shards=3).collect()
+    assert sorted((r["doc_id"], r["chunk_id"]) for r in packed) == sorted(
+        (r["doc_id"], r["chunk_id"]) for r in rows
+    )
+    by_seq: dict = {}
+    for r in packed:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    for members in by_seq.values():
+        if len(members) > 1:
+            assert sum(r["n_chunk_tokens"] for r in members) <= budget
