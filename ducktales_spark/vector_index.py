@@ -216,6 +216,35 @@ def extend_vector_index(
     lake.insert(name, assigned.select("vec_id", "e", "centroid_id"))
 
 
+def _salted_screen_input(
+    assigned_new: DataFrame,
+    indexed: DataFrame,
+    hot_bucket_rows: int,
+) -> DataFrame:
+    """Union the new and indexed sides with a per-bucket SALT that spreads
+    hot buckets across tasks: each bucket's fan-out is
+    ceil(indexed_rows / hot_bucket_rows) (1 for normal buckets — zero
+    overhead), indexed rows hash into one of the fan sub-groups, and new
+    rows replicate to ALL sub-groups, so every (new x indexed) pair still
+    meets in exactly one group. Duplicate-heavy corpora are exactly the
+    screening use case, and they concentrate population in few buckets —
+    without the salt, one task owns the whole hot bucket's gram work no
+    matter how many executors idle. The fan table is at most C rows
+    (broadcast); replication cost is fan x |new-in-hot-buckets| only."""
+    fan = indexed.groupBy("centroid_id").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(hot_bucket_rows))
+        .cast("int")
+        .alias("__fan")
+    )
+    idx_s = indexed.join(F.broadcast(fan), "centroid_id").withColumn(
+        "__salt", F.pmod(F.xxhash64("vec_id"), F.col("__fan")).cast("int")
+    )
+    new_s = assigned_new.join(F.broadcast(fan), "centroid_id").withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.col("__fan") - 1))
+    )
+    return new_s.unionByName(idx_s).drop("__fan")
+
+
 def neardup_against_index(
     lake: LakeCatalog,
     name: str,
@@ -223,6 +252,7 @@ def neardup_against_index(
     threshold: float = 0.95,
     block: int = 2048,
     version: Optional[int] = None,
+    hot_bucket_rows: int = 65536,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW vector batch and the indexed
     corpus: (vec_new, vec_indexed, cos_sim) with cosine >= threshold — the
@@ -238,7 +268,12 @@ def neardup_against_index(
     cross the shuffle once, pair space exists only inside numpy, peak tile
     memory is block^2 doubles regardless of bucket skew. A new vector only
     ever compares against its own bucket (same recall contract as the
-    in-corpus neardup_pairs)."""
+    in-corpus neardup_pairs).
+
+    Bucket SKEW (the duplicate-heavy case this operator exists for) is
+    handled by salting: buckets holding more than ``hot_bucket_rows``
+    indexed vectors fan out across tasks (see _salted_screen_input) with
+    identical pair output."""
     import pandas as pd
 
     assigned_new = assign_buckets_distributed(
@@ -247,7 +282,7 @@ def neardup_against_index(
     indexed = lake.read(name, version=version).select(
         "vec_id", "e", "centroid_id", F.lit(False).alias("is_new")
     )
-    both = assigned_new.unionByName(indexed)
+    both = _salted_screen_input(assigned_new, indexed, hot_bucket_rows)
 
     def bucket_cross(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -282,7 +317,7 @@ def neardup_against_index(
                     )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return both.groupBy("centroid_id").applyInPandas(
+    return both.groupBy("centroid_id", "__salt").applyInPandas(
         bucket_cross, "vec_new bigint, vec_indexed bigint, cos_sim double"
     )
 

@@ -353,3 +353,69 @@ def test_two_level_default_width_recall(spark, tmp_path, vectors):
         key = (r.query_id, r.neighbor_id)
         if key in flat_sims:
             assert r.cos_sim == pytest.approx(flat_sims[key], abs=1e-9)
+
+
+def test_neardup_screen_salts_hot_buckets(spark, tmp_path, vectors):
+    """Planted hot bucket: a duplicate-heavy index concentrates population
+    in one IVF bucket; with a small hot_bucket_rows the screening input
+    must fan that bucket out over >1 (bucket, salt) group — spreading the
+    gram work across tasks — while the pair output stays IDENTICAL to the
+    unsalted run."""
+    from ducktales_spark.queries.similarity import (
+        assign_buckets_distributed,
+    )
+    from ducktales_spark.vector_index import (
+        _salted_screen_input,
+        neardup_against_index,
+    )
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    base = vectors.filter(F.col("vec_id") < 40)
+    hot = vectors.filter(F.col("vec_id") == 3).first()["e"]
+    clones = spark.createDataFrame(
+        [(5000 + i, [float(x) for x in hot]) for i in range(60)],
+        "vec_id bigint, e array<double>",
+    )
+    build_vector_index(
+        lake, "emb_idx", base.unionByName(clones), n_centroids=8
+    )
+    new = spark.createDataFrame(
+        [(9000, [float(x) for x in hot]),
+         (9001, [float(-x) for x in hot])],
+        "vec_id bigint, e array<double>",
+    )
+    # the salted input fans the clone bucket across multiple groups
+    assigned_new = assign_buckets_distributed(
+        new, lake.read("emb_idx__centroids")
+    ).select("vec_id", "e", "centroid_id", F.lit(True).alias("is_new"))
+    indexed = lake.read("emb_idx").select(
+        "vec_id", "e", "centroid_id", F.lit(False).alias("is_new")
+    )
+    salted = _salted_screen_input(assigned_new, indexed, hot_bucket_rows=16)
+    groups = (
+        salted.filter(~F.col("is_new"))
+        .select("centroid_id", "__salt")
+        .distinct()
+        .collect()
+    )
+    per_bucket: dict = {}
+    for r in groups:
+        per_bucket.setdefault(r.centroid_id, set()).add(r["__salt"])
+    assert max(len(s) for s in per_bucket.values()) > 1, per_bucket
+    # and every new row is replicated to each of its bucket's salts
+    reps = (
+        salted.filter("is_new AND vec_id = 9000")
+        .select("centroid_id", "__salt")
+        .collect()
+    )
+    assert len(reps) == len(per_bucket[reps[0].centroid_id])
+
+    got_salted = sorted(map(tuple, neardup_against_index(
+        lake, "emb_idx", new, threshold=0.99, hot_bucket_rows=16
+    ).collect()))
+    got_plain = sorted(map(tuple, neardup_against_index(
+        lake, "emb_idx", new, threshold=0.99, hot_bucket_rows=1 << 30
+    ).collect()))
+    assert got_salted == got_plain
+    assert {p[0] for p in got_salted} == {9000}  # all 61 dups of vec 3
+    assert len(got_salted) >= 61
