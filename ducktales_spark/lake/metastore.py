@@ -159,32 +159,37 @@ class _SqliteTx:
         return cur.lastrowid
 
 
+def _pg_driver():
+    """psycopg2 when available, else the bundled pure-stdlib wire client
+    (pgmini) — same connect/cursor/commit/rollback subset either way."""
+    try:
+        import psycopg2
+
+        return psycopg2
+    except ImportError:
+        from ducktales_spark.lake import pgmini
+
+        return pgmini
+
+
 class PostgresMetastore(Metastore):
-    """Same schema over psycopg2 (S10 catalog portability). The DDL's
+    """Same schema over psycopg2 — or the bundled minimal wire-protocol
+    client when psycopg2 is absent (S10 catalog portability). The DDL's
     ``{auto_pk}`` becomes BIGSERIAL; ``BEGIN IMMEDIATE`` becomes a
     session-level advisory lock so snapshot allocation serializes."""
 
     paramstyle = "%s"
 
-    def __init__(self, dsn: str):  # pragma: no cover - no PG server in CI
-        try:
-            import psycopg2  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "PostgreSQL catalog backend requires psycopg2; install it or "
-                "use a SQLite catalog path"
-            ) from e
+    def __init__(self, dsn: str):
         self.dsn = dsn
         self._local = threading.local()
         with self.tx():
             pass
 
-    def _conn(self):  # pragma: no cover
-        import psycopg2
-
+    def _conn(self):
         c = getattr(self._local, "conn", None)
         if c is None:
-            c = psycopg2.connect(self.dsn)
+            c = _pg_driver().connect(self.dsn)
             cur = c.cursor()
             for stmt in _DDL:
                 cur.execute(
