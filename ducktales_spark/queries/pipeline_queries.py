@@ -274,3 +274,75 @@ def c03_pack_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=_PACK_SHARDS,
         strict=False,
     )
+
+
+@register_extra(
+    "c04_pack_strict",
+    survey_ids=(),  # extension: training-sequence packing (exact next-fit)
+    oracle=rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, ws,
+             greatest(1, CAST(ceil(len(ws) / {_PACK_STEP}.0) AS INT)) AS nc
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, CAST(unnest(range(0, nc)) AS INT) AS chunk_id,
+             ws[chunk_id*{_PACK_STEP}+1 : chunk_id*{_PACK_STEP}+{_PACK_CHUNK}]
+                 AS cw
+      FROM n
+    ),
+    ch AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(cw) AS INT) AS n_chunk_tokens,
+             array_to_string(cw, ' ') AS chunk,
+             ('0x' || substr(md5(doc_id::VARCHAR || '@' || chunk_id::VARCHAR
+                                 || '#' || '42'), 1, 15))::BIGINT AS h
+      FROM c
+    ),
+    sh AS (
+      SELECT *, CAST(h % {_PACK_SHARDS} AS INT) AS shard,
+             row_number() OVER (PARTITION BY CAST(h % {_PACK_SHARDS} AS INT)
+                                ORDER BY h, doc_id, chunk_id) AS rn
+      FROM ch
+    ),
+    packed AS (
+      SELECT shard, rn, doc_id, chunk_id, n_chunk_tokens, chunk,
+             CAST(0 AS BIGINT) AS seq_id, 0 AS pos,
+             n_chunk_tokens AS used
+      FROM sh WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.chunk_id, o.n_chunk_tokens, o.chunk,
+             CASE WHEN p.used + o.n_chunk_tokens > {_PACK_BUDGET}
+                  THEN p.seq_id + 1 ELSE p.seq_id END,
+             CASE WHEN p.used + o.n_chunk_tokens > {_PACK_BUDGET}
+                  THEN 0 ELSE p.pos + 1 END,
+             CASE WHEN p.used + o.n_chunk_tokens > {_PACK_BUDGET}
+                  THEN o.n_chunk_tokens ELSE p.used + o.n_chunk_tokens END
+      FROM packed p JOIN sh o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, seq_id, CAST(pos AS INT) AS position,
+           doc_id, chunk_id, n_chunk_tokens, chunk
+    FROM packed
+    ORDER BY shard, seq_id, position
+    """,
+)
+def c04_pack_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, EXACT next-fit (strict=True, the
+    applyInPandas per-shard linear pass): cross-engine differential via a
+    DuckDB recursive CTE that walks each shard in the identical
+    (h, doc_id, chunk_id) order carrying (seq_id, position, used) state —
+    the sequential capacity loop itself, not just the windowed
+    approximation c03 covers. Completes packing's differential story:
+    every packing variant now has an independent-engine oracle."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=_PACK_CHUNK, overlap=0)
+    return pack_sequences(
+        chunks,
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+        strict=True,
+    )
