@@ -173,3 +173,50 @@ def start_lake_cdc_merge(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_rollup_ingest(
+    stream_df: DataFrame,
+    lake: LakeCatalog,
+    table: str,
+    rollup: str,
+    *,
+    checkpoint_dir: str,
+    trigger_seconds: Optional[float] = None,
+    available_now: bool = False,
+    query_name: str = "rollup_ingest",
+):
+    """Continuously maintained aggregate: each micro-batch appends into the
+    rollup's SOURCE table (the exactly-once epoch protocol above) and then
+    advances the rollup incrementally — ``refresh_rollup`` folds just that
+    batch's ``table_changes`` diff into the touched buckets, so per-batch
+    maintenance cost is O(batch), never O(source). This is the streaming
+    face of the TimescaleDB/Materialize continuous-aggregate model, built
+    from the repo's own primitives (CDC diff + MERGE + snapshot log).
+
+    Crash-safety: the append and the refresh are separate snapshots, but
+    the refresh is driven by the rollup meta's last-refreshed version, so
+    a crash BETWEEN them loses nothing — the next batch's refresh folds
+    both batches' diffs, and the rollup-equals-recompute invariant holds
+    at every refresh point (tests/test_streaming.py)."""
+    from ducktales_spark.lake.rollup import refresh_rollup
+
+    epoch_table = _epoch_table(lake, table)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _commit_batch(
+            lake, epoch_table, batch_id, lambda tx: tx.insert(table, batch_df)
+        )
+        refresh_rollup(lake, rollup)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -509,3 +509,72 @@ def test_dedup_batch_standalone(spark):
     assert sorted(r.doc_id for r in survivors.collect()) == [10, 13]
     assert sorted(r.doc_id for r in hash_rows.collect()) == [10, 13]
     assert sorted({r.doc_id for r in band_rows.collect()}) == [10, 13]
+
+
+def test_streaming_rollup_maintenance(spark, tmp_path, source_dir):
+    """start_rollup_ingest: the rollup tracks the stream — after each
+    micro-batch's append+refresh, the incremental rollup equals a
+    from-scratch recompute over the source table; a crash injected BETWEEN
+    the append and the refresh loses nothing (the next refresh folds both
+    diffs)."""
+    from ducktales_spark.lake.rollup import (
+        _bucket_expr,
+        create_rollup,
+        refresh_rollup,
+    )
+    from ducktales_spark.streaming.ingest import start_rollup_ingest
+
+    d, schema = source_dir
+    lake = LakeCatalog(str(tmp_path / "lake"), spark, inline_threshold=2)
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    lake.create_table(
+        "ev",
+        StructType([
+            StructField("user_id", LongType(), True),
+            StructField("ts", TimestampType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]),
+    )
+    create_rollup(
+        lake, "ev_hourly", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+
+    q = start_rollup_ingest(
+        _stream(spark, d, schema), lake, "ev", "ev_hourly",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+
+    def _rows(df):
+        return sorted(
+            (r["bucket_start"], r["user_id"], r["n_rows"], r["sum_value"])
+            for r in df.collect()
+        )
+
+    def recompute():
+        # lake.read pins the snapshot at construction: rebuild per check
+        return _rows(
+            lake.read("ev")
+            .groupBy(_bucket_expr("ts", 3600).alias("bucket_start"), "user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+
+    assert lake.read("ev").count() == 7  # both files landed exactly once
+    assert _rows(lake.read("ev_hourly")) == recompute()
+
+    # crash between append and refresh: append lands without its refresh...
+    lake.insert("ev", lake.read("ev").limit(2))
+    stale = _rows(lake.read("ev_hourly"))
+    assert stale != recompute()  # rollup is legitimately behind
+    # ...and the NEXT refresh (as the next batch would run) heals it
+    refresh_rollup(lake, "ev_hourly")
+    assert _rows(lake.read("ev_hourly")) == recompute()
