@@ -261,13 +261,24 @@ def lake_ops(spark, sf_dir: str, reps: int = None) -> dict:
 
 
 def _lake_ops_once(spark, sf_dir: str) -> dict:
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from ducktales_spark.lake import connect
 
-    lake = connect("lake:" + tempfile.mkdtemp(prefix="bench_lake_"), spark)
+    lake_dir = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        return _lake_ops_run(spark, sf_dir, connect(f"lake:{lake_dir}", spark))
+    finally:
+        # each rep copies the orders table into /tmp — reclaim it
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
+def _lake_ops_run(spark, sf_dir: str, lake) -> dict:
+    from pyspark.sql import functions as F
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     t: dict[str, float] = {}
 

@@ -197,14 +197,20 @@ def shards_for(
     policy ``bench.py:tune_for_input`` applies to shuffle partitions.
 
     Python-created DataFrames (LogicalRDD) report unknown stats
-    (``defaultSizeInBytes`` = Long.MaxValue); those fall back to
-    ``fallback`` — callers with real corpora read from storage and get the
-    derived count.
+    (``defaultSizeInBytes`` = Long.MaxValue) — and Catalyst's size-only
+    estimator SCALES that sentinel by row-width ratios through
+    projections, so an unknown-stat plan can surface any astronomically
+    large value, not the raw sentinel. Anything above 1 PiB is therefore
+    treated as unknown (no single DataFrame input approaches that; a
+    genuinely larger corpus passes n_shards explicitly), and the derived
+    count is additionally capped at 2^20 shards as a shuffle-sanity
+    bound — both fall back to ``fallback``-style safety rather than
+    deriving a billions-of-partitions repartition.
     """
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size >= 1 << 62:  # unknown-stat sentinel (defaultSizeInBytes)
+    if size >= 1 << 50:  # unknown-stat sentinel family (scaled or raw)
         return fallback
-    return max(1, -(-size // max(1, target_shard_bytes)))
+    return min(1 << 20, max(1, -(-size // max(1, target_shard_bytes))))
 
 
 def pack_sequences(

@@ -434,6 +434,48 @@ class LakeCatalog:
         sch = schemas[max(schemas)]
         return [(f.name, f.type, f.nullable) for f in sch.fields]
 
+    def file_stats(self, name: str, version=None) -> list:
+        """Per-data-file catalog metadata: [{path, row_count, file_bytes,
+        columns: {col: {min, max, nulls}}}] — the reader-side face of the
+        footer stats that drive file pruning (SURVEY §4). Metadata-only
+        (one catalog query, no Spark job): operators can size or route
+        work from it — e.g. the vector near-dup screen derives per-bucket
+        populations here instead of scanning the index — the same way the
+        pruned read path consumes the identical rows. Inlined rows have no
+        file and do not appear."""
+        from .schema import value_from_json
+
+        v = self._resolve_version(version)
+        table_id, _ = self._table_at(name, v)
+        schemas = self._schemas_at(table_id, v)
+        current = schemas[max(schemas)]
+        fid_to_name = {f.field_id: f.name for f in current.fields}
+        out = []
+        for path, rc, fb, cs in self.ms.q(
+            "SELECT path, row_count, file_bytes, col_stats FROM "
+            "lake_data_file WHERE table_id=? AND added_snapshot<=? AND "
+            "(removed_snapshot IS NULL OR removed_snapshot>?)",
+            (table_id, v, v),
+        ):
+            cols = {}
+            for fid, st in (json.loads(cs) if cs else {}).items():
+                col = fid_to_name.get(int(fid))
+                if col is not None:
+                    cols[col] = {
+                        "min": value_from_json(st.get("min")),
+                        "max": value_from_json(st.get("max")),
+                        "nulls": st.get("nulls"),
+                    }
+            out.append(
+                {
+                    "path": path,
+                    "row_count": rc,
+                    "file_bytes": fb,
+                    "columns": cols,
+                }
+            )
+        return out
+
     def table_info(self) -> list:
         """``ducklake_table_info``-style per-table file/row stats (T6)."""
         v = self.current_version()

@@ -72,11 +72,19 @@ def _literal(v) -> str:
 
 _PLACEHOLDER = re.compile(r"%s")
 
+def _numeric(s: str):
+    """NUMERIC: integral values decode as int (SUM(bigint) returns NUMERIC,
+    and catalog counts must stay exact ints — psycopg2 parity), fractional
+    as float."""
+    return float(s) if ("." in s or "e" in s or "E" in s) else int(s)
+
+
 # text-format decoders by type OID; anything unlisted stays str
 _DECODERS = {
     16: lambda s: s == "t",            # bool
     20: int, 21: int, 23: int, 26: int,  # int8/2/4, oid
-    700: float, 701: float, 1700: float,  # float4/8, numeric
+    700: float, 701: float,              # float4/8
+    1700: _numeric,
 }
 
 
@@ -89,7 +97,12 @@ class Cursor:
 
     def execute(self, sql: str, params=()):
         params = tuple(params)
-        if params:
+        if params or _PLACEHOLDER.search(sql):
+            n = len(_PLACEHOLDER.findall(sql))
+            if n != len(params):
+                raise Error(
+                    f"query takes {n} parameters, {len(params)} given"
+                )
             it = iter(params)
             sql = _PLACEHOLDER.sub(lambda m: _literal(next(it)), sql)
         self.description, self._rows = self._conn._simple_query(sql)

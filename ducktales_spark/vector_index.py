@@ -176,10 +176,6 @@ def build_vector_index(
             ],
             "vec_id bigint, e array<double>",
         )
-        from ducktales_spark.queries.similarity import (
-            assign_buckets_distributed,
-        )
-
         cent_df = assign_buckets_distributed(
             cent_df, coarse_df
         ).withColumnRenamed("centroid_id", "coarse_id")
@@ -216,10 +212,36 @@ def extend_vector_index(
     lake.insert(name, assigned.select("vec_id", "e", "centroid_id"))
 
 
+def _bucket_counts_from_stats(
+    lake: LakeCatalog, name: str, version: Optional[int]
+) -> Optional[dict]:
+    """Per-bucket indexed row counts from CATALOG metadata alone — no
+    Spark job. Valid when the index has no inlined rows (an inlined bucket
+    would be invisible here and its pairs silently dropped from the fan
+    join) and every data file covers exactly one centroid (min == max in
+    its footer stats — what the clustered write produces). Returns None
+    when either condition fails; the caller falls back to a column-pruned
+    count scan."""
+    if version is not None and version != lake.current_version():
+        return None  # table_info has no versioned form; scan instead
+    info = {t["table_name"]: t for t in lake.table_info()}.get(name)
+    if info is None or info.get("inlined_rows"):
+        return None
+    counts: dict = {}
+    for f in lake.file_stats(name):
+        st = f["columns"].get("centroid_id")
+        if not st or st["min"] is None or st["min"] != st["max"]:
+            return None  # multi-bucket or stat-less file: scan instead
+        cid = int(st["min"])
+        counts[cid] = counts.get(cid, 0) + int(f["row_count"])
+    return counts
+
+
 def _salted_screen_input(
     assigned_new: DataFrame,
     indexed: DataFrame,
     hot_bucket_rows: int,
+    bucket_counts: Optional[dict] = None,
 ) -> DataFrame:
     """Union the new and indexed sides with a per-bucket SALT that spreads
     hot buckets across tasks: each bucket's fan-out is
@@ -230,12 +252,29 @@ def _salted_screen_input(
     screening use case, and they concentrate population in few buckets —
     without the salt, one task owns the whole hot bucket's gram work no
     matter how many executors idle. The fan table is at most C rows
-    (broadcast); replication cost is fan x |new-in-hot-buckets| only."""
-    fan = indexed.groupBy("centroid_id").agg(
-        F.ceil(F.count(F.lit(1)) / F.lit(hot_bucket_rows))
-        .cast("int")
-        .alias("__fan")
-    )
+    (broadcast); replication cost is fan x |new-in-hot-buckets| only.
+
+    ``bucket_counts`` (bucket -> indexed rows, from catalog file stats —
+    see _bucket_counts_from_stats) builds the fan table driver-side with
+    NO extra job; without it the counts come from a groupBy over the
+    centroid_id column alone (column-pruned: the scan reads the int
+    column, never the vectors)."""
+    if bucket_counts is not None:
+        spark = indexed.sparkSession
+        fan = spark.createDataFrame(
+            [
+                (int(cid), int(-(-n // hot_bucket_rows)))
+                for cid, n in bucket_counts.items()
+            ]
+            or [(int(-1), 1)],  # empty index: join matches nothing anyway
+            "centroid_id bigint, __fan int",
+        )
+    else:
+        fan = indexed.select("centroid_id").groupBy("centroid_id").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(hot_bucket_rows))
+            .cast("int")
+            .alias("__fan")
+        )
     idx_s = indexed.join(F.broadcast(fan), "centroid_id").withColumn(
         "__salt", F.pmod(F.xxhash64("vec_id"), F.col("__fan")).cast("int")
     )
@@ -282,7 +321,12 @@ def neardup_against_index(
     indexed = lake.read(name, version=version).select(
         "vec_id", "e", "centroid_id", F.lit(False).alias("is_new")
     )
-    both = _salted_screen_input(assigned_new, indexed, hot_bucket_rows)
+    both = _salted_screen_input(
+        assigned_new,
+        indexed,
+        hot_bucket_rows,
+        bucket_counts=_bucket_counts_from_stats(lake, name, version),
+    )
 
     def bucket_cross(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

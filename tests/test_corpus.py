@@ -389,3 +389,26 @@ def test_write_training_shards_deterministic(spark, docs, tmp_path):
     c = str(tmp_path / "c")
     write_training_shards(docs, c, n_shards=4, seed=9)
     assert _shard_orders(c) != oa  # seed reshuffles
+
+
+def test_shards_for_scaled_unknown_stats(spark):
+    """Catalyst's size-only estimator scales the unknown-stat sentinel by
+    row-width ratios through projections, producing huge-but-below-
+    Long.MaxValue sizes; shards_for must treat the whole family as unknown
+    (and cap any derived count) instead of returning billions of shards."""
+    from ducktales_spark.corpus import pack_sequences, shards_for
+
+    pads = ", ".join(f"pad{i} string" for i in range(6))
+    wide = spark.createDataFrame(
+        [(1, 0, 10, "a") + ("x",) * 6],
+        "doc_id long, chunk_id int, n_chunk_tokens int, chunk string, "
+        + pads,
+    )
+    narrowed = wide.select("doc_id", "chunk_id", "n_chunk_tokens", "chunk")
+    size = int(
+        narrowed._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert size < 1 << 62  # the scaled sentinel the raw check would miss
+    assert shards_for(narrowed, fallback=64) == 64
+    # and the whole packing path works on it
+    assert pack_sequences(narrowed, budget=64).count() == 1

@@ -1070,3 +1070,29 @@ def test_postgres_backend_end_to_end(spark, tmp_path, pg_dsn):
             lake.sql(f"DROP TABLE {name}")
         except Exception:
             pass
+
+
+def test_file_stats_metadata_surface(lake, spark):
+    """file_stats exposes the pruning stats reader-side: per-file
+    row_count/bytes plus decoded per-column min/max — one catalog query,
+    no Spark job, inlined rows excluded."""
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 7).cast("int").alias("k"),
+    )
+    lake.ctas("fs_t", df.coalesce(2))
+    stats = lake.file_stats("fs_t")
+    assert stats and all(s["row_count"] > 0 for s in stats)
+    assert sum(s["row_count"] for s in stats) == 100
+    ids = [s["columns"]["id"] for s in stats]
+    assert min(c["min"] for c in ids) == 0
+    assert max(c["max"] for c in ids) == 99
+    # inlined rows never appear as files
+    with lake.transaction() as tx:
+        tx.insert_rows("fs_t", [{"id": 1000, "k": 0}])
+    assert sum(s["row_count"] for s in lake.file_stats("fs_t")) == 100
+    # versioned: stats reflect the requested snapshot
+    v0 = 1
+    assert sum(
+        s["row_count"] for s in lake.file_stats("fs_t", version=v0)
+    ) <= 100

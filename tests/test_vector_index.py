@@ -419,3 +419,42 @@ def test_neardup_screen_salts_hot_buckets(spark, tmp_path, vectors):
     assert got_salted == got_plain
     assert {p[0] for p in got_salted} == {9000}  # all 61 dups of vec 3
     assert len(got_salted) >= 61
+
+
+def test_bucket_counts_from_stats_guards(spark, tmp_path, vectors):
+    """The metadata-derived fan path must be SAFE: when it returns counts
+    they equal the true per-bucket populations; after a tiny (inlined)
+    extend it must return None (an inlined bucket would be invisible to
+    file stats — dropping its pairs from the fan join); and the screening
+    output is identical either way."""
+    from ducktales_spark.vector_index import _bucket_counts_from_stats
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark, inline_threshold=4)
+    build_vector_index(lake, "emb_idx", vectors, n_centroids=8)
+    true_counts = {
+        r.centroid_id: r.n
+        for r in lake.read("emb_idx")
+        .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts = _bucket_counts_from_stats(lake, "emb_idx", None)
+    if counts is not None:  # single-bucket file layout: must be exact
+        assert counts == true_counts
+    new = vectors.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 7000).alias("vec_id"), "e"
+    )
+    from ducktales_spark.vector_index import neardup_against_index
+
+    with_meta = sorted(map(tuple, neardup_against_index(
+        lake, "emb_idx", new, threshold=0.999, hot_bucket_rows=8
+    ).collect()))
+    assert {p[0] for p in with_meta} == {7000, 7001, 7002}
+    # a 2-row extend inlines into the catalog -> stats no longer cover the
+    # whole table -> the metadata path must refuse
+    extend_vector_index(lake, "emb_idx", new.limit(2))
+    if lake.table_info()[0]["inlined_rows"]:
+        assert _bucket_counts_from_stats(lake, "emb_idx", None) is None
+    # and screening still finds the (now-indexed) copies via the scan path
+    again = sorted(map(tuple, neardup_against_index(
+        lake, "emb_idx", new, threshold=0.999, hot_bucket_rows=8
+    ).collect()))
+    assert len(again) >= len(with_meta)
