@@ -128,3 +128,47 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
     )
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@register_extra(
+    "t06_corpus_report",
+    survey_ids=(),  # extension: corpus-composition analytics
+    oracle=r"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS total_words,
+           round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 6)
+               AS mean_words,
+           round(quantile_cont(
+               len(regexp_split_to_array(trim(text), '\s+')), 0.5), 6)
+               AS median_words,
+           round(quantile_cont(
+               len(regexp_split_to_array(trim(text), '\s+')), 0.95), 6)
+               AS p95_words,
+           round(avg(length(text)), 6) AS mean_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def t06_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition report: doc counts, token totals, and
+    the length distribution (mean/median/p95 words, mean chars) — the
+    audit a mixture designer reads before setting mix_corpus weights.
+    Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`) so the whole report cross-checks as a differential;
+    one scan, one shuffle on the group key, all JVM."""
+    d = table(spark, sf_dir, "documents")
+    w = F.size(tokens(F.col("text"))).cast("double")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(w).cast("bigint").alias("total_words"),
+        F.round(F.avg(w), 6).alias("mean_words"),
+        F.round(F.expr(
+            r"percentile(cast(size(split(trim(text), '\\s+')) as double), 0.5)"
+        ), 6).alias("median_words"),
+        F.round(F.expr(
+            r"percentile(cast(size(split(trim(text), '\\s+')) as double), 0.95)"
+        ), 6).alias("p95_words"),
+        F.round(F.avg(F.length("text")), 6).alias("mean_chars"),
+    )
