@@ -254,9 +254,12 @@ def assign_buckets_distributed(
     spark = v.sparkSession
     P = n_partitions or spark.sparkContext.defaultParallelism
     vp = v.withColumn("__p", F.pmod(F.col("vec_id"), F.lit(P)).cast("int"))
-    cp = centroids.select("vec_id", "e").withColumn(
-        "__p", F.explode(F.sequence(F.lit(0), F.lit(P - 1)))
-    )
+    # internal names on the centroid side: the two cogroup inputs may share
+    # lineage (e.g. centroids filtered from the vector set itself), and
+    # same-named attributes across sides then resolve ambiguously
+    cp = centroids.select(
+        F.col("vec_id").alias("__cid"), F.col("e").alias("__ce")
+    ).withColumn("__p", F.explode(F.sequence(F.lit(0), F.lit(P - 1))))
 
     def assign(vpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(vpdf) or not len(cpdf):
@@ -265,9 +268,9 @@ def assign_buckets_distributed(
                  "e": pd.Series(dtype="object"),
                  "centroid_id": pd.Series(dtype="int64")}
             )
-        cpdf = cpdf.sort_values("vec_id", kind="stable")  # ties -> lowest id
-        cids = cpdf["vec_id"].to_numpy()
-        Cm = _np(cpdf["e"])
+        cpdf = cpdf.sort_values("__cid", kind="stable")  # ties -> lowest id
+        cids = cpdf["__cid"].to_numpy()
+        Cm = _np(cpdf["__ce"])
         Cn = np.linalg.norm(Cm, axis=1)
         E = _np(vpdf["e"])
         S = (E @ Cm.T) / (np.linalg.norm(E, axis=1)[:, None] * Cn[None, :])

@@ -155,27 +155,43 @@ def build_vector_index(
     build — corpus vectors are still assigned to their globally nearest
     fine centroid — only the probe's centroid-ranking read path changes."""
     C = n_centroids if n_centroids is not None else n_centroids_for(vectors)
-    cpdf = (
-        vectors.filter(F.col("vec_id") < C).orderBy("vec_id").toPandas()
-    )
-    if refine_iterations:
-        cpdf = kmeans_refine(vectors, cpdf, refine_iterations)
-    assigned = assign_buckets(vectors, C, centroids=cpdf)
     spark = vectors.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(r.vec_id), [float(x) for x in r.e]) for r in cpdf.itertuples()],
-        "vec_id bigint, e array<double>",
-    )
-    two_level = C > coarse_threshold
-    if two_level:
-        n_coarse = int(np.ceil(np.sqrt(C)))
-        coarse_df = spark.createDataFrame(
+    if refine_iterations:
+        # k-means refinement inherently iterates on a driver-side centroid
+        # frame (the documented build-time bound, module docstring); the
+        # refined set then broadcasts for assignment.
+        cpdf = (
+            vectors.filter(F.col("vec_id") < C).orderBy("vec_id").toPandas()
+        )
+        cpdf = kmeans_refine(vectors, cpdf, refine_iterations)
+        assigned = assign_buckets(vectors, C, centroids=cpdf)
+        cent_df = spark.createDataFrame(
             [
                 (int(r.vec_id), [float(x) for x in r.e])
-                for r in cpdf.head(n_coarse).itertuples()
+                for r in cpdf.itertuples()
             ],
             "vec_id bigint, e array<double>",
         )
+    else:
+        # default build is DRIVER-FREE end to end: the seed centroids stay
+        # a DataFrame and corpus assignment runs the distributed cogroup
+        # kernel — no C x dim driver object even at build time.
+        cent_df = vectors.filter(F.col("vec_id") < C).select("vec_id", "e")
+        assigned = assign_buckets_distributed(vectors, cent_df)
+    two_level = C > coarse_threshold
+    if two_level:
+        # coarse seeds = first ceil(sqrt(C)) fine centroids, as a
+        # DataFrame cut of cent_df (never a driver-side frame)
+        n_coarse = int(np.ceil(np.sqrt(C)))
+        seed_ids = [
+            r[0]
+            for r in cent_df.select("vec_id")
+            .orderBy("vec_id")
+            .take(n_coarse)  # ids only — no vector column leaves executors
+        ]
+        coarse_df = cent_df.filter(
+            F.col("vec_id").isin(seed_ids)
+        ).select("vec_id", "e")
         cent_df = assign_buckets_distributed(
             cent_df, coarse_df
         ).withColumnRenamed("centroid_id", "coarse_id")

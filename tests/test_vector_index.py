@@ -458,3 +458,31 @@ def test_bucket_counts_from_stats_guards(spark, tmp_path, vectors):
         lake, "emb_idx", new, threshold=0.999, hot_bucket_rows=8
     ).collect()))
     assert len(again) >= len(with_meta)
+
+
+def test_default_build_never_collects_vectors(spark, tmp_path, vectors):
+    """The default (unrefined) build is driver-free end to end: seed
+    centroids stay a DataFrame and assignment runs the distributed cogroup
+    kernel, so no driver-side pull during build carries the vector
+    column."""
+    from pyspark.sql import DataFrame
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    pulled_cols: list = []
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+
+    def spy_topandas(self):
+        pulled_cols.append(self.columns)
+        return orig_topandas(self)
+
+    def spy_collect(self):
+        pulled_cols.append(self.columns)
+        return orig_collect(self)
+
+    DataFrame.toPandas, DataFrame.collect = spy_topandas, spy_collect
+    try:
+        build_vector_index(lake, "emb_idx", vectors)
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
+    vector_pulls = [c for c in pulled_cols if "e" in c]
+    assert not vector_pulls, f"build collected vector columns: {vector_pulls}"
