@@ -398,9 +398,10 @@ def r01_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted copies, predicate DELETE), and refresh INCREMENTALLY — the
     refresh folds only the table_changes diff between snapshots into the
     affected buckets (O(changes), never O(source) — the
-    TimescaleDB/Materialize model). The oracle recomputes the final state
-    from scratch over the same mutations, so incremental == recompute is
-    exactly what the driver checks."""
+    TimescaleDB/Materialize model, built on the reference family's CDC
+    primitive, utils/ducklake_utils.py:65-78 table_changes). The oracle
+    recomputes the final state from scratch over the same mutations, so
+    incremental == recompute is exactly what the driver checks."""
     from ducktales_spark.lake.rollup import create_rollup, refresh_rollup
 
     lake = _fresh_lake(spark)
