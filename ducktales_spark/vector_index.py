@@ -33,12 +33,13 @@ local top-k + one tiny shuffle. Centroids here are the deterministic
 first-C vectors (same as e02; a k-means refinement would slot into build
 without changing any probe/IO shape).
 
-Driver-memory bound: the only paths that materialize the C x dim centroid
-matrix driver-side are BUILD-time (assignment broadcast, k-means means) —
-inherent to broadcasting the matrix to every task, and bounded at
-C ~ sqrt(N) (e.g. 10^6 centroids x 128 dims x 8 B = ~1 GB at 10^12
-vectors; shard the centroid set / two-level IVF beyond that). The PROBE
-path — the high-QPS one — holds only the query matrix.
+Driver-memory bound: NO index path materializes the C x dim centroid
+matrix driver-side anymore — build (seeding, k-means refinement, corpus
+assignment), extend, screening, and probe all run the centroid side
+distributed (cogrouped-shuffle assignment + ranked probes; only id pairs
+ever return to the driver). The one remaining driver-side centroid frame
+is the explicit pandas FACE ``kmeans_refine`` keeps for callers that
+already hold one.
 """
 
 from __future__ import annotations
@@ -68,6 +69,48 @@ def _centroid_table(name: str) -> str:
     return f"{name}__centroids"
 
 
+def kmeans_refine_df(
+    vectors: DataFrame,
+    cent_df: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """Spherical-k-means refinement, DataFrame to DataFrame — the
+    driver-free form of kmeans_refine: assignment runs the distributed
+    cogroup kernel, bucket means are computed relationally (posexplode ->
+    groupBy(centroid, position) -> avg -> re-assembled array), and the
+    refreshed set is a JOIN of the previous centroids with their new
+    means (empty buckets keep their previous centroid via coalesce —
+    standard Lloyd's fallback). No C x dim object ever materializes on
+    the driver, so refinement now shares the build path's scale bound.
+
+    Centroid ids stay stable across iterations. Plans grow one join per
+    iteration; localCheckpoint truncates the lineage each round (the same
+    trick graph.py's star rounds use)."""
+    for _ in range(iterations):
+        assigned = assign_buckets_distributed(vectors, cent_df)
+        means = (
+            assigned.select("centroid_id", F.posexplode("e").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("centroid_id", F.col("pm.m").alias("__e_new"))
+        )
+        cent_df = (
+            cent_df.join(
+                means, cent_df["vec_id"] == means["centroid_id"], "left"
+            )
+            .select(
+                cent_df["vec_id"],
+                F.coalesce(means["__e_new"], cent_df["e"]).alias("e"),
+            )
+            .localCheckpoint()
+        )
+    return cent_df
+
+
 def kmeans_refine(
     vectors: DataFrame,
     centroids: pd.DataFrame,
@@ -85,38 +128,26 @@ def kmeans_refine(
     empty keep their previous centroid (standard Lloyd's fallback).
 
     Centroid ids stay 0..C-1-stable across iterations, so a refined set
-    drops into build_vector_index unchanged."""
+    drops into build_vector_index unchanged.
+
+    This is the pandas-frame FACE of ``kmeans_refine_df`` for callers that
+    already hold a driver-side centroid frame (probe-parity tests): it
+    delegates to the distributed implementation and re-collects the (small)
+    refined set, preserving the input row order."""
     spark = vectors.sparkSession
     cpdf = centroids.reset_index(drop=True)
     dim = len(cpdf["e"].iloc[0])
-    for _ in range(iterations):
-        assigned = assign_buckets(vectors, len(cpdf), centroids=cpdf)
-        means = (
-            assigned.select(
-                "centroid_id", F.posexplode("e").alias("pos", "x")
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select(
-                "centroid_id", F.col("pm.m").alias("e")
-            )
-            .toPandas()
-        )
-        new = cpdf.copy()
-        by_cid = {int(r.centroid_id): list(r.e) for r in means.itertuples()}
-        # map stored centroid ids (arbitrary vec_ids) to refreshed means
-        new["e"] = [
-            by_cid.get(int(v), e) for v, e in zip(new["vec_id"], new["e"])
-        ]
-        assert all(len(e) == dim for e in new["e"])
-        cpdf = new
-    return cpdf
+    cent_df = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.e]) for r in cpdf.itertuples()],
+        "vec_id bigint, e array<double>",
+    )
+    out = kmeans_refine_df(vectors, cent_df, iterations).toPandas()
+    pos = {int(v): i for i, v in enumerate(cpdf["vec_id"])}
+    out = out.sort_values(
+        "vec_id", key=lambda s: s.map(pos), kind="stable"
+    ).reset_index(drop=True)
+    assert all(len(e) == dim for e in out["e"])
+    return out
 
 
 # Fine-centroid count above which the centroid SET itself is sharded under
@@ -156,28 +187,14 @@ def build_vector_index(
     fine centroid — only the probe's centroid-ranking read path changes."""
     C = n_centroids if n_centroids is not None else n_centroids_for(vectors)
     spark = vectors.sparkSession
+    # DRIVER-FREE end to end: seed centroids stay a DataFrame cut of the
+    # corpus, refinement (if any) iterates distributed (kmeans_refine_df),
+    # and corpus assignment runs the distributed cogroup kernel — no
+    # C x dim driver object exists at any point of the build.
+    cent_df = vectors.filter(F.col("vec_id") < C).select("vec_id", "e")
     if refine_iterations:
-        # k-means refinement inherently iterates on a driver-side centroid
-        # frame (the documented build-time bound, module docstring); the
-        # refined set then broadcasts for assignment.
-        cpdf = (
-            vectors.filter(F.col("vec_id") < C).orderBy("vec_id").toPandas()
-        )
-        cpdf = kmeans_refine(vectors, cpdf, refine_iterations)
-        assigned = assign_buckets(vectors, C, centroids=cpdf)
-        cent_df = spark.createDataFrame(
-            [
-                (int(r.vec_id), [float(x) for x in r.e])
-                for r in cpdf.itertuples()
-            ],
-            "vec_id bigint, e array<double>",
-        )
-    else:
-        # default build is DRIVER-FREE end to end: the seed centroids stay
-        # a DataFrame and corpus assignment runs the distributed cogroup
-        # kernel — no C x dim driver object even at build time.
-        cent_df = vectors.filter(F.col("vec_id") < C).select("vec_id", "e")
-        assigned = assign_buckets_distributed(vectors, cent_df)
+        cent_df = kmeans_refine_df(vectors, cent_df, refine_iterations)
+    assigned = assign_buckets_distributed(vectors, cent_df)
     two_level = C > coarse_threshold
     if two_level:
         # coarse seeds = first ceil(sqrt(C)) fine centroids, as a
