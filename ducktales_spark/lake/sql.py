@@ -525,6 +525,38 @@ class SQLExecutor:
         q = re.sub(
             r"\bducklake_table_changes\s*\(([^)]*)\)", _changes, q, flags=re.I
         )
+
+        def _file_stats(m: "re.Match") -> str:
+            # per-file pruning stats, min/max flattened to JSON strings so
+            # the row shape is SQL-stable across schemas
+            import json as _json
+
+            tname = m.group(1).strip().strip("'\"")
+            rows = [
+                (
+                    f["path"],
+                    int(f["row_count"]),
+                    int(f["file_bytes"]),
+                    _json.dumps(
+                        {c: s["min"] for c, s in f["columns"].items()}
+                    ),
+                    _json.dumps(
+                        {c: s["max"] for c, s in f["columns"].items()}
+                    ),
+                )
+                for f in self.c.file_stats(tname)
+            ]
+            view = f"__lake_file_stats_{tname}"
+            spark.createDataFrame(
+                rows,
+                "path string, row_count bigint, file_bytes bigint, "
+                "col_min string, col_max string",
+            ).createOrReplaceTempView(view)
+            return view
+
+        q = re.sub(
+            r"\bducklake_file_stats\s*\(([^)]*)\)", _file_stats, q, flags=re.I
+        )
         return q
 
     def _describe(self, name: str) -> DataFrame:

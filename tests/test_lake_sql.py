@@ -295,3 +295,27 @@ def test_describe_and_show_tables(lake):
 
     with pytest.raises(LakeSQLError, match="no such table"):
         lake.sql("DESCRIBE missing_table")
+
+
+def test_file_stats_table_function(lake, spark):
+    """ducklake_file_stats('t') surfaces the per-file pruning stats through
+    SQL (the reference-family metadata-table-function shape), queryable
+    with ordinary predicates."""
+    lake.sql("CREATE TABLE fs (id INT, v VARCHAR)")
+    lake.insert(
+        "fs",
+        spark.range(0, 50).selectExpr(
+            "cast(id as int) id", "cast(id as string) v"
+        ).coalesce(1),
+    )
+    rows = lake.sql(
+        "SELECT path, row_count FROM ducklake_file_stats('fs') "
+        "WHERE row_count > 0"
+    ).collect()
+    assert rows and sum(r.row_count for r in rows) == 50
+    mins = lake.sql(
+        "SELECT get_json_object(col_min, '$.id') AS lo, "
+        "       get_json_object(col_max, '$.id') AS hi "
+        "FROM ducklake_file_stats('fs')"
+    ).collect()
+    assert any(r.lo == "0" for r in mins) and any(r.hi == "49" for r in mins)
