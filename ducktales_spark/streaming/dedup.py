@@ -174,6 +174,7 @@ def start_lake_dedup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     minhash_threshold: Optional[float] = 0.7,
+    benchmark_df: Optional[DataFrame] = None,
     trigger_seconds: Optional[float] = None,
     available_now: bool = False,
     query_name: str = "lake_dedup_ingest",
@@ -184,13 +185,56 @@ def start_lake_dedup_ingest(
     micro-batch commits survivors + their dedup state + the epoch marker as
     ONE snapshot; replayed batches are no-ops (see module docstring for the
     protocol and the scale analysis).
+
+    ``benchmark_df`` (a BOUNDED eval-set DataFrame) additionally
+    decontaminates every micro-batch before dedup: documents sharing a
+    word 13-gram with the benchmark never reach the table — the GPT-3
+    protocol applied at the ingest boundary, where it belongs (a
+    contaminated doc filtered at ingest can never leak into a shard). The
+    benchmark's distinct n-gram hashes are computed ONCE at start and
+    reused by every batch (eval suites are definitionally small ->
+    broadcast join per batch; see corpus.decontaminate for the shape).
     """
     epoch_table = _epoch_table(lake, table)
     hash_table, bands_table = _state_tables(
         lake, table, minhash_threshold is not None
     )
+    bench_grams = None
+    if benchmark_df is not None:
+        from ducktales_spark.corpus import benchmark_ngrams
+
+        # one shot, driver-small by contract; persist so each micro-batch
+        # broadcasts the same computed set instead of re-shingling
+        bench_grams = benchmark_ngrams(
+            benchmark_df, id_col=id_col, text_col=text_col
+        ).persist()
+        bench_grams.count()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if bench_grams is not None:
+            # corpus.decontaminate's plan, minus the audit face: the
+            # precomputed benchmark set replaces its per-call re-shingle
+            from ducktales_spark.queries.dedup import shingle_table
+
+            corpus = shingle_table(
+                batch_df, id_col=id_col, text_col=text_col, n=13,
+                distinct=True,
+            ).select(
+                "doc_id",
+                F.expr(
+                    "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+                ).alias("h"),
+            )
+            hit_ids = (
+                corpus.join(F.broadcast(bench_grams), "h")
+                .select("doc_id")
+                .distinct()
+            )
+            batch_df = batch_df.join(
+                hit_ids,
+                batch_df[id_col] == hit_ids["doc_id"],
+                "left_anti",
+            )
         batch_df = batch_df.persist()  # sketch + joins reuse it 3-4x
         try:
 

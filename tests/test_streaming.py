@@ -578,3 +578,42 @@ def test_streaming_rollup_maintenance(spark, tmp_path, source_dir):
     # ...and the NEXT refresh (as the next batch would run) heals it
     refresh_rollup(lake, "ev_hourly")
     assert _rows(lake.read("ev_hourly")) == recompute()
+
+
+def test_streaming_ingest_decontaminates(spark, tmp_path):
+    """benchmark_df at the ingest boundary: documents sharing a word
+    13-gram with the eval set never reach the table (across micro-batches),
+    clean docs land normally, and dedup still applies to what survives."""
+    from ducktales_spark.streaming import start_lake_dedup_ingest
+
+    gram = " ".join(f"w{i}" for i in range(13))
+    clean_a = " ".join(f"a{i}" for i in range(30))
+    clean_b = " ".join(f"b{i}" for i in range(30))
+    batches = [
+        [
+            (1, f"intro {gram} outro"),   # contaminated -> dropped
+            (2, clean_a),                  # kept
+        ],
+        [
+            (3, f"{gram} leading overlap"),  # contaminated -> dropped
+            (4, clean_b),                    # kept
+            (5, clean_a),                    # exact dup of 2 -> dropped
+        ],
+    ]
+    stream, schema = _doc_stream(spark, tmp_path, batches)
+    bench = spark.createDataFrame(
+        [(100, f"prefix {gram} suffix")], schema
+    )
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    lake.create_table("docs", spark.createDataFrame([], schema).schema)
+    q = start_lake_dedup_ingest(
+        stream,
+        lake,
+        "docs",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        minhash_threshold=None,
+        benchmark_df=bench,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert sorted(r.doc_id for r in lake.read("docs").collect()) == [2, 4]
