@@ -109,3 +109,48 @@ def test_interval_join_half_open_and_empty_intervals(spark, frames):
     out = interval_join(points, intervals, "ts", "s", "e", granularity_s=60)
     got = sorted((r["pid"], r["iv"]) for r in out.collect())
     assert got == [(1, 10)]  # p1 at start: in; p2 at end: out; empty: out
+
+
+def test_interval_join_property_random(spark):
+    """Randomized brute-force differential: for arbitrary point/interval
+    sets (ties, overlaps, empty and negative-length intervals, multiple
+    keys), the bucketed equi-join equals the O(n*m) reference filter for
+    every granularity."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        points = [
+            (i, rng.randint(0, 3), rng.randint(0, 10_000))
+            for i in range(40)
+        ]
+        intervals = []
+        for j in range(25):
+            s = rng.randint(0, 10_000)
+            # include empty and negative-length intervals on purpose
+            e = s + rng.randint(-100, 2_000)
+            intervals.append((100 + j, rng.randint(0, 3), s, e))
+        expected = sorted(
+            (p[0], iv[0])
+            for p, iv in itertools.product(points, intervals)
+            if p[1] == iv[1] and iv[2] <= p[2] < iv[3]
+        )
+        p_df = spark.createDataFrame(
+            points, "pid int, k int, sec int"
+        ).selectExpr("pid", "k", "timestamp_seconds(sec) AS ts")
+        iv_df = spark.createDataFrame(
+            intervals, "iv int, k int, s int, e int"
+        ).selectExpr(
+            "iv", "k",
+            "timestamp_seconds(s) AS s", "timestamp_seconds(e) AS e",
+        )
+        for gran in (60, 777, 3600):
+            got = sorted(
+                (r.pid, r.iv)
+                for r in interval_join(
+                    p_df, iv_df, "ts", "s", "e", keys=("k",),
+                    granularity_s=gran,
+                ).collect()
+            )
+            assert got == expected, (trial, gran)
