@@ -31,11 +31,18 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 
-def _bucket_expr(time_col: str, bucket_s: int):
+def _bucket_expr(time_col, bucket_s: int):
     """Bucket start as TIMESTAMP, NTZ-safe (the driver's events.ts has
     shipped as both TIMESTAMP and TIMESTAMP_NTZ across data generations;
     unix_micros rejects NTZ, timestampdiff over two cast TIMESTAMPs does
-    not — the j06/x06 pattern)."""
+    not — the j06/x06 pattern).
+
+    ``time_col=None`` degenerates to ONE constant bucket (epoch 0): the
+    rollup then maintains a plain keys-only GROUP BY — an incremental
+    materialized aggregate view — through the identical diff/merge
+    machinery."""
+    if time_col is None:
+        return F.expr("timestamp_seconds(0)")
     us = (
         "timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', "
         f"cast({time_col} as timestamp))"
@@ -67,13 +74,17 @@ def create_rollup(
     lake,
     name: str,
     src: str,
-    time_col: str,
+    time_col: Optional[str],
     bucket_s: int = 3600,
     keys: tuple = (),
     sum_cols: tuple = (),
 ) -> None:
     """Materialize the initial rollup of ``src`` and its meta table in ONE
-    catalog transaction, stamped with the snapshot version it reflects."""
+    catalog transaction, stamped with the snapshot version it reflects.
+
+    ``time_col=None`` makes this a keys-only incrementally-maintained
+    materialized aggregate view (one constant bucket; every refresh
+    mechanism — CDC diff, signed deltas, pruned MERGE — is identical)."""
     keys, sum_cols = tuple(keys), tuple(sum_cols)
     version = lake.current_version()
     df = (
@@ -91,7 +102,7 @@ def create_rollup(
             [
                 (
                     src,
-                    time_col,
+                    time_col or "",  # "" = keys-only materialized view
                     bucket_s,
                     json.dumps(list(keys)),
                     json.dumps(list(sum_cols)),
@@ -127,7 +138,7 @@ def refresh_rollup(lake, name: str) -> dict:
     delta = (
         lake.table_changes(m["src"], v0, v1)
         .groupBy(
-            _bucket_expr(m["time_col"], int(m["bucket_s"])).alias(
+            _bucket_expr(m["time_col"] or None, int(m["bucket_s"])).alias(
                 "bucket_start"
             ),
             *keys,

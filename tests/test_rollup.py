@@ -123,3 +123,44 @@ def test_repeated_refreshes_are_idempotent_per_version(spark, lake):
     # an extra refresh with no new writes changes nothing
     stats = refresh_rollup(lake, "ev_hourly")
     assert stats["changed_buckets"] == 0
+
+
+def test_keys_only_materialized_view(spark, lake):
+    """time_col=None: the rollup degenerates to an incrementally-maintained
+    GROUP BY keys materialized view — identical diff/merge machinery, one
+    constant bucket — and stays equal to a recompute through inserts and
+    deletes (including a key vanishing entirely)."""
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "by_user", "ev", None, keys=("user_id",), sum_cols=("value",),
+    )
+
+    def recompute():
+        return sorted(
+            (r["user_id"], r["n_rows"], r["sum_value"])
+            for r in lake.read("ev")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("value").alias("sum_value"),
+            )
+            .collect()
+        )
+
+    def view():
+        return sorted(
+            (r["user_id"], r["n_rows"], r["sum_value"])
+            for r in lake.read("by_user").collect()
+        )
+
+    assert view() == recompute()
+    lake.insert("ev", _mk_events(spark, [
+        (10, "2024-02-01 00:00:00", 1, 2.5),
+        (11, "2024-02-01 00:00:00", 9, 4.0),  # brand-new key
+    ]))
+    lake.delete("ev", "user_id = 2")  # key vanishes entirely
+    stats = refresh_rollup(lake, "by_user")
+    assert stats["changed_buckets"] > 0
+    assert view() == recompute()
+    users = {u for u, _, _ in view()}
+    assert 9 in users and 2 not in users
