@@ -53,12 +53,15 @@ def _bucket_expr(time_col, bucket_s: int):
     )
 
 
-def _agg_exprs(sum_cols: tuple, sign=None):
+def _agg_exprs(sum_cols: tuple, sign=None, minmax_cols: tuple = ()):
     n = F.sum(sign) if sign is not None else F.count(F.lit(1))
     out = [n.cast("bigint").alias("n_rows")]
     for c in sum_cols:
         v = F.col(c) * sign if sign is not None else F.col(c)
         out.append(F.sum(v).alias(f"sum_{c}"))
+    for c in minmax_cols:  # only on recompute paths (sign is None)
+        out.append(F.min(c).alias(f"min_{c}"))
+        out.append(F.max(c).alias(f"max_{c}"))
     return out
 
 
@@ -78,21 +81,32 @@ def create_rollup(
     bucket_s: int = 3600,
     keys: tuple = (),
     sum_cols: tuple = (),
+    minmax_cols: tuple = (),
 ) -> None:
     """Materialize the initial rollup of ``src`` and its meta table in ONE
     catalog transaction, stamped with the snapshot version it reflects.
 
     ``time_col=None`` makes this a keys-only incrementally-maintained
     materialized aggregate view (one constant bucket; every refresh
-    mechanism — CDC diff, signed deltas, pruned MERGE — is identical)."""
+    mechanism — CDC diff, signed deltas, pruned MERGE — is identical).
+
+    ``minmax_cols`` adds MIN/MAX columns — non-additive, so refreshes of a
+    rollup that has them switch from signed-delta folding to PARTIAL
+    RECOMPUTE: only the buckets the diff touched are re-aggregated from
+    the CURRENT source (time-range-pruned read when time_col is set —
+    stats skip non-overlapping source files), then MERGEd. O(source rows
+    in touched buckets) per refresh instead of O(changes) — the standard
+    continuous-aggregate trade for non-invertible aggregates (a deleted
+    max cannot be subtracted out)."""
     keys, sum_cols = tuple(keys), tuple(sum_cols)
+    minmax_cols = tuple(minmax_cols)
     version = lake.current_version()
     df = (
         lake.read(src, version=version)
         .groupBy(
             _bucket_expr(time_col, bucket_s).alias("bucket_start"), *keys
         )
-        .agg(*_agg_exprs(sum_cols))
+        .agg(*_agg_exprs(sum_cols, minmax_cols=minmax_cols))
     )
     with lake.transaction() as tx:
         # bucket-clustered so stats pruning on bucket_start acts as
@@ -106,11 +120,13 @@ def create_rollup(
                     bucket_s,
                     json.dumps(list(keys)),
                     json.dumps(list(sum_cols)),
+                    json.dumps(list(minmax_cols)),
                     version,
                 )
             ],
             "src string, time_col string, bucket_s bigint, "
-            "keys string, sum_cols string, last_version bigint",
+            "keys string, sum_cols string, minmax_cols string, "
+            "last_version bigint",
         )
         tx.ctas(_meta_name(name), meta)
 
@@ -124,6 +140,7 @@ def refresh_rollup(lake, name: str) -> dict:
     m = meta_rows[0]
     keys = tuple(json.loads(m["keys"]))
     sum_cols = tuple(json.loads(m["sum_cols"]))
+    minmax_cols = tuple(json.loads(m["minmax_cols"]))
     v0, v1 = int(m["last_version"]), lake.current_version()
     if v1 <= v0 or not _src_touched(lake, m["src"], v0, v1):
         # Metadata-only no-op: the snapshot log records which tables each
@@ -155,6 +172,11 @@ def refresh_rollup(lake, name: str) -> dict:
         # changes existed but every (insert, delete) pair cancelled
         _stamp_meta(lake, name, m, v1)
         return {"from_version": v0, "to_version": v1, "changed_buckets": 0}
+    if minmax_cols:
+        return _refresh_recompute(
+            lake, name, m, keys, sum_cols, minmax_cols, delta, bounds,
+            v0, v1,
+        )
     old = lake.read(name, where=(
         f"bucket_start >= '{bounds['lo']}' AND bucket_start <= '{bounds['hi']}'"
     ))
@@ -225,7 +247,50 @@ def _stamp_meta_tx(tx, lake, name: str, m, version: int) -> None:
                 "bucket_s": int(m["bucket_s"]),
                 "keys": m["keys"],
                 "sum_cols": m["sum_cols"],
+                "minmax_cols": m["minmax_cols"],
                 "last_version": version,
             }
         ],
     )
+
+
+def _refresh_recompute(
+    lake, name, m, keys, sum_cols, minmax_cols, delta, bounds, v0, v1
+) -> dict:
+    """Non-additive refresh: re-aggregate the touched (bucket, keys) groups
+    from the CURRENT source and MERGE them in; groups whose rows all
+    vanished are deleted. The source read is pruned to the touched bucket
+    time range when the rollup has a time column (raw-column predicate so
+    catalog stats can skip files)."""
+    time_col = m["time_col"] or None
+    join_keys = ["bucket_start", *keys]
+    touched = delta.select(*join_keys).distinct()
+    src = lake.read(m["src"])
+    if time_col is not None:
+        hi_excl = bounds["hi"]  # bucket START of the last touched bucket
+        src = src.filter(
+            f"cast({time_col} as timestamp) >= '{bounds['lo']}' AND "
+            f"cast({time_col} as timestamp) < timestamp'{hi_excl}' + "
+            f"INTERVAL {int(m['bucket_s'])} SECONDS"
+        )
+    regroup = (
+        src.groupBy(
+            _bucket_expr(time_col, int(m["bucket_s"])).alias("bucket_start"),
+            *keys,
+        )
+        .agg(*_agg_exprs(sum_cols, minmax_cols=minmax_cols))
+    )
+    fresh = regroup.join(touched, join_keys, "inner")
+    gone = touched.join(regroup, join_keys, "left_anti")
+    n_changed = fresh.count() + gone.count()
+    with lake.transaction() as tx:
+        tx.merge(name, fresh, on=join_keys,
+                 when_matched="update", when_not_matched="insert")
+        tx.merge(name, gone, on=join_keys,
+                 when_matched="delete", when_not_matched="skip")
+        _stamp_meta_tx(tx, lake, name, m, v1)
+    return {
+        "from_version": v0,
+        "to_version": v1,
+        "changed_buckets": n_changed,
+    }

@@ -164,3 +164,60 @@ def test_keys_only_materialized_view(spark, lake):
     assert view() == recompute()
     users = {u for u, _, _ in view()}
     assert 9 in users and 2 not in users
+
+
+def test_minmax_rollup_partial_recompute(spark, lake):
+    """minmax_cols: refreshes switch to partial recompute of the touched
+    buckets — deleting the current max of a bucket must surface the
+    runner-up (a signed-delta fold cannot express that), untouched buckets
+    keep their files, and the view equals recompute throughout."""
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_mm", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",), minmax_cols=("value",),
+    )
+
+    def recompute():
+        return sorted(
+            (r["bucket_start"], r["user_id"], r["n_rows"],
+             r["sum_value"], r["min_value"], r["max_value"])
+            for r in lake.read("ev")
+            .groupBy(_bucket_expr("ts", 3600).alias("bucket_start"), "user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("value").alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .collect()
+        )
+
+    def view():
+        return sorted(
+            (r["bucket_start"], r["user_id"], r["n_rows"],
+             r["sum_value"], r["min_value"], r["max_value"])
+            for r in lake.read("ev_mm").collect()
+        )
+
+    assert view() == recompute()
+    # event 2 is (00h, u1)'s max (20.0) — delete it: the recompute path must
+    # surface 10.0 as the new max, which delta folding cannot do
+    lake.delete("ev", "event_id = 2")
+    lake.insert("ev", _mk_events(spark, [
+        (20, "2024-01-01 03:30:00", 2, 99.0),   # new max for (03h, u2)
+        (21, "2024-01-01 06:00:00", 7, 1.0),    # brand-new bucket + user
+    ]))
+    stats = refresh_rollup(lake, "ev_mm")
+    assert stats["changed_buckets"] > 0
+    assert view() == recompute()
+    row = {
+        (b.hour, u): (mn, mx)
+        for b, u, _, _, mn, mx in view()
+    }
+    assert row[(0, 1)] == (10.0, 10.0)   # max fell back to the runner-up
+    assert row[(3, 2)] == (50.0, 99.0)
+    # delete an entire bucket's rows: its group must vanish
+    lake.delete("ev", "user_id = 7")
+    refresh_rollup(lake, "ev_mm")
+    assert view() == recompute()
+    assert all(u != 7 for _, u, *_ in view())
