@@ -21,6 +21,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import hmac
+import math
 import os
 import re
 import socket
@@ -63,6 +64,11 @@ def _literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        # repr(nan) would emit bare `nan` — invalid SQL — and a NUMERIC
+        # 'NaN' result would break _numeric on the way back. Catalog
+        # values are never non-finite; fail loudly instead of corrupting.
+        raise ValueError(f"non-finite float not representable as SQL: {v!r}")
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
@@ -123,9 +129,13 @@ class Connection:
         p = _parse_dsn(dsn)
         self._password, self._user = p["password"], p["user"]
         if p["host"].startswith("/"):  # unix socket directory
+            self._local = True
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             self._sock.connect(f"{p['host']}/.s.PGSQL.{p['port']}")
         else:
+            # this client speaks no SSL; remember whether the transport is
+            # loopback so cleartext auth can refuse to leak the password
+            self._local = p["host"] in ("localhost", "127.0.0.1", "::1")
             self._sock = socket.create_connection((p["host"], p["port"]))
         self._buf = b""
         self._tx_status = b"I"
@@ -177,6 +187,15 @@ class Connection:
                 if code == 0:
                     continue  # AuthenticationOk
                 if code == 3:  # cleartext
+                    if not self._local:
+                        # no SSL support here — sending the password in the
+                        # clear over a non-loopback TCP link is a silent
+                        # downgrade vs the psycopg2 path this replaces
+                        raise Error(
+                            "refusing cleartext password auth over a "
+                            "non-local connection (pgmini has no SSL); "
+                            "use md5/scram-sha-256 auth or psycopg2"
+                        )
                     self._msg(b"p", self._password.encode() + b"\x00")
                 elif code == 5:  # md5(md5(password + user) + salt)
                     salt = body[4:8]

@@ -199,15 +199,19 @@ def refresh_rollup(lake, name: str) -> dict:
             ],
         )
     )
-    upserts = merged.filter(F.col("n_rows") > 0)
-    gone = merged.filter(F.col("n_rows") <= 0)
-    n_changed = merged.count()
-    with lake.transaction() as tx:
-        tx.merge(name, upserts, on=join_keys,
-                 when_matched="update", when_not_matched="insert")
-        tx.merge(name, gone, on=join_keys,
-                 when_matched="delete", when_not_matched="skip")
-        _stamp_meta_tx(tx, lake, name, m, v1)
+    merged = merged.persist()  # count + two merges share one execution
+    try:
+        upserts = merged.filter(F.col("n_rows") > 0)
+        gone = merged.filter(F.col("n_rows") <= 0)
+        n_changed = merged.count()
+        with lake.transaction() as tx:
+            tx.merge(name, upserts, on=join_keys,
+                     when_matched="update", when_not_matched="insert")
+            tx.merge(name, gone, on=join_keys,
+                     when_matched="delete", when_not_matched="skip")
+            _stamp_meta_tx(tx, lake, name, m, v1)
+    finally:
+        merged.unpersist()
     return {
         "from_version": v0,
         "to_version": v1,
@@ -265,7 +269,12 @@ def _refresh_recompute(
     time_col = m["time_col"] or None
     join_keys = ["bucket_start", *keys]
     touched = delta.select(*join_keys).distinct()
-    src = lake.read(m["src"])
+    # Pin the recompute at v1 (the version the diff was taken against):
+    # under concurrent writers a commit landing between current_version()
+    # and this read would otherwise leak data newer than the stamped
+    # last_version, breaking the rollup==recompute-at-last_version
+    # invariant until the next refresh happened to run.
+    src = lake.read(m["src"], version=v1)
     if time_col is not None:
         hi_excl = bounds["hi"]  # bucket START of the last touched bucket
         src = src.filter(
@@ -280,15 +289,21 @@ def _refresh_recompute(
         )
         .agg(*_agg_exprs(sum_cols, minmax_cols=minmax_cols))
     )
-    fresh = regroup.join(touched, join_keys, "inner")
-    gone = touched.join(regroup, join_keys, "left_anti")
-    n_changed = fresh.count() + gone.count()
-    with lake.transaction() as tx:
-        tx.merge(name, fresh, on=join_keys,
-                 when_matched="update", when_not_matched="insert")
-        tx.merge(name, gone, on=join_keys,
-                 when_matched="delete", when_not_matched="skip")
-        _stamp_meta_tx(tx, lake, name, m, v1)
+    # persist: count + merge would otherwise re-run the touched-bucket
+    # re-aggregation (the dominant cost of this path) up to four times
+    fresh = regroup.join(touched, join_keys, "inner").persist()
+    gone = touched.join(regroup, join_keys, "left_anti").persist()
+    try:
+        n_changed = fresh.count() + gone.count()
+        with lake.transaction() as tx:
+            tx.merge(name, fresh, on=join_keys,
+                     when_matched="update", when_not_matched="insert")
+            tx.merge(name, gone, on=join_keys,
+                     when_matched="delete", when_not_matched="skip")
+            _stamp_meta_tx(tx, lake, name, m, v1)
+    finally:
+        fresh.unpersist()
+        gone.unpersist()
     return {
         "from_version": v0,
         "to_version": v1,

@@ -33,6 +33,7 @@ read-your-writes (touched tables bind to the transaction's staged state).
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 
@@ -546,7 +547,13 @@ class SQLExecutor:
                 )
                 for f in self.c.file_stats(tname)
             ]
-            view = f"__lake_file_stats_{tname}"
+            # table names are user-supplied and may contain characters
+            # that are not legal in a temp-view identifier (dots, dashes,
+            # quoted names); sanitize, and suffix with a hash of the raw
+            # name so distinct tables never collide post-sanitization
+            safe = re.sub(r"[^A-Za-z0-9_]", "_", tname)
+            tag = hashlib.md5(tname.encode()).hexdigest()[:8]
+            view = f"__lake_file_stats_{safe}_{tag}"
             spark.createDataFrame(
                 rows,
                 "path string, row_count bigint, file_bytes bigint, "

@@ -268,4 +268,33 @@ def start_lake_dedup_ingest(
         writer = writer.trigger(availableNow=True)
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    query = writer.start()
+    if bench_grams is not None:
+        # release the cached benchmark set when this query terminates —
+        # long-lived sessions starting many ingest streams would otherwise
+        # leak one cached block set per stream
+        _unpersist_on_terminate(lake.spark, query.id, bench_grams)
+    return query
+
+
+def _unpersist_on_terminate(spark, query_id, df) -> None:
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Release(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) == str(query_id):
+                try:
+                    df.unpersist()
+                finally:
+                    spark.streams.removeListener(self)
+
+    spark.streams.addListener(_Release())
