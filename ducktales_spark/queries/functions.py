@@ -70,7 +70,10 @@ def f05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # rotated to EXTRA in round 6: F6 is redundantly covered by
+    # f02_gen_invariants' driver row; the DuckDB differential still runs
+    # in pytest (test_oracle_parity) — the slot went to c04_pack_strict.
     "f06_casts",
     survey_ids=("F6",),
     oracle="""

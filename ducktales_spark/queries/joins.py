@@ -99,7 +99,10 @@ def j02_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # rotated to EXTRA in round 6: J1/J2 are redundantly covered by
+    # j01/j02's driver rows (semi/anti is an extension); the differential
+    # still runs in pytest — the slot went to t06_corpus_report.
     "j03_semi_anti",
     survey_ids=("J1", "J2"),  # extension: Spark-native left_semi/left_anti
     oracle="""

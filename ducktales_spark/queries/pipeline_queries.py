@@ -276,7 +276,10 @@ def c03_pack_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
+    # promoted to the driver sweep in round 6 (was EXTRA): strict
+    # next-fit packing is a genuinely new capability and deserves a
+    # driver CORRECTNESS row; f06_casts rotated down to make room.
     "c04_pack_strict",
     survey_ids=(),  # extension: training-sequence packing (exact next-fit)
     oracle=rf"""

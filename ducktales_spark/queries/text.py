@@ -130,7 +130,10 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
-@register_extra(
+@register(
+    # promoted to the driver sweep in round 6 (was EXTRA): the corpus
+    # composition report is a first-class pipeline capability;
+    # j03_semi_anti rotated down to make room.
     "t06_corpus_report",
     survey_ids=(),  # extension: corpus-composition analytics
     oracle=r"""
