@@ -289,6 +289,142 @@ def assign_buckets_distributed(
     )
 
 
+def route_coarse(
+    v: DataFrame,
+    coarse: DataFrame,
+    route_width: int,
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Top-``route_width`` coarse centroids per vector, distributed: the
+    same cogroup shape as ``assign_buckets_distributed`` (only the SMALL
+    coarse set — ~sqrt(C) rows — replicates to the P partitions), but each
+    vector emits its ``route_width`` best coarse ids instead of one argmax.
+    Output: (vec_id, e, coarse_id), ``route_width`` rows per vector (fewer
+    when the coarse set is smaller). Ordering matches the probe path's
+    coarse ranking: 9-dp-rounded cosine desc, ties to the lowest id."""
+    spark = v.sparkSession
+    P = n_partitions or spark.sparkContext.defaultParallelism
+    vp = v.withColumn("__p", F.pmod(F.col("vec_id"), F.lit(P)).cast("int"))
+    cp = coarse.select(
+        F.col("vec_id").alias("__cid"), F.col("e").alias("__ce")
+    ).withColumn("__p", F.explode(F.sequence(F.lit(0), F.lit(P - 1))))
+
+    def route(vpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(vpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "e": pd.Series(dtype="object"),
+                 "coarse_id": pd.Series(dtype="int64")}
+            )
+        cpdf = cpdf.sort_values("__cid", kind="stable")  # ties -> lowest id
+        cids = cpdf["__cid"].to_numpy()
+        Cm = _np(cpdf["__ce"])
+        Cn = np.linalg.norm(Cm, axis=1)
+        E = _np(vpdf["e"])
+        S = (E @ Cm.T) / (np.linalg.norm(E, axis=1)[:, None] * Cn[None, :])
+        R = min(route_width, len(cids))
+        top = np.argsort(-np.round(S, 9), axis=1, kind="stable")[:, :R]
+        n = len(vpdf)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(vpdf["vec_id"].to_numpy(), R),
+                "e": vpdf["e"].iloc[np.repeat(np.arange(n), R)].to_numpy(),
+                "coarse_id": cids[top].ravel(),
+            }
+        )
+
+    return (
+        vp.groupBy("__p")
+        .cogroup(cp.groupBy("__p"))
+        .applyInPandas(
+            route, "vec_id bigint, e array<double>, coarse_id bigint"
+        )
+    )
+
+
+def assign_buckets_two_level(
+    v: DataFrame,
+    coarse: DataFrame,
+    centroids: DataFrame,
+    route_width: int = 8,
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Bucket assignment routed through a TWO-LEVEL centroid set: coarse-
+    assign each vector to its ``route_width`` best coarse shards (only the
+    ~sqrt(C)-row coarse set replicates — see route_coarse), then fine-assign
+    per SHARD by cogrouping routed vectors with that shard's fine centroids
+    on ``coarse_id``, and keep each vector's globally best routed candidate.
+
+    Scale contrast with the flat kernel on a per-ingest-batch path: the flat
+    ``assign_buckets_distributed`` replicates ALL C fine centroids to every
+    one of P partitions (P x C rows per batch — ~10^9 at C=10^6, P=10^3);
+    here the fine centroid table crosses the shuffle ONCE (C rows, each to
+    its own shard group), vectors replicate x route_width, and the coarse
+    replication is P x sqrt(C). Same trade the probe path makes: exact
+    within the routed shards, approximate beyond them — with ``route_width``
+    >= the shard count the result is EXACTLY the flat assignment (parity-
+    tested), and the default 8 matches the probe's coarse_nprobe.
+
+    ``centroids`` must carry (vec_id, e, coarse_id) — the __centroids table
+    of a two-level index."""
+    routed = route_coarse(v, coarse, route_width, n_partitions)
+    cp = centroids.select(
+        F.col("coarse_id").alias("__shard"),
+        F.col("vec_id").alias("__cid"),
+        F.col("e").alias("__ce"),
+    )
+    vp = routed.withColumnRenamed("coarse_id", "__shard")
+
+    def fine_assign(vpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(vpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "e": pd.Series(dtype="object"),
+                 "centroid_id": pd.Series(dtype="int64"),
+                 "__cos": pd.Series(dtype="float64")}
+            )
+        cpdf = cpdf.sort_values("__cid", kind="stable")  # ties -> lowest id
+        cids = cpdf["__cid"].to_numpy()
+        Cm = _np(cpdf["__ce"])
+        Cn = np.linalg.norm(Cm, axis=1)
+        E = _np(vpdf["e"])
+        S = np.round(
+            (E @ Cm.T) / (np.linalg.norm(E, axis=1)[:, None] * Cn[None, :]), 9
+        )
+        best = np.argmax(S, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": vpdf["vec_id"].to_numpy(),
+                "e": vpdf["e"],
+                "centroid_id": cids[best],
+                "__cos": S[np.arange(len(vpdf)), best],
+            }
+        )
+
+    per_shard = (
+        vp.groupBy("__shard")
+        .cogroup(cp.groupBy("__shard"))
+        .applyInPandas(
+            fine_assign,
+            "vec_id bigint, e array<double>, centroid_id bigint, "
+            "__cos double",
+        )
+    )
+    # Global best across the routed shards: highest 9-dp cosine, ties to the
+    # lowest centroid id — the flat kernel's exact tie rule. (cos, -cid) is
+    # unique per candidate, so max_by is deterministic.
+    return (
+        per_shard.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("e", "centroid_id"),
+                F.struct(F.col("__cos"), -F.col("centroid_id")),
+            ).alias("__b")
+        )
+        .select("vec_id", F.col("__b.e").alias("e"), "__b.centroid_id")
+    )
+
+
 _N_PROBE = 4  # buckets probed per query (IVF nprobe)
 
 

@@ -59,6 +59,7 @@ from ducktales_spark.queries.similarity import (
     _topk,
     assign_buckets,
     assign_buckets_distributed,
+    assign_buckets_two_level,
     cosine_scores,
     n_centroids_for,
     probe_assigned,
@@ -229,7 +230,10 @@ def build_vector_index(
 
 
 def extend_vector_index(
-    lake: LakeCatalog, name: str, new_vectors: DataFrame
+    lake: LakeCatalog,
+    name: str,
+    new_vectors: DataFrame,
+    route_width: int = 8,
 ) -> None:
     """Append new vectors under the FROZEN centroid set — O(new) assignment
     + one clustered append, one snapshot. (Periodic re-build with a larger
@@ -238,11 +242,35 @@ def extend_vector_index(
     Assignment is the DISTRIBUTED cogroup kernel: this path runs once per
     ingest batch, so the C x dim centroid matrix must never become a
     per-batch driver object (the build-time broadcast bound does not apply
-    here — see assign_buckets_distributed)."""
-    assigned = assign_buckets_distributed(
-        new_vectors, lake.read(_centroid_table(name))
-    )
+    here — see assign_buckets_distributed). On a TWO-LEVEL index the batch
+    is additionally COARSE-ROUTED (assign_buckets_two_level): only the
+    ~sqrt(C) coarse set replicates per partition and the fine centroid
+    table crosses the shuffle once, instead of all C fine centroids
+    replicating to every partition per ingest batch. Exact within the
+    ``route_width`` routed shards — the same approximation contract as the
+    probe's coarse ranking, and exactly flat with route_width >= shards."""
+    assigned = _assign_under_index(lake, name, new_vectors, None, route_width)
     lake.insert(name, assigned.select("vec_id", "e", "centroid_id"))
+
+
+def _assign_under_index(
+    lake: LakeCatalog,
+    name: str,
+    new_vectors: DataFrame,
+    version: Optional[int],
+    route_width: int,
+) -> DataFrame:
+    """Frozen-centroid assignment for per-batch ingest paths: coarse-routed
+    on a two-level index, flat cogroup otherwise."""
+    cent = lake.read(_centroid_table(name), version=version)
+    if _coarse_table(name) in lake.tables(version):
+        return assign_buckets_two_level(
+            new_vectors,
+            lake.read(_coarse_table(name), version=version),
+            cent,
+            route_width=route_width,
+        )
+    return assign_buckets_distributed(new_vectors, cent)
 
 
 def _bucket_counts_from_stats(
@@ -325,6 +353,7 @@ def neardup_against_index(
     block: int = 2048,
     version: Optional[int] = None,
     hot_bucket_rows: int = 65536,
+    route_width: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW vector batch and the indexed
     corpus: (vec_new, vec_indexed, cos_sim) with cosine >= threshold — the
@@ -345,11 +374,15 @@ def neardup_against_index(
     Bucket SKEW (the duplicate-heavy case this operator exists for) is
     handled by salting: buckets holding more than ``hot_bucket_rows``
     indexed vectors fan out across tasks (see _salted_screen_input) with
-    identical pair output."""
+    identical pair output.
+
+    On a TWO-LEVEL index the batch is coarse-routed instead of assigned
+    against all C fine centroids (see extend_vector_index — same kernel,
+    same route_width contract)."""
     import pandas as pd
 
-    assigned_new = assign_buckets_distributed(
-        new_vectors, lake.read(_centroid_table(name), version=version)
+    assigned_new = _assign_under_index(
+        lake, name, new_vectors, version, route_width
     ).select("vec_id", "e", "centroid_id", F.lit(True).alias("is_new"))
     indexed = lake.read(name, version=version).select(
         "vec_id", "e", "centroid_id", F.lit(False).alias("is_new")

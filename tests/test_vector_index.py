@@ -355,6 +355,110 @@ def test_two_level_default_width_recall(spark, tmp_path, vectors):
             assert r.cos_sim == pytest.approx(flat_sims[key], abs=1e-9)
 
 
+def test_two_level_extend_flat_parity(spark, tmp_path, vectors):
+    """Coarse-routed extension (two-level index) with route_width covering
+    every coarse shard must assign EXACTLY like the flat cogroup kernel —
+    the routing only changes which centroids ship where, never the argmax
+    (same 9-dp rounding, same lowest-id tie rule)."""
+    from ducktales_spark.queries.similarity import assign_buckets_distributed
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    build_vector_index(lake, "emb2", vectors.filter(F.col("vec_id") < 150),
+                       n_centroids=64, coarse_threshold=16)
+    new = vectors.filter(F.col("vec_id").between(150, 199)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "e"
+    )
+    extend_vector_index(lake, "emb2", new, route_width=8)  # 8 = all shards
+    got = {
+        r.vec_id: r.centroid_id
+        for r in lake.read("emb2").filter("vec_id >= 10000").collect()
+    }
+    cent = lake.read("emb2__centroids").select("vec_id", "e")
+    want = {
+        r.vec_id: r.centroid_id
+        for r in assign_buckets_distributed(new, cent).collect()
+    }
+    assert got == want and len(got) == 50
+
+
+def test_two_level_ingest_paths_skip_flat_kernel(spark, tmp_path, vectors):
+    """On a two-level index, extend AND screening must take the coarse-
+    routed path — the flat kernel (which replicates all C fine centroids
+    to every partition per batch) must not run. On a flat index it still
+    must. Asserted by poisoning the flat kernel in the ingest module's
+    namespace after build."""
+    import ducktales_spark.vector_index as vi
+    from ducktales_spark.vector_index import neardup_against_index
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    flat = LakeCatalog(str(tmp_path / "flat"), spark)
+    corpus = vectors.filter(F.col("vec_id") < 150)
+    build_vector_index(lake, "emb2", corpus, n_centroids=64,
+                       coarse_threshold=16)
+    build_vector_index(flat, "embf", corpus, n_centroids=64)
+    new = vectors.filter(F.col("vec_id").between(150, 160)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "e"
+    )
+
+    def poisoned(*a, **k):
+        raise AssertionError("flat kernel used on a two-level index")
+
+    orig = vi.assign_buckets_distributed
+    vi.assign_buckets_distributed = poisoned
+    try:
+        extend_vector_index(lake, "emb2", new)
+        neardup_against_index(lake, "emb2", new, threshold=0.99).collect()
+        with pytest.raises(AssertionError, match="flat kernel"):
+            extend_vector_index(flat, "embf", new)
+    finally:
+        vi.assign_buckets_distributed = orig
+
+
+def test_two_level_screen_finds_planted_dups(spark, tmp_path, vectors):
+    """Default route_width: coarse-routed screening still flags planted
+    exact duplicates of indexed vectors (the dup's route includes its
+    original's shard — they share the embedding), and the coarse-routed
+    ingest paths never pull a vector column to the driver (collect-spy,
+    same contract as the flat ingest paths)."""
+    from pyspark.sql import DataFrame
+
+    from ducktales_spark.vector_index import neardup_against_index
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    indexed = vectors.filter(F.col("vec_id") < 150)
+    build_vector_index(lake, "emb2", indexed, n_centroids=64,
+                       coarse_threshold=16)
+    dup_rows = [
+        (1040, [float(x) for x in indexed.filter("vec_id = 40").first()["e"]]),
+        (1077, [float(x) for x in indexed.filter("vec_id = 77").first()["e"]]),
+    ]
+    new = spark.createDataFrame(dup_rows, "vec_id bigint, e array<double>")
+
+    pulled_cols: list = []
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+
+    def spy_topandas(self):
+        pulled_cols.append(self.columns)
+        return orig_topandas(self)
+
+    def spy_collect(self):
+        pulled_cols.append(self.columns)
+        return orig_collect(self)
+
+    DataFrame.toPandas, DataFrame.collect = spy_topandas, spy_collect
+    try:
+        got = orig_collect(
+            neardup_against_index(lake, "emb2", new, threshold=0.999)
+        )
+        extend_vector_index(lake, "emb2", new)
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
+    pairs = {(r.vec_new, r.vec_indexed) for r in got}
+    assert (1040, 40) in pairs and (1077, 77) in pairs
+    vector_pulls = [c for c in pulled_cols if "e" in c]
+    assert not vector_pulls, f"ingest collected vector columns: {vector_pulls}"
+
+
 def test_neardup_screen_salts_hot_buckets(spark, tmp_path, vectors):
     """Planted hot bucket: a duplicate-heavy index concentrates population
     in one IVF bucket; with a small hot_bucket_rows the screening input
