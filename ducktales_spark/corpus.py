@@ -53,6 +53,35 @@ def _h64(col_expr: str):
     return F.expr(_H64.format(expr=col_expr))
 
 
+# Benchmark-side broadcast cap: eval suites are definitionally small (tens
+# of MB of hashes), but the promise "drop the hint for a benchmark too large
+# to broadcast" needs an actual guard — above this many plan-stat bytes the
+# join goes un-hinted and Catalyst picks a shuffled hash join. Unknown stats
+# (Python-created benchmark frames report the Long.MaxValue sentinel family —
+# see plan_bytes) keep the broadcast: the small-by-contract default.
+_BENCH_BROADCAST_CAP = 256 << 20
+
+
+def plan_bytes(df: DataFrame) -> Optional[int]:
+    """Catalyst's optimized-plan size estimate in bytes, or None when the
+    plan has no real statistics (parquet scans report file bytes; Python-
+    created DataFrames report the Long.MaxValue sentinel, which Catalyst's
+    size-only estimator SCALES through projections — so the whole >1 PiB
+    family is treated as unknown, not just the raw sentinel)."""
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return None if size >= 1 << 50 else size
+
+
+def _bench_side(df: DataFrame, max_broadcast_bytes: int):
+    """The benchmark side of a decontamination join: broadcast-hinted while
+    plan stats say it fits (or are unknown — small by contract), un-hinted
+    above the cap so Catalyst falls back to a shuffled hash join."""
+    b = plan_bytes(df)
+    if b is not None and b > max_broadcast_bytes:
+        return df
+    return F.broadcast(df)
+
+
 def benchmark_ngrams(
     bench: DataFrame,
     id_col: str = "doc_id",
@@ -79,45 +108,134 @@ def decontaminate(
     text_col: str = "text",
     n: int = 13,
     min_hits: int = 1,
+    mode: str = "exact",
+    threshold: float = 0.8,
+    max_broadcast_bytes: int = _BENCH_BROADCAST_CAP,
 ) -> dict:
-    """Flag corpus documents that share word ``n``-grams with a benchmark.
+    """Flag corpus documents that leak eval-benchmark content.
 
-    The GPT-3 appendix-C protocol: a document is contaminated when it
-    contains >= ``min_hits`` distinct 13-grams that also appear in the eval
-    set. Returns lazily-built DataFrames:
+    ``mode="exact"`` — the GPT-3 appendix-C protocol: a document is
+    contaminated when it contains >= ``min_hits`` distinct word ``n``-grams
+    (13 by default) that also appear in the eval set. Misses paraphrased or
+    reformatted leakage: ONE substituted token breaks all 13 overlapping
+    13-grams around it.
 
-    * ``hits``  — (doc_id, n_hits) for contaminated documents only;
+    ``mode="fuzzy"`` — MinHash-LSH against the benchmark (the d03 sketch
+    machinery): a document is contaminated when its estimated 3-shingle
+    jaccard to >= ``min_hits`` benchmark documents is >= ``threshold``.
+    Catches near-verbatim leakage (token substitutions, re-wrapping) that
+    breaks exact n-grams; ``n`` is ignored. ``hits`` gains a
+    ``max_jaccard`` column in this mode.
+
+    Returns lazily-built DataFrames:
+
+    * ``hits``  — (doc_id, n_hits[, max_jaccard]) for contaminated docs;
     * ``flags`` — every input doc + ``n_hits`` (0 when clean) +
       ``contaminated`` boolean (the audit table);
     * ``clean`` — the input rows with contaminated documents removed.
 
-    Plan shape: corpus shingles ride shingle_table's single doc_id
-    exchange; the benchmark side is broadcast (eval suites are small by
-    definition — for a benchmark too large to broadcast, drop the hint and
-    Catalyst falls back to a shuffled hash join on ``h``); the hit count
-    groupBy(doc_id) reuses the same exchange. Documents shorter than ``n``
-    words have no n-grams and are never contaminated.
+    Plan shape (both modes): the corpus side costs ONE doc_id exchange
+    (exact: shingle_table's; fuzzy: the minhash signature groupBy, whose
+    hash distribution the band explode and hit-count groupBy both reuse);
+    the benchmark side is broadcast while its plan-stat bytes fit under
+    ``max_broadcast_bytes`` (eval suites are small by definition) and
+    joins un-hinted above it — Catalyst falls back to a shuffled hash
+    join. Documents shorter than the shingle width have no shingles and
+    are never contaminated.
     """
-    corpus = shingle_table(
-        docs, id_col=id_col, text_col=text_col, n=n, distinct=True
-    ).select("doc_id", _h64("s").alias("h"))
+    if mode == "fuzzy":
+        counts = _fuzzy_counts(
+            docs, bench, id_col, text_col, threshold, max_broadcast_bytes
+        )
+    elif mode == "exact":
+        corpus = shingle_table(
+            docs, id_col=id_col, text_col=text_col, n=n, distinct=True
+        ).select("doc_id", _h64("s").alias("h"))
+        counts = (
+            corpus.join(
+                _bench_side(
+                    benchmark_ngrams(bench, id_col, text_col, n),
+                    max_broadcast_bytes,
+                ),
+                "h",
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+    else:
+        raise ValueError(f"unknown decontamination mode: {mode!r}")
     # raw per-doc counts, UNthresholded: `flags` must audit 1..min_hits-1
     # docs as n_hits=k, not 0 — the threshold applies only to the
     # contaminated/clean split (and to the returned `hits`).
-    counts = (
-        corpus.join(F.broadcast(benchmark_ngrams(bench, id_col, text_col, n)), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
     hits = counts.filter(F.col("n_hits") >= min_hits)
+    fcounts = counts.select("doc_id", "n_hits")
     flags = (
-        docs.join(counts, docs[id_col] == counts.doc_id, "left")
-        .drop(counts.doc_id)
+        docs.join(fcounts, docs[id_col] == fcounts.doc_id, "left")
+        .drop(fcounts.doc_id)
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
         .withColumn("contaminated", F.col("n_hits") >= min_hits)
     )
     clean = flags.filter(~F.col("contaminated")).drop("n_hits", "contaminated")
     return {"hits": hits, "flags": flags, "clean": clean}
+
+
+def benchmark_bands(
+    bench: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The benchmark side of fuzzy decontamination, precomputable: exploded
+    LSH bands carrying the signature — (band_id, band_key, __bench_id,
+    __bench_sig). Streaming ingest computes this ONCE and reuses it per
+    micro-batch (the fuzzy analog of benchmark_ngrams)."""
+    from ducktales_spark.queries.dedup import (
+        minhash_band_table,
+        minhash_signatures,
+    )
+
+    return minhash_band_table(
+        minhash_signatures(bench, id_col=id_col, text_col=text_col)
+    ).select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("__bench_id"),
+        F.col("sig").alias("__bench_sig"),
+    )
+
+
+def _fuzzy_counts(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_broadcast_bytes: int,
+    bench_bands: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(doc_id, n_hits, max_jaccard) per corpus doc whose estimated jaccard
+    to >= 1 benchmark doc clears ``threshold``. A pair colliding in k bands
+    appears k times in the candidate join; count_distinct/max make the
+    duplicates harmless without a distinct() shuffle."""
+    from ducktales_spark.queries.dedup import (
+        est_jaccard,
+        minhash_band_table,
+        minhash_signatures,
+    )
+
+    if bench_bands is None:
+        bench_bands = benchmark_bands(bench, id_col, text_col)
+    bands = minhash_band_table(
+        minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    )
+    scored = bands.join(
+        _bench_side(bench_bands, max_broadcast_bytes), ["band_id", "band_key"]
+    ).withColumn("__est_j", est_jaccard(F.col("sig"), F.col("__bench_sig")))
+    return (
+        scored.filter(F.col("__est_j") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("__bench_id").alias("n_hits"),
+            F.max("__est_j").alias("max_jaccard"),
+        )
+    )
 
 
 def mix_corpus(
@@ -207,8 +325,8 @@ def shards_for(
     bound — both fall back to ``fallback``-style safety rather than
     deriving a billions-of-partitions repartition.
     """
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size >= 1 << 50:  # unknown-stat sentinel family (scaled or raw)
+    size = plan_bytes(df)
+    if size is None:  # unknown-stat sentinel family (scaled or raw)
         return fallback
     return min(1 << 20, max(1, -(-size // max(1, target_shard_bytes))))
 

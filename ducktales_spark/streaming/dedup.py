@@ -175,6 +175,8 @@ def start_lake_dedup_ingest(
     text_col: str = "text",
     minhash_threshold: Optional[float] = 0.7,
     benchmark_df: Optional[DataFrame] = None,
+    benchmark_mode: str = "exact",
+    benchmark_threshold: float = 0.8,
     trigger_seconds: Optional[float] = None,
     available_now: bool = False,
     query_name: str = "lake_dedup_ingest",
@@ -187,31 +189,51 @@ def start_lake_dedup_ingest(
     protocol and the scale analysis).
 
     ``benchmark_df`` (a BOUNDED eval-set DataFrame) additionally
-    decontaminates every micro-batch before dedup: documents sharing a
-    word 13-gram with the benchmark never reach the table — the GPT-3
-    protocol applied at the ingest boundary, where it belongs (a
-    contaminated doc filtered at ingest can never leak into a shard). The
-    benchmark's distinct n-gram hashes are computed ONCE at start and
-    reused by every batch (eval suites are definitionally small ->
-    broadcast join per batch; see corpus.decontaminate for the shape).
+    decontaminates every micro-batch before dedup: contaminated documents
+    never reach the table — the GPT-3 protocol applied at the ingest
+    boundary, where it belongs (a contaminated doc filtered at ingest can
+    never leak into a shard). ``benchmark_mode`` mirrors
+    ``corpus.decontaminate``: "exact" (word-13-gram overlap) or "fuzzy"
+    (MinHash-LSH, estimated jaccard >= ``benchmark_threshold``). The
+    benchmark's derived state (distinct n-gram hashes / LSH band table) is
+    computed ONCE at start and reused by every batch; it is broadcast per
+    batch while its plan-stat size fits (eval suites are definitionally
+    small) and joins un-hinted above corpus._BENCH_BROADCAST_CAP.
     """
+    from ducktales_spark import corpus as _corpus
+
+    if benchmark_mode not in ("exact", "fuzzy"):
+        raise ValueError(f"unknown benchmark_mode: {benchmark_mode!r}")
     epoch_table = _epoch_table(lake, table)
     hash_table, bands_table = _state_tables(
         lake, table, minhash_threshold is not None
     )
     bench_grams = None
     if benchmark_df is not None:
-        from ducktales_spark.corpus import benchmark_ngrams
-
         # one shot, driver-small by contract; persist so each micro-batch
-        # broadcasts the same computed set instead of re-shingling
-        bench_grams = benchmark_ngrams(
-            benchmark_df, id_col=id_col, text_col=text_col
-        ).persist()
+        # joins the same computed set instead of re-shingling
+        if benchmark_mode == "fuzzy":
+            bench_grams = _corpus.benchmark_bands(
+                benchmark_df, id_col=id_col, text_col=text_col
+            ).persist()
+        else:
+            bench_grams = _corpus.benchmark_ngrams(
+                benchmark_df, id_col=id_col, text_col=text_col
+            ).persist()
         bench_grams.count()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if bench_grams is not None:
+        if bench_grams is not None and benchmark_mode == "fuzzy":
+            hit_ids = _corpus._fuzzy_counts(
+                batch_df, None, id_col, text_col, benchmark_threshold,
+                _corpus._BENCH_BROADCAST_CAP, bench_bands=bench_grams,
+            ).select("doc_id")
+            batch_df = batch_df.join(
+                hit_ids,
+                batch_df[id_col] == hit_ids["doc_id"],
+                "left_anti",
+            )
+        elif bench_grams is not None:
             # corpus.decontaminate's plan, minus the audit face: the
             # precomputed benchmark set replaces its per-call re-shingle
             from ducktales_spark.queries.dedup import shingle_table
@@ -226,7 +248,12 @@ def start_lake_dedup_ingest(
                 ).alias("h"),
             )
             hit_ids = (
-                corpus.join(F.broadcast(bench_grams), "h")
+                corpus.join(
+                    _corpus._bench_side(
+                        bench_grams, _corpus._BENCH_BROADCAST_CAP
+                    ),
+                    "h",
+                )
                 .select("doc_id")
                 .distinct()
             )

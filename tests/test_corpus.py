@@ -115,6 +115,151 @@ def test_decontaminate_matches_duckdb(spark, sf_dir, docs):
     assert hits.count() > 0
 
 
+def test_decontaminate_fuzzy_catches_paraphrase(spark):
+    """Near-verbatim leakage (a token substituted every 10 words) breaks
+    EVERY overlapping 13-gram, so exact mode misses it entirely — fuzzy
+    (MinHash 3-shingle jaccard) catches it; an unrelated doc stays clean
+    in both modes. All hashing is deterministic, so the estimated jaccard
+    is a fixed value, not a random variable."""
+    base = [f"w{i}" for i in range(200)]
+    para = [(f"SUB{i}" if i % 10 == 0 else w) for i, w in enumerate(base)]
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(para)),  # paraphrased benchmark doc
+            (2, " ".join(f"z{i}" for i in range(200))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(base))], "doc_id long, text string"
+    )
+    exact = decontaminate(corpus, bench, mode="exact")
+    assert {r.doc_id for r in exact["hits"].collect()} == set()
+    fuzzy = decontaminate(corpus, bench, mode="fuzzy", threshold=0.4)
+    hits = {r.doc_id: r for r in fuzzy["hits"].collect()}
+    assert set(hits) == {1}
+    assert hits[1].n_hits == 1 and hits[1].max_jaccard >= 0.4
+    assert sorted(r.doc_id for r in fuzzy["clean"].collect()) == [2]
+    # audit face keeps the exact-mode shape
+    flags = {r.doc_id: r.contaminated for r in fuzzy["flags"].collect()}
+    assert flags == {1: True, 2: False}
+
+
+def test_decontaminate_fuzzy_matches_duckdb(spark, sf_dir, docs):
+    """Cross-engine differential of the ENTIRE fuzzy path on the driver
+    corpus (benchmark = every 7th doc): DuckDB replays the identical
+    deterministic minhash family, band join, jaccard threshold, and
+    per-doc aggregation — (doc_id, n_hits, max_jaccard) must hash-match.
+    k/32 jaccards are exact binary fractions, so no rounding is needed."""
+    from ducktales_spark.queries.dedup import (
+        _BAND_ROWS,
+        _HASH_AB,
+        _NUM_HASHES,
+        _P,
+    )
+
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    hits = decontaminate(docs, bench, mode="fuzzy", threshold=0.8)[
+        "hits"
+    ].withColumn("n_hits", F.col("n_hits").cast("long"))
+    n_bands = _NUM_HASHES // _BAND_ROWS
+    mins = ",\n        ".join(
+        f"min(({a} * (h64 % {_P}) + {b}) % {_P}) AS m{i}"
+        for i, (a, b) in enumerate(_HASH_AB)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {i} AS band_id, "
+        + " || '-' || ".join(
+            f"m{i * _BAND_ROWS + j}::VARCHAR" for j in range(_BAND_ROWS)
+        )
+        + " AS band_key FROM sig"
+        for i in range(n_bands)
+    )
+    est = (
+        "("
+        + " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(_NUM_HASHES))
+        + f") / {float(_NUM_HASHES)}"
+    )
+    con = duckdb_conn(sf_dir)
+    problems = compare(
+        hits,
+        con,
+        rf"""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+          FROM d WHERE len(ws) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+                                     ws[i+2]), 1, 15))::BIGINT AS h64
+          FROM pos
+        ),
+        sig AS MATERIALIZED (
+          SELECT doc_id, {mins}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS MATERIALIZED ({band_rows}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+          WHERE b.doc_id % 7 = 0
+        ),
+        scored AS (
+          SELECT cand.doc_id, cand.bench_id, {est} AS est
+          FROM cand
+          JOIN sig sa ON sa.doc_id = cand.doc_id
+          JOIN sig sb ON sb.doc_id = cand.bench_id
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+               max(est) AS max_jaccard
+        FROM scored WHERE est >= 0.8
+        GROUP BY doc_id
+        """,
+    )
+    assert problems == [], problems
+    # sanity: benchmark docs in the corpus self-match at jaccard 1.0
+    assert hits.filter("max_jaccard = 1.0").count() > 0
+
+
+def test_bench_broadcast_guard(spark, tmp_path, docs):
+    """The benchmark join is broadcast-hinted while plan stats fit under
+    the cap and UN-hinted above it, with identical survivors. Hint
+    presence is asserted on the analyzed plan (above the cap Catalyst may
+    still CHOOSE a broadcast for a small table — the guard's contract is
+    only that we stop forcing one)."""
+    corpus = docs.limit(60)
+    bench_path = str(tmp_path / "bench.parquet")
+    docs.filter(F.col("doc_id") % 7 == 0).limit(
+        20
+    ).write.parquet(bench_path)
+    bench = spark.read.parquet(bench_path)  # parquet scan -> REAL stats
+
+    def hinted(df):
+        return "strategy=broadcast" in df._jdf.queryExecution().analyzed().toString()
+
+    small = decontaminate(corpus, bench)
+    big = decontaminate(corpus, bench, max_broadcast_bytes=1)
+    assert hinted(small["hits"]) and not hinted(big["hits"])
+    assert sorted(r.doc_id for r in small["clean"].collect()) == sorted(
+        r.doc_id for r in big["clean"].collect()
+    )
+    # fuzzy mode takes the same guard
+    fsmall = decontaminate(corpus, bench, mode="fuzzy", threshold=0.8)
+    fbig = decontaminate(
+        corpus, bench, mode="fuzzy", threshold=0.8, max_broadcast_bytes=1
+    )
+    assert hinted(fsmall["hits"]) and not hinted(fbig["hits"])
+    assert sorted(r.doc_id for r in fsmall["hits"].collect()) == sorted(
+        r.doc_id for r in fbig["hits"].collect()
+    )
+
+
 # --- mix_corpus ------------------------------------------------------------
 
 _WEIGHTS = {"src0": 2.0, "src1": 0.5, "src2": 2.5, "src3": 0.0}

@@ -617,3 +617,38 @@ def test_streaming_ingest_decontaminates(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(r.doc_id for r in lake.read("docs").collect()) == [2, 4]
+
+
+def test_streaming_ingest_decontaminates_fuzzy(spark, tmp_path):
+    """benchmark_mode="fuzzy" at the ingest boundary: a NEAR-verbatim copy
+    of an eval doc (a token substituted every 10 words — zero shared
+    13-grams, so exact mode would pass it) is dropped by the MinHash path;
+    unrelated docs land normally."""
+    from ducktales_spark.streaming import start_lake_dedup_ingest
+
+    base = [f"w{i}" for i in range(200)]
+    para = " ".join(
+        (f"SUB{i}" if i % 10 == 0 else w) for i, w in enumerate(base)
+    )
+    clean_a = " ".join(f"a{i}" for i in range(200))
+    batches = [
+        [(1, para), (2, clean_a)],
+        [(3, " ".join(f"b{i}" for i in range(200)))],
+    ]
+    stream, schema = _doc_stream(spark, tmp_path, batches)
+    bench = spark.createDataFrame([(100, " ".join(base))], schema)
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    lake.create_table("docs", spark.createDataFrame([], schema).schema)
+    q = start_lake_dedup_ingest(
+        stream,
+        lake,
+        "docs",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        minhash_threshold=None,
+        benchmark_df=bench,
+        benchmark_mode="fuzzy",
+        benchmark_threshold=0.4,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert sorted(r.doc_id for r in lake.read("docs").collect()) == [2, 3]
