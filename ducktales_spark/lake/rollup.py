@@ -131,6 +131,25 @@ def create_rollup(
         tx.ctas(_meta_name(name), meta)
 
 
+def read_rollup(lake, name: str, version: Optional[int] = None) -> DataFrame:
+    """The rollup's read face: the stored table plus ``avg_<c>`` =
+    ``sum_<c> / n_rows`` for every maintained sum column — AVG is derivable
+    from additive state at read time for free, so users never hand-divide.
+    Aggregates that are NOT derivable from (count, sum, min, max) —
+    stddev, percentiles — are deliberately absent: maintaining them
+    incrementally requires the minmax-style partial-recompute path
+    (re-aggregate touched buckets from the source), not a read-time
+    formula. Keys-only materialized views read identically (their single
+    epoch-0 bucket included)."""
+    meta_rows = lake.read(_meta_name(name), version=version).collect()
+    if len(meta_rows) != 1:
+        raise RollupError(f"rollup meta for {name!r} is corrupt")
+    df = lake.read(name, version=version)
+    for c in json.loads(meta_rows[0]["sum_cols"]):
+        df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
+    return df
+
+
 def refresh_rollup(lake, name: str) -> dict:
     """Fold source changes since the last refresh into the rollup.
     Returns {"from_version", "to_version", "changed_buckets"}."""

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -245,6 +247,47 @@ def _epoch_micros(name: str):
     )
 
 
+def derived_granularity(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> int:
+    """Bucket width (seconds) sized to the intervals themselves: their p95
+    length, from ONE column-pruned aggregation (the scan reads only the two
+    timestamp columns). At that width ~95% of intervals replicate to at
+    most 2 buckets, and only tail outliers replicate further (bounded by
+    length/p95) — the same measure-the-input policy corpus.shards_for
+    applies to shard counts. Falls back to 600 s when the interval side is
+    empty or degenerate."""
+    s_us = _epoch_micros(start_col)
+    e_us = _epoch_micros(end_col)
+    row = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .select(
+            F.percentile_approx(
+                e_us - s_us, F.lit(0.95), F.lit(10_000)
+            ).alias("p95_us")
+        )
+        .first()
+    )
+    if row is None or row["p95_us"] is None or row["p95_us"] <= 0:
+        return 600
+    return max(1, -(-int(row["p95_us"]) // 1_000_000))
+
+
+def _bucketed_intervals(
+    intervals: DataFrame, start_col: str, end_col: str, g_us: int
+) -> DataFrame:
+    """Intervals exploded to the ``g_us``-wide buckets they overlap (empty
+    and inverted intervals dropped — half-open semantics)."""
+    s_us = _epoch_micros(start_col)
+    e_us = _epoch_micros(end_col)
+    return intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(F.floor(s_us / g_us), F.floor((e_us - 1) / g_us))
+        ),
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -252,7 +295,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     keys: tuple = (),
-    granularity_s: int = 600,
+    granularity_s: Optional[int] = None,
 ) -> DataFrame:
     """Range join: each point row matched to every interval row with
     ``start <= point_ts < end`` (and equal ``keys``), as a bucketed
@@ -267,30 +310,25 @@ def interval_join(
     ONE bucket, and the join key is (bucket, *keys) — shuffle volume is
     |points| + |intervals| * avg_buckets_per_interval, never |points| x
     |intervals|. Each qualifying pair meets in exactly one bucket (the
-    point's), so no post-join dedup is needed. Pick ``granularity_s`` near
-    the median interval length: shorter means more interval replication,
-    longer means more false candidates filtered after the join. Long
-    outlier intervals only add replicated interval rows (bounded by
-    length/granularity); a hot bucket is an AQE skew-join case, not a
-    correctness one.
+    point's), so no post-join dedup is needed.
+
+    ``granularity_s=None`` (the default) DERIVES the bucket width from the
+    intervals' p95 length (derived_granularity — one cheap column-pruned
+    agg): a caller-guessed width much finer than the intervals replicates
+    every interval to many buckets (a 12 h window over 600 s buckets is 72
+    replicas), while the derived width bounds typical replication at 2.
+    Pass an explicit value to trade replication against post-join
+    filtering by hand. Long outlier intervals only add replicated interval
+    rows (bounded by length/granularity); a hot bucket is an AQE skew-join
+    case, not a correctness one.
     """
+    if granularity_s is None:
+        granularity_s = derived_granularity(intervals, start_col, end_col)
     g_us = granularity_s * 1_000_000
     p = points.withColumn(
         "__bucket", F.floor(_epoch_micros(point_ts) / g_us)
     )
-    s_us = _epoch_micros(start_col)
-    e_us = _epoch_micros(end_col)
-    iv = (
-        intervals.filter(F.col(end_col) > F.col(start_col))
-        .withColumn(
-            "__bucket",
-            F.explode(
-                F.sequence(
-                    F.floor(s_us / g_us), F.floor((e_us - 1) / g_us)
-                )
-            ),
-        )
-    )
+    iv = _bucketed_intervals(intervals, start_col, end_col, g_us)
     cond = [p["__bucket"] == iv["__bucket"]]
     cond += [p[k] == iv[k] for k in keys]
     cond += [

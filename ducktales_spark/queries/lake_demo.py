@@ -385,7 +385,8 @@ def l18_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
                user_id,
                CAST(count(*) AS BIGINT) AS n_rows,
-               round(sum(value), 6) AS sum_value
+               round(sum(value), 6) AS sum_value,
+               round(sum(value) / count(*), 6) AS avg_value
         FROM src
         WHERE user_id % 7 != 3
         GROUP BY 1, 2""",
@@ -401,8 +402,13 @@ def r01_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     TimescaleDB/Materialize model, built on the reference family's CDC
     primitive, utils/ducklake_utils.py:65-78 table_changes). The oracle
     recomputes the final state from scratch over the same mutations, so
-    incremental == recompute is exactly what the driver checks."""
-    from ducktales_spark.lake.rollup import create_rollup, refresh_rollup
+    incremental == recompute is exactly what the driver checks — including
+    the read face's derived AVG (sum/n at read time, zero maintenance)."""
+    from ducktales_spark.lake.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
 
     lake = _fresh_lake(spark)
     ev = table(spark, sf_dir, "events").select(
@@ -424,9 +430,10 @@ def r01_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = refresh_rollup(lake, "ev_hourly")
     assert stats["to_version"] > stats["from_version"]
     assert stats["changed_buckets"] > 0
-    return lake.read("ev_hourly").select(
+    return read_rollup(lake, "ev_hourly").select(
         "bucket_start",
         "user_id",
         "n_rows",
         F.round("sum_value", 6).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
     )

@@ -74,6 +74,80 @@ def test_interval_join_matches_duckdb_iejoin(
     assert len(got) > 0, "fixture corpus produced no in-window pairs"
 
 
+def test_interval_join_derived_granularity(spark, sf_dir, frames):
+    """granularity_s=None derives the bucket width from the intervals' p95
+    length: parity with the oracle holds, the plan stays cartesian-free,
+    and the derived width equals the (uniform) 10-minute interval length
+    so typical replication is bounded at 2 buckets per interval."""
+    from ducktales_spark.queries.joins import (
+        _bucketed_intervals,
+        derived_granularity,
+    )
+
+    points, intervals = frames
+    g = derived_granularity(intervals, "start_ts", "end_ts")
+    assert g == 600  # uniform 10-minute intervals -> p95 == 600 s
+    out = interval_join(
+        points, intervals, "ts", "start_ts", "end_ts", keys=("user_id",)
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in out.select("event_id", "iv_id").collect()
+    )
+    assert got == _oracle_pairs(sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # replication bound at the derived width: every interval lands in <= 2
+    # buckets (length == granularity can straddle one boundary)
+    n_iv = intervals.count()
+    n_expl = _bucketed_intervals(
+        intervals, "start_ts", "end_ts", g * 1_000_000
+    ).count()
+    assert n_iv <= n_expl <= 2 * n_iv
+
+
+def test_interval_join_long_outlier_replication_bounded(spark):
+    """Planted long-interval skew: 99 one-hour intervals + one 100-hour
+    outlier. The DERIVED granularity tracks the p95 (one hour), so the
+    typical interval replicates <= 2x and total explosion stays ~n + tail
+    — while a caller-guessed 60 s granularity would replicate every
+    interval 60x and the outlier 6000x."""
+    from ducktales_spark.queries.joins import (
+        _bucketed_intervals,
+        derived_granularity,
+    )
+
+    rows = [
+        (i, f"2024-01-01 {i % 24:02d}:00:00", 3600) for i in range(99)
+    ] + [(99, "2024-01-02 00:00:00", 360_000)]
+    intervals = (
+        spark.createDataFrame(rows, "iv int, s string, len_s long")
+        .select(
+            "iv",
+            F.col("s").cast("timestamp").alias("s"),
+            (
+                F.col("s").cast("timestamp")
+                + F.make_interval(secs=F.col("len_s"))
+            ).alias("e"),
+        )
+    )
+    g = derived_granularity(intervals, "s", "e")
+    assert g == 3600  # p95 of {99 x 1h, 1 x 100h} is 1 h
+    n_expl = _bucketed_intervals(intervals, "s", "e", g * 1_000_000).count()
+    # 99 aligned 1-h intervals -> 1 bucket each; outlier -> 100 buckets
+    assert n_expl == 99 + 100
+    # and the operator still answers correctly over the planted set
+    points = spark.createDataFrame(
+        [(1, "2024-01-04 02:00:00")], "pid int, ts string"  # outlier + 50 h
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in interval_join(points, intervals, "ts", "s", "e").collect()
+    )
+    assert got == [(1, 99)]  # only the outlier window covers t0+50h
+
+
 def test_interval_join_no_cartesian(spark, sf_dir, frames):
     """The whole point of the bucketed formulation: the physical plan is an
     equi-join on (bucket, keys) — never CartesianProduct or

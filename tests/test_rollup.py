@@ -125,6 +125,35 @@ def test_repeated_refreshes_are_idempotent_per_version(spark, lake):
     assert stats["changed_buckets"] == 0
 
 
+def test_read_rollup_derives_avg(spark, lake):
+    """The read face derives avg_<c> = sum_<c>/n_rows at read time — exact
+    against a from-source AVG, through create AND an incremental refresh;
+    the stored table itself carries no avg column (zero maintenance)."""
+    from ducktales_spark.lake.rollup import read_rollup
+
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_hourly", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+    lake.insert("ev", _mk_events(spark, [(6, "2024-01-01 00:20:00", 1, 5.0)]))
+    lake.delete("ev", "event_id = 3")
+    refresh_rollup(lake, "ev_hourly")
+    assert "avg_value" not in lake.read("ev_hourly").columns
+    want = sorted(
+        (r["bucket_start"], r["user_id"], r["avg_value"])
+        for r in lake.read("ev")
+        .groupBy(_bucket_expr("ts", 3600).alias("bucket_start"), "user_id")
+        .agg(F.avg("value").alias("avg_value"))
+        .collect()
+    )
+    got = sorted(
+        (r["bucket_start"], r["user_id"], r["avg_value"])
+        for r in read_rollup(lake, "ev_hourly").collect()
+    )
+    assert [(b, u, pytest.approx(a)) for b, u, a in want] == got
+
+
 def test_keys_only_materialized_view(spark, lake):
     """time_col=None: the rollup degenerates to an incrementally-maintained
     GROUP BY keys materialized view — identical diff/merge machinery, one
