@@ -13,6 +13,17 @@ same statement coverage so a reference user can port scripts verbatim:
 * ``CREATE [OR REPLACE] TABLE t AS <select>`` (utils/ducklake_utils.py:101-111)
 * ``CREATE [OR REPLACE] VIEW v AS <select>``
   (demos/03_schema_evolution/demo.py:273-288)
+* ``CREATE [OR REPLACE] MATERIALIZED VIEW mv AS SELECT ...`` /
+  ``REFRESH MATERIALIZED VIEW mv`` / ``DROP MATERIALIZED VIEW mv`` —
+  the continuous-aggregate tier (:mod:`ducktales_spark.lake.rollup`)
+  behind SQL, completing the reference's conn.execute()-everything
+  ergonomics. The SELECT must be the incrementally-maintainable subset:
+  ``SELECT <keys...>, [time_bucket(INTERVAL '1 hour', ts),]
+  COUNT(*)/SUM/AVG/MIN/MAX(col)... FROM <lake table> GROUP BY ...`` —
+  no WHERE/JOIN/HAVING (the same restriction TimescaleDB continuous
+  aggregates and Materialize place on their incremental paths). Reads of
+  the MV go through :func:`~ducktales_spark.lake.rollup.read_rollup`, so
+  ``SELECT avg_<c> FROM mv`` works without hand-dividing.
 * ``DROP TABLE / DROP VIEW``
 * ``ALTER TABLE t ADD COLUMN c TYPE [DEFAULT lit]`` / ``DROP COLUMN`` /
   ``RENAME COLUMN a TO b`` / ``ALTER COLUMN c SET NOT NULL``
@@ -179,6 +190,9 @@ class SQLExecutor:
     def __init__(self, catalog):
         self.c = catalog
         self._tx = None  # open explicit transaction, if any
+        # (mv_name, catalog_version) -> sum_cols, so the per-query MV read
+        # overlay doesn't re-collect the one-row meta table on every bind
+        self._mv_cols = {}
 
     # -- staged-aware existence (an open txn's DDL must be visible to the
     # next statement's checks, not just committed state) -----------------
@@ -220,6 +234,29 @@ class SQLExecutor:
             return self._status("ROLLBACK", 0)
         if re.match(rf"^USE\s+{_IDENT}$", q, re.I):
             return self._status("USE", 0)  # single attached catalog
+
+        m = re.match(
+            rf"^CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+({_IDENT})"
+            r"\s+AS\s+(.*)$",
+            q,
+            re.I | re.S,
+        )
+        if m:
+            return self._create_mv(
+                m.group(2), m.group(3), replace=bool(m.group(1))
+            )
+        m = re.match(
+            rf"^REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})$", q, re.I
+        )
+        if m:
+            return self._refresh_mv(m.group(1))
+        m = re.match(
+            rf"^DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})$",
+            q,
+            re.I,
+        )
+        if m:
+            return self._drop_mv(m.group(2), if_exists=bool(m.group(1)))
 
         m = re.match(
             rf"^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+(.*)$",
@@ -438,6 +475,249 @@ class SQLExecutor:
 
         return self._query(q, version)
 
+    # -- materialized views (continuous aggregates behind SQL) ----------
+    _MV_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    _MV_AGG = re.compile(
+        rf"^(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\*|{_IDENT})\s*\)"
+        rf"(?:\s+AS\s+({_IDENT}))?$",
+        re.I,
+    )
+    _MV_BUCKET = re.compile(
+        r"^time_bucket\s*\(\s*(?:INTERVAL\s+'(\d+)\s*"
+        rf"(second|minute|hour|day)s?'|(\d+))\s*,\s*({_IDENT})\s*\)"
+        rf"(?:\s+AS\s+({_IDENT}))?$",
+        re.I,
+    )
+
+    def _mv_exists(self, name: str) -> bool:
+        from .rollup import _meta_name
+
+        ts = set(self.c.tables())
+        return name in ts and _meta_name(name) in ts
+
+    def _no_txn(self, stmt: str) -> None:
+        if self._tx is not None:
+            raise LakeSQLError(
+                f"{stmt} cannot run inside an explicit transaction: it "
+                "commits catalog snapshots of its own (same restriction "
+                "as the reference's ducklake DDL-in-txn limits)"
+            )
+
+    def _parse_mv_select(self, body: str) -> dict:
+        """Parse the incrementally-maintainable aggregate-SELECT subset.
+
+        Output columns use the rollup tier's canonical names (bucket_start,
+        <keys>, n_rows, sum_<c>/avg_<c>/min_<c>/max_<c>); an explicit alias
+        is accepted only when it matches the canonical name — arbitrary
+        renames would break the REFRESH machinery's stored-state contract,
+        the same reason TimescaleDB restricts cagg definitions."""
+        m = re.match(
+            rf"^SELECT\s+(.*?)\s+FROM\s+({_IDENT})"
+            r"(?:\s+GROUP\s+BY\s+(.*))?$",
+            body.strip(),
+            re.I | re.S,
+        )
+        if not m:
+            raise LakeSQLError(
+                "CREATE MATERIALIZED VIEW supports only the maintainable "
+                "subset: SELECT <keys...>, [time_bucket(...),] "
+                "COUNT(*)/SUM/AVG/MIN/MAX(col)... FROM <lake table> "
+                "[GROUP BY ...] — no WHERE/JOIN/HAVING/subqueries"
+            )
+        items, src, gb = m.group(1), m.group(2), m.group(3)
+        keys, sum_cols, minmax_cols = [], [], []
+        time_col, bucket_s, bucket_alias, bucket_expr = None, 3600, None, None
+        has_bucket = False
+
+        def _check_alias(alias, canonical):
+            if alias is not None and alias.lower() != canonical.lower():
+                raise LakeSQLError(
+                    f"materialized-view column must be named {canonical!r} "
+                    f"(got alias {alias!r}): stored rollup state uses "
+                    "canonical names"
+                )
+
+        parsed = []  # per select item: ("key", name) | ("bucket",) | ("agg",)
+        for item in _split_top(items):
+            item = item.strip()
+            if re.fullmatch(_IDENT, item):
+                keys.append(item)
+                parsed.append(("key", item))
+                continue
+            mb = self._MV_BUCKET.match(item)
+            if mb:
+                if has_bucket:
+                    raise LakeSQLError("only one time_bucket(...) allowed")
+                has_bucket = True
+                n = int(mb.group(1) or mb.group(3))
+                unit = (mb.group(2) or "second").lower().rstrip("s")
+                bucket_s = n * self._MV_UNITS[unit]
+                time_col = mb.group(4)
+                bucket_alias = mb.group(5)
+                _check_alias(bucket_alias, "bucket_start")
+                bucket_expr = re.sub(
+                    r"\s+",
+                    " ",
+                    re.sub(
+                        rf"\s+AS\s+{_IDENT}\s*$", "", item, flags=re.I
+                    ),
+                ).lower()
+                parsed.append(("bucket",))
+                continue
+            ma = self._MV_AGG.match(item)
+            if ma:
+                fn, arg, alias = (
+                    ma.group(1).upper(), ma.group(2), ma.group(3)
+                )
+                if fn == "COUNT":
+                    if arg != "*":
+                        raise LakeSQLError(
+                            "only COUNT(*) is maintained (as n_rows)"
+                        )
+                    _check_alias(alias, "n_rows")
+                elif fn in ("SUM", "AVG"):
+                    _check_alias(alias, f"{fn.lower()}_{arg}")
+                    if arg not in sum_cols:
+                        sum_cols.append(arg)
+                else:  # MIN / MAX
+                    _check_alias(alias, f"{fn.lower()}_{arg}")
+                    if arg not in minmax_cols:
+                        minmax_cols.append(arg)
+                parsed.append(("agg",))
+                continue
+            raise LakeSQLError(
+                f"unsupported materialized-view select item: {item!r} "
+                "(plain key columns, one time_bucket(...), and "
+                "COUNT(*)/SUM/AVG/MIN/MAX(col) only)"
+            )
+
+        # GROUP BY must cover exactly the keys (+ the bucket, if present);
+        # items may be named, aliased, the full time_bucket expr, or ordinal
+        covered_keys, covered_bucket = set(), False
+        for tok in _split_top(gb) if gb else []:
+            t = re.sub(r"\s+", " ", tok.strip())
+            tl = t.lower()
+            if t.isdigit():
+                idx = int(t) - 1
+                if not 0 <= idx < len(parsed):
+                    raise LakeSQLError(f"GROUP BY ordinal {t} out of range")
+                kind = parsed[idx]
+                if kind[0] == "key":
+                    covered_keys.add(kind[1].lower())
+                elif kind[0] == "bucket":
+                    covered_bucket = True
+                else:
+                    raise LakeSQLError("cannot GROUP BY an aggregate")
+            elif tl in {k.lower() for k in keys}:
+                covered_keys.add(tl)
+            elif has_bucket and (
+                tl == "bucket_start"
+                or (bucket_alias and tl == bucket_alias.lower())
+                or tl == bucket_expr
+            ):
+                covered_bucket = True
+            else:
+                raise LakeSQLError(f"bad GROUP BY item: {tok!r}")
+        missing = {k.lower() for k in keys} - covered_keys
+        if missing:
+            raise LakeSQLError(
+                f"key columns {sorted(missing)} must appear in GROUP BY"
+            )
+        if has_bucket and not covered_bucket:
+            raise LakeSQLError("time_bucket(...) must appear in GROUP BY")
+
+        return {
+            "src": src,
+            "time_col": time_col,
+            "bucket_s": bucket_s,
+            "keys": tuple(keys),
+            "sum_cols": tuple(sum_cols),
+            "minmax_cols": tuple(minmax_cols),
+        }
+
+    def _create_mv(self, name: str, body: str, replace: bool) -> DataFrame:
+        from .rollup import create_rollup
+
+        self._no_txn("CREATE MATERIALIZED VIEW")
+        spec = self._parse_mv_select(body)
+        if not self._table_exists(spec["src"]):
+            raise LakeSQLError(f"no such table: {spec['src']!r}")
+        if self._mv_exists(name):
+            if not replace:
+                raise LakeSQLError(f"materialized view {name!r} exists")
+            self._drop_mv(name, if_exists=False)
+        elif self._table_exists(name):
+            raise LakeSQLError(f"table {name!r} exists")
+        create_rollup(
+            self.c,
+            name,
+            spec["src"],
+            spec["time_col"],
+            spec["bucket_s"],
+            keys=spec["keys"],
+            sum_cols=spec["sum_cols"],
+            minmax_cols=spec["minmax_cols"],
+        )
+        return self._status("CREATE MATERIALIZED VIEW", 0)
+
+    def _refresh_mv(self, name: str) -> DataFrame:
+        from .rollup import refresh_rollup
+
+        self._no_txn("REFRESH MATERIALIZED VIEW")
+        if not self._mv_exists(name):
+            raise LakeSQLError(f"no such materialized view: {name!r}")
+        out = refresh_rollup(self.c, name)
+        return self._status(
+            "REFRESH MATERIALIZED VIEW", out["changed_buckets"]
+        )
+
+    def _drop_mv(self, name: str, if_exists: bool) -> DataFrame:
+        from .rollup import _meta_name
+
+        if not self._mv_exists(name):
+            if if_exists:
+                return self._status("DROP MATERIALIZED VIEW", 0)
+            raise LakeSQLError(f"no such materialized view: {name!r}")
+
+        def op(tx):
+            tx.drop_table(name)
+            tx.drop_table(_meta_name(name))
+
+        self._run(op)
+        return self._status("DROP MATERIALIZED VIEW", 0)
+
+    def _mv_overlay(self, version=None) -> None:
+        """Re-bind every materialized view through the rollup read face so
+        SQL reads see the derived ``avg_<c>`` columns
+        (:func:`~ducktales_spark.lake.rollup.read_rollup`) instead of the
+        raw stored state. sum_cols are cached per (mv, catalog version);
+        catalogs with no MVs pay nothing."""
+        from pyspark.sql import functions as F
+
+        from .rollup import _meta_name
+
+        ts = set(self.c.tables(version))
+        mvs = [t for t in ts if _meta_name(t) in ts]
+        if not mvs:
+            return
+        v = self.c.current_version() if version is None else version
+        import json as _json
+
+        for t in mvs:
+            cols = self._mv_cols.get((t, v))
+            if cols is None:
+                meta = self.c.read(_meta_name(t), version=version).collect()
+                if len(meta) != 1:
+                    continue  # a same-named table pair, not an MV
+                cols = _json.loads(meta[0]["sum_cols"])
+                self._mv_cols[(t, v)] = cols
+            df = self.c.read(t, version=version)
+            for c in cols:
+                df = df.withColumn(
+                    f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows")
+                )
+            df.createOrReplaceTempView(t)
+
     # ------------------------------------------------------------------
     def _run(self, op) -> None:
         """Run a transactional op: inside the open explicit txn, or
@@ -476,6 +756,11 @@ class SQLExecutor:
                     ).createOrReplaceTempView(nm)
         else:
             self.c.bind(version)
+            # materialized views read through the rollup face (avg cols);
+            # inside an open txn the raw stored state binds instead (MV
+            # DDL/refresh is refused in-txn, so the staged overlay can
+            # never contain MV state this would need to reflect)
+            self._mv_overlay(version)
 
     def _rewrite_meta_fns(self, q: str) -> str:
         """The reference's metadata table functions (``ducklake_snapshots(db)``
