@@ -72,11 +72,28 @@ def plan_bytes(df: DataFrame) -> Optional[int]:
     return None if size >= 1 << 50 else size
 
 
-def _bench_side(df: DataFrame, max_broadcast_bytes: int):
+def _bench_side(
+    df: DataFrame, max_broadcast_bytes: int, probe_unknown: bool = False
+):
     """The benchmark side of a decontamination join: broadcast-hinted while
-    plan stats say it fits (or are unknown — small by contract), un-hinted
-    above the cap so Catalyst falls back to a shuffled hash join."""
+    plan stats say it fits, un-hinted above the cap so Catalyst falls back
+    to a shuffled hash join.
+
+    The cap binds only for STAT-BEARING sources (parquet scans; persisted
+    frames after materialization — the streaming ingest path persists and
+    counts its benchmark side, so it is always enforced). For unknown
+    stats — the Long.MaxValue sentinel family, i.e. most Python/Arrow-
+    created frames — the default FAILS OPEN to broadcast (small by
+    contract). ``probe_unknown=True`` closes that hole with a measured
+    estimate (one COUNT job at call time x the schema's per-row default
+    size, Catalyst's own fallback formula) at the cost of an eager action
+    in an otherwise lazy API."""
     b = plan_bytes(df)
+    if b is None and probe_unknown:
+        row_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().schema().defaultSize()
+        )
+        b = df.count() * max(row_bytes, 1)
     if b is not None and b > max_broadcast_bytes:
         return df
     return F.broadcast(df)
@@ -111,6 +128,7 @@ def decontaminate(
     mode: str = "exact",
     threshold: float = 0.8,
     max_broadcast_bytes: int = _BENCH_BROADCAST_CAP,
+    probe_unknown: bool = False,
 ) -> dict:
     """Flag corpus documents that leak eval-benchmark content.
 
@@ -140,12 +158,16 @@ def decontaminate(
     the benchmark side is broadcast while its plan-stat bytes fit under
     ``max_broadcast_bytes`` (eval suites are small by definition) and
     joins un-hinted above it — Catalyst falls back to a shuffled hash
-    join. Documents shorter than the shingle width have no shingles and
-    are never contaminated.
+    join. The cap binds only for stat-bearing benchmark sources (see
+    ``_bench_side``); pass ``probe_unknown=True`` to enforce it for
+    statless (Python/Arrow-created) benchmarks via one eager COUNT probe.
+    Documents shorter than the shingle width have no shingles and are
+    never contaminated.
     """
     if mode == "fuzzy":
         counts = _fuzzy_counts(
-            docs, bench, id_col, text_col, threshold, max_broadcast_bytes
+            docs, bench, id_col, text_col, threshold, max_broadcast_bytes,
+            probe_unknown=probe_unknown,
         )
     elif mode == "exact":
         corpus = shingle_table(
@@ -156,6 +178,7 @@ def decontaminate(
                 _bench_side(
                     benchmark_ngrams(bench, id_col, text_col, n),
                     max_broadcast_bytes,
+                    probe_unknown=probe_unknown,
                 ),
                 "h",
             )
@@ -209,6 +232,7 @@ def _fuzzy_counts(
     threshold: float,
     max_broadcast_bytes: int,
     bench_bands: Optional[DataFrame] = None,
+    probe_unknown: bool = False,
 ) -> DataFrame:
     """(doc_id, n_hits, max_jaccard) per corpus doc whose estimated jaccard
     to >= 1 benchmark doc clears ``threshold``. A pair colliding in k bands
@@ -226,7 +250,9 @@ def _fuzzy_counts(
         minhash_signatures(docs, id_col=id_col, text_col=text_col)
     )
     scored = bands.join(
-        _bench_side(bench_bands, max_broadcast_bytes), ["band_id", "band_key"]
+        _bench_side(bench_bands, max_broadcast_bytes,
+                    probe_unknown=probe_unknown),
+        ["band_id", "band_key"],
     ).withColumn("__est_j", est_jaccard(F.col("sig"), F.col("__bench_sig")))
     return (
         scored.filter(F.col("__est_j") >= threshold)

@@ -247,6 +247,13 @@ def _epoch_micros(name: str):
     )
 
 
+# (plan semanticHash, start_col, end_col) -> derived seconds. Memoizing on
+# the semantic hash is safe because granularity affects only the plan's
+# replication factor, never the join's RESULT — a hash collision costs a
+# suboptimal width, not a wrong answer.
+_GRANULARITY_CACHE: dict = {}
+
+
 def derived_granularity(
     intervals: DataFrame, start_col: str, end_col: str
 ) -> int:
@@ -256,7 +263,21 @@ def derived_granularity(
     most 2 buckets, and only tail outliers replicate further (bounded by
     length/p95) — the same measure-the-input policy corpus.shards_for
     applies to shard counts. Falls back to 600 s when the interval side is
-    empty or degenerate."""
+    empty or degenerate.
+
+    EAGER: runs one Spark job (`.first()`) at call time, so the default-
+    granularity ``interval_join`` is not fully lazy, and STREAMING interval
+    frames cannot take it (aggregating a stream without an output sink
+    raises AnalysisException) — pass an explicit ``granularity_s`` on
+    streaming or latency-critical paths. Repeated calls over the same
+    interval lineage are memoized per (plan, cols), so N joins over one
+    interval table pay the p95 job once."""
+    try:
+        key = (intervals.semanticHash(), start_col, end_col)
+    except Exception:  # streaming/exotic plans: fall through, uncached
+        key = None
+    if key is not None and key in _GRANULARITY_CACHE:
+        return _GRANULARITY_CACHE[key]
     s_us = _epoch_micros(start_col)
     e_us = _epoch_micros(end_col)
     row = (
@@ -269,8 +290,14 @@ def derived_granularity(
         .first()
     )
     if row is None or row["p95_us"] is None or row["p95_us"] <= 0:
-        return 600
-    return max(1, -(-int(row["p95_us"]) // 1_000_000))
+        g = 600
+    else:
+        g = max(1, -(-int(row["p95_us"]) // 1_000_000))
+    if key is not None:
+        if len(_GRANULARITY_CACHE) >= 256:  # bound driver memory
+            _GRANULARITY_CACHE.clear()
+        _GRANULARITY_CACHE[key] = g
+    return g
 
 
 def _bucketed_intervals(
@@ -314,7 +341,9 @@ def interval_join(
 
     ``granularity_s=None`` (the default) DERIVES the bucket width from the
     intervals' p95 length (derived_granularity — one cheap column-pruned
-    agg): a caller-guessed width much finer than the intervals replicates
+    agg, EAGER at plan time and memoized per interval lineage; pass an
+    explicit value for streaming interval frames, which cannot run the
+    derivation): a caller-guessed width much finer than the intervals replicates
     every interval to many buckets (a 12 h window over 600 s buckets is 72
     replicas), while the derived width bounds typical replication at 2.
     Pass an explicit value to trade replication against post-join

@@ -366,7 +366,20 @@ def assign_buckets_two_level(
     tested), and the default 8 matches the probe's coarse_nprobe.
 
     ``centroids`` must carry (vec_id, e, coarse_id) — the __centroids table
-    of a two-level index."""
+    of a two-level index.
+
+    Lossless by construction: routing only considers coarse ids that own at
+    least one fine centroid (the semi-join below), so every vector lands in
+    >= 1 shard whose cogroup has candidates and emits exactly one output
+    row. Without the filter, a coarse seed left empty by duplicate seed
+    embeddings would silently DROP any vector all of whose routed shards
+    were empty — row loss on ingest. The semi-join costs one tiny distinct
+    over the C-row centroid table, broadcast against the ~sqrt(C)-row
+    coarse set."""
+    valid = centroids.select(
+        F.col("coarse_id").alias("vec_id")
+    ).distinct()
+    coarse = coarse.join(F.broadcast(valid), "vec_id", "left_semi")
     routed = route_coarse(v, coarse, route_width, n_partitions)
     cp = centroids.select(
         F.col("coarse_id").alias("__shard"),

@@ -557,3 +557,37 @@ def test_shards_for_scaled_unknown_stats(spark):
     assert shards_for(narrowed, fallback=64) == 64
     # and the whole packing path works on it
     assert pack_sequences(narrowed, budget=64).count() == 1
+
+
+def test_bench_broadcast_probe_for_statless_frames(spark, docs):
+    """Python-created benchmark frames carry no plan stats, so the cap
+    fails open (broadcast, small-by-contract) by DEFAULT — and
+    probe_unknown=True closes the hole with a measured COUNT-based
+    estimate: over a 1-byte cap the hint is dropped, with identical
+    survivors either way."""
+    corpus = docs.limit(60)
+    bench = spark.createDataFrame(  # statless: Long.MaxValue sentinel
+        [(r.doc_id, r.text) for r in
+         docs.filter(F.col("doc_id") % 7 == 0).limit(20)
+             .select("doc_id", "text").collect()],
+        "doc_id bigint, text string",
+    )
+    from ducktales_spark.corpus import plan_bytes
+
+    assert plan_bytes(bench) is None
+
+    def hinted(df):
+        return "strategy=broadcast" in (
+            df._jdf.queryExecution().analyzed().toString()
+        )
+
+    open_ = decontaminate(corpus, bench, max_broadcast_bytes=1)
+    probed = decontaminate(corpus, bench, max_broadcast_bytes=1,
+                           probe_unknown=True)
+    assert hinted(open_["hits"]) and not hinted(probed["hits"])
+    assert sorted(r.doc_id for r in open_["clean"].collect()) == sorted(
+        r.doc_id for r in probed["clean"].collect()
+    )
+    # a probed tiny benchmark under a generous cap keeps the broadcast
+    small = decontaminate(corpus, bench, probe_unknown=True)
+    assert hinted(small["hits"])

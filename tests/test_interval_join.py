@@ -228,3 +228,31 @@ def test_interval_join_property_random(spark):
                 ).collect()
             )
             assert got == expected, (trial, gran)
+
+
+def test_derived_granularity_memoized_per_lineage(spark, frames, monkeypatch):
+    """N interval_joins over the same interval table pay the p95 derivation
+    job ONCE: the derived width is memoized per (plan semanticHash, cols),
+    so only the first default-granularity call runs the eager .first()."""
+    from ducktales_spark.queries import joins as J
+
+    points, intervals = frames
+    J._GRANULARITY_CACHE.clear()
+    calls = {"n": 0}
+    # patch the CONCRETE DataFrame class (pyspark 4's sql.DataFrame is an
+    # abstract facade; instances are classic.DataFrame with its own first)
+    cls = type(intervals)
+    real_first = cls.first
+
+    def spy(self, *a, **k):
+        calls["n"] += 1
+        return real_first(self, *a, **k)
+
+    monkeypatch.setattr(cls, "first", spy)
+    g1 = J.derived_granularity(intervals, "start_ts", "end_ts")
+    # two more joins over the same lineage: zero additional p95 jobs
+    J.interval_join(points, intervals, "ts", "start_ts", "end_ts",
+                    keys=("user_id",))
+    J.interval_join(points, intervals, "ts", "start_ts", "end_ts",
+                    keys=("user_id",))
+    assert calls["n"] == 1 and g1 == 600

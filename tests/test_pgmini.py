@@ -61,3 +61,20 @@ def test_scram_rejects_nonce_truncation():
     s.client_first()
     with pytest.raises(pgmini.Error):
         s.client_final(b"r=not-our-nonce,s=QSXCR+Q6sek8bf92,i=4096")
+
+
+def test_is_loopback_addr_classifies_peer_addresses():
+    """Cleartext-auth locality is judged from the CONNECTED peer address:
+    the whole 127/8 range and ::1 are loopback; public addresses and
+    unparseable strings are not (fail safe -> refuse cleartext)."""
+    from ducktales_spark.lake.pgmini import _is_loopback_addr
+
+    assert _is_loopback_addr("127.0.0.1")
+    assert _is_loopback_addr("127.0.0.2")  # any 127/8, not just the literal
+    assert _is_loopback_addr("::1")
+    assert _is_loopback_addr("fe80::1%lo0") is False  # link-local, not lo
+    assert _is_loopback_addr("::1%0")  # zone suffix stripped
+    assert not _is_loopback_addr("8.8.8.8")
+    assert not _is_loopback_addr("10.0.0.1")
+    assert not _is_loopback_addr("")
+    assert not _is_loopback_addr("not-an-address")

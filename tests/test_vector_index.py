@@ -590,3 +590,32 @@ def test_default_build_never_collects_vectors(spark, tmp_path, vectors):
         DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
     vector_pulls = [c for c in pulled_cols if "e" in c]
     assert not vector_pulls, f"build collected vector columns: {vector_pulls}"
+
+
+def test_two_level_assignment_lossless_with_empty_coarse_shard(spark):
+    """A coarse id owning ZERO fine centroids (duplicate seed embeddings can
+    leave a shard empty) must not swallow vectors: routing only considers
+    shards that have candidates, so output rows == input rows even at
+    route_width=1 with every vector's nearest coarse seed being the empty
+    one."""
+    from ducktales_spark.queries.similarity import assign_buckets_two_level
+
+    # coarse ids 0 (empty!) and 1; all fine centroids live under shard 1
+    coarse = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id bigint, e array<double>"
+    )
+    centroids = spark.createDataFrame(
+        [(10, [0.1, 1.0], 1), (11, [0.9, 0.2], 1)],
+        "vec_id bigint, e array<double>, coarse_id bigint",
+    )
+    # vectors nearest to coarse 0 — at route_width=1 the unfixed kernel
+    # routes them only to the empty shard and emits nothing
+    v = spark.createDataFrame(
+        [(100, [1.0, 0.01]), (101, [1.0, 0.05]), (102, [0.2, 1.0])],
+        "vec_id bigint, e array<double>",
+    )
+    out = assign_buckets_two_level(v, coarse, centroids, route_width=1)
+    rows = {r.vec_id: r.centroid_id for r in out.collect()}
+    assert set(rows) == {100, 101, 102}, "no silent row loss on ingest"
+    # the x-ish vectors get the only x-ish fine centroid
+    assert rows[100] == 11 and rows[101] == 11 and rows[102] == 10
