@@ -349,3 +349,97 @@ def c04_pack_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=_PACK_SHARDS,
         strict=True,
     )
+
+
+def _fuzzy_decon_oracle_sql() -> str:
+    """DuckDB SQL replaying the ENTIRE fuzzy-decontamination path (the d03
+    MinHash machinery pointed at a benchmark): 3-shingle md5 hashes, the
+    shared _HASH_AB minhash family, banded LSH candidates against the
+    benchmark (doc_id % 7 = 0), estimated-jaccard threshold, per-doc
+    count + max. k/32 jaccards are exact binary fractions — no rounding.
+    Mirrors tests/test_corpus.py::test_decontaminate_fuzzy_matches_duckdb,
+    promoted here so the standard oracle-parity harness (and a future
+    driver rotation) covers it."""
+    from ducktales_spark.queries.dedup import (
+        _BAND_ROWS,
+        _HASH_AB,
+        _NUM_HASHES,
+        _P,
+    )
+
+    n_bands = _NUM_HASHES // _BAND_ROWS
+    mins = ",\n        ".join(
+        f"min(({a} * (h64 % {_P}) + {b}) % {_P}) AS m{i}"
+        for i, (a, b) in enumerate(_HASH_AB)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {i} AS band_id, "
+        + " || '-' || ".join(
+            f"m{i * _BAND_ROWS + j}::VARCHAR" for j in range(_BAND_ROWS)
+        )
+        + " AS band_key FROM sig"
+        for i in range(n_bands)
+    )
+    est = (
+        "("
+        + " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(_NUM_HASHES))
+        + f") / {float(_NUM_HASHES)}"
+    )
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+      FROM d WHERE len(ws) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+                                 ws[i+2]), 1, 15))::BIGINT AS h64
+      FROM pos
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE b.doc_id % 7 = 0
+    ),
+    scored AS (
+      SELECT cand.doc_id, cand.bench_id, {est} AS est
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.doc_id
+      JOIN sig sb ON sb.doc_id = cand.bench_id
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           max(est) AS max_jaccard
+    FROM scored WHERE est >= 0.8
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register_extra(
+    "c05_decontaminate_fuzzy",
+    survey_ids=(),  # extension: MinHash-LSH (fuzzy) decontamination
+    oracle=_fuzzy_decon_oracle_sql(),
+)
+def c05_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (corpus.decontaminate mode="fuzzy"):
+    benchmark = every 7th document; a corpus doc is contaminated when its
+    estimated 3-shingle jaccard to >= 1 benchmark doc clears 0.8 — catches
+    token-substituted / re-wrapped leakage that breaks exact 13-grams.
+    Plan: ONE corpus doc_id exchange (signature groupBy, reused by the band
+    explode and hit count); the benchmark bands broadcast under the size
+    guard."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return decontaminate(docs, bench, mode="fuzzy", threshold=0.8)[
+        "hits"
+    ].withColumn("n_hits", F.col("n_hits").cast("long"))

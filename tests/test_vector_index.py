@@ -619,3 +619,41 @@ def test_two_level_assignment_lossless_with_empty_coarse_shard(spark):
     assert set(rows) == {100, 101, 102}, "no silent row loss on ingest"
     # the x-ish vectors get the only x-ish fine centroid
     assert rows[100] == 11 and rows[101] == 11 and rows[102] == 10
+
+
+def test_routed_assignment_quality_at_default_route_width(spark, vectors):
+    """Quality gate for the per-batch ASSIGNMENT approximation (the probe
+    path has its own recall gate): on the realistic sf0.001 embeddings with
+    10 coarse shards — MORE than the default route_width=8, so routing is
+    genuinely approximate, not the exact-parity configuration — at least
+    90% of routed assignments must equal the flat kernel's argmax, and no
+    vector may be dropped. A regression in route_coarse's coarse ranking
+    cannot hide behind the route_width >= shards parity tests."""
+    from ducktales_spark.queries.similarity import (
+        assign_buckets_distributed,
+        assign_buckets_two_level,
+    )
+
+    centroids = vectors.filter(F.col("vec_id") < 100)  # C=100 -> 10 coarse
+    coarse = centroids.filter(F.col("vec_id") < 10)
+    with_shard = assign_buckets_distributed(
+        centroids, coarse
+    ).withColumnRenamed("centroid_id", "coarse_id")
+    v = vectors.filter(F.col("vec_id") >= 100)
+
+    flat = {
+        r.vec_id: r.centroid_id
+        for r in assign_buckets_distributed(v, centroids).collect()
+    }
+    routed = {
+        r.vec_id: r.centroid_id
+        for r in assign_buckets_two_level(
+            v, coarse, with_shard, route_width=8
+        ).collect()
+    }
+    assert set(routed) == set(flat), "lossless: every vector assigned"
+    match = sum(routed[k] == flat[k] for k in flat) / len(flat)
+    # measured 0.93 on the current fixture; pinned with headroom for data
+    # rotation — a genuine ranking bug (inverted sort, wrong norm) lands
+    # far below (route_width=4 already measures 0.65)
+    assert match >= 0.85, f"routed assignment quality regressed: {match:.3f}"
