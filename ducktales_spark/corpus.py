@@ -145,6 +145,14 @@ def decontaminate(
     breaks exact n-grams; ``n`` is ignored. ``hits`` gains a
     ``max_jaccard`` column in this mode.
 
+    ``mode="both"`` — exact AND fuzzy in one call (real pipelines want
+    both: each catches a leak class the other misses — a single verbatim
+    13-gram inside an otherwise-novel doc never moves the estimated
+    3-shingle jaccard, and a paraphrase breaks every exact 13-gram). A doc
+    is contaminated when EITHER test fires at ``min_hits``; ``hits`` and
+    ``flags`` carry ``n_hits`` (exact), ``n_hits_fuzzy``, and
+    ``max_jaccard`` for the audit face.
+
     Returns lazily-built DataFrames:
 
     * ``hits``  — (doc_id, n_hits[, max_jaccard]) for contaminated docs;
@@ -164,16 +172,11 @@ def decontaminate(
     Documents shorter than the shingle width have no shingles and are
     never contaminated.
     """
-    if mode == "fuzzy":
-        counts = _fuzzy_counts(
-            docs, bench, id_col, text_col, threshold, max_broadcast_bytes,
-            probe_unknown=probe_unknown,
-        )
-    elif mode == "exact":
+    def exact_counts():
         corpus = shingle_table(
             docs, id_col=id_col, text_col=text_col, n=n, distinct=True
         ).select("doc_id", _h64("s").alias("h"))
-        counts = (
+        return (
             corpus.join(
                 _bench_side(
                     benchmark_ngrams(bench, id_col, text_col, n),
@@ -185,20 +188,59 @@ def decontaminate(
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hits"))
         )
+
+    def fuzzy_counts():
+        return _fuzzy_counts(
+            docs, bench, id_col, text_col, threshold, max_broadcast_bytes,
+            probe_unknown=probe_unknown,
+        )
+
+    audit_cols = ["n_hits"]
+    if mode == "fuzzy":
+        counts = fuzzy_counts()
+    elif mode == "exact":
+        counts = exact_counts()
+    elif mode == "both":
+        # exact catches verbatim leakage below the LSH shingle resolution
+        # (one shared 13-gram never moves an estimated 3-shingle jaccard);
+        # fuzzy catches paraphrase that breaks every exact 13-gram. Full
+        # outer join of the two per-doc count tables — each side keeps its
+        # own one-corpus-exchange plan; the join key is the tiny hit set.
+        fz = fuzzy_counts().withColumnRenamed("n_hits", "n_hits_fuzzy")
+        counts = (
+            exact_counts()
+            .join(fz, "doc_id", "full")
+            .select(
+                "doc_id",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                F.coalesce("n_hits_fuzzy", F.lit(0)).alias("n_hits_fuzzy"),
+                "max_jaccard",
+            )
+        )
+        audit_cols = ["n_hits", "n_hits_fuzzy", "max_jaccard"]
     else:
         raise ValueError(f"unknown decontamination mode: {mode!r}")
+    contam = F.col("n_hits") >= min_hits
+    if mode == "both":
+        contam = contam | (F.col("n_hits_fuzzy") >= min_hits)
     # raw per-doc counts, UNthresholded: `flags` must audit 1..min_hits-1
     # docs as n_hits=k, not 0 — the threshold applies only to the
     # contaminated/clean split (and to the returned `hits`).
-    hits = counts.filter(F.col("n_hits") >= min_hits)
-    fcounts = counts.select("doc_id", "n_hits")
+    hits = counts.filter(contam)
+    fcounts = counts.select("doc_id", *audit_cols)
     flags = (
         docs.join(fcounts, docs[id_col] == fcounts.doc_id, "left")
         .drop(fcounts.doc_id)
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
-        .withColumn("contaminated", F.col("n_hits") >= min_hits)
     )
-    clean = flags.filter(~F.col("contaminated")).drop("n_hits", "contaminated")
+    if mode == "both":
+        flags = flags.withColumn(
+            "n_hits_fuzzy", F.coalesce("n_hits_fuzzy", F.lit(0))
+        )
+    flags = flags.withColumn("contaminated", contam)
+    clean = flags.filter(~F.col("contaminated")).drop(
+        *audit_cols, "contaminated"
+    )
     return {"hits": hits, "flags": flags, "clean": clean}
 
 

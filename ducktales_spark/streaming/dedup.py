@@ -193,70 +193,84 @@ def start_lake_dedup_ingest(
     never reach the table — the GPT-3 protocol applied at the ingest
     boundary, where it belongs (a contaminated doc filtered at ingest can
     never leak into a shard). ``benchmark_mode`` mirrors
-    ``corpus.decontaminate``: "exact" (word-13-gram overlap) or "fuzzy"
-    (MinHash-LSH, estimated jaccard >= ``benchmark_threshold``). The
-    benchmark's derived state (distinct n-gram hashes / LSH band table) is
+    ``corpus.decontaminate``: "exact" (word-13-gram overlap), "fuzzy"
+    (MinHash-LSH, estimated jaccard >= ``benchmark_threshold``), or
+    "both" — exact AND fuzzy per batch, each catching the leak class the
+    other misses (verbatim below the LSH shingle resolution / paraphrase
+    that breaks every exact 13-gram); in that mode the RAW batch is
+    persisted so the two passes share one batch scan. The benchmark's
+    derived state (distinct n-gram hashes / LSH band table / both) is
     computed ONCE at start and reused by every batch; it is broadcast per
     batch while its plan-stat size fits (eval suites are definitionally
     small) and joins un-hinted above corpus._BENCH_BROADCAST_CAP.
     """
     from ducktales_spark import corpus as _corpus
 
-    if benchmark_mode not in ("exact", "fuzzy"):
+    if benchmark_mode not in ("exact", "fuzzy", "both"):
         raise ValueError(f"unknown benchmark_mode: {benchmark_mode!r}")
     epoch_table = _epoch_table(lake, table)
     hash_table, bands_table = _state_tables(
         lake, table, minhash_threshold is not None
     )
-    bench_grams = None
+    # one shot each, driver-small by contract; persisted so each micro-batch
+    # joins the same computed set instead of re-shingling the benchmark
+    bench_grams = bench_bands = None
     if benchmark_df is not None:
-        # one shot, driver-small by contract; persist so each micro-batch
-        # joins the same computed set instead of re-shingling
-        if benchmark_mode == "fuzzy":
-            bench_grams = _corpus.benchmark_bands(
-                benchmark_df, id_col=id_col, text_col=text_col
-            ).persist()
-        else:
+        if benchmark_mode in ("exact", "both"):
             bench_grams = _corpus.benchmark_ngrams(
                 benchmark_df, id_col=id_col, text_col=text_col
             ).persist()
-        bench_grams.count()
+            bench_grams.count()
+        if benchmark_mode in ("fuzzy", "both"):
+            bench_bands = _corpus.benchmark_bands(
+                benchmark_df, id_col=id_col, text_col=text_col
+            ).persist()
+            bench_bands.count()
+
+    def _fuzzy_hit_ids(batch_df: DataFrame) -> DataFrame:
+        return _corpus._fuzzy_counts(
+            batch_df, None, id_col, text_col, benchmark_threshold,
+            _corpus._BENCH_BROADCAST_CAP, bench_bands=bench_bands,
+        ).select("doc_id")
+
+    def _exact_hit_ids(batch_df: DataFrame) -> DataFrame:
+        # corpus.decontaminate's plan, minus the audit face: the
+        # precomputed benchmark set replaces its per-call re-shingle
+        from ducktales_spark.queries.dedup import shingle_table
+
+        corpus = shingle_table(
+            batch_df, id_col=id_col, text_col=text_col, n=13,
+            distinct=True,
+        ).select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        return (
+            corpus.join(
+                _corpus._bench_side(
+                    bench_grams, _corpus._BENCH_BROADCAST_CAP
+                ),
+                "h",
+            )
+            .select("doc_id")
+            .distinct()
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if bench_grams is not None and benchmark_mode == "fuzzy":
-            hit_ids = _corpus._fuzzy_counts(
-                batch_df, None, id_col, text_col, benchmark_threshold,
-                _corpus._BENCH_BROADCAST_CAP, bench_bands=bench_grams,
-            ).select("doc_id")
-            batch_df = batch_df.join(
-                hit_ids,
-                batch_df[id_col] == hit_ids["doc_id"],
-                "left_anti",
-            )
+        raw = None
+        if bench_grams is not None and bench_bands is not None:  # "both"
+            raw = batch_df.persist()  # the two hit passes share one scan
+            batch_df = raw
+            hit_ids = _exact_hit_ids(raw).union(_fuzzy_hit_ids(raw))
+        elif bench_bands is not None:
+            hit_ids = _fuzzy_hit_ids(batch_df)
         elif bench_grams is not None:
-            # corpus.decontaminate's plan, minus the audit face: the
-            # precomputed benchmark set replaces its per-call re-shingle
-            from ducktales_spark.queries.dedup import shingle_table
-
-            corpus = shingle_table(
-                batch_df, id_col=id_col, text_col=text_col, n=13,
-                distinct=True,
-            ).select(
-                "doc_id",
-                F.expr(
-                    "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
-                ).alias("h"),
-            )
-            hit_ids = (
-                corpus.join(
-                    _corpus._bench_side(
-                        bench_grams, _corpus._BENCH_BROADCAST_CAP
-                    ),
-                    "h",
-                )
-                .select("doc_id")
-                .distinct()
-            )
+            hit_ids = _exact_hit_ids(batch_df)
+        else:
+            hit_ids = None
+        if hit_ids is not None:
             batch_df = batch_df.join(
                 hit_ids,
                 batch_df[id_col] == hit_ids["doc_id"],
@@ -284,6 +298,8 @@ def start_lake_dedup_ingest(
             _commit_batch(lake, epoch_table, batch_id, apply)
         finally:
             batch_df.unpersist()
+            if raw is not None:
+                raw.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
@@ -301,6 +317,8 @@ def start_lake_dedup_ingest(
         # long-lived sessions starting many ingest streams would otherwise
         # leak one cached block set per stream
         _unpersist_on_terminate(lake.spark, query.id, bench_grams)
+    if bench_bands is not None:
+        _unpersist_on_terminate(lake.spark, query.id, bench_bands)
     return query
 
 

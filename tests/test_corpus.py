@@ -591,3 +591,52 @@ def test_bench_broadcast_probe_for_statless_frames(spark, docs):
     # a probed tiny benchmark under a generous cap keeps the broadcast
     small = decontaminate(corpus, bench, probe_unknown=True)
     assert hinted(small["hits"])
+
+
+def test_decontaminate_both_catches_each_leak_class(spark):
+    """mode="both": one planted doc per leak class. A single verbatim
+    benchmark 13-gram inside an otherwise-novel doc is invisible to fuzzy
+    (13 shared 3-shingles barely move the estimated jaccard) but fires
+    exact; a paraphrase (token substituted every 10 words) breaks every
+    exact 13-gram but fires fuzzy. Either alone misses one of them; both
+    catches both, and the audit face says WHICH test fired."""
+    base = [f"w{i}" for i in range(200)]
+    gram = " ".join(base[50:63])  # one verbatim benchmark 13-gram
+    novel = [f"n{i}" for i in range(200)]
+    verbatim_leak = " ".join(novel[:100]) + f" {gram} " + " ".join(novel[100:])
+    para = " ".join(
+        (f"SUB{i}" if i % 10 == 0 else w) for i, w in enumerate(base)
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, verbatim_leak),                          # exact-only class
+            (2, para),                                   # fuzzy-only class
+            (3, " ".join(f"z{i}" for i in range(200))),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(base))], "doc_id long, text string"
+    )
+    out = decontaminate(corpus, bench, mode="both", threshold=0.4)
+    flags = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"], r["n_hits_fuzzy"])
+        for r in out["flags"].collect()
+    }
+    assert flags[1][0] and flags[1][1] >= 1 and flags[1][2] == 0
+    assert flags[2][0] and flags[2][1] == 0 and flags[2][2] >= 1
+    assert flags[3] == (False, 0, 0)
+    assert sorted(r["doc_id"] for r in out["clean"].collect()) == [3]
+    # each single mode misses its blind-spot doc
+    exact_only = decontaminate(corpus, bench, mode="exact")
+    fuzzy_only = decontaminate(corpus, bench, mode="fuzzy", threshold=0.4)
+    assert sorted(
+        r["doc_id"] for r in exact_only["clean"].collect()
+    ) == [2, 3]
+    assert sorted(
+        r["doc_id"] for r in fuzzy_only["clean"].collect()
+    ) == [1, 3]
+    # hits carries the per-mode audit columns
+    assert {"doc_id", "n_hits", "n_hits_fuzzy", "max_jaccard"} <= set(
+        out["hits"].columns
+    )

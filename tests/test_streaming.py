@@ -652,3 +652,43 @@ def test_streaming_ingest_decontaminates_fuzzy(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(r.doc_id for r in lake.read("docs").collect()) == [2, 3]
+
+
+def test_streaming_ingest_decontaminates_both(spark, tmp_path):
+    """benchmark_mode="both" at the ingest boundary: the exact pass drops a
+    doc leaking ONE verbatim benchmark 13-gram (invisible to fuzzy at any
+    sane threshold) and the fuzzy pass drops a paraphrase (zero shared
+    13-grams); the clean doc lands. Both benchmark states are precomputed
+    once and the raw batch is persisted so the two passes share one scan."""
+    from ducktales_spark.streaming import start_lake_dedup_ingest
+
+    base = [f"w{i}" for i in range(200)]
+    gram = " ".join(base[50:63])
+    novel = [f"n{i}" for i in range(200)]
+    verbatim_leak = (
+        " ".join(novel[:100]) + f" {gram} " + " ".join(novel[100:])
+    )
+    para = " ".join(
+        (f"SUB{i}" if i % 10 == 0 else w) for i, w in enumerate(base)
+    )
+    batches = [
+        [(1, verbatim_leak), (2, " ".join(f"a{i}" for i in range(200)))],
+        [(3, para)],
+    ]
+    stream, schema = _doc_stream(spark, tmp_path, batches)
+    bench = spark.createDataFrame([(100, " ".join(base))], schema)
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    lake.create_table("docs", spark.createDataFrame([], schema).schema)
+    q = start_lake_dedup_ingest(
+        stream,
+        lake,
+        "docs",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        minhash_threshold=None,
+        benchmark_df=bench,
+        benchmark_mode="both",
+        benchmark_threshold=0.4,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert sorted(r.doc_id for r in lake.read("docs").collect()) == [2]
