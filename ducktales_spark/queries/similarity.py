@@ -392,7 +392,6 @@ def assign_buckets_two_level(
         if not len(vpdf) or not len(cpdf):
             return pd.DataFrame(
                 {"vec_id": pd.Series(dtype="int64"),
-                 "e": pd.Series(dtype="object"),
                  "centroid_id": pd.Series(dtype="int64"),
                  "__cos": pd.Series(dtype="float64")}
             )
@@ -408,33 +407,40 @@ def assign_buckets_two_level(
         return pd.DataFrame(
             {
                 "vec_id": vpdf["vec_id"].to_numpy(),
-                "e": vpdf["e"],
                 "centroid_id": cids[best],
                 "__cos": S[np.arange(len(vpdf)), best],
             }
         )
 
+    # The fine pass emits (vec_id, centroid_id, __cos) WITHOUT the
+    # embedding: carrying e through the per-shard output would shuffle the
+    # full vector x route_width a SECOND time into the argmax groupBy
+    # (measured sf10, C=16384: that second wide shuffle ate the entire
+    # routing win). The embedding rejoins ONCE by vec_id afterwards — and
+    # the argmax output is already hash-distributed on vec_id, so the join
+    # only exchanges the slim v side.
     per_shard = (
         vp.groupBy("__shard")
         .cogroup(cp.groupBy("__shard"))
         .applyInPandas(
             fine_assign,
-            "vec_id bigint, e array<double>, centroid_id bigint, "
-            "__cos double",
+            "vec_id bigint, centroid_id bigint, __cos double",
         )
     )
     # Global best across the routed shards: highest 9-dp cosine, ties to the
     # lowest centroid id — the flat kernel's exact tie rule. (cos, -cid) is
     # unique per candidate, so max_by is deterministic.
-    return (
+    best = (
         per_shard.groupBy("vec_id")
         .agg(
             F.max_by(
-                F.struct("e", "centroid_id"),
+                "centroid_id",
                 F.struct(F.col("__cos"), -F.col("centroid_id")),
-            ).alias("__b")
+            ).alias("centroid_id")
         )
-        .select("vec_id", F.col("__b.e").alias("e"), "__b.centroid_id")
+    )
+    return best.join(v.select("vec_id", "e"), "vec_id").select(
+        "vec_id", "e", "centroid_id"
     )
 
 
