@@ -425,7 +425,10 @@ def _fuzzy_decon_oracle_sql() -> str:
     """
 
 
-@register_extra(
+@register(
+    # rotated INTO the driver sweep in round 7 (swapped with a10_global_agg,
+    # whose ids are redundantly covered): the fuzzy-decontamination pipeline
+    # now has a driver CORRECTNESS row, not just a pytest differential
     "c05_decontaminate_fuzzy",
     survey_ids=(),  # extension: MinHash-LSH (fuzzy) decontamination
     oracle=_fuzzy_decon_oracle_sql(),
