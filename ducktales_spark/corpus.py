@@ -399,6 +399,67 @@ def shards_for(
     return min(1 << 20, max(1, -(-size // max(1, target_shard_bytes))))
 
 
+def split_corpus(
+    docs: DataFrame,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    strata: tuple = (),
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the input plus a ``split``
+    column. ``fractions`` maps split name -> fraction (must sum to 1).
+
+    Default (hash) mode: a doc's split is ``u < cumulative-fraction`` where
+    u is the md5-derived uniform of (doc_id, seed) — the mix_corpus keep
+    rule. Proportions are approximate (binomial), but the property training
+    pipelines actually need holds: a document's split NEVER changes when
+    other documents are added or removed (incremental corpora can't have
+    eval examples migrating into train between builds). Zero shuffle, pure
+    codegen; ``strata`` is ignored — per-stratum proportions are already
+    unbiased because u is independent of every column.
+
+    ``exact=True``: exact proportions via ``percent_rank`` over the hash
+    order within each stratum (one window shuffle on ``strata``; empty
+    strata = one global window — fine for calibration-sized sets, use hash
+    mode at corpus scale). Exact mode is NOT stable under growth — adding
+    docs shifts ranks — which is why it is not the default.
+
+    Both modes are deterministic for fixed (corpus, fractions, seed) and
+    SQL-expressible (the c06 oracle replays them in DuckDB).
+    """
+    fracs = [(k, float(v)) for k, v in fractions.items()]
+    if not fracs or any(v < 0 for _, v in fracs):
+        raise ValueError("fractions must be non-negative and non-empty")
+    if abs(sum(v for _, v in fracs) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {dict(fractions)}")
+    if "split" in docs.columns:
+        raise ValueError("input already has a 'split' column")
+    u = (
+        F.pmod(
+            _h64(f"concat(cast({id_col} as string), ':', '{seed}')"),
+            F.lit(1_000_000_000),
+        )
+        / 1e9
+    )
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(
+            *[F.col(c) for c in strata]
+        ).orderBy(u.asc(), F.col(id_col).asc())
+        u = F.percent_rank().over(w)
+    expr = None
+    acc = 0.0
+    for name, frac in fracs[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = fracs[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
 def pack_sequences(
     chunks: DataFrame,
     budget: int,

@@ -446,3 +446,34 @@ def c05_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, mode="fuzzy", threshold=0.8)[
         "hits"
     ].withColumn("n_hits", F.col("n_hits").cast("long"))
+
+
+@register_extra(
+    "c06_split_corpus",
+    survey_ids=(),  # extension: deterministic train/val/test split
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN (('0x' || substr(md5(doc_id::VARCHAR || ':' || '42'),
+                                   1, 15))::BIGINT % 1000000000) / 1e9
+                  < 0.9 THEN 'train'
+             WHEN (('0x' || substr(md5(doc_id::VARCHAR || ':' || '42'),
+                                   1, 15))::BIGINT % 1000000000) / 1e9
+                  < 0.95 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def c06_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus splitting (corpus.split_corpus, hash mode):
+    90/5/5 train/val/test from the md5-uniform of (doc_id, seed) — a doc's
+    split never changes when the corpus grows, zero shuffle, pure
+    codegen."""
+    from ducktales_spark.corpus import split_corpus
+
+    docs = table(spark, sf_dir, "documents")
+    return split_corpus(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")

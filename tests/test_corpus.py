@@ -640,3 +640,64 @@ def test_decontaminate_both_catches_each_leak_class(spark):
     assert {"doc_id", "n_hits", "n_hits_fuzzy", "max_jaccard"} <= set(
         out["hits"].columns
     )
+
+
+# --- split_corpus ----------------------------------------------------------
+
+
+def test_split_corpus_stable_under_growth(spark, docs):
+    """Hash mode's load-bearing property: a document's split NEVER changes
+    when other documents are added — eval examples cannot migrate into
+    train between incremental corpus builds."""
+    from ducktales_spark.corpus import split_corpus
+
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    small = {
+        r.doc_id: r.split
+        for r in split_corpus(docs.limit(100), fr).select(
+            "doc_id", "split"
+        ).collect()
+    }
+    full = {
+        r.doc_id: r.split
+        for r in split_corpus(docs, fr).select("doc_id", "split").collect()
+    }
+    assert small == {k: full[k] for k in small}
+    # proportions are approximately honored and every split is non-empty
+    from collections import Counter
+
+    c = Counter(full.values())
+    n = sum(c.values())
+    assert 0.8 < c["train"] / n < 0.97 and c["val"] and c["test"]
+
+
+def test_split_corpus_exact_stratified(spark, docs):
+    """exact=True hits the requested proportions per stratum via
+    percent_rank within each source."""
+    from collections import Counter
+
+    from ducktales_spark.corpus import split_corpus
+
+    out = split_corpus(
+        docs, {"train": 0.8, "test": 0.2}, strata=("source",), exact=True
+    ).select("source", "split").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, Counter())[r.split] += 1
+    for src, c in per.items():
+        n = sum(c.values())
+        if n >= 20:
+            assert abs(c["train"] / n - 0.8) < 0.05, (src, dict(c))
+
+
+def test_split_corpus_validation(spark, docs):
+    from ducktales_spark.corpus import split_corpus
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(docs, {"train": 0.5, "test": 0.2})
+    with pytest.raises(ValueError, match="non-negative"):
+        split_corpus(docs, {"train": 1.5, "test": -0.5})
+    with pytest.raises(ValueError, match="'split' column"):
+        split_corpus(
+            split_corpus(docs, {"a": 1.0}), {"b": 1.0}
+        )
