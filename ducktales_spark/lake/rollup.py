@@ -161,6 +161,16 @@ def refresh_rollup(lake, name: str) -> dict:
     sum_cols = tuple(json.loads(m["sum_cols"]))
     minmax_cols = tuple(json.loads(m["minmax_cols"]))
     v0, v1 = int(m["last_version"]), lake.current_version()
+    if v0 not in {s["snapshot_id"] for s in lake.snapshots()} and v0 < v1:
+        # The stamped base snapshot was retired by expire_snapshots: the
+        # CDC diff (and the partial-recompute bounds derived from it) can
+        # no longer be computed, and without this fallback the rollup
+        # would be permanently unrefreshable. Full recompute at v1 — the
+        # same answer the incremental path converges to, at O(source)
+        # cost once; subsequent refreshes are incremental again.
+        return _refresh_full_recompute(
+            lake, name, m, keys, sum_cols, minmax_cols, v0, v1
+        )
     if v1 <= v0 or not _src_touched(lake, m["src"], v0, v1):
         # Metadata-only no-op: the snapshot log records which tables each
         # snapshot touched, so a refresh when the source didn't change never
@@ -275,6 +285,29 @@ def _stamp_meta_tx(tx, lake, name: str, m, version: int) -> None:
             }
         ],
     )
+
+
+def _refresh_full_recompute(
+    lake, name, m, keys, sum_cols, minmax_cols, v0, v1
+) -> dict:
+    """Rebuild the whole rollup from the source at ``v1`` (the expired-base
+    escape hatch): one delete + one insert + the meta stamp in a single
+    catalog transaction, so readers never observe a half-rebuilt rollup."""
+    df = (
+        lake.read(m["src"], version=v1)
+        .groupBy(
+            _bucket_expr(m["time_col"] or None, int(m["bucket_s"])).alias(
+                "bucket_start"
+            ),
+            *keys,
+        )
+        .agg(*_agg_exprs(sum_cols, minmax_cols=minmax_cols))
+    )
+    with lake.transaction() as tx:
+        tx.delete(name)
+        n = tx.insert(name, df)
+        _stamp_meta_tx(tx, lake, name, m, v1)
+    return {"from_version": v0, "to_version": v1, "changed_buckets": n}
 
 
 def _refresh_recompute(

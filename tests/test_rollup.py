@@ -250,3 +250,29 @@ def test_minmax_rollup_partial_recompute(spark, lake):
     refresh_rollup(lake, "ev_mm")
     assert view() == recompute()
     assert all(u != 7 for _, u, *_ in view())
+
+
+def test_refresh_survives_snapshot_expiry(spark, lake):
+    """expire_snapshots can retire the rollup's stamped base version; the
+    refresh must then fall back to a full recompute (the CDC diff is
+    uncomputable) instead of failing forever — and later refreshes go back
+    to the incremental path."""
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_hourly", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+    lake.insert("ev", _mk_events(spark, [
+        (6, "2024-01-01 00:20:00", 1, 5.0),
+        (7, "2024-01-01 05:00:00", 3, 7.0),
+    ]))
+    lake.expire_snapshots(keep_last=1)  # retires the stamped base
+    out = refresh_rollup(lake, "ev_hourly")
+    assert out["changed_buckets"] > 0
+    assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake))
+    # next refresh is a metadata-only no-op again (incremental path)
+    assert refresh_rollup(lake, "ev_hourly")["changed_buckets"] == 0
+    # and a subsequent change refreshes incrementally
+    lake.insert("ev", _mk_events(spark, [(8, "2024-01-01 06:00:00", 1, 2.0)]))
+    refresh_rollup(lake, "ev_hourly")
+    assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake))
