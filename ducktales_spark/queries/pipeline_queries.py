@@ -477,3 +477,47 @@ def c06_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(
         docs, {"train": 0.9, "val": 0.05, "test": 0.05}
     ).select("doc_id", "split")
+
+
+@register_extra(
+    "t07_repetition",
+    survey_ids=(),  # extension: repetition audit (dup lines / bigram mode)
+    oracle=r"""
+    WITH L AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> len(trim(x)) > 0) AS ls,
+             regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+             round((len(ls) - len(list_distinct(ls)))::DOUBLE
+                   / greatest(len(ls), 1), 9) AS dup_line_frac,
+             ws
+      FROM L
+    ),
+    g AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+            FROM base WHERE len(ws) >= 2)
+    ),
+    c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id, round(max(n)::DOUBLE / sum(n), 9) AS top_bigram_share
+      FROM c GROUP BY 1
+    )
+    SELECT base.doc_id, n_lines, dup_line_frac,
+           coalesce(s.top_bigram_share, 0.0) AS top_bigram_share
+    FROM base LEFT JOIN s USING (doc_id)
+    ORDER BY base.doc_id
+    """,
+)
+def t07_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition audit signals (queries.text_pipeline.repetition_signals):
+    duplicate-line fraction (pure codegen) + top-bigram share (bigram mode
+    via the standard shingle-shaped aggregation) over the documents
+    table."""
+    from ducktales_spark.queries.text_pipeline import repetition_signals
+
+    return repetition_signals(table(spark, sf_dir, "documents"))

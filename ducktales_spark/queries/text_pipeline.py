@@ -343,3 +343,72 @@ def chunk_documents(
         F.size(chunk_ws).alias("n_chunk_tokens"),
         F.concat_ws(joiner, chunk_ws).alias("chunk"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/FineWeb-style repetition audit: (doc_id, n_lines,
+    dup_line_frac, top_bigram_share).
+
+    * ``dup_line_frac`` — fraction of non-blank lines that are duplicates
+      of an earlier line (template spam, boilerplate headers/footers).
+      Pure codegen: split + array_distinct, no shuffle.
+    * ``top_bigram_share`` — the most frequent word bigram's share of all
+      bigrams (a high share marks keyword-stuffed / looping text that the
+      distinct-WORD ratio misses: "buy now buy now ..." has only two
+      distinct words repeated in ORDER). Needs the bigram mode, so this
+      leg costs two aggregations riding the standard shingle shape
+      (partial map-side combine, then per-doc max/sum) — shuffle volume is
+      the distinct (doc, bigram) set, the d02 scale envelope. Docs with
+      fewer than two words score 0.
+
+    Ratios round to 9 dp so the DuckDB oracle hash-matches exactly.
+    Compose with quality_filter as a second gate: these signals need a
+    shuffle, so pipelines run the zero-shuffle rules first and this audit
+    on the survivors."""
+    text = F.col(text_col)
+    lines = F.filter(
+        F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines)
+    dup = (
+        (n_lines - F.size(F.array_distinct(lines))).cast("double")
+        / F.greatest(n_lines, F.lit(1))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("bigint").alias("n_lines"),
+        F.round(dup, 9).alias("dup_line_frac"),
+        F.split(F.trim(text), r"\s+").alias("__ws"),
+    )
+    grams = (
+        base.filter(F.size("__ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__ws) - 2), "
+                    "i -> concat(__ws[i], ' ', __ws[i + 1]))"
+                )
+            ).alias("g"),
+        )
+    )
+    shares = (
+        grams.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            (F.max("count").cast("double") / F.sum("count")).alias(
+                "top_bigram_share"
+            )
+        )
+    )
+    return (
+        base.drop("__ws")
+        .join(shares, "doc_id", "left")
+        .withColumn(
+            "top_bigram_share",
+            F.round(F.coalesce("top_bigram_share", F.lit(0.0)), 9),
+        )
+    )

@@ -294,3 +294,24 @@ def test_quality_keep_matches_filter_on_nulls(spark):
         quality_keep(F.col("text"), min_words=20)
     ).collect()}
     assert kept == {d for d, k in batch.items() if k}
+
+
+def test_repetition_signals_planted(spark):
+    """Template spam scores high dup_line_frac; keyword stuffing ("buy now"
+    looping — invisible to the distinct-WORD ratio once two words repeat in
+    order) scores high top_bigram_share; natural text scores low on both;
+    a one-word doc has no bigrams and scores 0."""
+    from ducktales_spark.queries.text_pipeline import repetition_signals
+
+    spam_lines = "real header\n" + "same line\n" * 9
+    stuffing = "buy now " * 50
+    natural = " ".join(f"w{i}" for i in range(100)) + "\nsecond line here"
+    docs = spark.createDataFrame(
+        [(1, spam_lines), (2, stuffing), (3, natural), (4, "single")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert out[1].n_lines == 10 and out[1].dup_line_frac == 0.8
+    assert out[2].top_bigram_share > 0.49  # "now buy"/"buy now" dominate
+    assert out[3].dup_line_frac == 0.0 and out[3].top_bigram_share < 0.05
+    assert out[4].n_lines == 1 and out[4].top_bigram_share == 0.0
