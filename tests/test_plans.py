@@ -290,3 +290,53 @@ def test_session_codegen_cache_sized_for_mixed_workload(spark):
     cache; losing this config silently reintroduces per-execution
     recompilation on any long-lived mixed workload."""
     assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1000
+
+
+def test_split_corpus_zero_shuffle_zero_python(spark, sf_dir):
+    """c06: hash-mode splitting is a pure codegen projection — zero
+    exchanges, no Python eval, and the scan is column-pruned to what the
+    projection needs."""
+    from ducktales_spark.corpus import split_corpus
+
+    df = split_corpus(
+        table(spark, sf_dir, "documents"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+    p = plan_str(df)
+    assert n_exchanges(df) == 0, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert re.search(r"\*\(\d+\) Project", p), p  # codegen'd projection
+
+
+def test_repetition_signals_plan_shape(spark, sf_dir):
+    """t07: the dup-line leg is codegen; the bigram-mode leg rides the
+    standard shingle shape (partial map-side combine before each exchange);
+    no Python anywhere and no cartesian join."""
+    from ducktales_spark.queries.text_pipeline import repetition_signals
+
+    df = repetition_signals(table(spark, sf_dir, "documents"))
+    p = plan_str(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # partial aggregation before the (doc_id, g) exchange: HashAggregate
+    # appears on both sides of each Exchange
+    assert len(re.findall(r"HashAggregate", p)) >= 4, p
+
+
+def test_mv_read_face_stays_metadata_cheap(spark, tmp_path):
+    """X4/X12: binding a catalog with no materialized views adds NO extra
+    work to _bind_tables (the overlay exits on the cheap name-set check),
+    and an MV read face is the stored scan + a codegen projection — no
+    join, no shuffle introduced by the avg derivation."""
+    from ducktales_spark.lake import LakeCatalog
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark, inline_threshold=0)
+    lake.sql("CREATE TABLE m (k INT, v DOUBLE)")
+    lake.sql("INSERT INTO m SELECT id::INT AS k, id * 1.0 AS v FROM range(200)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mk AS SELECT k, COUNT(*), SUM(v) "
+        "FROM m GROUP BY k"
+    )
+    df = lake.sql("SELECT k, n_rows, sum_v, avg_v FROM mk")
+    p = plan_str(df)
+    assert "Join" not in p and "Exchange" not in p, p
