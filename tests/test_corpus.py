@@ -701,3 +701,18 @@ def test_split_corpus_validation(spark, docs):
         split_corpus(
             split_corpus(docs, {"a": 1.0}), {"b": 1.0}
         )
+
+
+def test_split_corpus_partitions_the_corpus(spark, docs):
+    """The splits PARTITION the input: every doc appears in exactly one
+    split, nothing is dropped or duplicated, for both modes."""
+    from ducktales_spark.corpus import split_corpus
+
+    n = docs.count()
+    for kwargs in ({}, {"strata": ("source",), "exact": True}):
+        out = split_corpus(
+            docs, {"train": 0.7, "val": 0.2, "test": 0.1}, **kwargs
+        )
+        assert out.count() == n
+        assert out.select("doc_id").distinct().count() == n
+        assert out.groupBy("split").count().count() <= 3

@@ -692,3 +692,40 @@ def test_streaming_ingest_decontaminates_both(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(r.doc_id for r in lake.read("docs").collect()) == [2]
+
+
+def test_split_corpus_composes_onto_stream(spark, tmp_path):
+    """Hash-mode splitting is a zero-shuffle projection, so it applies
+    directly to a STREAMING DataFrame — and the streamed assignment equals
+    the batch assignment doc-for-doc (the growth-stability property makes
+    them necessarily identical)."""
+    from ducktales_spark.corpus import split_corpus
+
+    batches = [
+        [(i, f"doc number {i} with some words") for i in range(40)],
+        [(i, f"doc number {i} with some words") for i in range(40, 80)],
+    ]
+    stream, schema = _doc_stream(spark, tmp_path, batches)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r.doc_id] = r.split
+
+    q = (
+        split_corpus(stream, fr)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch_rows = [r for b in batches for r in b]
+    want = {
+        r.doc_id: r.split
+        for r in split_corpus(
+            spark.createDataFrame(batch_rows, schema), fr
+        ).collect()
+    }
+    assert got == want and len(got) == 80
