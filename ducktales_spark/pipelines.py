@@ -59,6 +59,8 @@ def prepare_training_corpus(
     max_tokens: int = 512,
     overlap: int = 64,
     near_dup_strategy: str = "components",
+    max_dup_line_frac: Optional[float] = None,
+    max_top_bigram_share: Optional[float] = None,
 ) -> dict:
     """Run the full preparation pipeline over a bounded corpus.
 
@@ -71,7 +73,14 @@ def prepare_training_corpus(
     ``minhash_threshold=None`` skips near-dedup (exact only).
     ``near_dup_strategy``: "components" (default — one survivor per
     transitive cluster, min id wins) or "greedy" (drop the higher id of
-    each colliding pair)."""
+    each colliding pair).
+
+    ``max_dup_line_frac`` / ``max_top_bigram_share`` (opt-in, default off)
+    add the repetition audit (repetition_signals) as a SECOND gate after
+    the zero-shuffle quality rules: docs over either threshold are dropped
+    and show up in the returned ``repetition`` audit table. It runs after
+    quality on purpose — the bigram-mode leg costs a shuffle, so it should
+    see only quality survivors."""
     if near_dup_strategy not in ("components", "greedy"):
         raise ValueError(f"unknown near_dup_strategy: {near_dup_strategy!r}")
     q = quality_filter(
@@ -82,6 +91,22 @@ def prepare_training_corpus(
         id_col,
         "left_semi",
     )
+    rep = None
+    if max_dup_line_frac is not None or max_top_bigram_share is not None:
+        from ducktales_spark.queries.text_pipeline import repetition_signals
+
+        rep = repetition_signals(kept, id_col=id_col, text_col=text_col)
+        cond = F.lit(False)
+        if max_dup_line_frac is not None:
+            cond = cond | (F.col("dup_line_frac") > max_dup_line_frac)
+        if max_top_bigram_share is not None:
+            cond = cond | (F.col("top_bigram_share") > max_top_bigram_share)
+        rep = rep.withColumn("dropped", cond)
+        kept = kept.join(
+            rep.filter("dropped").select(F.col("doc_id").alias(id_col)),
+            id_col,
+            "left_anti",
+        )
     redacted = kept.withColumn(text_col, redact_pii(F.col(text_col)))
     clusters = None
     if minhash_threshold is not None and near_dup_strategy == "components":
@@ -109,6 +134,8 @@ def prepare_training_corpus(
         overlap=overlap,
     )
     out = {"quality": q, "documents": survivors, "chunks": chunks}
+    if rep is not None:
+        out["repetition"] = rep
     if clusters is not None:
         out["clusters"] = clusters
     return out

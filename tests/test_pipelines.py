@@ -201,3 +201,54 @@ def test_redaction_before_dedup_merges_pii_variants(spark):
     out = prepare_training_corpus(docs, min_words=10, minhash_threshold=None)
     ids = sorted(r.doc_id for r in out["documents"].collect())
     assert ids == [1, 3], ids
+
+
+def test_pipeline_repetition_gate(spark):
+    """Opt-in repetition thresholds drop template spam and keyword
+    stuffing AFTER the zero-shuffle quality stage, with the audit table
+    saying which signal fired; defaults leave behavior unchanged."""
+    from ducktales_spark.pipelines import prepare_training_corpus
+
+    def synth(i):
+        # letter-only distinct words + periodic stopwords (the quality
+        # fixture recipe): passes every zero-shuffle rule
+        return "".join(chr(ord("a") + int(c)) for c in str(1000 + i))
+
+    def wordy(k, n=60):
+        return " ".join(
+            "the" if i % 9 == 4 else ("and" if i % 9 == 0 else synth(100 * k + i))
+            for i in range(n)
+        )
+
+    natural = wordy(1) + "\nand " + wordy(5)
+    # 10 unique 12-word lines + 8 copies of the first: dup_line_frac 0.44
+    # while the distinct-WORD ratio stays ~0.56 (passes the baseline rule)
+    uniq = [wordy(10 + k, 12) for k in range(10)]
+    spam = "\n".join(uniq + [uniq[0]] * 8)
+    # "buy now" every third word: top_bigram_share ~0.33 while distinct
+    # ratio ~0.35 (passes) — ordered repetition the word rule cannot see
+    stuffing = "the start and then " + " ".join(
+        f"{synth(300 + i)} buy now" for i in range(50)
+    )
+    docs = spark.createDataFrame(
+        [(1, natural), (2, spam), (3, stuffing)],
+        "doc_id long, text string",
+    )
+    base = prepare_training_corpus(docs, min_words=10, minhash_threshold=None)
+    assert sorted(
+        r.doc_id for r in base["documents"].select("doc_id").collect()
+    ) == [1, 2, 3]
+    out = prepare_training_corpus(
+        docs,
+        min_words=10,
+        minhash_threshold=None,
+        max_dup_line_frac=0.4,
+        max_top_bigram_share=0.2,
+    )
+    assert sorted(
+        r.doc_id for r in out["documents"].select("doc_id").collect()
+    ) == [1]
+    rep = {r.doc_id: r for r in out["repetition"].collect()}
+    assert rep[2].dropped and rep[2].dup_line_frac > 0.4
+    assert rep[3].dropped and rep[3].top_bigram_share > 0.2
+    assert not rep[1].dropped
