@@ -276,3 +276,35 @@ def test_refresh_survives_snapshot_expiry(spark, lake):
     lake.insert("ev", _mk_events(spark, [(8, "2024-01-01 06:00:00", 1, 2.0)]))
     refresh_rollup(lake, "ev_hourly")
     assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake))
+
+
+def test_read_rollup_time_travel(spark, lake):
+    """read_rollup(version=) reconstructs the rollup AS OF a past catalog
+    version — stored state and derived avg columns both come from that
+    snapshot, even after later refreshes changed the rollup."""
+    from ducktales_spark.lake.rollup import read_rollup
+
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_hourly", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+    v_created = lake.current_version()
+    before = sorted(
+        (r["bucket_start"], r["user_id"], r["n_rows"], r["avg_value"])
+        for r in read_rollup(lake, "ev_hourly").collect()
+    )
+    lake.insert("ev", _mk_events(spark, [
+        (6, "2024-01-01 00:20:00", 1, 100.0),
+    ]))
+    refresh_rollup(lake, "ev_hourly")
+    after = sorted(
+        (r["bucket_start"], r["user_id"], r["n_rows"], r["avg_value"])
+        for r in read_rollup(lake, "ev_hourly").collect()
+    )
+    assert after != before  # refresh changed the (00h, u1) bucket
+    at_v = sorted(
+        (r["bucket_start"], r["user_id"], r["n_rows"], r["avg_value"])
+        for r in read_rollup(lake, "ev_hourly", version=v_created).collect()
+    )
+    assert at_v == before
