@@ -595,6 +595,23 @@ class LakeCatalog:
                 tx.insert(name, self.read(name))
         for vname, vsql in self.views().items():
             other.create_view(vname, vsql)
+        # Rollup meta tables stamp the catalog version their rollup
+        # reflects — SOURCE version numbers, meaningless in the target's
+        # history (a later REFRESH would diff from an arbitrary mid-export
+        # snapshot and double-count). Restamp at the target's HEAD: the
+        # exported rollup state reflects the exported source state by
+        # construction.
+        names = set(other.tables())
+        v_head = other.current_version()
+        for name in names:
+            if not name.endswith("__rollup_meta") or name[: -len("__rollup_meta")] not in names:
+                continue
+            rows = [r.asDict() for r in other.read(name).collect()]
+            for r in rows:
+                r["last_version"] = v_head
+            with other.transaction() as tx:
+                tx.delete(name)
+                tx.insert_rows(name, rows)
 
     def expire_snapshots(
         self,

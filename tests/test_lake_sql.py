@@ -455,3 +455,33 @@ def test_materialized_view_sql_errors(lake):
     with pytest.raises(LakeSQLError, match="explicit transaction"):
         lake.sql("REFRESH MATERIALIZED VIEW ok")
     lake.sql("ROLLBACK")
+
+
+def test_materialized_view_survives_catalog_export(lake, spark, tmp_path):
+    """D15 x X12: export_to migrates an MV's stored state AND meta table,
+    so the target catalog can read (avg columns included) and REFRESH the
+    view after source mutations of its own."""
+    from ducktales_spark.lake import LakeCatalog
+
+    # source table named to sort AFTER the MV tables: if export left the
+    # SOURCE-catalog last_version in the migrated meta, a target refresh
+    # would diff from a mid-export snapshot where 'zz' didn't exist yet
+    # and double-count every pre-existing row
+    lake.sql("CREATE TABLE zz (k VARCHAR, v DOUBLE)")
+    lake.sql("INSERT INTO zz VALUES ('a', 2.0), ('a', 4.0), ('b', 1.0)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v) "
+        "FROM zz GROUP BY k"
+    )
+    other = LakeCatalog(str(tmp_path / "other"), spark, inline_threshold=4)
+    lake.export_to(other)
+    rows = {
+        r["k"]: r for r in other.sql("SELECT k, n_rows, avg_v FROM mv").collect()
+    }
+    assert rows["a"]["n_rows"] == 2 and rows["a"]["avg_v"] == 3.0
+    other.sql("INSERT INTO zz VALUES ('b', 5.0)")
+    other.sql("REFRESH MATERIALIZED VIEW mv")
+    rows = {
+        r["k"]: r for r in other.sql("SELECT k, n_rows, avg_v FROM mv").collect()
+    }
+    assert rows["b"]["n_rows"] == 2 and rows["b"]["avg_v"] == 3.0

@@ -308,3 +308,40 @@ def test_read_rollup_time_travel(spark, lake):
         for r in read_rollup(lake, "ev_hourly", version=v_created).collect()
     )
     assert at_v == before
+
+
+def test_randomized_mutation_sequences_match_recompute(spark, lake):
+    """Seeded random insert/delete/refresh sequences: after EVERY refresh,
+    the incrementally-maintained rollup must equal a from-scratch recompute
+    of its definition — the continuous-aggregate correctness invariant
+    under interleavings no hand-written scenario enumerates."""
+    import random
+
+    rng = random.Random(20260815)
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_hourly", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+    next_id = 100
+    for step in range(6):
+        op = rng.choice(["insert", "delete", "refresh"])
+        if op == "insert":
+            rows = [
+                (
+                    next_id + i,
+                    f"2024-01-01 0{rng.randrange(10)}:0{rng.randrange(10)}:00",
+                    rng.randrange(1, 4),
+                    float(rng.randrange(1, 100)),
+                )
+                for i in range(rng.randrange(1, 4))
+            ]
+            next_id += len(rows)
+            lake.insert("ev", _mk_events(spark, rows))
+        elif op == "delete":
+            with lake.transaction() as tx:
+                tx.delete("ev", f"event_id % 3 = {rng.randrange(3)}")
+        refresh_rollup(lake, "ev_hourly")
+        assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake)), (
+            f"diverged at step {step} after {op}"
+        )
