@@ -345,3 +345,24 @@ def test_randomized_mutation_sequences_match_recompute(spark, lake):
         assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake)), (
             f"diverged at step {step} after {op}"
         )
+
+
+def test_compaction_is_refresh_noop(spark, lake):
+    """Compacting the source rewrites files without changing rows: the
+    next refresh must fold ZERO buckets (the row-level diff is empty) and
+    the rollup still equals recompute — file-layout maintenance can never
+    perturb a continuous aggregate."""
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_hourly", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",),
+    )
+    lake.insert("ev", _mk_events(spark, [(6, "2024-01-01 00:30:00", 1, 2.0)]))
+    lake.compact("ev")
+    out = refresh_rollup(lake, "ev_hourly")
+    # the insert before compaction IS folded; compaction itself adds none
+    assert out["changed_buckets"] >= 1
+    assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake))
+    lake.compact("ev")
+    assert refresh_rollup(lake, "ev_hourly")["changed_buckets"] == 0
+    assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake))
