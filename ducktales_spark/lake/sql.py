@@ -739,7 +739,41 @@ class SQLExecutor:
         bind to the staged state (read-your-writes), and tables dropped in
         the txn are unregistered so reads of them fail."""
         self._bind_tables(version)
-        return self.c.spark.sql(self._rewrite_meta_fns(self.c._rewrite_at(body)))
+        return self.c.spark.sql(
+            self._rewrite_meta_fns(
+                self.c._rewrite_at(self._rewrite_mv_at(body))
+            )
+        )
+
+    def _rewrite_mv_at(self, q: str) -> str:
+        """Time-travel reads of a MATERIALIZED VIEW go through the rollup
+        read face too: ``mv AT (VERSION => n)`` binds read_rollup at that
+        version (avg columns included), matching current-version reads.
+        Non-MV names are left for the catalog's generic AT rewrite."""
+        from .rollup import _meta_name, read_rollup
+
+        ts = set(self.c.tables())
+
+        def _rw(m: "re.Match") -> str:
+            tname, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+            if not (tname in ts and _meta_name(tname) in ts):
+                return m.group(0)
+            if kind == "VERSION":
+                v = int(val)
+            else:
+                v = self.c._resolve_version(timestamp=val.strip().strip("'\""))
+            view = f"{tname}__at_v{v}"
+            read_rollup(self.c, tname, version=v).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        return re.sub(
+            rf"\b({_IDENT})\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>\s*([^)]+)\)",
+            _rw,
+            q,
+            flags=re.I,
+        )
 
     def _bind_tables(self, version=None) -> None:
         """Register every table as a temp view for Catalyst resolution —

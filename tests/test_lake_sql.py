@@ -485,3 +485,28 @@ def test_materialized_view_survives_catalog_export(lake, spark, tmp_path):
         r["k"]: r for r in other.sql("SELECT k, n_rows, avg_v FROM mv").collect()
     }
     assert rows["b"]["n_rows"] == 2 and rows["b"]["avg_v"] == 3.0
+
+
+def test_materialized_view_time_travel_sql(lake):
+    """mv AT (VERSION => n) reads the rollup face at that snapshot — avg
+    columns included — matching current-version reads; a plain table's AT
+    rewrite is untouched."""
+    lake.sql("CREATE TABLE src (k VARCHAR, v DOUBLE)")
+    lake.sql("INSERT INTO src VALUES ('a', 2.0), ('a', 4.0)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v) "
+        "FROM src GROUP BY k"
+    )
+    v0 = lake.current_version()
+    lake.sql("INSERT INTO src VALUES ('a', 12.0)")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    now = lake.sql("SELECT n_rows, avg_v FROM mv").collect()[0]
+    assert now["n_rows"] == 3 and now["avg_v"] == 6.0
+    then = lake.sql(
+        f"SELECT n_rows, avg_v FROM mv AT (VERSION => {v0})"
+    ).collect()[0]
+    assert then["n_rows"] == 2 and then["avg_v"] == 3.0
+    # plain-table AT still works through the generic rewrite
+    assert lake.sql(
+        f"SELECT count(*) AS c FROM src AT (VERSION => {v0})"
+    ).collect()[0]["c"] == 2
