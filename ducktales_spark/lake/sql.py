@@ -363,7 +363,20 @@ class SQLExecutor:
         if m:  # demos/03_schema_evolution/demo.py:112,124
             return self._describe(m.group(1))
         if re.match(r"^SHOW\s+TABLES$", q, re.I):
-            names = sorted(set(self.c.tables()) | set(self.c.views()))
+            from .rollup import _meta_name
+
+            ts = set(self.c.tables())
+            # an MV's meta companion is an implementation detail: list the
+            # MV once (its meta stays directly readable/describable)
+            names = sorted(
+                n
+                for n in (ts | set(self.c.views()))
+                if not (
+                    n.endswith("__rollup_meta")
+                    and n[: -len("__rollup_meta")] in ts
+                    and _meta_name(n[: -len("__rollup_meta")]) == n
+                )
+            )
             return self.c.spark.createDataFrame(
                 [(n,) for n in names], "name string"
             )
@@ -889,13 +902,27 @@ class SQLExecutor:
         """DuckDB-shaped DESCRIBE: (column_name, column_type, null YES/NO,
         key PRI/null, default, extra) — staged-aware inside an open txn, so
         ALTER TABLE followed by DESCRIBE shows the new column pre-commit
-        (the reference demo's exact flow)."""
+        (the reference demo's exact flow). Describing a MATERIALIZED VIEW
+        additionally lists the read face's derived ``avg_<c>`` columns
+        (extra = 'derived'): SQL users see every column a SELECT returns."""
         if not self._table_exists(name):
             raise LakeSQLError(f"no such table: {name!r}")
         from .schema import value_from_json
 
         schema = self._schema_of(name)
         rows = []
+        derived = []
+        if self._mv_exists(name):
+            import json as _json
+
+            from .rollup import _meta_name
+
+            meta = self.c.read(_meta_name(name)).collect()
+            if len(meta) == 1:
+                derived = [
+                    (f"avg_{c}", "DOUBLE", "YES", None, None, "derived")
+                    for c in _json.loads(meta[0]["sum_cols"])
+                ]
         for f in schema.fields:
             if isinstance(f.default, dict) and "$expr" in f.default:
                 dflt = f.default["$expr"]
@@ -914,7 +941,7 @@ class SQLExecutor:
                 )
             )
         return self.c.spark.createDataFrame(
-            rows,
+            rows + derived,
             "column_name string, column_type string, `null` string, "
             "key string, `default` string, extra string",
         )

@@ -510,3 +510,23 @@ def test_materialized_view_time_travel_sql(lake):
     assert lake.sql(
         f"SELECT count(*) AS c FROM src AT (VERSION => {v0})"
     ).collect()[0]["c"] == 2
+
+
+def test_materialized_view_describe_and_show(lake):
+    """DESCRIBE mv lists the stored columns PLUS the read face's derived
+    avg columns (extra='derived'); SHOW TABLES lists the MV once, without
+    its internal meta companion (which stays directly readable)."""
+    lake.sql("CREATE TABLE s (k VARCHAR, v DOUBLE)")
+    lake.sql("INSERT INTO s VALUES ('a', 1.0)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v) "
+        "FROM s GROUP BY k"
+    )
+    cols = {r["column_name"]: r for r in lake.sql("DESCRIBE mv").collect()}
+    assert "sum_v" in cols and "n_rows" in cols
+    assert cols["avg_v"]["extra"] == "derived"
+    assert cols["avg_v"]["column_type"] == "DOUBLE"
+    names = [r["name"] for r in lake.sql("SHOW TABLES").collect()]
+    assert "mv" in names and "mv__rollup_meta" not in names
+    # the meta table is hidden, not gone
+    assert lake.sql("SELECT src FROM mv__rollup_meta").collect()[0]["src"] == "s"
