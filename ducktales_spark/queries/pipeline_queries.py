@@ -521,3 +521,116 @@ def t07_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ducktales_spark.queries.text_pipeline import repetition_signals
 
     return repetition_signals(table(spark, sf_dir, "documents"))
+
+
+def _both_decon_oracle_sql() -> str:
+    """DuckDB SQL for mode="both": the c01 exact-13-gram counts FULL OUTER
+    JOINed with the c05 fuzzy counts — a doc appears when either test
+    fires, with per-mode audit columns (max_jaccard NULL for exact-only
+    leaks), exactly the Spark plan's shape."""
+    from ducktales_spark.queries.dedup import (
+        _BAND_ROWS,
+        _HASH_AB,
+        _NUM_HASHES,
+        _P,
+    )
+
+    n_bands = _NUM_HASHES // _BAND_ROWS
+    mins = ",\n        ".join(
+        f"min(({a} * (h64 % {_P}) + {b}) % {_P}) AS m{i}"
+        for i, (a, b) in enumerate(_HASH_AB)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {i} AS band_id, "
+        + " || '-' || ".join(
+            f"m{i * _BAND_ROWS + j}::VARCHAR" for j in range(_BAND_ROWS)
+        )
+        + " AS band_key FROM fz_sig"
+        for i in range(n_bands)
+    )
+    est = (
+        "("
+        + " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(_NUM_HASHES))
+        + f") / {float(_NUM_HASHES)}"
+    )
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    ex_pos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 11)) AS i
+      FROM d WHERE len(ws) >= 13
+    ),
+    ex_sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5({_GRAM_13}), 1, 15))::BIGINT AS h
+      FROM ex_pos
+    ),
+    ex_b AS (SELECT DISTINCT h FROM ex_sh WHERE doc_id % 7 = 0),
+    ex AS (
+      SELECT ex_sh.doc_id, count(*) AS n_hits
+      FROM ex_sh JOIN ex_b USING (h)
+      GROUP BY ex_sh.doc_id
+    ),
+    fz_pos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+      FROM d WHERE len(ws) >= 3
+    ),
+    fz_sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+                                 ws[i+2]), 1, 15))::BIGINT AS h64
+      FROM fz_pos
+    ),
+    fz_sig AS MATERIALIZED (
+      SELECT doc_id, {mins}
+      FROM fz_sh GROUP BY doc_id
+    ),
+    fz_bands AS MATERIALIZED ({band_rows}),
+    fz_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM fz_bands a
+      JOIN fz_bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE b.doc_id % 7 = 0
+    ),
+    fz_scored AS (
+      SELECT fz_cand.doc_id, fz_cand.bench_id, {est} AS est
+      FROM fz_cand
+      JOIN fz_sig sa ON sa.doc_id = fz_cand.doc_id
+      JOIN fz_sig sb ON sb.doc_id = fz_cand.bench_id
+    ),
+    fz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits_fuzzy,
+             max(est) AS max_jaccard
+      FROM fz_scored WHERE est >= 0.8
+      GROUP BY doc_id
+    )
+    SELECT coalesce(ex.doc_id, fz.doc_id) AS doc_id,
+           CAST(coalesce(ex.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(fz.n_hits_fuzzy, 0) AS n_hits_fuzzy,
+           fz.max_jaccard
+    FROM ex FULL OUTER JOIN fz ON ex.doc_id = fz.doc_id
+    ORDER BY doc_id
+    """
+
+
+@register_extra(
+    "c07_decontaminate_both",
+    survey_ids=(),  # extension: combined exact+fuzzy decontamination
+    oracle=_both_decon_oracle_sql(),
+)
+def c07_decontaminate_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined decontamination (corpus.decontaminate mode="both"):
+    benchmark = every 7th document; a doc is flagged when EITHER the exact
+    13-gram test or the fuzzy est-jaccard>=0.8 test fires, with per-mode
+    audit columns — the full-outer-join of the c01 and c05 count tables."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    hits = decontaminate(docs, bench, mode="both", threshold=0.8)["hits"]
+    return hits.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_hits_fuzzy").cast("long").alias("n_hits_fuzzy"),
+        "max_jaccard",
+    )
