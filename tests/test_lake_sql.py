@@ -530,3 +530,33 @@ def test_materialized_view_describe_and_show(lake):
     assert "mv" in names and "mv__rollup_meta" not in names
     # the meta table is hidden, not gone
     assert lake.sql("SELECT src FROM mv__rollup_meta").collect()[0]["src"] == "s"
+
+
+def test_materialized_view_bucket_expression_forms(lake):
+    """time_bucket accepts the bare-seconds form, no alias is required,
+    and GROUP BY may repeat the full expression or use ordinals."""
+    lake.sql("CREATE TABLE e2 (ts TIMESTAMP, user_id INT, v DOUBLE)")
+    lake.sql(
+        "INSERT INTO e2 VALUES ('2024-01-01 00:10:00', 1, 4.0), "
+        "('2024-01-01 00:50:00', 1, 6.0), ('2024-01-01 02:00:00', 2, 1.0)"
+    )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv2 AS "
+        "SELECT user_id, time_bucket(3600, ts), COUNT(*), AVG(v) "
+        "FROM e2 GROUP BY user_id, time_bucket(3600, ts)"
+    )
+    rows = {
+        (r["user_id"], str(r["bucket_start"])): (r["n_rows"], r["avg_v"])
+        for r in lake.sql(
+            "SELECT user_id, bucket_start, n_rows, avg_v FROM mv2"
+        ).collect()
+    }
+    assert rows[(1, "2024-01-01 00:00:00")] == (2, 5.0)
+    assert rows[(2, "2024-01-01 02:00:00")] == (1, 1.0)
+    # ordinal GROUP BY with an INTERVAL-minutes bucket
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv3 AS "
+        "SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS "
+        "bucket_start, COUNT(*) FROM e2 GROUP BY 1, 2"
+    )
+    assert lake.sql("SELECT count(*) AS c FROM mv3").collect()[0]["c"] == 3
