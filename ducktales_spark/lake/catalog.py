@@ -607,6 +607,14 @@ class LakeCatalog:
             if not name.endswith("__rollup_meta") or name[: -len("__rollup_meta")] not in names:
                 continue
             rows = [r.asDict() for r in other.read(name).collect()]
+            # Guard like _mv_overlay: a user table that merely NAMES like
+            # rollup meta (X__rollup_meta with a sibling X) must not get its
+            # rows rewritten. Real rollup meta is exactly one row carrying
+            # the rollup definition columns.
+            if len(rows) != 1 or not {
+                "src", "bucket_s", "sum_cols", "last_version"
+            } <= set(rows[0]):
+                continue
             for r in rows:
                 r["last_version"] = v_head
             with other.transaction() as tx:

@@ -53,15 +53,35 @@ def _bucket_expr(time_col, bucket_s: int):
     )
 
 
-def _agg_exprs(sum_cols: tuple, sign=None, minmax_cols: tuple = ()):
+def _agg_exprs(
+    sum_cols: tuple,
+    sign=None,
+    minmax_cols: tuple = (),
+    count_cols: tuple = (),
+    approx_cols: tuple = (),
+    distinct_cols: tuple = (),
+):
     n = F.sum(sign) if sign is not None else F.count(F.lit(1))
     out = [n.cast("bigint").alias("n_rows")]
     for c in sum_cols:
         v = F.col(c) * sign if sign is not None else F.col(c)
         out.append(F.sum(v).alias(f"sum_{c}"))
+    for c in count_cols:  # COUNT(col): null-skipping, signed => additive
+        v = (
+            F.sum(F.when(F.col(c).isNotNull(), sign).otherwise(0))
+            if sign is not None
+            else F.count(F.col(c))
+        )
+        out.append(v.cast("bigint").alias(f"count_{c}"))
+    for c in approx_cols:
+        # HLL sketch (insert-side only: a delete-bearing diff routes to the
+        # recompute path — sketches are unionable, never subtractable)
+        out.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
     for c in minmax_cols:  # only on recompute paths (sign is None)
         out.append(F.min(c).alias(f"min_{c}"))
         out.append(F.max(c).alias(f"max_{c}"))
+    for c in distinct_cols:  # exact COUNT(DISTINCT): recompute paths only
+        out.append(F.count_distinct(F.col(c)).alias(f"distinct_{c}"))
     return out
 
 
@@ -82,33 +102,71 @@ def create_rollup(
     keys: tuple = (),
     sum_cols: tuple = (),
     minmax_cols: tuple = (),
+    count_cols: tuple = (),
+    approx_cols: tuple = (),
+    distinct_cols: tuple = (),
+    replace: bool = False,
 ) -> None:
     """Materialize the initial rollup of ``src`` and its meta table in ONE
     catalog transaction, stamped with the snapshot version it reflects.
+
+    ``replace=True`` drops an existing rollup of the same name INSIDE that
+    same transaction, so CREATE OR REPLACE is atomic: a reader either sees
+    the old rollup or the new one, never a gap, and a failure anywhere
+    (source read, aggregation, write) rolls the whole snapshot back with
+    the old rollup intact.
 
     ``time_col=None`` makes this a keys-only incrementally-maintained
     materialized aggregate view (one constant bucket; every refresh
     mechanism — CDC diff, signed deltas, pruned MERGE — is identical).
 
-    ``minmax_cols`` adds MIN/MAX columns — non-additive, so refreshes of a
-    rollup that has them switch from signed-delta folding to PARTIAL
-    RECOMPUTE: only the buckets the diff touched are re-aggregated from
-    the CURRENT source (time-range-pruned read when time_col is set —
-    stats skip non-overlapping source files), then MERGEd. O(source rows
-    in touched buckets) per refresh instead of O(changes) — the standard
-    continuous-aggregate trade for non-invertible aggregates (a deleted
-    max cannot be subtracted out)."""
+    ``count_cols`` adds null-skipping ``COUNT(col)`` columns
+    (``count_<c>``): additive exactly like n_rows (the signed delta counts
+    only rows where the column is non-null), so they ride the O(changes)
+    fast path.
+
+    ``approx_cols`` adds APPROX COUNT DISTINCT columns as HLL sketches
+    (``hll_<c>``, read face exposes ``approx_distinct_<c>`` estimates):
+    sketches UNION (insert-only diffs stay O(changes)) but never subtract,
+    so a diff containing any delete routes that refresh through the
+    partial-recompute path.
+
+    ``minmax_cols`` adds MIN/MAX columns and ``distinct_cols`` adds exact
+    ``COUNT(DISTINCT col)`` columns (``distinct_<c>``) — both non-additive,
+    so refreshes of a rollup that has them switch from signed-delta folding
+    to PARTIAL RECOMPUTE: only the buckets the diff touched are
+    re-aggregated from the CURRENT source (time-range-pruned read when
+    time_col is set — stats skip non-overlapping source files), then
+    MERGEd. O(source rows in touched buckets) per refresh instead of
+    O(changes) — the standard continuous-aggregate trade for
+    non-invertible aggregates (a deleted max cannot be subtracted out)."""
     keys, sum_cols = tuple(keys), tuple(sum_cols)
     minmax_cols = tuple(minmax_cols)
+    count_cols, approx_cols = tuple(count_cols), tuple(approx_cols)
+    distinct_cols = tuple(distinct_cols)
     version = lake.current_version()
     df = (
         lake.read(src, version=version)
         .groupBy(
             _bucket_expr(time_col, bucket_s).alias("bucket_start"), *keys
         )
-        .agg(*_agg_exprs(sum_cols, minmax_cols=minmax_cols))
+        .agg(
+            *_agg_exprs(
+                sum_cols,
+                minmax_cols=minmax_cols,
+                count_cols=count_cols,
+                approx_cols=approx_cols,
+                distinct_cols=distinct_cols,
+            )
+        )
     )
     with lake.transaction() as tx:
+        if replace:
+            existing = set(lake.tables())
+            if name in existing:
+                tx.drop_table(name)
+            if _meta_name(name) in existing:
+                tx.drop_table(_meta_name(name))
         # bucket-clustered so stats pruning on bucket_start acts as
         # partition pruning for refreshes and reads
         tx.ctas(name, df, partition_by=("bucket_start",))
@@ -121,21 +179,37 @@ def create_rollup(
                     json.dumps(list(keys)),
                     json.dumps(list(sum_cols)),
                     json.dumps(list(minmax_cols)),
+                    json.dumps(list(count_cols)),
+                    json.dumps(list(approx_cols)),
+                    json.dumps(list(distinct_cols)),
                     version,
                 )
             ],
             "src string, time_col string, bucket_s bigint, "
             "keys string, sum_cols string, minmax_cols string, "
+            "count_cols string, approx_cols string, distinct_cols string, "
             "last_version bigint",
         )
         tx.ctas(_meta_name(name), meta)
 
 
+def _meta_list(m, key: str) -> tuple:
+    """JSON list column from a meta row, () when the column predates the
+    feature (meta written by an older create_rollup has no count/approx/
+    distinct columns — those rollups simply maintain none)."""
+    d = m.asDict() if hasattr(m, "asDict") else dict(m)
+    s = d.get(key)
+    return tuple(json.loads(s)) if s else ()
+
+
 def read_rollup(lake, name: str, version: Optional[int] = None) -> DataFrame:
     """The rollup's read face: the stored table plus ``avg_<c>`` =
     ``sum_<c> / n_rows`` for every maintained sum column — AVG is derivable
-    from additive state at read time for free, so users never hand-divide.
-    Aggregates that are NOT derivable from (count, sum, min, max) —
+    from additive state at read time for free, so users never hand-divide —
+    plus ``approx_distinct_<c>`` = the HLL estimate of every maintained
+    sketch column (the raw binary ``hll_<c>`` state is dropped from the
+    face: it is an implementation detail, like Timescale's partials).
+    Aggregates that are NOT derivable from the maintained state —
     stddev, percentiles — are deliberately absent: maintaining them
     incrementally requires the minmax-style partial-recompute path
     (re-aggregate touched buckets from the source), not a read-time
@@ -147,6 +221,13 @@ def read_rollup(lake, name: str, version: Optional[int] = None) -> DataFrame:
     df = lake.read(name, version=version)
     for c in json.loads(meta_rows[0]["sum_cols"]):
         df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
+    for c in _meta_list(meta_rows[0], "approx_cols"):
+        df = df.withColumn(
+            f"approx_distinct_{c}",
+            F.coalesce(
+                F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)
+            ).cast("bigint"),
+        ).drop(f"hll_{c}")
     return df
 
 
@@ -160,6 +241,9 @@ def refresh_rollup(lake, name: str) -> dict:
     keys = tuple(json.loads(m["keys"]))
     sum_cols = tuple(json.loads(m["sum_cols"]))
     minmax_cols = tuple(json.loads(m["minmax_cols"]))
+    count_cols = _meta_list(m, "count_cols")
+    approx_cols = _meta_list(m, "approx_cols")
+    distinct_cols = _meta_list(m, "distinct_cols")
     v0, v1 = int(m["last_version"]), lake.current_version()
     if v0 not in {s["snapshot_id"] for s in lake.snapshots()} and v0 < v1:
         # The stamped base snapshot was retired by expire_snapshots: the
@@ -169,7 +253,8 @@ def refresh_rollup(lake, name: str) -> dict:
         # same answer the incremental path converges to, at O(source)
         # cost once; subsequent refreshes are incremental again.
         return _refresh_full_recompute(
-            lake, name, m, keys, sum_cols, minmax_cols, v0, v1
+            lake, name, m, keys, sum_cols, minmax_cols, v0, v1,
+            count_cols, approx_cols, distinct_cols,
         )
     if v1 <= v0 or not _src_touched(lake, m["src"], v0, v1):
         # Metadata-only no-op: the snapshot log records which tables each
@@ -180,16 +265,34 @@ def refresh_rollup(lake, name: str) -> dict:
         # way.
         return {"from_version": v0, "to_version": v0, "changed_buckets": 0}
 
+    changes = lake.table_changes(m["src"], v0, v1)
+    nonadditive = bool(minmax_cols or distinct_cols)
+    if approx_cols and not nonadditive:
+        # HLL sketches union but never subtract: any delete in the diff
+        # invalidates sketch folding for its buckets, so the whole refresh
+        # routes through partial recompute. Insert-only diffs (the
+        # append-mostly common case) stay on the O(changes) fast path with
+        # the delta sketches hll_union-ed in. One cheap existence probe on
+        # the (already narrow) CDC diff decides.
+        nonadditive = bool(
+            changes.filter(F.col("change_type") == "delete").take(1)
+        )
     sign = F.when(F.col("change_type") == "insert", 1).otherwise(-1)
     delta = (
-        lake.table_changes(m["src"], v0, v1)
-        .groupBy(
+        changes.groupBy(
             _bucket_expr(m["time_col"] or None, int(m["bucket_s"])).alias(
                 "bucket_start"
             ),
             *keys,
         )
-        .agg(*_agg_exprs(sum_cols, sign=sign))
+        .agg(
+            *_agg_exprs(
+                sum_cols,
+                sign=sign,
+                count_cols=count_cols,
+                approx_cols=() if nonadditive else approx_cols,
+            )
+        )
     )
     # Prune the rollup-side read to the delta's bucket range BEFORE joining:
     # refreshes of a time-ordered source touch a narrow recent window, so the
@@ -199,12 +302,14 @@ def refresh_rollup(lake, name: str) -> dict:
     ).collect()[0]
     if bounds["lo"] is None:
         # changes existed but every (insert, delete) pair cancelled
+        # (a cancelling pair cannot change COUNT(col)/sketch state either:
+        # the deleted row IS the inserted row, value for value)
         _stamp_meta(lake, name, m, v1)
         return {"from_version": v0, "to_version": v1, "changed_buckets": 0}
-    if minmax_cols:
+    if nonadditive:
         return _refresh_recompute(
             lake, name, m, keys, sum_cols, minmax_cols, delta, bounds,
-            v0, v1,
+            v0, v1, count_cols, approx_cols, distinct_cols,
         )
     old = lake.read(name, where=(
         f"bucket_start >= '{bounds['lo']}' AND bucket_start <= '{bounds['hi']}'"
@@ -225,6 +330,25 @@ def refresh_rollup(lake, name: str) -> dict:
                     + F.col(f"d.sum_{c}")
                 ).alias(f"sum_{c}")
                 for c in sum_cols
+            ],
+            *[
+                (
+                    F.coalesce(F.col(f"o.count_{c}"), F.lit(0))
+                    + F.col(f"d.count_{c}")
+                ).cast("bigint").alias(f"count_{c}")
+                for c in count_cols
+            ],
+            *[
+                # new bucket: the delta sketch stands alone; existing
+                # bucket: union (insert-only path — deletes recompute)
+                F.when(
+                    F.col(f"o.hll_{c}").isNull(), F.col(f"d.hll_{c}")
+                )
+                .otherwise(
+                    F.expr(f"hll_union(o.hll_{c}, d.hll_{c})")
+                )
+                .alias(f"hll_{c}")
+                for c in approx_cols
             ],
         )
     )
@@ -270,25 +394,19 @@ def _stamp_meta(lake, name: str, m, version: int) -> None:
 
 
 def _stamp_meta_tx(tx, lake, name: str, m, version: int) -> None:
+    # carry every meta column the row actually has (metas written before
+    # count/approx/distinct existed keep their narrower schema), restamping
+    # only last_version
+    row = m.asDict() if hasattr(m, "asDict") else dict(m)
+    row["bucket_s"] = int(row["bucket_s"])
+    row["last_version"] = version
     tx.delete(_meta_name(name))
-    tx.insert_rows(
-        _meta_name(name),
-        [
-            {
-                "src": m["src"],
-                "time_col": m["time_col"],
-                "bucket_s": int(m["bucket_s"]),
-                "keys": m["keys"],
-                "sum_cols": m["sum_cols"],
-                "minmax_cols": m["minmax_cols"],
-                "last_version": version,
-            }
-        ],
-    )
+    tx.insert_rows(_meta_name(name), [row])
 
 
 def _refresh_full_recompute(
-    lake, name, m, keys, sum_cols, minmax_cols, v0, v1
+    lake, name, m, keys, sum_cols, minmax_cols, v0, v1,
+    count_cols=(), approx_cols=(), distinct_cols=(),
 ) -> dict:
     """Rebuild the whole rollup from the source at ``v1`` (the expired-base
     escape hatch): one delete + one insert + the meta stamp in a single
@@ -301,7 +419,15 @@ def _refresh_full_recompute(
             ),
             *keys,
         )
-        .agg(*_agg_exprs(sum_cols, minmax_cols=minmax_cols))
+        .agg(
+            *_agg_exprs(
+                sum_cols,
+                minmax_cols=minmax_cols,
+                count_cols=count_cols,
+                approx_cols=approx_cols,
+                distinct_cols=distinct_cols,
+            )
+        )
     )
     with lake.transaction() as tx:
         tx.delete(name)
@@ -311,7 +437,8 @@ def _refresh_full_recompute(
 
 
 def _refresh_recompute(
-    lake, name, m, keys, sum_cols, minmax_cols, delta, bounds, v0, v1
+    lake, name, m, keys, sum_cols, minmax_cols, delta, bounds, v0, v1,
+    count_cols=(), approx_cols=(), distinct_cols=(),
 ) -> dict:
     """Non-additive refresh: re-aggregate the touched (bucket, keys) groups
     from the CURRENT source and MERGE them in; groups whose rows all
@@ -339,7 +466,15 @@ def _refresh_recompute(
             _bucket_expr(time_col, int(m["bucket_s"])).alias("bucket_start"),
             *keys,
         )
-        .agg(*_agg_exprs(sum_cols, minmax_cols=minmax_cols))
+        .agg(
+            *_agg_exprs(
+                sum_cols,
+                minmax_cols=minmax_cols,
+                count_cols=count_cols,
+                approx_cols=approx_cols,
+                distinct_cols=distinct_cols,
+            )
+        )
     )
     # persist: count + merge would otherwise re-run the touched-bucket
     # re-aggregation (the dominant cost of this path) up to four times

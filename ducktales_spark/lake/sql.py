@@ -19,11 +19,14 @@ same statement coverage so a reference user can port scripts verbatim:
   behind SQL, completing the reference's conn.execute()-everything
   ergonomics. The SELECT must be the incrementally-maintainable subset:
   ``SELECT <keys...>, [time_bucket(INTERVAL '1 hour', ts),]
-  COUNT(*)/SUM/AVG/MIN/MAX(col)... FROM <lake table> GROUP BY ...`` —
+  COUNT(*)/COUNT(col)/COUNT(DISTINCT col)/APPROX_COUNT_DISTINCT(col)/
+  SUM/AVG/MIN/MAX(col)... FROM <lake table> GROUP BY ...`` —
   no WHERE/JOIN/HAVING (the same restriction TimescaleDB continuous
   aggregates and Materialize place on their incremental paths). Reads of
   the MV go through :func:`~ducktales_spark.lake.rollup.read_rollup`, so
-  ``SELECT avg_<c> FROM mv`` works without hand-dividing.
+  ``SELECT avg_<c> FROM mv`` works without hand-dividing and
+  ``approx_distinct_<c>`` reads as the HLL estimate, never raw sketch
+  bytes.
 * ``DROP TABLE / DROP VIEW``
 * ``ALTER TABLE t ADD COLUMN c TYPE [DEFAULT lit]`` / ``DROP COLUMN`` /
   ``RENAME COLUMN a TO b`` / ``ALTER COLUMN c SET NOT NULL``
@@ -190,8 +193,10 @@ class SQLExecutor:
     def __init__(self, catalog):
         self.c = catalog
         self._tx = None  # open explicit transaction, if any
-        # (mv_name, catalog_version) -> sum_cols, so the per-query MV read
-        # overlay doesn't re-collect the one-row meta table on every bind
+        # mv_name -> (catalog_version, sum_cols), so the per-query MV read
+        # overlay doesn't re-collect the one-row meta table on every bind.
+        # Keyed by name with only the latest version kept: a long-lived
+        # executor on a busy catalog stays O(#MVs), not O(#MVs x versions)
         self._mv_cols = {}
 
     # -- staged-aware existence (an open txn's DDL must be visible to the
@@ -491,7 +496,8 @@ class SQLExecutor:
     # -- materialized views (continuous aggregates behind SQL) ----------
     _MV_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
     _MV_AGG = re.compile(
-        rf"^(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\*|{_IDENT})\s*\)"
+        rf"^(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*"
+        rf"\(\s*(DISTINCT\s+)?(\*|{_IDENT})\s*\)"
         rf"(?:\s+AS\s+({_IDENT}))?$",
         re.I,
     )
@@ -534,11 +540,13 @@ class SQLExecutor:
             raise LakeSQLError(
                 "CREATE MATERIALIZED VIEW supports only the maintainable "
                 "subset: SELECT <keys...>, [time_bucket(...),] "
-                "COUNT(*)/SUM/AVG/MIN/MAX(col)... FROM <lake table> "
+                "COUNT(*)/COUNT([DISTINCT] col)/APPROX_COUNT_DISTINCT(col)/"
+                "SUM/AVG/MIN/MAX(col)... FROM <lake table> "
                 "[GROUP BY ...] — no WHERE/JOIN/HAVING/subqueries"
             )
         items, src, gb = m.group(1), m.group(2), m.group(3)
         keys, sum_cols, minmax_cols = [], [], []
+        count_cols, approx_cols, distinct_cols = [], [], []
         time_col, bucket_s, bucket_alias, bucket_expr = None, 3600, None, None
         has_bucket = False
 
@@ -579,15 +587,44 @@ class SQLExecutor:
                 continue
             ma = self._MV_AGG.match(item)
             if ma:
-                fn, arg, alias = (
-                    ma.group(1).upper(), ma.group(2), ma.group(3)
+                fn, is_distinct, arg, alias = (
+                    ma.group(1).upper(),
+                    bool(ma.group(2)),
+                    ma.group(3),
+                    ma.group(4),
                 )
-                if fn == "COUNT":
-                    if arg != "*":
-                        raise LakeSQLError(
-                            "only COUNT(*) is maintained (as n_rows)"
-                        )
-                    _check_alias(alias, "n_rows")
+                if fn != "COUNT" and arg == "*":
+                    # catch SUM(*) etc. here with a clear error instead of
+                    # letting '*' reach create_rollup's CTAS and blow up
+                    # with an opaque AnalysisException mid-transaction
+                    raise LakeSQLError(
+                        f"{fn}(*) is not a valid aggregate: {fn} takes a "
+                        "column argument"
+                    )
+                if is_distinct and fn != "COUNT":
+                    raise LakeSQLError(
+                        f"DISTINCT is only maintained under COUNT "
+                        f"(got {fn}(DISTINCT {arg}))"
+                    )
+                if fn == "COUNT" and is_distinct:
+                    # exact distinct count: non-additive — refreshes route
+                    # through partial recompute of the touched buckets
+                    _check_alias(alias, f"distinct_{arg}")
+                    if arg not in distinct_cols:
+                        distinct_cols.append(arg)
+                elif fn == "COUNT":
+                    if arg == "*":
+                        _check_alias(alias, "n_rows")
+                    else:
+                        # null-skipping COUNT(col): additive like n_rows
+                        _check_alias(alias, f"count_{arg}")
+                        if arg not in count_cols:
+                            count_cols.append(arg)
+                elif fn == "APPROX_COUNT_DISTINCT":
+                    # HLL sketch state, additive on insert-only diffs
+                    _check_alias(alias, f"approx_distinct_{arg}")
+                    if arg not in approx_cols:
+                        approx_cols.append(arg)
                 elif fn in ("SUM", "AVG"):
                     _check_alias(alias, f"{fn.lower()}_{arg}")
                     if arg not in sum_cols:
@@ -600,8 +637,9 @@ class SQLExecutor:
                 continue
             raise LakeSQLError(
                 f"unsupported materialized-view select item: {item!r} "
-                "(plain key columns, one time_bucket(...), and "
-                "COUNT(*)/SUM/AVG/MIN/MAX(col) only)"
+                "(plain key columns, one time_bucket(...), and COUNT(*)/"
+                "COUNT(col)/COUNT(DISTINCT col)/APPROX_COUNT_DISTINCT(col)/"
+                "SUM/AVG/MIN/MAX(col) only)"
             )
 
         # GROUP BY must cover exactly the keys (+ the bucket, if present);
@@ -646,6 +684,9 @@ class SQLExecutor:
             "keys": tuple(keys),
             "sum_cols": tuple(sum_cols),
             "minmax_cols": tuple(minmax_cols),
+            "count_cols": tuple(count_cols),
+            "approx_cols": tuple(approx_cols),
+            "distinct_cols": tuple(distinct_cols),
         }
 
     def _create_mv(self, name: str, body: str, replace: bool) -> DataFrame:
@@ -655,12 +696,32 @@ class SQLExecutor:
         spec = self._parse_mv_select(body)
         if not self._table_exists(spec["src"]):
             raise LakeSQLError(f"no such table: {spec['src']!r}")
+        # Validate every referenced column against the source schema BEFORE
+        # anything is dropped or written: under OR REPLACE a typo'd column
+        # must fail here, with the existing MV untouched — not deep inside
+        # create_rollup's CTAS.
+        src_cols = {f.name.lower() for f in self._schema_of(spec["src"]).fields}
+        referenced = [c for c in spec["keys"]]
+        referenced += list(spec["sum_cols"]) + list(spec["minmax_cols"])
+        referenced += list(spec["count_cols"]) + list(spec["approx_cols"])
+        referenced += list(spec["distinct_cols"])
+        if spec["time_col"] is not None:
+            referenced.append(spec["time_col"])
+        missing = [c for c in referenced if c.lower() not in src_cols]
+        if missing:
+            raise LakeSQLError(
+                f"column(s) {missing} not found in table {spec['src']!r}"
+            )
+        is_replace = False
         if self._mv_exists(name):
             if not replace:
                 raise LakeSQLError(f"materialized view {name!r} exists")
-            self._drop_mv(name, if_exists=False)
+            is_replace = True
         elif self._table_exists(name):
             raise LakeSQLError(f"table {name!r} exists")
+        # OR REPLACE drops the old MV inside create_rollup's single catalog
+        # transaction — atomic: readers see old or new, never neither, and
+        # a mid-create failure leaves the old MV intact.
         create_rollup(
             self.c,
             name,
@@ -670,6 +731,10 @@ class SQLExecutor:
             keys=spec["keys"],
             sum_cols=spec["sum_cols"],
             minmax_cols=spec["minmax_cols"],
+            count_cols=spec["count_cols"],
+            approx_cols=spec["approx_cols"],
+            distinct_cols=spec["distinct_cols"],
+            replace=is_replace,
         )
         return self._status("CREATE MATERIALIZED VIEW", 0)
 
@@ -701,10 +766,12 @@ class SQLExecutor:
 
     def _mv_overlay(self, version=None) -> None:
         """Re-bind every materialized view through the rollup read face so
-        SQL reads see the derived ``avg_<c>`` columns
-        (:func:`~ducktales_spark.lake.rollup.read_rollup`) instead of the
-        raw stored state. sum_cols are cached per (mv, catalog version);
-        catalogs with no MVs pay nothing."""
+        SQL reads see the derived ``avg_<c>`` / ``approx_distinct_<c>``
+        columns (:func:`~ducktales_spark.lake.rollup.read_rollup`) instead
+        of the raw stored state (binary HLL sketches hidden). Derived-col
+        specs are cached per (mv, catalog version) — keyed by name, latest
+        version only, so the cache stays O(#MVs); catalogs with no MVs pay
+        nothing."""
         from pyspark.sql import functions as F
 
         from .rollup import _meta_name
@@ -717,18 +784,31 @@ class SQLExecutor:
         import json as _json
 
         for t in mvs:
-            cols = self._mv_cols.get((t, v))
-            if cols is None:
+            hit = self._mv_cols.get(t)
+            spec = hit[1] if hit is not None and hit[0] == v else None
+            if spec is None:
                 meta = self.c.read(_meta_name(t), version=version).collect()
                 if len(meta) != 1:
                     continue  # a same-named table pair, not an MV
-                cols = _json.loads(meta[0]["sum_cols"])
-                self._mv_cols[(t, v)] = cols
+                d = meta[0].asDict()
+                spec = (
+                    _json.loads(d["sum_cols"]),
+                    _json.loads(d.get("approx_cols") or "[]"),
+                )
+                self._mv_cols[t] = (v, spec)
+            sum_cols, approx_cols = spec
             df = self.c.read(t, version=version)
-            for c in cols:
+            for c in sum_cols:
                 df = df.withColumn(
                     f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows")
                 )
+            for c in approx_cols:
+                df = df.withColumn(
+                    f"approx_distinct_{c}",
+                    F.coalesce(
+                        F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)
+                    ).cast("bigint"),
+                ).drop(f"hll_{c}")
             df.createOrReplaceTempView(t)
 
     # ------------------------------------------------------------------
@@ -912,6 +992,7 @@ class SQLExecutor:
         schema = self._schema_of(name)
         rows = []
         derived = []
+        hidden = set()
         if self._mv_exists(name):
             import json as _json
 
@@ -919,11 +1000,24 @@ class SQLExecutor:
 
             meta = self.c.read(_meta_name(name)).collect()
             if len(meta) == 1:
+                d = meta[0].asDict()
                 derived = [
                     (f"avg_{c}", "DOUBLE", "YES", None, None, "derived")
-                    for c in _json.loads(meta[0]["sum_cols"])
+                    for c in _json.loads(d["sum_cols"])
                 ]
+                # sketch state is hidden from the read face; DESCRIBE shows
+                # the estimate column a SELECT actually returns instead
+                for c in _json.loads(d.get("approx_cols") or "[]"):
+                    hidden.add(f"hll_{c}")
+                    derived.append(
+                        (
+                            f"approx_distinct_{c}",
+                            "BIGINT", "YES", None, None, "derived",
+                        )
+                    )
         for f in schema.fields:
+            if f.name in hidden:
+                continue
             if isinstance(f.default, dict) and "$expr" in f.default:
                 dflt = f.default["$expr"]
             elif f.default is not None:

@@ -455,6 +455,156 @@ def test_materialized_view_sql_errors(lake):
     with pytest.raises(LakeSQLError, match="explicit transaction"):
         lake.sql("REFRESH MATERIALIZED VIEW ok")
     lake.sql("ROLLBACK")
+    # SUM(*)/AVG(*)/MIN(*)/MAX(*) are parse errors, not deep CTAS blowups
+    with pytest.raises(LakeSQLError, match=r"SUM\(\*\)"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT k, SUM(*) FROM src GROUP BY k"
+        )
+    # unknown columns are caught at parse/validate time with a clear error
+    with pytest.raises(LakeSQLError, match="typo_col"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT k, SUM(typo_col) FROM src GROUP BY k"
+        )
+
+
+def test_create_or_replace_mv_is_atomic(lake):
+    """A failed CREATE OR REPLACE must leave the EXISTING MV fully intact
+    (old behavior dropped the old MV before building the new one, so a
+    typo'd column destroyed it)."""
+    lake.sql("CREATE TABLE src (k VARCHAR, v DOUBLE)")
+    lake.sql("INSERT INTO src VALUES ('a', 1.0), ('a', 2.0), ('b', 5.0)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT k, COUNT(*), SUM(v) FROM src GROUP BY k"
+    )
+    before = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in lake.sql("SELECT k, n_rows, sum_v FROM mv").collect()
+    }
+    with pytest.raises(LakeSQLError, match="typo_col"):
+        lake.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW mv AS "
+            "SELECT k, SUM(typo_col) FROM src GROUP BY k"
+        )
+    with pytest.raises(LakeSQLError, match=r"MAX\(\*\)"):
+        lake.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW mv AS "
+            "SELECT k, MAX(*) FROM src GROUP BY k"
+        )
+    # old MV still reads (avg face included) and still refreshes
+    after = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in lake.sql("SELECT k, n_rows, sum_v FROM mv").collect()
+    }
+    assert after == before
+    lake.sql("INSERT INTO src VALUES ('b', 7.0)")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    row = lake.sql("SELECT sum_v FROM mv WHERE k = 'b'").first()
+    assert row["sum_v"] == 12.0
+    # a successful REPLACE lands as ONE snapshot: old-or-new, never neither
+    v0 = lake.current_version()
+    lake.sql(
+        "CREATE OR REPLACE MATERIALIZED VIEW mv AS "
+        "SELECT k, COUNT(*) FROM src GROUP BY k"
+    )
+    assert lake.current_version() == v0 + 1
+    assert "sum_v" not in lake.sql("SELECT * FROM mv").columns
+    # at v0 the OLD definition is still whole (meta + state both readable)
+    old = lake.sql("SELECT k, sum_v FROM mv AT (VERSION => {}) ".format(v0))
+    assert {r["k"]: r["sum_v"] for r in old.collect()}["b"] == 12.0
+
+
+def test_mv_count_col_and_distinct_sql(lake):
+    """The reference's catalog-portability demo builds a summary view with
+    COUNT(DISTINCT product_id) (demos/05_catalog_portability/demo.py:361);
+    the MV tier now maintains COUNT(col), COUNT(DISTINCT col), and
+    APPROX_COUNT_DISTINCT(col) behind the same SQL surface."""
+    lake.sql("CREATE TABLE sales (region VARCHAR, product_id INT, amt DOUBLE)")
+    lake.sql(
+        "INSERT INTO sales VALUES "
+        "('eu', 1, 10.0), ('eu', 1, 20.0), ('eu', 2, NULL), "
+        "('us', 3, 5.0), ('us', NULL, 7.0)"
+    )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW sales_mv AS "
+        "SELECT region, COUNT(*), COUNT(amt), COUNT(DISTINCT product_id), "
+        "APPROX_COUNT_DISTINCT(product_id) FROM sales GROUP BY region"
+    )
+    rows = {
+        r["region"]: r
+        for r in lake.sql(
+            "SELECT region, n_rows, count_amt, distinct_product_id, "
+            "approx_distinct_product_id FROM sales_mv"
+        ).collect()
+    }
+    assert rows["eu"]["n_rows"] == 3 and rows["eu"]["count_amt"] == 2
+    assert rows["eu"]["distinct_product_id"] == 2
+    assert rows["eu"]["approx_distinct_product_id"] == 2
+    assert rows["us"]["count_amt"] == 2  # both us amts are non-null
+    assert rows["us"]["distinct_product_id"] == 1  # NULL product skipped
+    # raw sketch bytes never surface in SELECT * or DESCRIBE
+    assert "hll_product_id" not in lake.sql("SELECT * FROM sales_mv").columns
+    desc = {r["column_name"]: r for r in lake.sql("DESCRIBE sales_mv").collect()}
+    assert "hll_product_id" not in desc
+    assert desc["approx_distinct_product_id"]["extra"] == "derived"
+    # refresh through an insert + a delete keeps everything consistent
+    lake.sql("INSERT INTO sales VALUES ('eu', 9, 1.0), ('eu', 1, NULL)")
+    lake.sql("DELETE FROM sales WHERE product_id = 2")
+    lake.sql("REFRESH MATERIALIZED VIEW sales_mv")
+    oracle = {
+        r["region"]: r
+        for r in lake.sql(
+            "SELECT region, COUNT(*) AS n_rows, COUNT(amt) AS count_amt, "
+            "COUNT(DISTINCT product_id) AS d, "
+            "APPROX_COUNT_DISTINCT(product_id) AS ad "
+            "FROM sales GROUP BY region"
+        ).collect()
+    }
+    rows = {
+        r["region"]: r
+        for r in lake.sql(
+            "SELECT region, n_rows, count_amt, distinct_product_id, "
+            "approx_distinct_product_id FROM sales_mv"
+        ).collect()
+    }
+    for reg in ("eu", "us"):
+        assert rows[reg]["n_rows"] == oracle[reg]["n_rows"]
+        assert rows[reg]["count_amt"] == oracle[reg]["count_amt"]
+        assert rows[reg]["distinct_product_id"] == oracle[reg]["d"]
+        assert rows[reg]["approx_distinct_product_id"] == oracle[reg]["ad"]
+    # alias enforcement: canonical names only
+    with pytest.raises(LakeSQLError, match="canonical names"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT region, "
+            "COUNT(DISTINCT product_id) AS n_products FROM sales "
+            "GROUP BY region"
+        )
+    with pytest.raises(LakeSQLError, match="DISTINCT is only maintained"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT region, "
+            "SUM(DISTINCT amt) FROM sales GROUP BY region"
+        )
+
+
+def test_export_ignores_lookalike_rollup_meta(lake, spark, tmp_path):
+    """A USER table that merely names like rollup meta (x__rollup_meta with
+    a sibling x) must export verbatim — no restamp, no crash on a schema
+    that lacks last_version."""
+    from ducktales_spark.lake import LakeCatalog
+
+    lake.sql("CREATE TABLE x (k INT)")
+    lake.sql("CREATE TABLE x__rollup_meta (note VARCHAR, n INT)")
+    lake.sql("INSERT INTO x VALUES (1)")
+    lake.sql("INSERT INTO x__rollup_meta VALUES ('a', 1), ('b', 2)")
+    other = LakeCatalog(str(tmp_path / "other2"), spark, inline_threshold=4)
+    lake.export_to(other)
+    rows = sorted(
+        (r["note"], r["n"])
+        for r in other.sql("SELECT note, n FROM x__rollup_meta").collect()
+    )
+    assert rows == [("a", 1), ("b", 2)]
 
 
 def test_materialized_view_survives_catalog_export(lake, spark, tmp_path):

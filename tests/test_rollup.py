@@ -252,6 +252,152 @@ def test_minmax_rollup_partial_recompute(spark, lake):
     assert all(u != 7 for _, u, *_ in view())
 
 
+def test_count_col_rollup_additive(spark, lake):
+    """count_cols (null-skipping COUNT(col)): additive like n_rows — the
+    signed-delta fast path maintains it through inserts AND deletes,
+    including null values that COUNT(col) must skip but COUNT(*) counts."""
+    rows = BASE + [(6, "2024-01-01 00:20:00", 1, None)]  # null value, 00h u1
+    lake.ctas("ev", _mk_events(spark, rows))
+    create_rollup(
+        lake, "ev_c", "ev", "ts", 3600,
+        keys=("user_id",), count_cols=("value",),
+    )
+
+    def recompute():
+        return sorted(
+            (r["bucket_start"], r["user_id"], r["n_rows"], r["count_value"])
+            for r in lake.read("ev")
+            .groupBy(_bucket_expr("ts", 3600).alias("bucket_start"), "user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count("value").cast("bigint").alias("count_value"),
+            )
+            .collect()
+        )
+
+    def view():
+        return sorted(
+            (r["bucket_start"], r["user_id"], r["n_rows"], r["count_value"])
+            for r in lake.read("ev_c").collect()
+        )
+
+    assert view() == recompute()
+    by_key = {(b.hour, u): (n, c) for b, u, n, c in view()}
+    assert by_key[(0, 1)] == (3, 2)  # null row counted by n_rows only
+    # inserts (one null, one not) + a delete of a non-null row
+    lake.insert("ev", _mk_events(spark, [
+        (7, "2024-01-01 00:40:00", 1, None),
+        (8, "2024-01-01 01:20:00", 2, 5.0),
+    ]))
+    lake.delete("ev", "event_id = 1")
+    stats = refresh_rollup(lake, "ev_c")
+    assert stats["changed_buckets"] > 0
+    assert view() == recompute()
+    by_key = {(b.hour, u): (n, c) for b, u, n, c in view()}
+    assert by_key[(0, 1)] == (3, 1)  # -1 non-null, +1 null
+
+
+def test_approx_distinct_rollup(spark, lake):
+    """approx_cols (HLL sketches): insert-only refreshes fold via
+    hll_union on the O(changes) path; a delete routes the refresh through
+    partial recompute — in both cases the estimate equals a from-scratch
+    hll of the current source (exact at these tiny cardinalities)."""
+    from ducktales_spark.lake.rollup import read_rollup
+
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_ad", "ev", "ts", 3600,
+        keys=(), approx_cols=("user_id",),
+    )
+
+    def recompute():
+        return sorted(
+            (r["bucket_start"], r["n_rows"], r["approx_distinct_user_id"])
+            for r in lake.read("ev")
+            .groupBy(_bucket_expr("ts", 3600).alias("bucket_start"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.hll_sketch_agg("user_id").alias("h"),
+            )
+            .select(
+                "bucket_start", "n_rows",
+                F.hll_sketch_estimate("h").cast("bigint")
+                .alias("approx_distinct_user_id"),
+            )
+            .collect()
+        )
+
+    def view():
+        df = read_rollup(lake, "ev_ad")
+        assert "hll_user_id" not in df.columns  # sketch state stays hidden
+        return sorted(
+            (r["bucket_start"], r["n_rows"], r["approx_distinct_user_id"])
+            for r in df.collect()
+        )
+
+    assert view() == recompute()
+    # insert-only refresh: new users in an existing bucket + a new bucket
+    lake.insert("ev", _mk_events(spark, [
+        (10, "2024-01-01 00:30:00", 5, 1.0),
+        (11, "2024-01-01 00:45:00", 1, 2.0),   # already-seen user: no-op
+        (12, "2024-01-01 07:00:00", 6, 3.0),
+    ]))
+    assert refresh_rollup(lake, "ev_ad")["changed_buckets"] > 0
+    assert view() == recompute()
+    by_bucket = {b.hour: d for b, _, d in view()}
+    assert by_bucket[0] == 2 and by_bucket[7] == 1  # {u1, u5}, {u6}
+    # a delete forces the recompute path: the removed user must disappear
+    # from the bucket's distinct count (sketches cannot subtract)
+    lake.delete("ev", "event_id = 10")
+    assert refresh_rollup(lake, "ev_ad")["changed_buckets"] > 0
+    assert view() == recompute()
+    assert {b.hour: d for b, _, d in view()}[0] == 1  # u5 gone, {u1} left
+
+
+def test_exact_distinct_rollup(spark, lake):
+    """distinct_cols (exact COUNT(DISTINCT col)): always routed through
+    partial recompute; equals a from-scratch COUNT(DISTINCT) through
+    inserts, duplicate inserts, and deletes of one-of-many duplicates."""
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_d", "ev", "ts", 3600,
+        keys=("user_id",), distinct_cols=("value",),
+    )
+
+    def recompute():
+        return sorted(
+            (r["bucket_start"], r["user_id"], r["distinct_value"])
+            for r in lake.read("ev")
+            .groupBy(_bucket_expr("ts", 3600).alias("bucket_start"), "user_id")
+            .agg(
+                F.count_distinct(F.col("value")).alias("distinct_value"),
+            )
+            .collect()
+        )
+
+    def view():
+        return sorted(
+            (r["bucket_start"], r["user_id"], r["distinct_value"])
+            for r in lake.read("ev_d").collect()
+        )
+
+    assert view() == recompute()
+    # duplicate value in-bucket: distinct stays, n_rows moves
+    lake.insert("ev", _mk_events(spark, [
+        (30, "2024-01-01 00:15:00", 1, 10.0),  # dup of event 1's value
+        (31, "2024-01-01 00:25:00", 1, 77.0),  # new value
+    ]))
+    assert refresh_rollup(lake, "ev_d")["changed_buckets"] > 0
+    assert view() == recompute()
+    # delete ONE of the two 10.0 rows: exact distinct must NOT drop (the
+    # sketch-union model cannot express this; recompute can)
+    lake.delete("ev", "event_id = 1")
+    assert refresh_rollup(lake, "ev_d")["changed_buckets"] > 0
+    assert view() == recompute()
+    by_key = {(b.hour, u): d for b, u, d in view()}
+    assert by_key[(0, 1)] == 3  # {10.0, 20.0, 77.0} — 10.0 survived
+
+
 def test_refresh_survives_snapshot_expiry(spark, lake):
     """expire_snapshots can retire the rollup's stamped base version; the
     refresh must then fall back to a full recompute (the CDC diff is
