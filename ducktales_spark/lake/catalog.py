@@ -200,6 +200,10 @@ class LakeCatalog:
         with self.transaction() as tx:
             tx.set_not_null(name, col)
 
+    def alter_column_type(self, name, col, new_type):
+        with self.transaction() as tx:
+            tx.alter_column_type(name, col, new_type)
+
     def drop_table(self, name):
         with self.transaction() as tx:
             tx.drop_table(name)
@@ -942,6 +946,19 @@ class Transaction:
                 f"column {col!r} contains NULLs; cannot SET NOT NULL"
             )
         self._evolve(st, st.schema.set_not_null(col), "tables_altered")
+
+    def alter_column_type(self, name, col, new_type) -> None:
+        """ALTER COLUMN ... TYPE (widening only): metadata-only — the new
+        schema version records the type, existing files keep theirs and the
+        read path casts stored -> current by field id (the same machinery
+        as add/drop/rename; no data rewrite). Narrowing raises
+        (schema.TableSchema.alter_column_type)."""
+        st = self._state(name)
+        try:
+            new_schema = st.schema.alter_column_type(col, new_type)
+        except ValueError as e:
+            raise LakeError(str(e)) from None
+        self._evolve(st, new_schema, "tables_altered")
 
     def create_view(self, name, sql) -> None:
         self._view_ops.append((name, sql))

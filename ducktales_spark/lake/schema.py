@@ -162,6 +162,70 @@ class TableSchema:
             self.partition_by,
         )
 
+    def alter_column_type(self, name: str, new_type: str) -> "TableSchema":
+        """D-family: ALTER COLUMN ... TYPE, WIDENING casts only (the
+        reference claims type changes in its schema-evolution feature list,
+        /root/reference/README.md:50). Old data files are never rewritten:
+        each file keeps its written-under schema version and the read path
+        casts stored -> current by field id (see catalog._project), exactly
+        the add/drop/rename mechanism. Narrowing or lossy casts are
+        rejected — a cast a 100-TB read path applies implicitly must never
+        be able to truncate."""
+        f = self.field_by_name(name)
+        if not can_widen(f.type, new_type):
+            raise ValueError(
+                f"cannot ALTER COLUMN {name!r} from {f.type!r} to "
+                f"{new_type!r}: only lossless widening casts are supported "
+                "(int ranks upward, int->double where exact, float->double, "
+                "decimal precision/scale growth)"
+            )
+        nf = Field(f.field_id, f.name, new_type.lower(), f.nullable, f.default)
+        return TableSchema(
+            tuple(nf if g.field_id == f.field_id else g for g in self.fields),
+            self.primary_key,
+            self.partition_by,
+        )
+
+
+_INT_RANK = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}
+
+
+def _decimal(t: str):
+    import re as _re
+
+    m = _re.fullmatch(r"decimal\((\d+),(\d+)\)", t.replace(" ", ""))
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def can_widen(old: str, new: str) -> bool:
+    """True iff every value of Spark DDL type ``old`` is exactly
+    representable in ``new``: integer rank growth, integers whose full
+    range fits a float/double mantissa (24 / 53 bits), float->double, and
+    decimal growth that keeps scale and grows integral digits."""
+    old, new = old.strip().lower(), new.strip().lower()
+    if old == new:
+        return True
+    if old in _INT_RANK:
+        if new in _INT_RANK:
+            return _INT_RANK[new] > _INT_RANK[old]
+        if new == "double":
+            return _INT_RANK[old] <= 32  # ints through int32 fit 53 bits
+        if new == "float":
+            return _INT_RANK[old] <= 16  # through int16 fit 24 bits
+        dn = _decimal(new)
+        if dn is not None:
+            # integral digits needed: bigint -> 19, int -> 10, ...
+            digits = {8: 3, 16: 5, 32: 10, 64: 19}[_INT_RANK[old]]
+            return dn[0] - dn[1] >= digits
+        return False
+    if old == "float":
+        return new == "double"
+    do = _decimal(old)
+    dn = _decimal(new)
+    if do is not None and dn is not None:
+        return dn[1] >= do[1] and dn[0] - dn[1] >= do[0] - do[1]
+    return False
+
 
 # -- JSON row (de)serialization for inlined rows ---------------------------
 # Inlined rows (README.md:62; demos/04_small_file_optimization/demo.py:314-368)

@@ -30,7 +30,9 @@ same statement coverage so a reference user can port scripts verbatim:
 * ``DROP TABLE / DROP VIEW``
 * ``ALTER TABLE t ADD COLUMN c TYPE [DEFAULT lit]`` / ``DROP COLUMN`` /
   ``RENAME COLUMN a TO b`` / ``ALTER COLUMN c SET NOT NULL``
-  (demos/03_schema_evolution/demo.py:118,195,196,221)
+  (demos/03_schema_evolution/demo.py:118,195,196,221) /
+  ``ALTER COLUMN c [SET DATA] TYPE t`` (widening casts only —
+  README.md:50 claims type changes; old files cast at read time)
 * ``INSERT INTO t [(cols)] VALUES (...), (...)`` (demo 01:58-66) and
   ``INSERT INTO t [(cols)] <select>`` (demos/02_time_travel/demo.py:228-235)
 * ``UPDATE t SET a = expr [, ...] [WHERE pred]`` (demo 01:96-102)
@@ -357,6 +359,20 @@ class SQLExecutor:
         )
         if m:
             self._run(lambda tx: tx.set_not_null(m.group(1), m.group(2)))
+            return self._status("ALTER TABLE", 0)
+        # ALTER COLUMN c TYPE T / SET DATA TYPE T (widening casts only —
+        # the reference's "change data types" claim, README.md:50)
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+            r"(?:SET\s+DATA\s+)?TYPE\s+([A-Za-z0-9_]+(?:\s*\([^)]*\))?)$",
+            q,
+            re.I,
+        )
+        if m:
+            t, c, typ = m.groups()
+            self._run(
+                lambda tx: tx.alter_column_type(t, c, _map_type(typ))
+            )
             return self._status("ALTER TABLE", 0)
 
         # optionally catalog-qualified (exploration/ducklake_analysis.sh:194

@@ -107,6 +107,52 @@ def test_schema_evolution_sql(lake):
     assert cols["priority"] is False
 
 
+def test_alter_column_type_widening_sql(lake):
+    """ALTER COLUMN ... TYPE (README.md:50 'Change data types'): widening
+    is metadata-only — INT files written before the change read back as
+    BIGINT, time travel before the ALTER serves the original type, and
+    narrowing / lossy casts are rejected."""
+    lake.sql(
+        "CREATE TABLE m (id INTEGER, qty INTEGER, price DECIMAL(6,2), "
+        "ratio REAL)"
+    )
+    # >4 rows -> parquet file (fixture inline threshold is 4)...
+    lake.sql(
+        "INSERT INTO m VALUES (1, 10, 1.25, 0.5), (2, 20, 2.50, 1.5), "
+        "(3, 30, 3.75, 2.5), (4, 40, 5.00, 3.5), (5, 50, 6.25, 4.5)"
+    )
+    # ...plus INLINED rows, so both read branches cross the type change
+    lake.sql("INSERT INTO m VALUES (6, 60, 7.50, 5.5)")
+    v_before = lake.current_version()
+
+    lake.sql("ALTER TABLE m ALTER COLUMN qty TYPE BIGINT")
+    lake.sql("ALTER TABLE m ALTER COLUMN price SET DATA TYPE DECIMAL(12,4)")
+    lake.sql("ALTER TABLE m ALTER COLUMN ratio TYPE DOUBLE")
+    types = dict(lake.sql("SELECT id, qty, price, ratio FROM m").dtypes)
+    assert types["qty"] == "bigint"
+    assert types["price"] == "decimal(12,4)"
+    assert types["ratio"] == "double"
+    # values survive the widen, files and inlined rows both
+    got = {r["id"]: (r["qty"], float(r["price"])) for r in lake.read("m").collect()}
+    assert got[1] == (10, 1.25) and got[6] == (60, 7.5)
+    # the widened column accepts values only the wide type can hold
+    lake.sql("INSERT INTO m VALUES (7, 9000000000, 99999999.9999, 9.5)")
+    assert lake.sql("SELECT qty FROM m WHERE id = 7").first()["qty"] == 9_000_000_000
+    # time travel serves the ORIGINAL type before the ALTER
+    old = lake.sql(f"SELECT qty FROM m AT (VERSION => {v_before})")
+    assert dict(old.dtypes)["qty"] == "int"
+    # narrowing and lossy casts are rejected with the old schema intact
+    for bad in (
+        "ALTER TABLE m ALTER COLUMN qty TYPE INTEGER",      # narrow back
+        "ALTER TABLE m ALTER COLUMN price TYPE DECIMAL(6,1)",  # scale loss
+        "ALTER TABLE m ALTER COLUMN qty TYPE DOUBLE",       # bigint: lossy
+        "ALTER TABLE m ALTER COLUMN id TYPE VARCHAR",       # cross-family
+    ):
+        with pytest.raises(Exception, match="widening"):
+            lake.sql(bad)
+    assert dict(lake.read("m").dtypes)["qty"] == "bigint"
+
+
 def test_ctas_views_insert_select_delete_sql(lake, spark):
     """CTAS (utils/ducklake_utils.py:101-111), views (demo 05:150-164),
     INSERT..SELECT recovery (demo 02:228-235), DELETE, AT (VERSION =>)."""
