@@ -253,6 +253,49 @@ def extend_vector_index(
     lake.insert(name, assigned.select("vec_id", "e", "centroid_id"))
 
 
+def remove_vectors(lake: LakeCatalog, name: str, ids) -> int:
+    """Delete indexed vectors by id — the RETIRE verb of the index
+    lifecycle (build / extend / probe / screen / remove), for corpora that
+    drop documents (takedowns, re-crawls) without forcing a full rebuild.
+
+    ``ids`` is a DataFrame holding a ``vec_id`` column (the scale path: a
+    takedown list is a table, not a driver list) or a small iterable of
+    ints. The delete is one MERGE under the FROZEN centroid set, committed
+    as one snapshot: copy-on-write rewrites only index files that contain
+    a removed row, and rewritten files re-cluster on ``centroid_id`` (the
+    table's partition spec), so probe-side ``centroid_id IN`` file pruning
+    and the screening path's stats-derived bucket counts
+    (_bucket_counts_from_stats) stay valid afterwards — the per-bucket
+    counts self-correct because they are derived from file stats, not a
+    stored meta row. Time travel still serves the pre-delete index at
+    earlier versions, like any lake table.
+
+    Centroids are reference points, not corpus members: removing a vector
+    that seeded a centroid leaves the bucketing stable (the same frozen-set
+    contract extend_vector_index relies on), so extend-after-remove equals
+    a rebuild from the surviving corpus under the same centroids. Heavy
+    delete churn fragments files; ``lake.compact(name)`` is the existing
+    maintenance answer (multi-bucket compacted files only demote the
+    screening fast path to its column-pruned count scan).
+
+    Returns the number of index rows removed. No driver-side collect: ids
+    given as a DataFrame stay distributed end to end."""
+    if not isinstance(ids, DataFrame):
+        ids = lake.spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id bigint"
+        )
+    src = ids.select(F.col("vec_id").cast("bigint").alias("vec_id")).distinct()
+    with lake.transaction() as tx:
+        stats = tx.merge(
+            name,
+            src,
+            on=["vec_id"],
+            when_matched="delete",
+            when_not_matched="skip",  # unknown ids are a no-op, not an error
+        )
+    return stats["matched"]
+
+
 def _assign_under_index(
     lake: LakeCatalog,
     name: str,

@@ -148,6 +148,88 @@ def test_extend_index_incremental(spark, tmp_path, vectors):
     assert all(i % 5 != 0 for i in ids_old)
 
 
+def test_remove_vectors_lifecycle(spark, tmp_path, vectors):
+    """remove_vectors (the retire verb): deleted ids vanish from probes,
+    the pre-delete index stays reachable via time travel, stats-derived
+    bucket counts self-correct, extend-after-remove equals a rebuild from
+    the surviving corpus under the same centroids, and the whole operation
+    never pulls a vector column to the driver."""
+    from pyspark.sql import DataFrame
+
+    from ducktales_spark.vector_index import (
+        _bucket_counts_from_stats,
+        remove_vectors,
+    )
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    C = build_vector_index(lake, "emb_idx", vectors)
+    n0 = lake.read("emb_idx").count()
+    v_before = lake.current_version()
+    queries = vectors.filter(F.col("vec_id") < 3).toPandas()
+    orig = _rows(probe_vector_index(lake, "emb_idx", queries, k=10, nprobe=4))
+
+    # retire every 7th vector ABOVE the centroid range (seeds untouched, so
+    # a rebuild from survivors picks the identical frozen centroid set)
+    doomed = vectors.filter(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= C)
+    ).select("vec_id")
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+
+    pulled: list = []
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+
+    def spy_topandas(self):
+        pulled.append(self.columns)
+        return orig_topandas(self)
+
+    def spy_collect(self):
+        pulled.append(self.columns)
+        return orig_collect(self)
+
+    DataFrame.toPandas, DataFrame.collect = spy_topandas, spy_collect
+    try:
+        removed = remove_vectors(lake, "emb_idx", doomed)
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
+    assert removed == n_doomed
+    assert not [c for c in pulled if "e" in c], f"pulled vectors: {pulled}"
+
+    # counts: table shrank by exactly the removed rows; the stats-derived
+    # bucket counts (when valid) sum to the new total
+    assert lake.read("emb_idx").count() == n0 - n_doomed
+    counts = _bucket_counts_from_stats(lake, "emb_idx", None)
+    if counts is not None:
+        assert sum(counts.values()) == n0 - n_doomed
+
+    # probes exclude every deleted id; time travel before the delete
+    # reproduces the pre-delete answer exactly
+    got = probe_vector_index(lake, "emb_idx", queries, k=10, nprobe=4)
+    gone = {r["vec_id"] for r in doomed.collect()}
+    assert not gone & {r.neighbor_id for r in got.collect()}
+    before = probe_vector_index(
+        lake, "emb_idx", queries, k=10, nprobe=4, version=v_before
+    )
+    assert _rows(before) == orig
+
+    # removing unknown ids is a no-op, list form accepted
+    assert remove_vectors(lake, "emb_idx", [10**9, 10**9 + 1]) == 0
+
+    # extend after remove == rebuild from survivors + new, same centroids
+    survivors = vectors.join(doomed, "vec_id", "left_anti")
+    new = vectors.filter(F.col("vec_id") % 7 == 0).filter(
+        F.col("vec_id") >= C
+    ).withColumn("vec_id", F.col("vec_id") + 100000)
+    extend_vector_index(lake, "emb_idx", new)
+    lake2 = LakeCatalog(str(tmp_path / "lake2"), spark)
+    build_vector_index(
+        lake2, "emb_idx", survivors.unionByName(new), n_centroids=C
+    )
+    got = probe_vector_index(lake, "emb_idx", queries, k=10, nprobe=4)
+    want = probe_vector_index(lake2, "emb_idx", queries, k=10, nprobe=4)
+    assert _rows(got) == _rows(want)
+
+
 def _mean_best_cos(vpdf, cpdf):
     import numpy as np
 
