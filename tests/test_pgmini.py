@@ -29,6 +29,7 @@ def test_dsn_parsing():
     assert p == {
         "host": "db.example", "port": 5433, "user": "u",
         "password": "p@w", "dbname": "cat", "sslmode": "prefer",
+        "sslrootcert": None,
     }
     p = pgmini._parse_dsn("host=/tmp/sock port=5432 user=x dbname=y")
     assert p["host"] == "/tmp/sock" and p["dbname"] == "y"
@@ -37,6 +38,12 @@ def test_dsn_parsing():
     assert p["sslmode"] == "require"
     p = pgmini._parse_dsn("host=h sslmode=disable")
     assert p["sslmode"] == "disable"
+    p = pgmini._parse_dsn(
+        "postgresql://u@h/db?sslmode=verify-full&sslrootcert=/ca.crt"
+    )
+    assert p["sslmode"] == "verify-full" and p["sslrootcert"] == "/ca.crt"
+    p = pgmini._parse_dsn("host=h sslmode=verify-ca sslrootcert=/ca.crt")
+    assert p["sslmode"] == "verify-ca" and p["sslrootcert"] == "/ca.crt"
 
 
 def test_scram_rfc7677_vector():
@@ -117,7 +124,13 @@ def pg_ssl_dsn():
                 f"initdb -D {pgdir}/data -A trust -U ducktales && "
                 f"openssl req -new -x509 -days 2 -nodes "
                 f"-out {pgdir}/server.crt -keyout {pgdir}/server.key "
-                f"-subj /CN=127.0.0.1 && chmod 600 {pgdir}/server.key"
+                f"-subj /CN=127.0.0.1 "
+                f"-addext subjectAltName=IP:127.0.0.1 && "
+                # an UNRELATED self-signed cert: the wrong-CA trust anchor
+                f"openssl req -new -x509 -days 2 -nodes "
+                f"-out {pgdir}/wrongca.crt -keyout {pgdir}/wrongca.key "
+                f"-subj /CN=evil -addext subjectAltName=DNS:evil && "
+                f"chmod 600 {pgdir}/server.key"
             ),
             capture_output=True, text=True, cwd="/",
         )
@@ -134,7 +147,12 @@ def pg_ssl_dsn():
         )
         if r.returncode:
             pytest.skip(f"postgres failed to start: {r.stderr[-300:]}")
-        yield f"postgresql://ducktales@127.0.0.1:{port}/postgres"
+        yield {
+            "dsn": f"postgresql://ducktales@127.0.0.1:{port}/postgres",
+            "crt": f"{pgdir}/server.crt",
+            "wrongca": f"{pgdir}/wrongca.crt",
+            "port": port,
+        }
     finally:
         subprocess.run(
             as_user(f"pg_ctl -D {pgdir}/data -m immediate stop"),
@@ -150,7 +168,7 @@ def test_ssl_handshake_against_live_server(pg_ssl_dsn):
     for mode, want_tls in (
         ("require", True), ("prefer", True), ("disable", False)
     ):
-        conn = pgmini.connect(f"{pg_ssl_dsn}?sslmode={mode}")
+        conn = pgmini.connect(f"{pg_ssl_dsn['dsn']}?sslmode={mode}")
         try:
             assert conn._tls is want_tls, mode
             cur = conn.cursor()
@@ -158,6 +176,40 @@ def test_ssl_handshake_against_live_server(pg_ssl_dsn):
             assert cur.fetchone()[0] == 42
         finally:
             conn.close()
+
+
+def test_sslmode_verify_ca_and_verify_full(pg_ssl_dsn):
+    """Certificate-verifying modes against the live server: its own
+    self-signed cert as trust anchor passes verify-ca AND verify-full
+    (the cert carries an IP:127.0.0.1 SAN); an unrelated CA is rejected
+    under both; a hostname the SAN does not cover is rejected only under
+    verify-full (verify-ca skips the name check by definition)."""
+    dsn, crt, wrong = (
+        pg_ssl_dsn["dsn"], pg_ssl_dsn["crt"], pg_ssl_dsn["wrongca"]
+    )
+    for mode in ("verify-ca", "verify-full"):
+        conn = pgmini.connect(f"{dsn}?sslmode={mode}&sslrootcert={crt}")
+        try:
+            assert conn._tls is True
+            cur = conn.cursor()
+            cur.execute("SELECT 41 + 1")
+            assert cur.fetchone()[0] == 42
+        finally:
+            conn.close()
+        with pytest.raises(pgmini.Error, match="verification failed"):
+            pgmini.connect(f"{dsn}?sslmode={mode}&sslrootcert={wrong}")
+    # same server reached as 'localhost': chain still validates, but the
+    # SAN covers only IP:127.0.0.1 — verify-full must refuse the name
+    local = (
+        f"postgresql://ducktales@localhost:{pg_ssl_dsn['port']}/postgres"
+    )
+    conn = pgmini.connect(f"{local}?sslmode=verify-ca&sslrootcert={crt}")
+    try:
+        assert conn._tls is True
+    finally:
+        conn.close()
+    with pytest.raises(pgmini.Error, match="verification failed"):
+        pgmini.connect(f"{local}?sslmode=verify-full&sslrootcert={crt}")
 
 
 def test_sslmode_require_fails_when_server_refuses():
@@ -179,7 +231,12 @@ def test_sslmode_require_fails_when_server_refuses():
         conn.close()
         srv.close()
 
-    for reply, match in ((b"N", "refused SSL"), (b"X", "unexpected")):
+    for reply, mode, match in (
+        (b"N", "require", "refused SSL"),
+        (b"N", "verify-ca", "refused SSL"),
+        (b"N", "verify-full", "refused SSL"),
+        (b"X", "require", "unexpected"),
+    ):
         box: list = []
         t = threading.Thread(target=one_shot_server, args=(reply, box))
         t.start()
@@ -187,6 +244,6 @@ def test_sslmode_require_fails_when_server_refuses():
             pass
         with pytest.raises(pgmini.Error, match=match):
             pgmini.connect(
-                f"postgresql://u:p@127.0.0.1:{box[0]}/db?sslmode=require"
+                f"postgresql://u:p@127.0.0.1:{box[0]}/db?sslmode={mode}"
             )
         t.join(5)
