@@ -821,6 +821,80 @@ def test_merge_duplicate_target_keys(lake, spark):
     assert got == [(1, "u"), (2, "y"), (3, "n")]
 
 
+def test_merge_hot_key_cdc_is_broadcast_not_shuffled(lake, spark):
+    """Adversarial key distribution for CDC MERGE (l17 family): a PK-less
+    target where ~90% of rows share ONE merge-key value (a whale user), hit
+    by a small CDC batch touching that key. The skew-safe shape is that the
+    BATCH side broadcasts, so the big target is never hash-shuffled on the
+    hot key (one task would otherwise own 90% of the table). Evidence is
+    plan-level on the exact join shape merge() builds, plus end-to-end
+    correctness of the merge itself; the large-batch fallback (sort-merge)
+    relies on AQE skew-join splitting, asserted enabled."""
+    import re
+
+    lake.create_table(
+        "ev",
+        StructType(
+            [
+                StructField("user_id", IntegerType(), True),
+                StructField("v", StringType(), True),
+            ]
+        ),
+    )
+    n, hot = 50_000, 7
+    lake.insert(
+        "ev",
+        spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(hot))
+            .otherwise(F.col("id"))
+            .cast("int")
+            .alias("user_id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    batch = spark.createDataFrame(
+        [(hot, "whale-update"), (11, "u11"), (999_999, "new")],
+        "user_id int, v string",
+    )
+    # plan evidence on the join shape merge() executes (target ⋈ src): the
+    # small persisted batch must build a broadcast, leaving the hot-keyed
+    # target side without a hash-partitioning exchange
+    target, src = lake.read("ev"), batch.persist()
+    try:
+        # merge() always runs its duplicate-key/matched stats action over
+        # the persisted source BEFORE building the rewrite joins, so those
+        # joins plan against the cache's REAL size — mirror that order
+        src.count()
+        keep = target.join(src, ["user_id"], "left_anti")
+        keep.collect()
+        plan = keep._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final, final[:2000]
+        assert "SortMergeJoin" not in final, (
+            "hot-keyed target was shuffle-joined on the merge key:\n"
+            + final[:2000]
+        )
+        # and statically so: NO hash-partitioning exchange anywhere — a
+        # 100-TB target must not pay a shuffle write that AQE then merely
+        # bypasses with a local read
+        assert not re.search(r"Exchange hashpartitioning", final), final[:2000]
+    finally:
+        src.unpersist()
+    # AQE skew-join is the declared fallback when the batch outgrows the
+    # broadcast threshold — it must not be disabled in session defaults
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    # and the merge itself is correct under the distribution: the whale's
+    # 45k duplicate rows collapse into the single source row (update
+    # semantics), the two unmatched rows insert
+    res = lake.merge("ev", batch, on=["user_id"])
+    assert res["matched"] == int(n * 0.9) and res["inserted"] == 2
+    got = {r.user_id: r.v for r in lake.read("ev").filter(
+        F.col("user_id").isin(hot, 11, 999_999)).collect()}
+    assert got == {hot: "whale-update", 11: "u11", 999_999: "new"}
+    assert lake.count("ev") == n - int(n * 0.9) + 3
+
+
 def test_insert_rows_unknown_column_rejected(lake):
     """ADVICE r1 (medium): a typo'd dict key must error, not silently store
     the DEFAULT (mirrors the DataFrame path's _align)."""
