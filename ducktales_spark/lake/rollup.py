@@ -75,8 +75,15 @@ def _agg_exprs(
         out.append(v.cast("bigint").alias(f"count_{c}"))
     for c in approx_cols:
         # HLL sketch (insert-side only: a delete-bearing diff routes to the
-        # recompute path — sketches are unionable, never subtractable)
-        out.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
+        # recompute path — sketches are unionable, never subtractable).
+        # Sketch the STRING cast: hll_sketch_agg accepts only int/bigint/
+        # string/binary, and the cast is injective for every scalar type,
+        # so distinct counts are unchanged — and every path (create,
+        # delta-union, recompute) shares this expression, so sketches
+        # always merge like with like.
+        out.append(
+            F.hll_sketch_agg(F.col(c).cast("string")).alias(f"hll_{c}")
+        )
     for c in minmax_cols:  # only on recompute paths (sign is None)
         out.append(F.min(c).alias(f"min_{c}"))
         out.append(F.max(c).alias(f"max_{c}"))

@@ -25,7 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ducktales_spark.data import table
-from ducktales_spark.registry import register
+from ducktales_spark.registry import register, register_extra
 
 
 def _fresh_lake(spark: SparkSession):
@@ -437,3 +437,62 @@ def r01_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 6).alias("sum_value"),
         F.round("avg_value", 6).alias("avg_value"),
     )
+
+
+@register_extra(
+    "r02_rollup_count_distinct",
+    oracle="""
+        WITH src AS (
+            SELECT ts::TIMESTAMP AS ts, user_id, value FROM events
+            UNION ALL
+            SELECT ts::TIMESTAMP, user_id, CAST(NULL AS DOUBLE)
+            FROM events WHERE event_id < 4
+        )
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+               user_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(value) AS BIGINT) AS count_value,
+               CAST(count(DISTINCT value) AS BIGINT) AS distinct_value
+        FROM src
+        WHERE user_id % 5 != 2
+        GROUP BY 1, 2""",
+    survey_ids=(),  # extension: MV COUNT(col)/COUNT(DISTINCT) maintenance
+)
+def r02_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 MV aggregate surface end to end, SQL-first: CREATE
+    MATERIALIZED VIEW with COUNT(*) / null-skipping COUNT(col) / exact
+    COUNT(DISTINCT col) / APPROX_COUNT_DISTINCT(col), mutate the source
+    (NULL-valued inserts so count_value diverges from n_rows, then a
+    predicate DELETE so the distinct counts must recompute — sketches and
+    exact distincts cannot subtract), REFRESH, and read the view back. The
+    oracle recomputes the final state from scratch; the approx column is
+    asserted in-query against the exact one (HLL is exact at these
+    per-bucket cardinalities) but excluded from the cross-engine
+    differential, since DuckDB's approx_count_distinct sketches differ."""
+    lake = _fresh_lake(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    lake.ctas("ev_l", ev)
+    lake.sql(
+        "CREATE MATERIALIZED VIEW ev_mv AS "
+        "SELECT user_id, time_bucket(INTERVAL '1 hour', ts), COUNT(*), "
+        "COUNT(value), COUNT(DISTINCT value), APPROX_COUNT_DISTINCT(value) "
+        "FROM ev_l GROUP BY user_id, bucket_start"
+    )
+    nulls = (
+        lake.read("ev_l")
+        .filter("event_id < 4")
+        .withColumn("event_id", F.col("event_id") + 900_000_000)
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    lake.insert("ev_l", nulls)
+    lake.sql("DELETE FROM ev_l WHERE user_id % 5 = 2")
+    lake.sql("REFRESH MATERIALIZED VIEW ev_mv")
+    out = lake.sql(
+        "SELECT bucket_start, user_id, n_rows, count_value, "
+        "distinct_value, approx_distinct_value FROM ev_mv"
+    )
+    mism = out.filter("approx_distinct_value != distinct_value").count()
+    assert mism == 0, f"{mism} buckets: HLL estimate != exact distinct"
+    return out.drop("approx_distinct_value")

@@ -615,7 +615,10 @@ def _both_decon_oracle_sql() -> str:
     """
 
 
-@register_extra(
+@register(
+    # promoted from EXTRA to the driver sweep in round 8 (swapped with
+    # x06_sessionize_batch): the combined mode exercises the exact+fuzzy
+    # full-outer audit join that neither c01 nor c05 alone covers
     "c07_decontaminate_both",
     survey_ids=(),  # extension: combined exact+fuzzy decontamination
     oracle=_both_decon_oracle_sql(),

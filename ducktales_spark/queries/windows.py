@@ -217,7 +217,11 @@ def x02_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # rotated to the EXTRA tier in round 8 (full DuckDB differential stays in
+    # tests/test_oracle_parity.py): its ids are redundantly driver-covered
+    # (W1 x3, A8 x12, A5 x2) and the freed slot promotes the c07 both-mode
+    # decontamination differential into the driver sweep
     "x06_sessionize_batch",
     survey_ids=("W1", "A8", "A5"),  # extension: relational sessionization
     oracle="""
