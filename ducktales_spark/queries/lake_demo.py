@@ -122,20 +122,26 @@ def l04_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l05_lake_schema_evolution",
     oracle="""
         SELECT r_regionkey, r_name AS region_name,
-               CAST('unreviewed' AS VARCHAR) AS status
+               CAST('unreviewed' AS VARCHAR) AS status,
+               CAST(5 AS BIGINT) AS priority
         FROM region""",
-    survey_ids=("D10", "D11", "D12", "D13"),
+    survey_ids=("D10", "D11", "D12", "D13", "D16"),
 )
 def l05_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADD COLUMN with default + RENAME COLUMN + SET NOT NULL, all
-    metadata-only: no file is rewritten, yet the read serves the evolved
-    schema (demos/03_schema_evolution/demo.py:118,196,209-223)."""
+    """ADD COLUMN with default + RENAME COLUMN + SET NOT NULL + ALTER
+    COLUMN TYPE (widening), all metadata-only: no file is rewritten, yet
+    the read serves the evolved schema and types
+    (demos/03_schema_evolution/demo.py:118,196,209-223; the type change is
+    the reference README.md:50 claim its demos never execute)."""
     lake = _fresh_lake(spark)
     lake.ctas("region_l", table(spark, sf_dir, "region"))
     files_before = lake.table_info()[0]["file_count"]
     lake.add_column("region_l", "status", "string", default="unreviewed")
     lake.rename_column("region_l", "r_name", "region_name")
     lake.set_not_null("region_l", "status")  # D13: validates, then records
+    lake.add_column("region_l", "priority", "int", default=5)
+    lake.sql("ALTER TABLE region_l ALTER COLUMN priority TYPE BIGINT")  # D16
+    assert dict(lake.read("region_l").dtypes)["priority"] == "bigint"
     assert lake.table_info()[0]["file_count"] == files_before  # no rewrites
     return lake.read("region_l")
 

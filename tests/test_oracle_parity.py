@@ -56,7 +56,7 @@ def test_registry_covers_every_survey_id():
         "W1", "O1", "O2", "O3", "O4", "U1",
         "F1", "F2", "F3", "F4", "F5", "F6", "F7", "F8", "F9", "F10", "F11",
         "D1", "D2", "D3", "D4", "D5", "D6", "D7", "D8", "D9", "D10", "D11",
-        "D12", "D13", "D14", "D15",
+        "D12", "D13", "D14", "D15", "D16",
         "T1", "T2", "T3", "T4", "T5", "T6",
         "M1", "M2",
     }
