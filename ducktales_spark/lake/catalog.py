@@ -375,7 +375,16 @@ class LakeCatalog:
 
             pdf = pd.DataFrame(
                 {
-                    f.name: pd.Series([r[i] for r in rows], dtype=object)
+                    # coerce each value to the CURRENT column type: after a
+                    # cross-family ALTER COLUMN TYPE (int -> double/decimal)
+                    # a row inlined under the old type must build into the
+                    # widened column the way parquet rows do via _project's
+                    # cast — createDataFrame's type verifier rejects a raw
+                    # int in a DoubleType column outright
+                    f.name: pd.Series(
+                        [_coerce_read(r[i], f.type) for r in rows],
+                        dtype=object,
+                    )
                     for i, f in enumerate(current.fields)
                 }
             )
@@ -1333,10 +1342,13 @@ class Transaction:
         "insert" appends unmatched source rows, "skip" drops them.
 
         Scale path: the source's per-key min/max bounds prune the candidate
-        file list exactly like UPDATE/DELETE (stats.py) — merging a day's CDC
-        batch into a 100 TB key-clustered table rewrites only the files whose
-        key ranges overlap the batch. One shuffle join over candidates+source;
-        untouched files never read."""
+        file list exactly like UPDATE/DELETE (stats.py), then a key-column
+        semi-join tagged with input_file_name() shrinks the rewrite to the
+        files that actually CONTAIN a matched key — so merging into a table
+        clustered on a different column than the merge key (where min/max
+        ranges prune nothing) still rewrites only the truly hit files. One
+        shuffle join over hit candidates + source; untouched files never
+        rewritten."""
         if when_matched not in ("update", "delete", "skip"):
             raise LakeError(f"bad when_matched {when_matched!r}")
         if when_not_matched not in ("insert", "skip"):
@@ -1405,6 +1417,23 @@ class Transaction:
             if effective == 0 and inserted == 0:
                 return {"matched": matched, "inserted": 0}
 
+            # Shrink the copy-on-write set to files that actually CONTAIN a
+            # matched key. Range-based candidate pruning keeps every file
+            # whose key min/max spans the source bounds — on a table
+            # clustered on a DIFFERENT column than the merge key (e.g. the
+            # vector index, clustered on centroid_id, merged on vec_id)
+            # that is ~every file, and rewriting a no-hit file just copies
+            # it. One extra key-column-pruned scan (semi-join tagged with
+            # input_file_name) is cheap next to rewriting the table; files
+            # and inlined rows without a hit stay EXACTLY in place. Also
+            # covers matched == 0 inserts: nothing rewrites, the new rows
+            # append.
+            candidates, touched_inlined = self._hit_subset(
+                st, sch, candidates, touched_inlined, src, on, matched
+            )
+            target = self.c._build_df(
+                candidates, touched_inlined, st.schemas, sch
+            )
             keep = target.join(src, on, "left_anti")
             parts = [keep]
             if when_matched == "update" and when_not_matched == "insert":
@@ -1435,6 +1464,56 @@ class Transaction:
         finally:
             src.unpersist()
 
+    def _hit_subset(
+        self, st, sch, candidates, touched_inlined, src, on, matched
+    ):
+        """Files / inlined entries among the range-pruned candidates that
+        actually hold a row matching a source key (see merge). Key columns
+        only cross the scan; file identity rides ``input_file_name()``."""
+        if not matched:
+            return [], []  # pure-insert merge: rewrite nothing
+        hit_files = candidates
+        if candidates:
+            by_sv: dict = {}
+            for fe in candidates:
+                by_sv.setdefault(fe.schema_version, []).append(fe.path)
+            parts = []
+            for sv, paths in sorted(by_sv.items()):
+                stored = st.schemas[sv]
+                sdf = self.c.spark.read.schema(stored.to_struct()).parquet(
+                    *paths
+                )
+                parts.append(
+                    _project(sdf, stored, sch)
+                    .select(*on)
+                    .withColumn("__f", F.input_file_name())
+                )
+            tagged = reduce(DataFrame.unionByName, parts)
+            hits = {
+                _norm_file_uri(r["__f"])
+                for r in tagged.join(src.select(*on), on, "left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            }
+            hit_files = [
+                fe
+                for fe in candidates
+                if _norm_file_uri(fe.path) in hits
+            ]
+        hit_inlined = touched_inlined
+        if touched_inlined:
+            inl = self.c._build_df([], touched_inlined, st.schemas, sch)
+            if (
+                inl.select(*on)
+                .join(src.select(*on), on, "left_semi")
+                .limit(1)
+                .count()
+                == 0
+            ):
+                hit_inlined = []
+        return hit_files, hit_inlined
+
     # -- maintenance (M1/M2) --------------------------------------------
     def flush_inlined(self, name: str) -> None:
         """Materialize inlined rows to a parquet file (the compaction half of
@@ -1442,7 +1521,15 @@ class Transaction:
         st = self._state(name)
         if not st.inlined:
             return
-        rows = [row_from_json(e.row_json, st.schema) for e in st.inlined]
+        rows = [
+            tuple(
+                _coerce_read(v, f.type)
+                for v, f in zip(
+                    row_from_json(e.row_json, st.schema), st.schema.fields
+                )
+            )
+            for e in st.inlined
+        ]
         df = self.c.spark.createDataFrame(rows, st.schema.to_struct()).coalesce(1)
         for ie in st.inlined:
             if not ie.staged:
@@ -1622,6 +1709,38 @@ class Transaction:
         for d in self._staged_dirs:
             shutil.rmtree(d, ignore_errors=True)
         self._staged_dirs.clear()
+
+
+def _norm_file_uri(p: str) -> str:
+    """Normalize a file path / file:// URI for identity comparison between
+    catalog FileEntry paths and Spark's input_file_name() output."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" in p:
+        return unquote(urlparse(p).path)
+    return os.path.abspath(p)
+
+
+def _coerce_read(v, t: str):
+    """Read-time coercion of an inlined-row value to the CURRENT column
+    type. ALTER COLUMN TYPE is metadata-only, so a value inlined as INT
+    must build into a widened DOUBLE/FLOAT/DECIMAL column the way parquet
+    rows do via _project's cast (int-family widenings need no help:
+    Python ints build into any integer column)."""
+    if v is None:
+        return v
+    t = t.lower()
+    if (
+        t in ("double", "float")
+        and isinstance(v, int)
+        and not isinstance(v, bool)
+    ):
+        return float(v)
+    if t.startswith("decimal") and isinstance(v, (int, float)):
+        import decimal
+
+        return decimal.Decimal(str(v))
+    return v
 
 
 def _project(df: DataFrame, stored: TableSchema, current: TableSchema) -> DataFrame:

@@ -221,11 +221,17 @@ class Connection:
                 self._sock = ctx.wrap_socket(
                     self._sock, server_hostname=p["host"]
                 )
-            except ssl.SSLError as e:
+            except ssl.SSLCertVerificationError as e:
+                # only the verify modes check certificates — name the
+                # actual failure class so debugging points at sslrootcert
                 raise Error(
                     f"TLS certificate verification failed "
                     f"(sslmode={mode}): {e}"
                 ) from None
+            except ssl.SSLError as e:
+                # protocol-level handshake failure (version mismatch,
+                # broken server TLS stack): not a certificate problem
+                raise Error(f"TLS handshake failed: {e}") from None
             self._tls = True
         elif answer == b"N":
             if mode != "prefer":

@@ -209,26 +209,17 @@ def _meta_list(m, key: str) -> tuple:
     return tuple(json.loads(s)) if s else ()
 
 
-def read_rollup(lake, name: str, version: Optional[int] = None) -> DataFrame:
-    """The rollup's read face: the stored table plus ``avg_<c>`` =
-    ``sum_<c> / n_rows`` for every maintained sum column — AVG is derivable
-    from additive state at read time for free, so users never hand-divide —
-    plus ``approx_distinct_<c>`` = the HLL estimate of every maintained
-    sketch column (the raw binary ``hll_<c>`` state is dropped from the
-    face: it is an implementation detail, like Timescale's partials).
-    Aggregates that are NOT derivable from the maintained state —
-    stddev, percentiles — are deliberately absent: maintaining them
-    incrementally requires the minmax-style partial-recompute path
-    (re-aggregate touched buckets from the source), not a read-time
-    formula. Keys-only materialized views read identically (their single
-    epoch-0 bucket included)."""
-    meta_rows = lake.read(_meta_name(name), version=version).collect()
-    if len(meta_rows) != 1:
-        raise RollupError(f"rollup meta for {name!r} is corrupt")
-    df = lake.read(name, version=version)
-    for c in json.loads(meta_rows[0]["sum_cols"]):
+def apply_read_face(df: DataFrame, meta_row) -> DataFrame:
+    """Apply the rollup read-face contract to a stored-state DataFrame:
+    ``avg_<c>`` = sum/n for every sum column, ``approx_distinct_<c>`` = the
+    HLL estimate for every sketch column with the raw binary ``hll_<c>``
+    state dropped (an implementation detail, like Timescale's partials).
+    SINGLE source of truth — read_rollup, the SQL executor's MV overlay,
+    and its AT-version rewrite all derive their faces here, so they can
+    never drift."""
+    for c in _meta_list(meta_row, "sum_cols"):
         df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
-    for c in _meta_list(meta_rows[0], "approx_cols"):
+    for c in _meta_list(meta_row, "approx_cols"):
         df = df.withColumn(
             f"approx_distinct_{c}",
             F.coalesce(
@@ -236,6 +227,33 @@ def read_rollup(lake, name: str, version: Optional[int] = None) -> DataFrame:
             ).cast("bigint"),
         ).drop(f"hll_{c}")
     return df
+
+
+def derived_columns(meta_row) -> list:
+    """DESCRIBE's view of the read face: [(column_name, ddl_type,
+    hidden_stored_column_or_None)] — the companion of apply_read_face."""
+    out = [
+        (f"avg_{c}", "DOUBLE", None)
+        for c in _meta_list(meta_row, "sum_cols")
+    ]
+    out += [
+        (f"approx_distinct_{c}", "BIGINT", f"hll_{c}")
+        for c in _meta_list(meta_row, "approx_cols")
+    ]
+    return out
+
+
+def read_rollup(lake, name: str, version: Optional[int] = None) -> DataFrame:
+    """The rollup's read face (see apply_read_face). Aggregates that are
+    NOT derivable from the maintained state — stddev, percentiles — are
+    deliberately absent: maintaining them incrementally requires the
+    minmax-style partial-recompute path (re-aggregate touched buckets from
+    the source), not a read-time formula. Keys-only materialized views
+    read identically (their single epoch-0 bucket included)."""
+    meta_rows = lake.read(_meta_name(name), version=version).collect()
+    if len(meta_rows) != 1:
+        raise RollupError(f"rollup meta for {name!r} is corrupt")
+    return apply_read_face(lake.read(name, version=version), meta_rows[0])
 
 
 def refresh_rollup(lake, name: str) -> dict:

@@ -195,10 +195,11 @@ class SQLExecutor:
     def __init__(self, catalog):
         self.c = catalog
         self._tx = None  # open explicit transaction, if any
-        # mv_name -> (catalog_version, sum_cols), so the per-query MV read
-        # overlay doesn't re-collect the one-row meta table on every bind.
-        # Keyed by name with only the latest version kept: a long-lived
-        # executor on a busy catalog stays O(#MVs), not O(#MVs x versions)
+        # mv_name -> (catalog_version, meta_row_dict), so the per-query MV
+        # read overlay doesn't re-collect the one-row meta table on every
+        # bind. Keyed by name with only the latest version kept: a
+        # long-lived executor on a busy catalog stays O(#MVs), not
+        # O(#MVs x versions)
         self._mv_cols = {}
 
     # -- staged-aware existence (an open txn's DDL must be visible to the
@@ -609,12 +610,14 @@ class SQLExecutor:
                     ma.group(3),
                     ma.group(4),
                 )
-                if fn != "COUNT" and arg == "*":
-                    # catch SUM(*) etc. here with a clear error instead of
-                    # letting '*' reach create_rollup's CTAS and blow up
-                    # with an opaque AnalysisException mid-transaction
+                if arg == "*" and (fn != "COUNT" or is_distinct):
+                    # catch SUM(*) / COUNT(DISTINCT *) here with a clear
+                    # error instead of letting '*' reach the column
+                    # validation ("column '*' not found") or create_rollup's
+                    # CTAS (opaque AnalysisException mid-transaction)
+                    what = f"{fn}(DISTINCT *)" if is_distinct else f"{fn}(*)"
                     raise LakeSQLError(
-                        f"{fn}(*) is not a valid aggregate: {fn} takes a "
+                        f"{what} is not a valid aggregate: it takes a "
                         "column argument"
                     )
                 if is_distinct and fn != "COUNT":
@@ -783,49 +786,30 @@ class SQLExecutor:
     def _mv_overlay(self, version=None) -> None:
         """Re-bind every materialized view through the rollup read face so
         SQL reads see the derived ``avg_<c>`` / ``approx_distinct_<c>``
-        columns (:func:`~ducktales_spark.lake.rollup.read_rollup`) instead
-        of the raw stored state (binary HLL sketches hidden). Derived-col
-        specs are cached per (mv, catalog version) — keyed by name, latest
-        version only, so the cache stays O(#MVs); catalogs with no MVs pay
-        nothing."""
-        from pyspark.sql import functions as F
-
-        from .rollup import _meta_name
+        columns instead of the raw stored state (binary HLL sketches
+        hidden) — the face itself comes from rollup.apply_read_face, the
+        single source of truth. Meta rows are cached per (mv, catalog
+        version) — keyed by name, latest version only, so the cache stays
+        O(#MVs); catalogs with no MVs pay nothing."""
+        from .rollup import _meta_name, apply_read_face
 
         ts = set(self.c.tables(version))
         mvs = [t for t in ts if _meta_name(t) in ts]
         if not mvs:
             return
         v = self.c.current_version() if version is None else version
-        import json as _json
-
         for t in mvs:
             hit = self._mv_cols.get(t)
-            spec = hit[1] if hit is not None and hit[0] == v else None
-            if spec is None:
+            meta_row = hit[1] if hit is not None and hit[0] == v else None
+            if meta_row is None:
                 meta = self.c.read(_meta_name(t), version=version).collect()
                 if len(meta) != 1:
                     continue  # a same-named table pair, not an MV
-                d = meta[0].asDict()
-                spec = (
-                    _json.loads(d["sum_cols"]),
-                    _json.loads(d.get("approx_cols") or "[]"),
-                )
-                self._mv_cols[t] = (v, spec)
-            sum_cols, approx_cols = spec
-            df = self.c.read(t, version=version)
-            for c in sum_cols:
-                df = df.withColumn(
-                    f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows")
-                )
-            for c in approx_cols:
-                df = df.withColumn(
-                    f"approx_distinct_{c}",
-                    F.coalesce(
-                        F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)
-                    ).cast("bigint"),
-                ).drop(f"hll_{c}")
-            df.createOrReplaceTempView(t)
+                meta_row = meta[0].asDict()
+                self._mv_cols[t] = (v, meta_row)
+            apply_read_face(
+                self.c.read(t, version=version), meta_row
+            ).createOrReplaceTempView(t)
 
     # ------------------------------------------------------------------
     def _run(self, op) -> None:
@@ -1010,27 +994,18 @@ class SQLExecutor:
         derived = []
         hidden = set()
         if self._mv_exists(name):
-            import json as _json
-
-            from .rollup import _meta_name
+            from .rollup import _meta_name, derived_columns
 
             meta = self.c.read(_meta_name(name)).collect()
             if len(meta) == 1:
-                d = meta[0].asDict()
-                derived = [
-                    (f"avg_{c}", "DOUBLE", "YES", None, None, "derived")
-                    for c in _json.loads(d["sum_cols"])
-                ]
-                # sketch state is hidden from the read face; DESCRIBE shows
-                # the estimate column a SELECT actually returns instead
-                for c in _json.loads(d.get("approx_cols") or "[]"):
-                    hidden.add(f"hll_{c}")
+                # the read face's contract (rollup.derived_columns): list
+                # every column a SELECT returns, hide raw sketch state
+                for cname, ctype, hides in derived_columns(meta[0]):
                     derived.append(
-                        (
-                            f"approx_distinct_{c}",
-                            "BIGINT", "YES", None, None, "derived",
-                        )
+                        (cname, ctype, "YES", None, None, "derived")
                     )
+                    if hides:
+                        hidden.add(hides)
         for f in schema.fields:
             if f.name in hidden:
                 continue

@@ -236,8 +236,16 @@ def decode_png(b: bytes) -> np.ndarray:
             cur = line
         elif ft == 2:  # Up
             cur = (line + prev) % 256
+        elif ft == 1:
+            # Sub: rec[x] = raw[x] + rec[x-bpp] — a per-channel-lane prefix
+            # sum, fully vectorized (int64 cumsum cannot overflow at any
+            # realistic width; mod folds back to bytes)
+            cur = (
+                line.reshape(-1, bpp).astype(np.int64).cumsum(axis=0) % 256
+            ).reshape(-1).astype(np.int32)
         else:
-            # Sub/Average/Paeth need the reconstructed left pixel: walk the
+            # Average/Paeth need the reconstructed left pixel through a
+            # divide/conditional — inherently sequential in x: walk the
             # row in bpp-wide steps, vectorized across channels
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(0, stride, bpp):
@@ -245,9 +253,7 @@ def decode_png(b: bytes) -> np.ndarray:
                 up = prev[x : x + bpp]
                 ul = prev[x - bpp : x] if x else np.zeros(bpp, np.int32)
                 seg = line[x : x + bpp]
-                if ft == 1:
-                    rec = seg + left
-                elif ft == 3:
+                if ft == 3:
                     rec = seg + (left + up) // 2
                 elif ft == 4:
                     rec = seg + _paeth(left, up, ul)
@@ -287,14 +293,14 @@ def _decode_image(b: bytes) -> np.ndarray:
 
 
 def _decode_audio(b: bytes):
-    """Magic-sniffing audio decode: FAKEMEDIA or real WAV. Returns flat
-    int16 samples (channels interleaved — RMS/duration are per-sample
-    aggregates, channel-agnostic) + rate."""
+    """Magic-sniffing audio decode: FAKEMEDIA or real WAV. Returns
+    (samples, rate) with frame structure preserved — (n,) mono or
+    (n_frames, channels) — so duration = n_frames / rate stays correct for
+    multichannel audio (RMS flattens; duration must not)."""
     if b[:4] == _AUD_MAGIC:
         return _unpack_audio(b)
     if b[:4] == b"RIFF":
-        s, rate = decode_wav(b)
-        return s.reshape(-1), rate
+        return decode_wav(b)
     raise ValueError("unknown audio payload (expected FAUD or WAV)")
 
 
@@ -449,13 +455,17 @@ def audio_features(media: DataFrame) -> DataFrame:
                     continue
                 samples, rate = _decode_audio(bytes(r["data"]))
                 # exact Σs² then sqrt(s2/n): bit-identical when recomputed
-                # by SQL (see image_features)
+                # by SQL (see image_features). n_samples/duration count
+                # FRAMES (multichannel WAV: shape (frames, channels)) —
+                # rms aggregates over every sample of every channel.
                 s = samples.astype(np.int64)
-                n, s2 = len(s), int((s * s).sum())
+                n_frames = s.shape[0]
+                flat = s.reshape(-1)
+                n, s2 = len(flat), int((flat * flat).sum())
                 out.append(
                     (
-                        int(r["media_id"]), rate, n,
-                        n / rate,
+                        int(r["media_id"]), rate, n_frames,
+                        n_frames / rate,
                         float(np.sqrt(s2 / n)) if n else 0.0,
                     )
                 )

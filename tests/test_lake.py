@@ -821,6 +821,59 @@ def test_merge_duplicate_target_keys(lake, spark):
     assert got == [(1, "u"), (2, "y"), (3, "n")]
 
 
+def test_merge_rewrites_only_files_containing_matches(lake, spark):
+    """CoW amplification guard: on a table CLUSTERED on a different column
+    than the merge key, every file overlaps the source's key min/max range
+    (range pruning keeps all of them) — but only files actually HOLDING a
+    matched key may rewrite. The others must keep their exact paths, and a
+    pure-insert merge must rewrite nothing at all."""
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        with lake.transaction() as tx:
+            tx.ctas(
+                "idx",
+                spark.range(2000).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 8).cast("int").alias("c"),
+                    F.concat(F.lit("v"), F.col("id")).alias("v"),
+                ),
+                partition_by=("c",),
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev
+        )
+    files_before = set(lake.read("idx").inputFiles())
+    assert len(files_before) > 2, "need a multi-file clustered layout"
+    # delete two keys living in ONE cluster value (c = 0): k range spans
+    # the whole table, so range pruning alone would rewrite everything
+    batch = spark.createDataFrame([(8,), (16,)], "k bigint")
+    res = lake.merge(
+        "idx", batch, on=["k"], when_matched="delete", when_not_matched="skip"
+    )
+    assert res == {"matched": 2, "inserted": 0}
+    files_after = set(lake.read("idx").inputFiles())
+    untouched = files_before & files_after
+    assert untouched, "no file survived in place — CoW rewrote everything"
+    # every file NOT containing a deleted key must survive verbatim; at
+    # most the files holding k=8/k=16 (same c=0 cluster) were rewritten
+    assert len(files_before - files_after) <= 2
+    assert lake.count("idx") == 1998
+    assert lake.read("idx").filter("k in (8, 16)").count() == 0
+    # pure-insert merge (no key matches): zero rewrites, pure append
+    files_before = set(lake.read("idx").inputFiles())
+    res = lake.merge(
+        "idx",
+        spark.createDataFrame(
+            [(10_001, 3, "new")], "k bigint, c int, v string"
+        ),
+        on=["k"],
+    )
+    assert res == {"matched": 0, "inserted": 1}
+    assert files_before <= set(lake.read("idx").inputFiles())
+
+
 def test_merge_hot_key_cdc_is_broadcast_not_shuffled(lake, spark):
     """Adversarial key distribution for CDC MERGE (l17 family): a PK-less
     target where ~90% of rows share ONE merge-key value (a whale user), hit

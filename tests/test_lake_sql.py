@@ -138,6 +138,24 @@ def test_alter_column_type_widening_sql(lake):
     # the widened column accepts values only the wide type can hold
     lake.sql("INSERT INTO m VALUES (7, 9000000000, 99999999.9999, 9.5)")
     assert lake.sql("SELECT qty FROM m WHERE id = 7").first()["qty"] == 9_000_000_000
+    # CROSS-FAMILY widen with INLINED rows present: an int inlined under
+    # the old type must read back as double/decimal (regression: the
+    # inlined read branch skipped the stored->current cast and every read
+    # of the table crashed on the type verifier)
+    lake.sql("ALTER TABLE m ALTER COLUMN id TYPE DOUBLE")
+    got = {int(r["id"]): r for r in lake.read("m").collect()}
+    assert isinstance(got[6]["id"], float) and got[6]["id"] == 6.0
+    assert dict(lake.read("m").dtypes)["id"] == "double"
+    lake.sql("CREATE TABLE m2 (a INTEGER, b INTEGER)")
+    lake.sql("INSERT INTO m2 VALUES (1, 2)")  # inlined (below threshold)
+    lake.sql("ALTER TABLE m2 ALTER COLUMN b TYPE DECIMAL(12,2)")
+    row = lake.read("m2").first()
+    from decimal import Decimal
+
+    assert row["b"] == Decimal("2.00") and lake.count("m2") == 1
+    # flush_inlined must also survive the widened schema
+    lake.flush_inlined("m2")
+    assert lake.read("m2").first()["b"] == Decimal("2.00")
     # time travel serves the ORIGINAL type before the ALTER
     old = lake.sql(f"SELECT qty FROM m AT (VERSION => {v_before})")
     assert dict(old.dtypes)["qty"] == "int"
@@ -631,6 +649,11 @@ def test_mv_count_col_and_distinct_sql(lake):
         lake.sql(
             "CREATE MATERIALIZED VIEW bad AS SELECT region, "
             "SUM(DISTINCT amt) FROM sales GROUP BY region"
+        )
+    with pytest.raises(LakeSQLError, match=r"COUNT\(DISTINCT \*\)"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT region, "
+            "COUNT(DISTINCT *) FROM sales GROUP BY region"
         )
 
 

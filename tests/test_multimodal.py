@@ -92,6 +92,18 @@ def test_real_codec_payloads_flow_through_operators(spark):
     s = aud.astype(np.int64)
     assert af[2]["n_samples"] == 1600 and af[2]["sample_rate"] == 16000
     assert af[2]["rms"] == float(np.sqrt(int((s * s).sum()) / 1600))
+    # STEREO WAV: n_samples/duration count frames, not interleaved samples
+    # (regression: flattening doubled both for 2-channel audio)
+    st = rng.integers(-20000, 20000, (800, 2)).astype("<i2")
+    stereo = spark.createDataFrame(
+        [(3, "audio", bytearray(mm.encode_wav(st, 8000)),
+          (None, None, None, 8000, None, "wav"))],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.audio_features(stereo).collect()[0]
+    assert row["n_samples"] == 800 and row["duration_s"] == 0.1
+    f = st.astype(np.int64).reshape(-1)
+    assert row["rms"] == float(np.sqrt(int((f * f).sum()) / len(f)))
     # resize consumes the PNG payload and re-emits FAKEMEDIA
     small = {r["media_id"]: r for r in mm.resize_images(media, 5, 4).collect()}
     assert small[1]["meta"]["width"] == 5 and small[1]["meta"]["height"] == 4
