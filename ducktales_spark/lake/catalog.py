@@ -27,8 +27,11 @@ import datetime as _dt
 import glob as _glob
 import json
 import os
+import re as _re
 import shutil
 import uuid
+
+_re_decimal = _re.compile(r"decimal\((\d+),(\d+)\)")
 from dataclasses import dataclass, field as _dcfield
 from functools import reduce
 from typing import Optional
@@ -961,13 +964,75 @@ class Transaction:
         schema version records the type, existing files keep theirs and the
         read path casts stored -> current by field id (the same machinery
         as add/drop/rename; no data rewrite). Narrowing raises
-        (schema.TableSchema.alter_column_type)."""
+        (schema.TableSchema.alter_column_type). Rollups maintaining the
+        column widen their stored state in the same transaction (see
+        _widen_dependent_rollups)."""
         st = self._state(name)
         try:
             new_schema = st.schema.alter_column_type(col, new_type)
         except ValueError as e:
             raise LakeError(str(e)) from None
         self._evolve(st, new_schema, "tables_altered")
+        self._widen_dependent_rollups(name, col, new_type)
+
+    def _widen_dependent_rollups(self, src_name, col, new_type) -> None:
+        """A continuous aggregate stores state TYPED BY its source column:
+        sum_<c> is BIGINT for integer sources, min_<c>/max_<c> and key
+        columns carry the column type verbatim. Widening the source
+        without widening that state would make the next refresh's _align
+        silently cast fractional or overflowing deltas back down to the
+        old type — data corruption, not an error — so every dependent
+        rollup's stored columns widen inside this same transaction.
+        COUNT/COUNT(col)/exact-distinct (bigint) and HLL sketches (binary,
+        string-cast input) are type-independent and stay put."""
+        import json as _json
+
+        from .rollup import _meta_name
+
+        t = new_type.strip().lower()
+        if t in ("float", "double"):
+            sum_t = "double"  # Spark: sum(float/double) -> double
+        elif t in ("tinyint", "smallint", "int", "bigint"):
+            sum_t = "bigint"  # sum(int family) -> bigint
+        else:
+            m = _re_decimal.fullmatch(t.replace(" ", ""))
+            # Spark: sum(decimal(p,s)) -> decimal(min(38, p+10), s)
+            sum_t = (
+                f"decimal({min(38, int(m.group(1)) + 10)},{m.group(2)})"
+                if m
+                else None
+            )
+        names = set(self.c.tables())
+        for mv in sorted(n for n in names if _meta_name(n) in names):
+            meta = self.c.read(_meta_name(mv)).collect()
+            if len(meta) != 1:
+                continue  # lookalike pair, not a rollup
+            row = meta[0].asDict()
+            if row.get("src") != src_name:
+                continue
+            targets = {}
+            if col in _json.loads(row.get("keys") or "[]"):
+                targets[col] = t
+            if col in _json.loads(row.get("sum_cols") or "[]") and sum_t:
+                targets[f"sum_{col}"] = sum_t
+            if col in _json.loads(row.get("minmax_cols") or "[]"):
+                targets[f"min_{col}"] = t
+                targets[f"max_{col}"] = t
+            if not targets:
+                continue
+            st_mv = self._state(mv)
+            sch = st_mv.schema
+            changed = False
+            for cname, ctype in targets.items():
+                if sch.field_by_name(cname).type.lower() != ctype:
+                    # force: sum state follows Spark's sum type for the
+                    # widened source (bigint sums of an int column become
+                    # double sums when the column goes double — exactly
+                    # the cast a from-scratch recompute would produce)
+                    sch = sch.alter_column_type(cname, ctype, force=True)
+                    changed = True
+            if changed:
+                self._evolve(st_mv, sch, "tables_altered")
 
     def create_view(self, name, sql) -> None:
         self._view_ops.append((name, sql))

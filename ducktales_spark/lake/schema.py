@@ -162,7 +162,9 @@ class TableSchema:
             self.partition_by,
         )
 
-    def alter_column_type(self, name: str, new_type: str) -> "TableSchema":
+    def alter_column_type(
+        self, name: str, new_type: str, force: bool = False
+    ) -> "TableSchema":
         """D-family: ALTER COLUMN ... TYPE, WIDENING casts only (the
         reference claims type changes in its schema-evolution feature list,
         /root/reference/README.md:50). Old data files are never rewritten:
@@ -170,9 +172,12 @@ class TableSchema:
         casts stored -> current by field id (see catalog._project), exactly
         the add/drop/rename mechanism. Narrowing or lossy casts are
         rejected — a cast a 100-TB read path applies implicitly must never
-        be able to truncate."""
+        be able to truncate. ``force`` skips the widening gate for
+        ENGINE-DRIVEN retypes (rollup sum state following its widened
+        source column takes whatever type Spark's sum produces, e.g.
+        bigint -> double); user-facing SQL never sets it."""
         f = self.field_by_name(name)
-        if not can_widen(f.type, new_type):
+        if not force and not can_widen(f.type, new_type):
             raise ValueError(
                 f"cannot ALTER COLUMN {name!r} from {f.type!r} to "
                 f"{new_type!r}: only lossless widening casts are supported "

@@ -657,6 +657,44 @@ def test_mv_count_col_and_distinct_sql(lake):
         )
 
 
+def test_alter_type_widens_dependent_mv_state(lake):
+    """Widening a source column that an MV maintains must widen the MV's
+    stored state in the SAME transaction: otherwise the next refresh's
+    schema alignment silently casts fractional sums/minima back to the old
+    integer types (regression: sum 3.5 read back as 3, min 0.5 as 0)."""
+    lake.sql("CREATE TABLE ev (k VARCHAR, v INTEGER)")
+    lake.sql("INSERT INTO ev VALUES ('a', 1), ('a', 2), ('b', 5)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT k, COUNT(*), SUM(v), MIN(v), MAX(v) FROM ev GROUP BY k"
+    )
+    lake.sql("ALTER TABLE ev ALTER COLUMN v TYPE DOUBLE")
+    types = dict(lake.sql("SELECT * FROM mv").dtypes)
+    assert types["sum_v"] == "double"
+    assert types["min_v"] == "double" and types["max_v"] == "double"
+    lake.sql("INSERT INTO ev VALUES ('a', 0.5)")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        r["k"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"])
+        for r in lake.sql("SELECT * FROM mv").collect()
+    }
+    assert got["a"] == (3, 3.5, 0.5, 2.0, 3.5 / 3)
+    assert got["b"] == (1, 5.0, 5.0, 5.0, 5.0)
+    # a KEY column widening propagates to the MV's key column too
+    lake.sql("CREATE TABLE ev2 (g INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO ev2 VALUES (1, 10), (2, 20)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv2 AS "
+        "SELECT g, COUNT(*) FROM ev2 GROUP BY g"
+    )
+    lake.sql("ALTER TABLE ev2 ALTER COLUMN g TYPE BIGINT")
+    assert dict(lake.sql("SELECT * FROM mv2").dtypes)["g"] == "bigint"
+    lake.sql("INSERT INTO ev2 VALUES (8589934592, 1)")  # needs 64 bits
+    lake.sql("REFRESH MATERIALIZED VIEW mv2")
+    ks = {r["g"] for r in lake.sql("SELECT g FROM mv2").collect()}
+    assert 8589934592 in ks and {1, 2} <= ks
+
+
 def test_export_ignores_lookalike_rollup_meta(lake, spark, tmp_path):
     """A USER table that merely names like rollup meta (x__rollup_meta with
     a sibling x) must export verbatim — no restamp, no crash on a schema

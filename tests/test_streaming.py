@@ -544,6 +544,14 @@ def test_streaming_rollup_maintenance(spark, tmp_path, source_dir):
         lake, "ev_hourly", "ev", "ts", 3600,
         keys=("user_id",), sum_cols=("value",),
     )
+    # a second, keys-only rollup carrying the round-8 aggregate kinds:
+    # COUNT(col) rides the streaming diffs additively, the HLL sketch
+    # unions on the insert-only batches, exact distinct recomputes
+    create_rollup(
+        lake, "ev_kinds", "ev", None,
+        keys=("event_type",), count_cols=("value",),
+        approx_cols=("user_id",), distinct_cols=("user_id",),
+    )
 
     q = start_rollup_ingest(
         _stream(spark, d, schema), lake, "ev", "ev_hourly",
@@ -571,6 +579,41 @@ def test_streaming_rollup_maintenance(spark, tmp_path, source_dir):
     assert lake.read("ev").count() == 7  # both files landed exactly once
     assert _rows(lake.read("ev_hourly")) == recompute()
 
+    # the second rollup refreshes off the SAME streamed diffs: every
+    # round-8 aggregate kind equals its from-scratch recompute
+    from ducktales_spark.lake.rollup import read_rollup
+
+    refresh_rollup(lake, "ev_kinds")
+
+    def kinds_recompute():
+        return sorted(
+            (r["event_type"], r["n_rows"], r["count_value"],
+             r["distinct_user_id"], r["approx_distinct_user_id"])
+            for r in lake.read("ev")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count("value").cast("bigint").alias("count_value"),
+                F.count_distinct(F.col("user_id")).alias("distinct_user_id"),
+                F.hll_sketch_agg(F.col("user_id").cast("string")).alias("h"),
+            )
+            .select(
+                "event_type", "n_rows", "count_value", "distinct_user_id",
+                F.hll_sketch_estimate("h").cast("bigint")
+                .alias("approx_distinct_user_id"),
+            )
+            .collect()
+        )
+
+    def kinds_rows():
+        return sorted(
+            (r["event_type"], r["n_rows"], r["count_value"],
+             r["distinct_user_id"], r["approx_distinct_user_id"])
+            for r in read_rollup(lake, "ev_kinds").collect()
+        )
+
+    assert kinds_rows() == kinds_recompute()
+
     # crash between append and refresh: append lands without its refresh...
     lake.insert("ev", lake.read("ev").limit(2))
     stale = _rows(lake.read("ev_hourly"))
@@ -578,6 +621,8 @@ def test_streaming_rollup_maintenance(spark, tmp_path, source_dir):
     # ...and the NEXT refresh (as the next batch would run) heals it
     refresh_rollup(lake, "ev_hourly")
     assert _rows(lake.read("ev_hourly")) == recompute()
+    refresh_rollup(lake, "ev_kinds")
+    assert kinds_rows() == kinds_recompute()
 
 
 def test_streaming_ingest_decontaminates(spark, tmp_path):
