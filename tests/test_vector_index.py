@@ -230,6 +230,37 @@ def test_remove_vectors_lifecycle(spark, tmp_path, vectors):
     assert _rows(got) == _rows(want)
 
 
+def test_compact_after_remove_keeps_probe_parity(spark, tmp_path, vectors):
+    """Heavy delete churn fragments index files; lake.compact is the
+    documented maintenance answer. After remove + compact the probe answer
+    is unchanged, and the screening path's stats-derived bucket counts
+    either stay exact or demote gracefully to the count-scan fallback
+    (compacted files may span centroids)."""
+    from ducktales_spark.vector_index import (
+        _bucket_counts_from_stats,
+        remove_vectors,
+    )
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    C = build_vector_index(lake, "emb_idx", vectors)
+    queries = vectors.filter(F.col("vec_id") < 3).toPandas()
+    doomed = vectors.filter(
+        (F.col("vec_id") % 3 == 0) & (F.col("vec_id") >= C)
+    ).select("vec_id")
+    removed = remove_vectors(lake, "emb_idx", doomed)
+    assert removed > 0
+    before = _rows(probe_vector_index(lake, "emb_idx", queries, k=10, nprobe=4))
+    n_before = lake.read("emb_idx").count()
+
+    lake.compact("emb_idx")
+    assert lake.read("emb_idx").count() == n_before
+    after = _rows(probe_vector_index(lake, "emb_idx", queries, k=10, nprobe=4))
+    assert after == before
+    counts = _bucket_counts_from_stats(lake, "emb_idx", None)
+    if counts is not None:  # single-centroid files: counts must be exact
+        assert sum(counts.values()) == n_before
+
+
 def _mean_best_cos(vpdf, cpdf):
     import numpy as np
 
