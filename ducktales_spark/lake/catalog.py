@@ -535,10 +535,30 @@ class LakeCatalog:
     def table_changes(self, name: str, v1: int, v2: int) -> DataFrame:
         """``ducklake_table_changes`` (T4): row-level diff between versions via
         ``exceptAll`` (``utils/ducklake_utils.py:65-78``). Columns = the v2
-        schema restricted to names also present at v1, plus ``change_type``."""
+        schema restricted to FIELDS that also exist at v1 — matched by
+        field id and served under the v2 names/types, so the diff stays
+        correct across RENAME (same id, new name) and widening TYPE
+        changes (v1 side cast to the v2 type, exact by the widening
+        contract). A name-based intersection would silently drop renamed
+        columns from the diff — and with them every rollup refresh that
+        crosses the rename snapshot."""
         d1, d2 = self.read(name, version=v1), self.read(name, version=v2)
-        common = [c for c in d2.columns if c in d1.columns]
-        p1, p2 = d1.select(*common), d2.select(*common)
+
+        def _schema_at(v: int):
+            tid, _ = self._table_at(name, v)
+            schemas = self._schemas_at(tid, v)
+            return schemas[max(schemas)]
+
+        by_id1 = {f.field_id: f for f in _schema_at(v1).fields}
+        pairs = [
+            (by_id1[f.field_id].name, f)
+            for f in _schema_at(v2).fields
+            if f.field_id in by_id1
+        ]
+        p1 = d1.select(
+            *[F.col(a).cast(f.type).alias(f.name) for a, f in pairs]
+        )
+        p2 = d2.select(*[f.name for _, f in pairs])
         ins = p2.exceptAll(p1).withColumn("change_type", F.lit("insert"))
         dele = p1.exceptAll(p2).withColumn("change_type", F.lit("delete"))
         return ins.unionByName(dele)
@@ -942,11 +962,21 @@ class Transaction:
 
     def drop_column(self, name, col) -> None:
         st = self._state(name)
+        # a column a continuous aggregate maintains cannot silently vanish
+        # from under it — dropping its state is destructive, so it must be
+        # the user's explicit call (TimescaleDB blocks this the same way)
+        for mv, row, cols in self._dependent_rollups(name):
+            if col in cols:
+                raise LakeError(
+                    f"column {col!r} is maintained by materialized view "
+                    f"{mv!r}; DROP MATERIALIZED VIEW {mv} first"
+                )
         self._evolve(st, st.schema.drop_column(col), "tables_altered")
 
     def rename_column(self, name, old, new) -> None:
         st = self._state(name)
         self._evolve(st, st.schema.rename_column(old, new), "tables_altered")
+        self._rename_in_dependent_rollups(name, old, new)
 
     def set_not_null(self, name, col) -> None:
         """D13: validates existing rows first (a distributed null-scan), then
@@ -975,6 +1005,37 @@ class Transaction:
         self._evolve(st, new_schema, "tables_altered")
         self._widen_dependent_rollups(name, col, new_type)
 
+    _ROLLUP_COL_LISTS = (
+        "keys", "sum_cols", "minmax_cols",
+        "count_cols", "approx_cols", "distinct_cols",
+    )
+
+    def _dependent_rollups(self, src_name):
+        """[(mv_name, meta_row_dict, {maintained source columns})] for every
+        rollup whose source is ``src_name`` — schema evolution of the
+        source must keep these consistent (widen/rename propagate, drop is
+        blocked)."""
+        import json as _json
+
+        from .rollup import _meta_name
+
+        names = set(self.c.tables())
+        out = []
+        for mv in sorted(n for n in names if _meta_name(n) in names):
+            meta = self.c.read(_meta_name(mv)).collect()
+            if len(meta) != 1:
+                continue  # lookalike pair, not a rollup
+            row = meta[0].asDict()
+            if row.get("src") != src_name:
+                continue
+            cols = set()
+            for key in self._ROLLUP_COL_LISTS:
+                cols.update(_json.loads(row.get(key) or "[]"))
+            if row.get("time_col"):
+                cols.add(row["time_col"])
+            out.append((mv, row, cols))
+        return out
+
     def _widen_dependent_rollups(self, src_name, col, new_type) -> None:
         """A continuous aggregate stores state TYPED BY its source column:
         sum_<c> is BIGINT for integer sources, min_<c>/max_<c> and key
@@ -986,8 +1047,6 @@ class Transaction:
         COUNT/COUNT(col)/exact-distinct (bigint) and HLL sketches (binary,
         string-cast input) are type-independent and stay put."""
         import json as _json
-
-        from .rollup import _meta_name
 
         t = new_type.strip().lower()
         if t in ("float", "double"):
@@ -1002,14 +1061,7 @@ class Transaction:
                 if m
                 else None
             )
-        names = set(self.c.tables())
-        for mv in sorted(n for n in names if _meta_name(n) in names):
-            meta = self.c.read(_meta_name(mv)).collect()
-            if len(meta) != 1:
-                continue  # lookalike pair, not a rollup
-            row = meta[0].asDict()
-            if row.get("src") != src_name:
-                continue
+        for mv, row, _cols in self._dependent_rollups(src_name):
             targets = {}
             if col in _json.loads(row.get("keys") or "[]"):
                 targets[col] = t
@@ -1033,6 +1085,47 @@ class Transaction:
                     changed = True
             if changed:
                 self._evolve(st_mv, sch, "tables_altered")
+
+    def _rename_in_dependent_rollups(self, src_name, old, new) -> None:
+        """Renaming a maintained source column follows through to every
+        dependent rollup — its meta lists/time_col and the derived stored
+        column names (sum_<old> -> sum_<new>, key columns verbatim) — in
+        the same transaction, so the next refresh's diff (which carries
+        the NEW source names) keeps resolving. Without this the MV was
+        permanently unrefreshable after a rename (AnalysisException on
+        the old name)."""
+        import json as _json
+
+        from .rollup import _meta_name, _stamp_meta_tx
+
+        prefixes = {
+            "keys": ("",),  # key column stored under the source name
+            "sum_cols": ("sum_",),
+            "minmax_cols": ("min_", "max_"),
+            "count_cols": ("count_",),
+            "approx_cols": ("hll_",),
+            "distinct_cols": ("distinct_",),
+        }
+        for mv, row, cols in self._dependent_rollups(src_name):
+            if old not in cols:
+                continue
+            renames = []
+            for key, prefs in prefixes.items():
+                lst = _json.loads(row.get(key) or "[]")
+                if old in lst:
+                    row[key] = _json.dumps(
+                        [new if c == old else c for c in lst]
+                    )
+                    renames += [(f"{p}{old}", f"{p}{new}") for p in prefs]
+            if row.get("time_col") == old:
+                row["time_col"] = new  # bucket expr re-derives from meta
+            st_mv = self._state(mv)
+            sch = st_mv.schema
+            for a, b in renames:
+                sch = sch.rename_column(a, b)
+            if renames:
+                self._evolve(st_mv, sch, "tables_altered")
+            _stamp_meta_tx(self, self.c, mv, row, int(row["last_version"]))
 
     def create_view(self, name, sql) -> None:
         self._view_ops.append((name, sql))

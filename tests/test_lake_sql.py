@@ -695,6 +695,51 @@ def test_alter_type_widens_dependent_mv_state(lake):
     assert 8589934592 in ks and {1, 2} <= ks
 
 
+def test_rename_drop_of_mv_maintained_columns(lake):
+    """Schema evolution x MV consistency, the rename/drop half: renaming a
+    maintained source column follows through to the MV (meta lists, stored
+    sum_<c>/key columns) so REFRESH keeps working with the new names
+    (regression: permanently unrefreshable AnalysisException on the old
+    name); dropping a maintained column is blocked with a clear error."""
+    lake.sql("CREATE TABLE ev (k VARCHAR, v INTEGER, extra INT, ts TIMESTAMP)")
+    lake.sql(
+        "INSERT INTO ev VALUES "
+        "('a', 1, 0, TIMESTAMP '2024-01-01 00:10:00'), "
+        "('a', 2, 0, TIMESTAMP '2024-01-01 00:20:00'), "
+        "('b', 5, 0, TIMESTAMP '2024-01-01 02:00:00')"
+    )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, "
+        "time_bucket(INTERVAL '1 hour', ts), COUNT(*), SUM(v), "
+        "APPROX_COUNT_DISTINCT(v) FROM ev GROUP BY k, bucket_start"
+    )
+    # rename the summed column, the key column, AND the time column
+    lake.sql("ALTER TABLE ev RENAME COLUMN v TO amount")
+    lake.sql("ALTER TABLE ev RENAME COLUMN k TO grp")
+    lake.sql("ALTER TABLE ev RENAME COLUMN ts TO event_ts")
+    cols = set(lake.sql("SELECT * FROM mv").columns)
+    assert {"grp", "sum_amount", "avg_amount", "approx_distinct_amount"} <= cols
+    assert "sum_v" not in cols and "k" not in cols
+    lake.sql(
+        "INSERT INTO ev VALUES ('a', 7, 0, TIMESTAMP '2024-01-01 00:40:00')"
+    )
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        (r["grp"], r["bucket_start"].hour): (r["n_rows"], r["sum_amount"])
+        for r in lake.sql("SELECT * FROM mv").collect()
+    }
+    assert got[("a", 0)] == (3, 10) and got[("b", 2)] == (1, 5)
+    # dropping a maintained column is refused; unrelated columns drop fine
+    with pytest.raises(Exception, match="maintained by materialized view"):
+        lake.sql("ALTER TABLE ev DROP COLUMN amount")
+    with pytest.raises(Exception, match="maintained by materialized view"):
+        lake.sql("ALTER TABLE ev DROP COLUMN grp")
+    lake.sql("ALTER TABLE ev DROP COLUMN extra")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")  # still healthy
+    lake.sql("DROP MATERIALIZED VIEW mv")
+    lake.sql("ALTER TABLE ev DROP COLUMN amount")  # now unguarded
+
+
 def test_export_ignores_lookalike_rollup_meta(lake, spark, tmp_path):
     """A USER table that merely names like rollup meta (x__rollup_meta with
     a sibling x) must export verbatim — no restamp, no crash on a schema
