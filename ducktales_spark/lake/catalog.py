@@ -27,11 +27,8 @@ import datetime as _dt
 import glob as _glob
 import json
 import os
-import re as _re
 import shutil
 import uuid
-
-_re_decimal = _re.compile(r"decimal\((\d+),(\d+)\)")
 from dataclasses import dataclass, field as _dcfield
 from functools import reduce
 from typing import Optional
@@ -538,8 +535,10 @@ class LakeCatalog:
         schema restricted to FIELDS that also exist at v1 — matched by
         field id and served under the v2 names/types, so the diff stays
         correct across RENAME (same id, new name) and widening TYPE
-        changes (v1 side cast to the v2 type, exact by the widening
-        contract). A name-based intersection would silently drop renamed
+        changes (v1 side cast to the v2 type — exact for every cast the
+        user-facing widening gate admits; engine-forced retypes of rollup
+        STATE columns are not diffed through this path). A name-based
+        intersection would silently drop renamed
         columns from the diff — and with them every rollup refresh that
         crosses the rename snapshot."""
         d1, d2 = self.read(name, version=v1), self.read(name, version=v2)
@@ -821,6 +820,7 @@ class Transaction:
         self._replaced: dict = {}
         self._staged_dirs: list = []
         self._done = False
+        self._rollup_metas_cache: dict = None  # see _rollup_metas
 
     # -- context manager ------------------------------------------------
     def __enter__(self):
@@ -936,6 +936,18 @@ class Transaction:
 
     def drop_table(self, name: str) -> None:
         st = self._state(name)
+        # like drop_column: a table an MV aggregates cannot silently vanish
+        # (the MV would be permanently unrefreshable, and a later recreate
+        # would pair UNRELATED field ids in the CDC diff). DROP the view
+        # first. The guard skips rollups already dropped in this txn —
+        # create_rollup(replace=True) drops the pair itself.
+        for mv, row in self._rollup_metas().items():
+            mv_st = self._states.get(mv)
+            if row.get("src") == name and not (mv_st and mv_st.dropped):
+                raise LakeError(
+                    f"table {name!r} is the source of materialized view "
+                    f"{mv!r}; DROP MATERIALIZED VIEW {mv} first"
+                )
         st.dropped = True
         st.changes.add("tables_dropped")
 
@@ -998,45 +1010,62 @@ class Transaction:
         column widen their stored state in the same transaction (see
         _widen_dependent_rollups)."""
         st = self._state(name)
+        old_type = st.schema.field_by_name(col).type
         try:
             new_schema = st.schema.alter_column_type(col, new_type)
         except ValueError as e:
             raise LakeError(str(e)) from None
         self._evolve(st, new_schema, "tables_altered")
-        self._widen_dependent_rollups(name, col, new_type)
+        self._widen_dependent_rollups(name, col, old_type, new_type)
 
     _ROLLUP_COL_LISTS = (
         "keys", "sum_cols", "minmax_cols",
         "count_cols", "approx_cols", "distinct_cols",
     )
 
+    def _rollup_metas(self) -> dict:
+        """mv_name -> meta row dict for every rollup AS THIS TRANSACTION
+        SEES IT — staged DDL included, so in a BEGIN block the second ALTER
+        observes the first one's follow-through (meta restamped with the
+        new names), not stale committed state. Memoized per transaction:
+        MV create/drop is refused inside explicit transactions and
+        autocommit runs a single op, so the MV set is fixed for this
+        transaction's lifetime (one enumeration pays for every DDL in the
+        block); _rename_in_dependent_rollups updates entries in place
+        after restamping. Read-only meta loads never mark their states
+        changed, so commit ignores them (no spurious conflicts)."""
+        if self._rollup_metas_cache is None:
+            from .rollup import _meta_name
+
+            names = set(self.c.tables())
+            for n, st in self._states.items():
+                (names.discard if st.dropped else names.add)(n)
+            cache = {}
+            for mv in sorted(n for n in names if _meta_name(n) in names):
+                meta = self.read(_meta_name(mv)).collect()
+                if len(meta) == 1:
+                    cache[mv] = meta[0].asDict()
+            self._rollup_metas_cache = cache
+        return self._rollup_metas_cache
+
     def _dependent_rollups(self, src_name):
         """[(mv_name, meta_row_dict, {maintained source columns})] for every
         rollup whose source is ``src_name`` — schema evolution of the
         source must keep these consistent (widen/rename propagate, drop is
         blocked)."""
-        import json as _json
-
-        from .rollup import _meta_name
-
-        names = set(self.c.tables())
         out = []
-        for mv in sorted(n for n in names if _meta_name(n) in names):
-            meta = self.c.read(_meta_name(mv)).collect()
-            if len(meta) != 1:
-                continue  # lookalike pair, not a rollup
-            row = meta[0].asDict()
+        for mv, row in self._rollup_metas().items():
             if row.get("src") != src_name:
                 continue
             cols = set()
             for key in self._ROLLUP_COL_LISTS:
-                cols.update(_json.loads(row.get(key) or "[]"))
+                cols.update(json.loads(row.get(key) or "[]"))
             if row.get("time_col"):
                 cols.add(row["time_col"])
             out.append((mv, row, cols))
         return out
 
-    def _widen_dependent_rollups(self, src_name, col, new_type) -> None:
+    def _widen_dependent_rollups(self, src_name, col, old_type, new_type) -> None:
         """A continuous aggregate stores state TYPED BY its source column:
         sum_<c> is BIGINT for integer sources, min_<c>/max_<c> and key
         columns carry the column type verbatim. Widening the source
@@ -1044,33 +1073,37 @@ class Transaction:
         silently cast fractional or overflowing deltas back down to the
         old type — data corruption, not an error — so every dependent
         rollup's stored columns widen inside this same transaction.
-        COUNT/COUNT(col)/exact-distinct (bigint) and HLL sketches (binary,
-        string-cast input) are type-independent and stay put."""
-        import json as _json
+        COUNT/COUNT(col)/exact-distinct counts (bigint) are
+        type-independent and stay put; HLL sketch state hashes the STRING
+        cast of the value, whose representation CHANGES across
+        cross-family widenings (int 7 -> double "7.0") — those sketches
+        are rebuilt from the source (see below), int-family rank growth
+        keeps the same digits and stays put."""
+        from .schema import _decimal
 
         t = new_type.strip().lower()
+        int_family = ("tinyint", "smallint", "int", "bigint")
         if t in ("float", "double"):
             sum_t = "double"  # Spark: sum(float/double) -> double
-        elif t in ("tinyint", "smallint", "int", "bigint"):
+        elif t in int_family:
             sum_t = "bigint"  # sum(int family) -> bigint
         else:
-            m = _re_decimal.fullmatch(t.replace(" ", ""))
+            d = _decimal(t)
             # Spark: sum(decimal(p,s)) -> decimal(min(38, p+10), s)
-            sum_t = (
-                f"decimal({min(38, int(m.group(1)) + 10)},{m.group(2)})"
-                if m
-                else None
-            )
+            sum_t = f"decimal({min(38, d[0] + 10)},{d[1]})" if d else None
         for mv, row, _cols in self._dependent_rollups(src_name):
             targets = {}
-            if col in _json.loads(row.get("keys") or "[]"):
+            if col in json.loads(row.get("keys") or "[]"):
                 targets[col] = t
-            if col in _json.loads(row.get("sum_cols") or "[]") and sum_t:
+            if col in json.loads(row.get("sum_cols") or "[]") and sum_t:
                 targets[f"sum_{col}"] = sum_t
-            if col in _json.loads(row.get("minmax_cols") or "[]"):
+            if col in json.loads(row.get("minmax_cols") or "[]"):
                 targets[f"min_{col}"] = t
                 targets[f"max_{col}"] = t
-            if not targets:
+            resketch = col in json.loads(
+                row.get("approx_cols") or "[]"
+            ) and not (old_type.lower() in int_family and t in int_family)
+            if not targets and not resketch:
                 continue
             st_mv = self._state(mv)
             sch = st_mv.schema
@@ -1085,6 +1118,47 @@ class Transaction:
                     changed = True
             if changed:
                 self._evolve(st_mv, sch, "tables_altered")
+            if resketch:
+                # the sketch input is the value's STRING form, which just
+                # changed (int 7 -> double "7.0"): existing sketches can no
+                # longer union with future deltas. Rebuild the rollup's
+                # state from the (staged) source under the new type — the
+                # rare, explicit-DDL-time cost that keeps the pinned
+                # incremental == recompute invariant true afterwards.
+                self._recompute_rollup_state(mv, row)
+
+    def _recompute_rollup_state(self, mv: str, row: dict) -> None:
+        """Rebuild a rollup's stored state from its (staged) source inside
+        THIS transaction — delete + insert + a meta stamp at the txn's base
+        version, so the next refresh diffs exactly the changes this rebuild
+        has not already seen (data changes staged in this txn commit at
+        base+1 and are picked up then)."""
+        from .rollup import _agg_exprs, _bucket_expr, _stamp_meta_tx
+
+        def _lst(key):
+            return tuple(json.loads(row.get(key) or "[]"))
+
+        df = (
+            self.read(row["src"])
+            .groupBy(
+                _bucket_expr(
+                    row["time_col"] or None, int(row["bucket_s"])
+                ).alias("bucket_start"),
+                *_lst("keys"),
+            )
+            .agg(
+                *_agg_exprs(
+                    _lst("sum_cols"),
+                    minmax_cols=_lst("minmax_cols"),
+                    count_cols=_lst("count_cols"),
+                    approx_cols=_lst("approx_cols"),
+                    distinct_cols=_lst("distinct_cols"),
+                )
+            )
+        )
+        self.delete(mv)
+        self.insert(mv, df)
+        _stamp_meta_tx(self, self.c, mv, row, self.base_version)
 
     def _rename_in_dependent_rollups(self, src_name, old, new) -> None:
         """Renaming a maintained source column follows through to every
@@ -1094,9 +1168,7 @@ class Transaction:
         the NEW source names) keeps resolving. Without this the MV was
         permanently unrefreshable after a rename (AnalysisException on
         the old name)."""
-        import json as _json
-
-        from .rollup import _meta_name, _stamp_meta_tx
+        from .rollup import _stamp_meta_tx
 
         prefixes = {
             "keys": ("",),  # key column stored under the source name
@@ -1111,9 +1183,9 @@ class Transaction:
                 continue
             renames = []
             for key, prefs in prefixes.items():
-                lst = _json.loads(row.get(key) or "[]")
+                lst = json.loads(row.get(key) or "[]")
                 if old in lst:
-                    row[key] = _json.dumps(
+                    row[key] = json.dumps(
                         [new if c == old else c for c in lst]
                     )
                     renames += [(f"{p}{old}", f"{p}{new}") for p in prefs]

@@ -740,6 +740,79 @@ def test_rename_drop_of_mv_maintained_columns(lake):
     lake.sql("ALTER TABLE ev DROP COLUMN amount")  # now unguarded
 
 
+def test_mv_evolution_guards_inside_one_transaction(lake):
+    """The consistency guards must see STAGED state, not committed: inside
+    one BEGIN block, a rename followed by a drop of the renamed column is
+    still blocked, a double rename follows through twice, dropping the
+    source table of an MV is refused, and rolling the block back leaves
+    everything untouched."""
+    lake.sql("CREATE TABLE ev (k VARCHAR, v INTEGER)")
+    lake.sql("INSERT INTO ev VALUES ('a', 1), ('b', 5)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v) "
+        "FROM ev GROUP BY k"
+    )
+    # rename -> drop of the SAME logical column inside one txn: blocked
+    lake.sql("BEGIN")
+    lake.sql("ALTER TABLE ev RENAME COLUMN v TO w")
+    with pytest.raises(Exception, match="maintained by materialized view"):
+        lake.sql("ALTER TABLE ev DROP COLUMN w")
+    lake.sql("ROLLBACK")
+    assert "v" in lake.read("ev").columns  # rollback left the old name
+    assert "sum_v" in lake.sql("SELECT * FROM mv").columns
+    # double rename inside one txn: the second sees the first's restamp
+    lake.sql("BEGIN")
+    lake.sql("ALTER TABLE ev RENAME COLUMN v TO w")
+    lake.sql("ALTER TABLE ev RENAME COLUMN w TO x")
+    lake.sql("COMMIT")
+    assert "sum_x" in lake.sql("SELECT * FROM mv").columns
+    lake.sql("INSERT INTO ev VALUES ('a', 9)")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {r["k"]: r["sum_x"] for r in lake.sql("SELECT * FROM mv").collect()}
+    assert got == {"a": 10, "b": 5}
+    # dropping the MV's source table is refused until the MV goes first
+    with pytest.raises(Exception, match="source of materialized view"):
+        lake.sql("DROP TABLE ev")
+    lake.sql("DROP MATERIALIZED VIEW mv")
+    lake.sql("DROP TABLE ev")
+
+
+def test_widen_resketches_approx_state(lake):
+    """HLL sketches hash the STRING form of the value; an int->double widen
+    changes that form ('7' -> '7.0'), so the widen must REBUILD the sketch
+    state — otherwise the next insert of an already-seen value would union
+    a different hash and overcount the distinct estimate."""
+    lake.sql("CREATE TABLE ev (k VARCHAR, v INTEGER)")
+    lake.sql("INSERT INTO ev VALUES ('a', 7), ('a', 8), ('b', 7)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT k, COUNT(*), APPROX_COUNT_DISTINCT(v) FROM ev GROUP BY k"
+    )
+    lake.sql("ALTER TABLE ev ALTER COLUMN v TYPE DOUBLE")
+    # already-seen value arrives under the new representation (7 -> 7.0):
+    # an un-rebuilt sketch would count it as a second distinct value
+    lake.sql("INSERT INTO ev VALUES ('a', 7.0)")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        r["k"]: (r["n_rows"], r["approx_distinct_v"])
+        for r in lake.sql("SELECT * FROM mv").collect()
+    }
+    assert got == {"a": (3, 2), "b": (1, 1)}  # {7.0, 8.0} and {7.0}
+    # int -> bigint keeps the digits: sketches must NOT rebuild (additive
+    # path still unions consistently)
+    lake.sql("CREATE TABLE ev2 (k VARCHAR, v INTEGER)")
+    lake.sql("INSERT INTO ev2 VALUES ('a', 7)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv2 AS "
+        "SELECT k, COUNT(*), APPROX_COUNT_DISTINCT(v) FROM ev2 GROUP BY k"
+    )
+    lake.sql("ALTER TABLE ev2 ALTER COLUMN v TYPE BIGINT")
+    lake.sql("INSERT INTO ev2 VALUES ('a', 7), ('a', 9)")
+    lake.sql("REFRESH MATERIALIZED VIEW mv2")
+    row = lake.sql("SELECT * FROM mv2").first()
+    assert (row["n_rows"], row["approx_distinct_v"]) == (3, 2)
+
+
 def test_export_ignores_lookalike_rollup_meta(lake, spark, tmp_path):
     """A USER table that merely names like rollup meta (x__rollup_meta with
     a sibling x) must export verbatim — no restamp, no crash on a schema
