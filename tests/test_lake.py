@@ -1192,11 +1192,30 @@ def test_postgres_backend_end_to_end(spark, tmp_path, pg_dsn):
             with lake.transaction() as tx:
                 tx.insert_rows(name, [{"id": 1, "v": "dup"}])
         assert lake.count(name) == 3
+        # round-8 surface on the PG catalog: widening type evolution and a
+        # materialized view (meta stored as a lake table, schema JSON in
+        # the PG metastore) created, refreshed, and consistently widened
+        lake.sql(f"ALTER TABLE {name} ADD COLUMN amt INTEGER DEFAULT 2")
+        lake.sql(
+            f"CREATE MATERIALIZED VIEW {name}_mv AS "
+            f"SELECT COUNT(*), SUM(amt) FROM {name}"
+        )
+        lake.sql(f"ALTER TABLE {name} ALTER COLUMN amt TYPE DOUBLE")
+        with lake.transaction() as tx:
+            tx.insert_rows(name, [{"id": 9, "v": "z", "amt": 0.5}])
+        lake.sql(f"REFRESH MATERIALIZED VIEW {name}_mv")
+        row = lake.sql(f"SELECT n_rows, sum_amt FROM {name}_mv").first()
+        assert (row["n_rows"], row["sum_amt"]) == (4, 6.5)
+        lake.sql(f"DROP MATERIALIZED VIEW {name}_mv")
     finally:
-        try:
-            lake.sql(f"DROP TABLE {name}")
-        except Exception:
-            pass
+        for stmt in (
+            f"DROP MATERIALIZED VIEW IF EXISTS {name}_mv",
+            f"DROP TABLE {name}",
+        ):
+            try:
+                lake.sql(stmt)
+            except Exception:
+                pass
 
 
 def test_mysql_backend_end_to_end(spark, tmp_path, monkeypatch):
