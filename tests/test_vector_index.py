@@ -230,6 +230,72 @@ def test_remove_vectors_lifecycle(spark, tmp_path, vectors):
     assert _rows(got) == _rows(want)
 
 
+def test_int8_quantization_roundtrip_and_recall(spark, tmp_path, vectors):
+    """quantize_vectors: exact int8 round-trip invariants (codes bounded,
+    |e_i - q_i*scale| <= scale/2, zero vectors stay zero), >= 4x smaller
+    on disk than the raw doubles, all-JVM (no Python stages), and
+    top-k cosine over the DEQUANTIZED corpus keeps recall@10 >= 0.9
+    against the exact answer — the storage-format contract."""
+    from ducktales_spark.queries.similarity import _np, _topk, cosine_scores
+    from ducktales_spark.vector_index import (
+        dequantize_vectors,
+        quantize_vectors,
+    )
+
+    q = quantize_vectors(vectors)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # transform/aggregate stay codegen
+    joined = (
+        vectors.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .select("a.e", "b.q", "b.scale")
+    )
+    bad = joined.selectExpr(
+        "exists(q, x -> x > 127 OR x < -127) AS oob",
+        "exists(arrays_zip(e, q), p -> "
+        "abs(p.e - p.q * scale) > scale / 2 + 1e-12) AS drift",
+    ).filter("oob OR drift")
+    assert bad.count() == 0
+    # zero vector edge
+    z = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id bigint, e array<double>")
+    zq = quantize_vectors(z).first()
+    assert zq["scale"] == 0.0 and list(zq["q"]) == [0, 0]
+    # storage: int8 codes at least 4x smaller than the double corpus
+    import os
+
+    raw_dir, q_dir = str(tmp_path / "raw"), str(tmp_path / "quant")
+    vectors.write.parquet(raw_dir)
+    q.write.parquet(q_dir)
+
+    def _bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert _bytes(q_dir) * 4 <= _bytes(raw_dir)
+    # recall@10 of brute-force top-k over the dequantized corpus
+    queries = vectors.filter(F.col("vec_id") < 10).toPandas()
+    qids, Q = queries["vec_id"].to_numpy(), _np(queries["e"])
+
+    def _brute(corpus):
+        return _topk(
+            cosine_scores(corpus, qids, Q, local_k=10, drop_self=False), 10
+        )
+
+    exact = _brute(vectors)
+    approx = _brute(dequantize_vectors(q))
+    by_q_exact: dict = {}
+    for r in exact.collect():
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = tot = 0
+    for r in approx.collect():
+        tot += 1
+        hits += r.neighbor_id in by_q_exact[r.query_id]
+    assert tot and hits / tot >= 0.9, hits / tot
+
+
 def test_compact_after_remove_keeps_probe_parity(spark, tmp_path, vectors):
     """Heavy delete churn fragments index files; lake.compact is the
     documented maintenance answer. After remove + compact the probe answer
