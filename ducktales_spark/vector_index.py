@@ -255,9 +255,11 @@ def extend_vector_index(
 
 def quantize_vectors(vectors: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 quantization of an embedding column —
-    (vec_id, e array<double>) -> (vec_id, q array<tinyint>, scale double)
+    ``e array<double>`` becomes ``q array<tinyint>`` + ``scale double``
     with ``q_i = round(e_i / scale)``, ``scale = max(|e_i|) / 127``
-    (all-zero vectors keep scale 0 and all-zero codes).
+    (all-zero vectors keep scale 0 and all-zero codes). Every OTHER input
+    column (ids, centroid assignments, metadata) passes through untouched,
+    so the persisted index table itself round-trips.
 
     The 100-TB lever: int8 codes are 8x smaller than float64 (4x vs
     float32) at rest, over shuffles, and in executor memory — the standard
@@ -265,14 +267,25 @@ def quantize_vectors(vectors: DataFrame) -> DataFrame:
     Entirely JVM-side (``transform`` / ``aggregate`` lambdas, no Python),
     so quantization rides the scan it follows. Cosine on dequantized codes
     deviates O(1/127) per component; the recall gate in
-    tests/test_vector_index.py pins the end effect."""
-    mx = F.aggregate(
-        "e", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
-    )
+    tests/test_vector_index.py pins the end effect.
+
+    Dirty data policy: a vector containing NaN/Infinity quantizes to
+    NULL ``q``/``scale`` — explicit and filterable — instead of the ANSI
+    CAST_OVERFLOW that would otherwise abort the whole job over one bad
+    row at corpus scale."""
+    mx = F.aggregate("e", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
     df = vectors.withColumn("__mx", mx)
+    # NaN components make the max-abs NaN; an Infinity component makes it
+    # Infinity — one finite check on the aggregate covers every element
+    dirty = F.isnan(F.col("__mx")) | (F.col("__mx") == float("inf"))
+    others = [c for c in vectors.columns if c != "e"]
     return df.select(
-        "vec_id",
-        F.when(F.col("__mx") == 0.0, F.transform("e", lambda x: F.lit(0).cast("tinyint")))
+        *others,
+        F.when(dirty, F.lit(None))
+        .when(
+            F.col("__mx") == 0.0,
+            F.transform("e", lambda x: F.lit(0).cast("tinyint")),
+        )
         .otherwise(
             F.transform(
                 "e",
@@ -280,20 +293,24 @@ def quantize_vectors(vectors: DataFrame) -> DataFrame:
             )
         )
         .alias("q"),
-        (F.col("__mx") / 127.0).alias("scale"),
+        F.when(dirty, F.lit(None))
+        .otherwise(F.col("__mx") / 127.0)
+        .alias("scale"),
     )
 
 
 def dequantize_vectors(quantized: DataFrame) -> DataFrame:
-    """(vec_id, q, scale) -> (vec_id, e array<double>): the inverse face,
-    so every existing kernel (brute-force top-k, IVF build/probe, near-dup
-    screening) consumes quantized corpora unchanged — quantization is a
-    STORAGE format, not a new query path."""
+    """``(q, scale, ...)`` back to ``(e array<double>, ...)``: the inverse
+    face, so every existing kernel (brute-force top-k, IVF build/probe,
+    near-dup screening) consumes quantized corpora unchanged —
+    quantization is a STORAGE format, not a new query path. Non-contract
+    columns pass through; NULL codes (dirty inputs) dequantize to NULL."""
+    others = [c for c in quantized.columns if c not in ("q", "scale")]
     return quantized.select(
-        "vec_id",
-        F.transform(
-            "q", lambda x: x.cast("double") * F.col("scale")
-        ).alias("e"),
+        *others,
+        F.transform("q", lambda x: x.cast("double") * F.col("scale")).alias(
+            "e"
+        ),
     )
 
 

@@ -260,6 +260,28 @@ def test_int8_quantization_roundtrip_and_recall(spark, tmp_path, vectors):
     z = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id bigint, e array<double>")
     zq = quantize_vectors(z).first()
     assert zq["scale"] == 0.0 and list(zq["q"]) == [0, 0]
+    # dirty vectors (NaN / Infinity) become explicit NULLs, never a
+    # job-aborting ANSI cast overflow; clean rows in the same frame survive
+    dirty = spark.createDataFrame(
+        [
+            (1, [1.0, float("nan"), 2.0], "x"),
+            (2, [1.0, float("inf")], "y"),
+            (3, [1.0, -2.0], "z"),
+        ],
+        "vec_id bigint, e array<double>, tag string",
+    )
+    dq = {r["vec_id"]: r for r in quantize_vectors(dirty).collect()}
+    assert dq[1]["q"] is None and dq[1]["scale"] is None
+    assert dq[2]["q"] is None and dq[2]["scale"] is None
+    assert list(dq[3]["q"]) == [64, -127] and dq[3]["tag"] == "z"
+    # non-contract columns (tag) round-trip through both faces
+    back = {
+        r["vec_id"]: r
+        for r in dequantize_vectors(
+            quantize_vectors(dirty).filter("q IS NOT NULL")
+        ).collect()
+    }
+    assert back[3]["tag"] == "z" and abs(back[3]["e"][1] + 2.0) < 0.02
     # storage: int8 codes at least 4x smaller than the double corpus
     import os
 
