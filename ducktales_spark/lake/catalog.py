@@ -27,6 +27,7 @@ import datetime as _dt
 import glob as _glob
 import json
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass, field as _dcfield
@@ -1128,19 +1129,34 @@ class Transaction:
                 self._recompute_rollup_state(mv, row)
 
     def _recompute_rollup_state(self, mv: str, row: dict) -> None:
-        """Rebuild a rollup's stored state from its (staged) source inside
-        THIS transaction — delete + insert + a meta stamp at the txn's base
-        version, so the next refresh diffs exactly the changes this rebuild
-        has not already seen (data changes staged in this txn commit at
-        base+1 and are picked up then)."""
+        """Rebuild a rollup's stored state inside THIS transaction, from the
+        COMMITTED source snapshot at the txn's base version projected to
+        the STAGED schema (the widened type is what forces the rebuild;
+        ``_project`` maps committed -> staged by field id, so earlier
+        staged renames/widens in the same BEGIN block apply too). Staged
+        DATA rows are deliberately excluded: they commit at a version
+        > base, so the next refresh's base->head diff folds them in
+        exactly once. Reading the staged state here (read-your-writes)
+        AND stamping base would bake those rows into the rebuilt state
+        and then re-apply them — silent double counting. The meta stamp
+        (base version) is mirrored into the cached row so a later DDL in
+        the same block (e.g. RENAME) restamps from the rebuilt value, not
+        a stale pre-rebuild one."""
         from .rollup import _agg_exprs, _bucket_expr, _stamp_meta_tx
 
         def _lst(key):
             return tuple(json.loads(row.get(key) or "[]"))
 
+        src = row["src"]
+        staged_sch = self._state(src).schema
+        table_id, _ = self.c._table_at(src, self.base_version)
+        committed = self.c._schemas_at(table_id, self.base_version)
+        committed_sch = committed[max(committed)]
+        df = self.c.read(src, version=self.base_version)
+        if committed_sch.to_json() != staged_sch.to_json():
+            df = _project(df, committed_sch, staged_sch)
         df = (
-            self.read(row["src"])
-            .groupBy(
+            df.groupBy(
                 _bucket_expr(
                     row["time_col"] or None, int(row["bucket_s"])
                 ).alias("bucket_start"),
@@ -1159,6 +1175,7 @@ class Transaction:
         self.delete(mv)
         self.insert(mv, df)
         _stamp_meta_tx(self, self.c, mv, row, self.base_version)
+        row["last_version"] = self.base_version
 
     def _rename_in_dependent_rollups(self, src_name, old, new) -> None:
         """Renaming a maintained source column follows through to every
@@ -1742,6 +1759,16 @@ class Transaction:
                 == 0
             ):
                 hit_inlined = []
+        if matched > 0 and not hit_files and not hit_inlined:
+            # Invariant: matched target rows LIVE somewhere. An empty hit
+            # set here means file-identity normalization diverged between
+            # the catalog path and input_file_name() — proceeding would
+            # duplicate every matched row (update) or silently no-op
+            # (delete) while reporting matched=N. Fail loudly instead.
+            raise LakeError(
+                "merge internal error: matched rows found but no hit "
+                "file/inlined entry (file URI normalization mismatch?)"
+            )
         return hit_files, hit_inlined
 
     # -- maintenance (M1/M2) --------------------------------------------
@@ -1942,12 +1969,25 @@ class Transaction:
 
 
 def _norm_file_uri(p: str) -> str:
-    """Normalize a file path / file:// URI for identity comparison between
-    catalog FileEntry paths and Spark's input_file_name() output."""
-    from urllib.parse import unquote, urlparse
+    """Normalize a file path / URI for identity comparison between catalog
+    FileEntry paths and Spark's ``input_file_name()`` output.
 
-    if "://" in p:
-        return unquote(urlparse(p).path)
+    Handles BOTH slash conventions for scheme URIs — Hadoop's
+    ``Path.toString`` commonly emits single-slash ``file:/x/y`` while
+    ``input_file_name()`` emits ``file:///x/y`` — and preserves
+    scheme + netloc for object stores (``s3a://bucket/k`` must not
+    collapse to ``/k``, which would collide across buckets). Local
+    ``file:`` URIs normalize to the plain absolute path so they compare
+    equal to FileEntry's os paths."""
+    from urllib.parse import unquote, urlsplit
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):", p)
+    if m:
+        u = urlsplit(p)
+        path = unquote(u.path)
+        if u.scheme.lower() == "file" and not u.netloc:
+            return path
+        return f"{u.scheme.lower()}://{u.netloc}{path}"
     return os.path.abspath(p)
 
 

@@ -276,8 +276,16 @@ def quantize_vectors(vectors: DataFrame) -> DataFrame:
     mx = F.aggregate("e", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
     df = vectors.withColumn("__mx", mx)
     # NaN components make the max-abs NaN; an Infinity component makes it
-    # Infinity — one finite check on the aggregate covers every element
-    dirty = F.isnan(F.col("__mx")) | (F.col("__mx") == float("inf"))
+    # Infinity. NULL elements need their own check: greatest() skips
+    # nulls, so the aggregate stays finite while transform() would map the
+    # null element to a null tinyint code — a q that LOOKS clean but
+    # yields NULL dot products downstream instead of a filterable NULL
+    # vector. All three dirty shapes collapse to NULL q/scale.
+    dirty = (
+        F.isnan(F.col("__mx"))
+        | (F.col("__mx") == float("inf"))
+        | F.exists("e", lambda x: x.isNull())
+    )
     others = [c for c in vectors.columns if c != "e"]
     return df.select(
         *others,

@@ -1292,3 +1292,25 @@ def test_file_stats_metadata_surface(lake, spark):
     assert sum(
         s["row_count"] for s in lake.file_stats("fs_t", version=v0)
     ) <= 100
+
+
+def test_norm_file_uri_variants():
+    """File identity must survive every URI spelling the JVM emits:
+    input_file_name() gives file:///x, Hadoop Path.toString gives the
+    single-slash file:/x, FileEntry holds plain os paths — all three must
+    normalize identically, and object-store URIs must keep scheme+netloc
+    (s3a://a/k and s3a://b/k are DIFFERENT files)."""
+    from ducktales_spark.lake.catalog import _norm_file_uri
+
+    assert _norm_file_uri("file:///tmp/a b/p.parquet") == "/tmp/a b/p.parquet"
+    assert _norm_file_uri("file:/tmp/a%20b/p.parquet") == "/tmp/a b/p.parquet"
+    assert _norm_file_uri("/tmp/a b/p.parquet") == "/tmp/a b/p.parquet"
+    assert (
+        _norm_file_uri("file:///x/y.parquet")
+        == _norm_file_uri("file:/x/y.parquet")
+        == _norm_file_uri("/x/y.parquet")
+    )
+    assert _norm_file_uri("s3a://bucket/k/p.parquet") == "s3a://bucket/k/p.parquet"
+    assert _norm_file_uri("s3a://other/k/p.parquet") != _norm_file_uri(
+        "s3a://bucket/k/p.parquet"
+    )

@@ -813,6 +813,72 @@ def test_widen_resketches_approx_state(lake):
     assert (row["n_rows"], row["approx_distinct_v"]) == (3, 2)
 
 
+def test_widen_resketch_with_staged_dml_no_double_count(lake):
+    """BEGIN; INSERT; ALTER TYPE (cross-family, approx-maintained); COMMIT:
+    the forced sketch rebuild must NOT bake the txn's own staged rows into
+    the rebuilt state — they commit at base+1 and the next refresh's
+    base->head diff folds them in; reading staged state AND stamping base
+    would double-count them (n_rows/sums/sketches alike)."""
+    lake.sql("CREATE TABLE ev (k VARCHAR, v INTEGER)")
+    lake.sql("INSERT INTO ev VALUES ('a', 7), ('b', 5)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v), "
+        "APPROX_COUNT_DISTINCT(v) FROM ev GROUP BY k"
+    )
+    lake.sql("BEGIN")
+    lake.sql("INSERT INTO ev VALUES ('a', 8)")
+    lake.sql("ALTER TABLE ev ALTER COLUMN v TYPE DOUBLE")
+    lake.sql("COMMIT")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        r["k"]: (r["n_rows"], r["sum_v"], r["approx_distinct_v"])
+        for r in lake.sql("SELECT * FROM mv").collect()
+    }
+    assert got == {"a": (2, 15.0, 2), "b": (1, 5.0, 1)}
+    # ALTER first, DML after — same invariant from the other side
+    lake.sql("CREATE TABLE ev2 (k VARCHAR, v INTEGER)")
+    lake.sql("INSERT INTO ev2 VALUES ('b', 5)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv2 AS SELECT k, COUNT(*), SUM(v), "
+        "APPROX_COUNT_DISTINCT(v) FROM ev2 GROUP BY k"
+    )
+    lake.sql("BEGIN")
+    lake.sql("ALTER TABLE ev2 ALTER COLUMN v TYPE DECIMAL(12,2)")
+    lake.sql("INSERT INTO ev2 VALUES ('b', 7)")
+    lake.sql("COMMIT")
+    lake.sql("REFRESH MATERIALIZED VIEW mv2")
+    got = {
+        r["k"]: (r["n_rows"], float(r["sum_v"]), r["approx_distinct_v"])
+        for r in lake.sql("SELECT * FROM mv2").collect()
+    }
+    assert got == {"b": (2, 12.0, 2)}
+
+
+def test_widen_then_rename_same_txn_keeps_rebuild_stamp(lake):
+    """BEGIN; ALTER TYPE (forces a state rebuild stamped at base); RENAME
+    (restamps from the cached meta row); COMMIT — the rename's restamp
+    must carry the REBUILD's version forward, not rewind to the
+    pre-rebuild value (which would make the next refresh re-apply changes
+    the rebuild already incorporated)."""
+    lake.sql("CREATE TABLE ev (k VARCHAR, v INTEGER)")
+    lake.sql("INSERT INTO ev VALUES ('a', 7)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), "
+        "APPROX_COUNT_DISTINCT(v) FROM ev GROUP BY k"
+    )
+    lake.sql("INSERT INTO ev VALUES ('a', 8)")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")  # last_version advances
+    lake.sql("INSERT INTO ev VALUES ('a', 9)")  # NOT yet refreshed in
+    lake.sql("BEGIN")
+    lake.sql("ALTER TABLE ev ALTER COLUMN v TYPE DOUBLE")  # rebuild @ base
+    lake.sql("ALTER TABLE ev RENAME COLUMN v TO w")  # restamp from cache
+    lake.sql("COMMIT")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    row = lake.sql("SELECT * FROM mv").first()
+    # rebuild at base already saw ('a',9); a rewound stamp re-applies it
+    assert (row["n_rows"], row["approx_distinct_w"]) == (3, 3)
+
+
 def test_export_ignores_lookalike_rollup_meta(lake, spark, tmp_path):
     """A USER table that merely names like rollup meta (x__rollup_meta with
     a sibling x) must export verbatim — no restamp, no crash on a schema

@@ -267,6 +267,10 @@ def test_int8_quantization_roundtrip_and_recall(spark, tmp_path, vectors):
             (1, [1.0, float("nan"), 2.0], "x"),
             (2, [1.0, float("inf")], "y"),
             (3, [1.0, -2.0], "z"),
+            # NULL element: greatest() skips nulls so the max-abs stays
+            # finite — without its own dirty check this row would carry a
+            # null CODE inside q and poison dot products downstream
+            (4, [1.0, None, 2.0], "w"),
         ],
         "vec_id bigint, e array<double>, tag string",
     )
@@ -274,6 +278,7 @@ def test_int8_quantization_roundtrip_and_recall(spark, tmp_path, vectors):
     assert dq[1]["q"] is None and dq[1]["scale"] is None
     assert dq[2]["q"] is None and dq[2]["scale"] is None
     assert list(dq[3]["q"]) == [64, -127] and dq[3]["tag"] == "z"
+    assert dq[4]["q"] is None and dq[4]["scale"] is None
     # non-contract columns (tag) round-trip through both faces
     back = {
         r["vec_id"]: r
