@@ -642,15 +642,21 @@ class LakeCatalog:
         for name in names:
             if not name.endswith("__rollup_meta") or name[: -len("__rollup_meta")] not in names:
                 continue
-            rows = [r.asDict() for r in other.read(name).collect()]
             # Guard like _mv_overlay: a user table that merely NAMES like
             # rollup meta (X__rollup_meta with a sibling X) must not get its
             # rows rewritten. Real rollup meta is exactly one row carrying
-            # the rollup definition columns.
-            if len(rows) != 1 or not {
+            # the rollup definition columns — check the SHAPE before
+            # collecting (schema is metadata; the row-count probe reads at
+            # most 2 rows), so a huge decoy table is never pulled to the
+            # driver during export.
+            meta_df = other.read(name)
+            if not {
                 "src", "bucket_s", "sum_cols", "last_version"
-            } <= set(rows[0]):
+            } <= set(meta_df.columns):
                 continue
+            if other.count(name) != 1:  # metadata-only, no scan
+                continue
+            rows = [r.asDict() for r in meta_df.collect()]
             for r in rows:
                 r["last_version"] = v_head
             with other.transaction() as tx:
@@ -1063,8 +1069,28 @@ class Transaction:
                 cols.update(json.loads(row.get(key) or "[]"))
             if row.get("time_col"):
                 cols.add(row["time_col"])
+            cols.update(self._predicate_cols(src_name, row))
             out.append((mv, row, cols))
         return out
+
+    def _predicate_cols(self, src_name: str, row: dict) -> set:
+        """Source columns a filtered MV's WHERE references: every bare
+        identifier in the stored predicate that names a source column
+        (function names and literals excluded by the scanner). These are
+        guarded like maintained columns — dropping one would make every
+        refresh unresolvable."""
+        where = row.get("where_sql")
+        if not where:
+            return set()
+        from .rollup import scan_sql_identifiers
+
+        names = {f.name for f in self._state(src_name).schema.fields}
+        lower = {n.lower(): n for n in names}
+        return {
+            lower[nm.lower()]
+            for _s, _e, nm in scan_sql_identifiers(where)
+            if nm.lower() in lower
+        }
 
     def _widen_dependent_rollups(self, src_name, col, old_type, new_type) -> None:
         """A continuous aggregate stores state TYPED BY its source column:
@@ -1155,6 +1181,8 @@ class Transaction:
         df = self.c.read(src, version=self.base_version)
         if committed_sch.to_json() != staged_sch.to_json():
             df = _project(df, committed_sch, staged_sch)
+        if row.get("where_sql"):
+            df = df.filter(F.expr(row["where_sql"]))
         df = (
             df.groupBy(
                 _bucket_expr(
@@ -1195,8 +1223,17 @@ class Transaction:
             "approx_cols": ("hll_",),
             "distinct_cols": ("distinct_",),
         }
+        from .rollup import scan_sql_identifiers
+
         for mv, row, cols in self._dependent_rollups(src_name):
-            if old not in cols:
+            # cols is derived from the CURRENT (already-renamed) schema, so
+            # a predicate-only reference to the old name is invisible in
+            # it — scan the stored WHERE text for `old` directly
+            in_where = bool(row.get("where_sql")) and any(
+                nm.lower() == old.lower()
+                for _s, _e, nm in scan_sql_identifiers(row["where_sql"])
+            )
+            if old not in cols and not in_where:
                 continue
             renames = []
             for key, prefs in prefixes.items():
@@ -1208,6 +1245,12 @@ class Transaction:
                     renames += [(f"{p}{old}", f"{p}{new}") for p in prefs]
             if row.get("time_col") == old:
                 row["time_col"] = new  # bucket expr re-derives from meta
+            if row.get("where_sql"):
+                from .rollup import rewrite_sql_identifiers
+
+                row["where_sql"] = rewrite_sql_identifiers(
+                    row["where_sql"], {old: new}
+                )
             st_mv = self._state(mv)
             sch = st_mv.schema
             for a, b in renames:
@@ -1579,6 +1622,8 @@ class Transaction:
         on: list,
         when_matched: str = "update",
         when_not_matched: str = "insert",
+        update_sets: Optional[dict] = None,
+        insert_sets: Optional[dict] = None,
     ) -> dict:
         """MERGE/upsert (Delta-style CDC apply; beyond the reference surface,
         which reaches the same state via UPDATE+INSERT pairs, e.g.
@@ -1587,6 +1632,17 @@ class Transaction:
         ``when_matched``: "update" replaces the matched target row with the
         source row, "delete" removes it, "skip" keeps it. ``when_not_matched``:
         "insert" appends unmatched source rows, "skip" drops them.
+
+        ``update_sets`` (partial updates — real CDC feeds carry deltas, not
+        whole rows): {target_column: SQL expression}; matched rows keep
+        every column NOT in the dict. ``insert_sets``: the same for the
+        insert branch. Expressions reference TARGET columns by their plain
+        names and SOURCE columns as ``__s_<col>`` (``lake.sql('MERGE …')``
+        rewrites ``alias.col`` qualifiers to this contract). With either
+        dict the source is NOT aligned to the target schema — it only needs
+        the ``on`` key columns plus whatever the expressions use, so a
+        narrow partial-update feed never fabricates the untouched columns.
+        Merge key columns cannot be assigned.
 
         Scale path: the source's per-key min/max bounds prune the candidate
         file list exactly like UPDATE/DELETE (stats.py), then a key-column
@@ -1600,11 +1656,57 @@ class Transaction:
             raise LakeError(f"bad when_matched {when_matched!r}")
         if when_not_matched not in ("insert", "skip"):
             raise LakeError(f"bad when_not_matched {when_not_matched!r}")
+        if update_sets is not None and when_matched != "update":
+            raise LakeError("update_sets requires when_matched='update'")
+        if insert_sets is not None and when_not_matched != "insert":
+            raise LakeError("insert_sets requires when_not_matched='insert'")
         st = self._state(name)
         sch = st.schema
         for k in on:
             sch.field_by_name(k)
-        src = self._align(source, sch).persist()
+        custom = update_sets is not None or insert_sets is not None
+        if custom:
+            for sets in (update_sets or {}), (insert_sets or {}):
+                for c in sets:
+                    sch.field_by_name(c)
+            bad_keys = set(update_sets or {}) & set(on)
+            if bad_keys:
+                raise LakeError(
+                    f"cannot assign merge key column(s) {sorted(bad_keys)}"
+                )
+            missing = [k for k in on if k not in source.columns]
+            if missing:
+                raise LakeError(
+                    f"merge source lacks key column(s) {missing}"
+                )
+            # keys still CAST to the target type (a string-typed id feed
+            # must match an int key column the way _align would make it)
+            key_types = {k: sch.field_by_name(k).type for k in on}
+            src = source.select(
+                *[
+                    F.col(c).cast(key_types[c]).alias(c) if c in key_types
+                    else F.col(c)
+                    for c in source.columns
+                ]
+            ).persist()
+        elif when_matched == "delete" and when_not_matched == "skip":
+            # pure delete: only the keys matter — a takedown/CDC-delete
+            # feed with extra payload columns must not be forced through
+            # full-schema alignment (and the keys-only projection prunes
+            # the source scan to the key columns)
+            missing = [k for k in on if k not in source.columns]
+            if missing:
+                raise LakeError(
+                    f"merge source lacks key column(s) {missing}"
+                )
+            src = source.select(
+                *[
+                    F.col(k).cast(sch.field_by_name(k).type).alias(k)
+                    for k in on
+                ]
+            ).persist()
+        else:
+            src = self._align(source, sch).persist()
         try:
             bounds = src.agg(
                 *[F.min(k).alias(f"mn_{k}") for k in on],
@@ -1650,14 +1752,47 @@ class Transaction:
                 int(stats["_unmatched"] or 0)
                 if when_not_matched == "insert" else 0
             )
+            # Custom-expression scaffolding: source columns ride the join
+            # under reserved __s_<col> names so expressions can reference
+            # both rows without ambiguous-attribute resolution (the merge
+            # keys join by explicit target-col == __s_col equality).
+            srcR = src.select(
+                *[F.col(c).alias(f"__s_{c}") for c in src.columns]
+            )
+            jcond = reduce(
+                lambda a, b: a & b,
+                [F.col(k) == F.col(f"__s_{k}") for k in on],
+            )
+
+            def _ins_rows(unmatched):
+                """Unmatched __s_-renamed source rows -> target-schema rows:
+                insert_sets expression wins, then the same-named source
+                column, then the column default (exactly _align's fill)."""
+                cols = []
+                for f in sch.fields:
+                    if insert_sets and f.name in insert_sets:
+                        base = F.expr(insert_sets[f.name])
+                    elif f"__s_{f.name}" in srcR.columns:
+                        base = F.col(f"__s_{f.name}")
+                    else:
+                        expr = default_expr(f)
+                        base = (
+                            F.expr(expr) if expr else F.lit(default_fill(f))
+                        )
+                    cols.append(base.cast(f.type).alias(f.name))
+                return unmatched.select(*cols)
+
             if when_matched == "skip":
                 # target rows untouched: no COW rewrite — append unmatched
                 # source rows as new files and leave every candidate in place.
                 if inserted == 0:
                     return {"matched": matched, "inserted": 0}
-                st.files.extend(
-                    self._write_staged(st, src.join(target, on, "left_anti"))
+                new_rows = (
+                    _ins_rows(srcR.join(target, jcond, "left_anti"))
+                    if custom
+                    else src.join(target, on, "left_anti")
                 )
+                st.files.extend(self._write_staged(st, new_rows))
                 st.changes.add("tables_inserted_into")
                 return {"matched": matched, "inserted": inserted}
             effective = matched
@@ -1681,14 +1816,33 @@ class Transaction:
             target = self.c._build_df(
                 candidates, touched_inlined, st.schemas, sch
             )
-            keep = target.join(src, on, "left_anti")
-            parts = [keep]
-            if when_matched == "update" and when_not_matched == "insert":
-                parts.append(src)  # all source rows land
-            elif when_matched == "update":
-                parts.append(src.join(target, on, "left_semi"))
-            elif when_not_matched == "insert":
-                parts.append(src.join(target, on, "left_anti"))
+            if custom:
+                parts = [target.join(srcR, jcond, "left_anti")]
+                if when_matched == "update":
+                    upd_cols = []
+                    for f in sch.fields:
+                        base = (
+                            F.expr(update_sets[f.name])
+                            if update_sets and f.name in update_sets
+                            else F.col(f.name)
+                        )
+                        upd_cols.append(base.cast(f.type).alias(f.name))
+                    parts.append(
+                        target.join(srcR, jcond, "inner").select(*upd_cols)
+                    )
+                if when_not_matched == "insert":
+                    parts.append(
+                        _ins_rows(srcR.join(target, jcond, "left_anti"))
+                    )
+            else:
+                keep = target.join(src, on, "left_anti")
+                parts = [keep]
+                if when_matched == "update" and when_not_matched == "insert":
+                    parts.append(src)  # all source rows land
+                elif when_matched == "update":
+                    parts.append(src.join(target, on, "left_semi"))
+                elif when_not_matched == "insert":
+                    parts.append(src.join(target, on, "left_anti"))
             out = reduce(DataFrame.unionByName, parts)
 
             for fe in candidates:

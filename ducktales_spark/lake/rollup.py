@@ -96,6 +96,64 @@ def _meta_name(name: str) -> str:
     return f"{name}__rollup_meta"
 
 
+def _where_of(m) -> Optional[str]:
+    """The rollup's WHERE predicate ('' / missing column = unfiltered —
+    metas written before filtered MVs existed simply have none)."""
+    d = m.asDict() if hasattr(m, "asDict") else dict(m)
+    return d.get("where_sql") or None
+
+
+def scan_sql_identifiers(text: str):
+    """Yield (start, end, name) for bare column-like identifiers in one SQL
+    expression: quote-aware (string literals skipped, '' escapes handled),
+    and an identifier immediately followed by ``(`` is a FUNCTION name,
+    not a column reference. Shared by predicate-column discovery (which
+    source columns does a filtered MV's WHERE depend on) and rename
+    follow-through (rewriting the stored predicate)."""
+    import re as _re
+
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        m = _re.match(r"[A-Za-z_][A-Za-z0-9_]*", text[i:])
+        if not m:
+            i += 1
+            continue
+        j = i + m.end()
+        k = j
+        while k < n and text[k].isspace():
+            k += 1
+        if not (k < n and text[k] == "("):
+            yield (i, j, m.group(0))
+        i = j
+
+
+def rewrite_sql_identifiers(text: str, mapping: dict) -> str:
+    """Replace bare identifiers per ``mapping`` (case-insensitive keys),
+    leaving literals and function names alone."""
+    low = {k.lower(): v for k, v in mapping.items()}
+    out, prev = [], 0
+    for s, e, name in scan_sql_identifiers(text):
+        rep = low.get(name.lower())
+        if rep is not None:
+            out.append(text[prev:s])
+            out.append(rep)
+            prev = e
+    out.append(text[prev:])
+    return "".join(out)
+
+
 class RollupError(Exception):
     pass
 
@@ -113,6 +171,7 @@ def create_rollup(
     approx_cols: tuple = (),
     distinct_cols: tuple = (),
     replace: bool = False,
+    where: Optional[str] = None,
 ) -> None:
     """Materialize the initial rollup of ``src`` and its meta table in ONE
     catalog transaction, stamped with the snapshot version it reflects.
@@ -152,8 +211,33 @@ def create_rollup(
     count_cols, approx_cols = tuple(count_cols), tuple(approx_cols)
     distinct_cols = tuple(distinct_cols)
     version = lake.current_version()
+    base = lake.read(src, version=version)
+    types = dict(base.dtypes)
+    for c in sum_cols:
+        t = types.get(c, "").lower()
+        if not (
+            t in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or t.startswith("decimal")
+        ):
+            # clean, pre-transaction error instead of an opaque
+            # AnalysisException inside the CTAS: additive SUM/AVG state is
+            # only foldable for numeric scalars (arrays/strings have no
+            # subtractable sum). Keys, COUNT(DISTINCT), and
+            # APPROX_COUNT_DISTINCT over complex types remain fine — they
+            # hash/compare, never add.
+            raise RollupError(
+                f"SUM/AVG column {c!r} has non-additive type {t or '?'}: "
+                "only numeric scalar columns can be sum-maintained"
+            )
+    if where:
+        # filtered continuous aggregate (``WHERE`` over SOURCE columns):
+        # maintainable because the CDC diff rows carry those columns, so
+        # every refresh path applies the same predicate to the diff /
+        # recompute input. Catalog-side stats skipping makes this filter a
+        # file-pruning read at create time, too.
+        base = base.filter(F.expr(where))
     df = (
-        lake.read(src, version=version)
+        base
         .groupBy(
             _bucket_expr(time_col, bucket_s).alias("bucket_start"), *keys
         )
@@ -189,13 +273,14 @@ def create_rollup(
                     json.dumps(list(count_cols)),
                     json.dumps(list(approx_cols)),
                     json.dumps(list(distinct_cols)),
+                    where or "",  # "" = unfiltered
                     version,
                 )
             ],
             "src string, time_col string, bucket_s bigint, "
             "keys string, sum_cols string, minmax_cols string, "
             "count_cols string, approx_cols string, distinct_cols string, "
-            "last_version bigint",
+            "where_sql string, last_version bigint",
         )
         tx.ctas(_meta_name(name), meta)
 
@@ -291,6 +376,14 @@ def refresh_rollup(lake, name: str) -> dict:
         return {"from_version": v0, "to_version": v0, "changed_buckets": 0}
 
     changes = lake.table_changes(m["src"], v0, v1)
+    where = _where_of(m)
+    if where:
+        # filtered MV: the predicate applies to the DIFF rows by their own
+        # values — an UPDATE that moves a row across the predicate boundary
+        # arrives as delete(old)+insert(new), each judged on its own row,
+        # so membership changes fold correctly. Deletes OUTSIDE the
+        # predicate also stop forcing the approx recompute path below.
+        changes = changes.filter(F.expr(where))
     nonadditive = bool(minmax_cols or distinct_cols)
     if approx_cols and not nonadditive:
         # HLL sketches union but never subtract: any delete in the diff
@@ -436,8 +529,12 @@ def _refresh_full_recompute(
     """Rebuild the whole rollup from the source at ``v1`` (the expired-base
     escape hatch): one delete + one insert + the meta stamp in a single
     catalog transaction, so readers never observe a half-rebuilt rollup."""
+    base = lake.read(m["src"], version=v1)
+    where = _where_of(m)
+    if where:
+        base = base.filter(F.expr(where))
     df = (
-        lake.read(m["src"], version=v1)
+        base
         .groupBy(
             _bucket_expr(m["time_col"] or None, int(m["bucket_s"])).alias(
                 "bucket_start"
@@ -479,6 +576,9 @@ def _refresh_recompute(
     # last_version, breaking the rollup==recompute-at-last_version
     # invariant until the next refresh happened to run.
     src = lake.read(m["src"], version=v1)
+    where = _where_of(m)
+    if where:
+        src = src.filter(F.expr(where))
     if time_col is not None:
         hi_excl = bounds["hi"]  # bucket START of the last touched bucket
         src = src.filter(

@@ -20,9 +20,12 @@ same statement coverage so a reference user can port scripts verbatim:
   ergonomics. The SELECT must be the incrementally-maintainable subset:
   ``SELECT <keys...>, [time_bucket(INTERVAL '1 hour', ts),]
   COUNT(*)/COUNT(col)/COUNT(DISTINCT col)/APPROX_COUNT_DISTINCT(col)/
-  SUM/AVG/MIN/MAX(col)... FROM <lake table> GROUP BY ...`` —
-  no WHERE/JOIN/HAVING (the same restriction TimescaleDB continuous
-  aggregates and Materialize place on their incremental paths). Reads of
+  SUM/AVG/MIN/MAX(col)... FROM <lake table> [WHERE <pred over source
+  columns, no subqueries>] GROUP BY ...`` — no JOIN/HAVING (the same
+  restriction TimescaleDB continuous aggregates and Materialize place on
+  their incremental paths; the WHERE is maintainable because CDC diff
+  rows carry the predicate columns — the reference's own summary-view
+  pattern filters rows, demos/03_schema_evolution/demo.py:273-288). Reads of
   the MV go through :func:`~ducktales_spark.lake.rollup.read_rollup`, so
   ``SELECT avg_<c> FROM mv`` works without hand-dividing and
   ``approx_distinct_<c>`` reads as the HLL estimate, never raw sketch
@@ -160,6 +163,47 @@ def _split_top(s: str) -> list:
     tail = "".join(cur).strip()
     if tail:
         out.append(tail)
+    return out
+
+
+def _top_keyword_positions(s: str, kw: str):
+    """Start indices of top-level (outside parens and string literals)
+    occurrences of the WORD ``kw``, case-insensitive."""
+    depth, in_str = 0, False
+    k = len(kw)
+    out = []
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and s[i : i + k].upper() == kw.upper():
+                before = s[i - 1] if i else ""
+                after = s[i + k : i + k + 1]
+                if not (before.isalnum() or before == "_") and not (
+                    after.isalnum() or after == "_"
+                ):
+                    out.append(i)
+    return out
+
+
+def _split_keyword(s: str, kw: str) -> list:
+    """Split on top-level occurrences of the word ``kw`` (the keyword is
+    consumed); leading segment included if non-empty."""
+    pos = _top_keyword_positions(s, kw)
+    if not pos:
+        return [s.strip()] if s.strip() else []
+    out = []
+    prev = 0
+    for p in pos:
+        seg = s[prev:p].strip()
+        if seg or prev:
+            out.append(seg)
+        prev = p + len(kw)
+    out.append(s[prev:].strip())
     return out
 
 
@@ -508,6 +552,13 @@ class SQLExecutor:
             self._run(op)
             return self._status("DELETE", n[0])
 
+        if re.match(r"^MERGE\s+INTO\b", q, re.I):
+            return self._merge_stmt(q)
+
+        m = re.match(rf"^CALL\s+({_IDENT})\s*\((.*)\)$", q, re.I | re.S)
+        if m:
+            return self._call_stmt(m.group(1), m.group(2))
+
         return self._query(q, version)
 
     # -- materialized views (continuous aggregates behind SQL) ----------
@@ -524,6 +575,414 @@ class SQLExecutor:
         rf"(?:\s+AS\s+({_IDENT}))?$",
         re.I,
     )
+
+    # -- MERGE INTO (SQL face of Transaction.merge) ----------------------
+    def _merge_stmt(self, q: str) -> DataFrame:
+        """``MERGE INTO t [AS a] USING (<query>|table) [AS b] ON <equi-cond>
+        WHEN MATCHED THEN UPDATE SET (* | c = expr, ...) | DELETE
+        WHEN NOT MATCHED THEN INSERT [* | (cols) VALUES (exprs)]``
+
+        The SQL face of the engine's merge: the ON condition must be a
+        conjunction of target-key = source-key equalities (the engine's
+        merge contract — its file pruning and hit-subset scan key on those
+        columns); WHEN clauses map to when_matched / when_not_matched with
+        per-column SET/VALUES expressions rewritten to the engine contract
+        (target columns plain, source columns ``__s_<col>``). DuckLake
+        itself ships MERGE as SQL surface; the reference's demos reach the
+        same state via UPDATE+INSERT pairs
+        (demos/01_transaction_rollback/demo.py:58-102)."""
+        m = re.match(
+            rf"^MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?(?!USING\b)"
+            rf"({_IDENT}))?\s+USING\s+(.*)$",
+            q,
+            re.I | re.S,
+        )
+        if not m:
+            raise LakeSQLError("bad MERGE INTO syntax")
+        target, t_alias, rest = m.group(1), m.group(2), m.group(3)
+        if not self._table_exists(target):
+            raise LakeSQLError(f"no such table: {target!r}")
+        rest = rest.lstrip()
+        src_name = None
+        if rest.startswith("("):
+            depth, in_str, end = 0, False, None
+            for i, ch in enumerate(rest):
+                if ch == "'":
+                    in_str = not in_str
+                elif not in_str:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            end = i
+                            break
+            if end is None:
+                raise LakeSQLError("unbalanced parens in MERGE USING")
+            src_sql, rest = rest[1:end], rest[end + 1 :]
+        else:
+            mm = re.match(rf"^({_IDENT})", rest)
+            if not mm:
+                raise LakeSQLError("bad MERGE USING clause")
+            src_name, src_sql = mm.group(1), None
+            rest = rest[mm.end() :]
+        mm = re.match(rf"^\s*(?:AS\s+)?(?!ON\b)({_IDENT})", rest, re.I)
+        s_alias = None
+        if mm:
+            s_alias, rest = mm.group(1), rest[mm.end() :]
+        mm = re.match(r"^\s*ON\b", rest, re.I)
+        if not mm:
+            raise LakeSQLError("MERGE requires an ON condition")
+        rest = rest[mm.end() :]
+        wpos = _top_keyword_positions(rest, "WHEN")
+        if not wpos:
+            raise LakeSQLError("MERGE requires at least one WHEN clause")
+        cond, clauses_text = rest[: wpos[0]].strip(), rest[wpos[0] :]
+
+        # source DataFrame binds pre-statement state (read-your-writes
+        # inside an open txn), exactly like UPDATE/DELETE subqueries
+        src_df = self._query(
+            src_sql if src_sql is not None else f"SELECT * FROM {src_name}"
+        )
+        sch = self._schema_of(target)
+        t_cols = {f.name.lower(): f.name for f in sch.fields}
+        s_cols = {c.lower(): c for c in src_df.columns}
+        t_al = (t_alias or target).lower()
+        s_al = (s_alias or src_name or "").lower()
+        if s_al == t_al:
+            raise LakeSQLError(
+                "MERGE target and source need distinct aliases"
+            )
+
+        def _side(qual, col):
+            ql, cl = (qual or "").lower(), col.lower()
+            if ql == t_al:
+                if cl not in t_cols:
+                    raise LakeSQLError(f"unknown target column {col!r}")
+                return ("t", t_cols[cl])
+            if ql and ql == s_al:
+                if cl not in s_cols:
+                    raise LakeSQLError(f"unknown source column {col!r}")
+                return ("s", s_cols[cl])
+            if ql:
+                raise LakeSQLError(f"unknown alias {qual!r} in MERGE ON")
+            in_t, in_s = cl in t_cols, cl in s_cols
+            if in_t and in_s:
+                return ("both", col)
+            if in_t:
+                return ("t", t_cols[cl])
+            if in_s:
+                return ("s", s_cols[cl])
+            raise LakeSQLError(f"unknown column {col!r} in MERGE ON")
+
+        pairs = []  # (target_key, source_key)
+        for conj in _split_keyword(cond, "AND"):
+            mm = re.match(
+                rf"^(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*"
+                rf"(?:({_IDENT})\s*\.\s*)?({_IDENT})$",
+                conj.strip(),
+            )
+            if not mm:
+                raise LakeSQLError(
+                    f"MERGE ON supports only key equalities "
+                    f"(AND-ed); got {conj.strip()!r}"
+                )
+            a = _side(mm.group(1), mm.group(2))
+            b = _side(mm.group(3), mm.group(4))
+            sides = {a[0], b[0]}
+            if sides == {"both"} or (a[0] == "both" and b[0] == "both"):
+                pairs.append((t_cols[a[1].lower()], s_cols[b[1].lower()]))
+            elif "t" in sides and ("s" in sides or "both" in sides):
+                t_key = a[1] if a[0] == "t" else b[1]
+                other = b if a[0] == "t" else a
+                pairs.append((t_key, s_cols[other[1].lower()]))
+            elif "s" in sides and "both" in sides:
+                s_key = a[1] if a[0] == "s" else b[1]
+                other = b if a[0] == "s" else a
+                pairs.append((t_cols[other[1].lower()], s_key))
+            else:
+                raise LakeSQLError(
+                    f"MERGE ON equality must pair a target and a source "
+                    f"column: {conj.strip()!r}"
+                )
+
+        # rename source key columns to the target key names; src_map sends
+        # ORIGINAL source spellings to the engine's __s_<renamed> names
+        on, src_map = [], {}
+        for cl, orig in s_cols.items():
+            src_map[cl] = f"__s_{orig}"
+        for t_key, s_key in pairs:
+            on.append(t_key)
+            if s_key != t_key:
+                if t_key.lower() in s_cols:
+                    raise LakeSQLError(
+                        f"cannot rename source key {s_key!r} to {t_key!r}:"
+                        f" the source already has a {t_key!r} column"
+                    )
+                src_df = src_df.withColumnRenamed(s_key, t_key)
+                src_map[s_key.lower()] = f"__s_{t_key}"
+
+        wm, wnm = "skip", "skip"
+        update_sets, insert_sets = None, None
+        seen = set()
+        for clause in _split_keyword(clauses_text, "WHEN"):
+            if not clause:
+                continue
+            mm = re.match(r"^MATCHED\s+THEN\s+DELETE$", clause, re.I)
+            if mm:
+                if "matched" in seen:
+                    raise LakeSQLError("duplicate WHEN MATCHED clause")
+                seen.add("matched")
+                wm = "delete"
+                continue
+            mm = re.match(
+                r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", clause, re.I | re.S
+            )
+            if mm:
+                if "matched" in seen:
+                    raise LakeSQLError("duplicate WHEN MATCHED clause")
+                seen.add("matched")
+                wm = "update"
+                body = mm.group(1).strip()
+                if body == "*":
+                    update_sets = {
+                        t_cols[cl]: f"__s_{s_cols[cl]}"
+                        for cl in (set(t_cols) & set(s_cols))
+                        if t_cols[cl] not in on
+                    }
+                    if not update_sets:
+                        raise LakeSQLError(
+                            "UPDATE SET *: no non-key source column "
+                            "matches a target column"
+                        )
+                else:
+                    update_sets = {}
+                    for part in _split_top(body):
+                        ms = re.match(
+                            rf"^(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*(.+)$",
+                            part,
+                            re.S,
+                        )
+                        if not ms:
+                            raise LakeSQLError(f"bad SET clause: {part!r}")
+                        if ms.group(1) and ms.group(1).lower() != t_al:
+                            raise LakeSQLError(
+                                f"SET may only assign target columns: "
+                                f"{part!r}"
+                            )
+                        cl = ms.group(2).lower()
+                        if cl not in t_cols:
+                            raise LakeSQLError(
+                                f"unknown target column {ms.group(2)!r}"
+                            )
+                        update_sets[t_cols[cl]] = self._rewrite_merge_expr(
+                            ms.group(3).strip(), t_al, s_al, src_map,
+                            set(t_cols), insert_ctx=False,
+                        )
+                continue
+            mm = re.match(
+                r"^NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)$", clause, re.I | re.S
+            )
+            if mm:
+                if "not_matched" in seen:
+                    raise LakeSQLError("duplicate WHEN NOT MATCHED clause")
+                seen.add("not_matched")
+                wnm = "insert"
+                body = mm.group(1).strip()
+                if body in ("", "*"):
+                    insert_sets = {}  # same-named source cols, then defaults
+                else:
+                    ms = re.match(
+                        r"^\(([^)]*)\)\s*VALUES\s*\((.*)\)$", body, re.I | re.S
+                    )
+                    if not ms:
+                        raise LakeSQLError(
+                            "INSERT clause must be *, empty, or "
+                            "(cols) VALUES (exprs)"
+                        )
+                    cols = [c.strip() for c in ms.group(1).split(",")]
+                    exprs = _split_top(ms.group(2))
+                    if len(cols) != len(exprs):
+                        raise LakeSQLError(
+                            f"INSERT column list has {len(cols)} names, "
+                            f"VALUES has {len(exprs)} expressions"
+                        )
+                    insert_sets = {}
+                    for c, e in zip(cols, exprs):
+                        cl = c.lower()
+                        if cl not in t_cols:
+                            raise LakeSQLError(
+                                f"unknown target column {c!r} in INSERT"
+                            )
+                        insert_sets[t_cols[cl]] = self._rewrite_merge_expr(
+                            e.strip(), t_al, s_al, src_map,
+                            set(t_cols), insert_ctx=True,
+                        )
+                continue
+            raise LakeSQLError(f"bad MERGE WHEN clause: WHEN {clause!r}")
+        if wm == "skip" and wnm == "skip":
+            raise LakeSQLError("MERGE requires at least one WHEN clause")
+
+        n = [0]
+
+        def op(tx):
+            r = tx.merge(
+                target, src_df, on=on,
+                when_matched=wm, when_not_matched=wnm,
+                update_sets=update_sets if wm == "update" else None,
+                insert_sets=insert_sets if wnm == "insert" else None,
+            )
+            n[0] = r["matched"] + r["inserted"]
+
+        self._run(op)
+        return self._status("MERGE", n[0])
+
+    def _rewrite_merge_expr(
+        self, expr, t_al, s_al, src_map, t_cols, insert_ctx
+    ) -> str:
+        """Rewrite alias-qualified references in one MERGE SET/VALUES
+        expression to the engine contract (target plain, source
+        ``__s_<col>``). Quote-aware; bare identifiers followed by ``(``
+        are function names and pass through. Unqualified names resolve to
+        the target when both sides have the column (qualify with the
+        source alias to override); in INSERT VALUES no target row is in
+        scope, so unqualified source names always rewrite."""
+        out, i, n = [], 0, len(expr)
+        while i < n:
+            ch = expr[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if expr[j] == "'":
+                        if j + 1 < n and expr[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(expr[i : j + 1])
+                i = j + 1
+                continue
+            mm = re.match(r"[A-Za-z_][A-Za-z0-9_]*", expr[i:])
+            if not mm:
+                out.append(ch)
+                i += 1
+                continue
+            ident = mm.group(0)
+            j = i + len(ident)
+            mq = re.match(r"\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)", expr[j:])
+            if mq:
+                col, end = mq.group(1), j + mq.end()
+                ql, cl = ident.lower(), mq.group(1).lower()
+                if ql == t_al:
+                    if cl not in t_cols:
+                        raise LakeSQLError(
+                            f"unknown target column {col!r} in MERGE "
+                            f"expression"
+                        )
+                    out.append(col)
+                elif s_al and ql == s_al:
+                    if cl not in src_map:
+                        raise LakeSQLError(
+                            f"unknown source column {col!r} in MERGE "
+                            f"expression"
+                        )
+                    out.append(src_map[cl])
+                else:
+                    out.append(expr[i:end])
+                i = end
+                continue
+            k = j
+            while k < n and expr[k].isspace():
+                k += 1
+            low = ident.lower()
+            if (k < n and expr[k] == "(") or low not in src_map:
+                out.append(ident)  # function name / keyword / target col
+            elif insert_ctx or low not in t_cols:
+                out.append(src_map[low])
+            else:
+                out.append(ident)  # ambiguous -> target wins
+            i = j
+        return "".join(out)
+
+    # -- CALL-style maintenance (DuckLake ships these as SQL surface) ----
+    def _call_stmt(self, fn: str, argstext: str) -> DataFrame:
+        """``CALL expire_snapshots(...)`` / ``CALL compact(t [, bytes])`` /
+        ``CALL flush_inlined(t)`` / ``CALL gc([min_age_seconds])`` —
+        SQL verbs over the existing maintenance engines (catalog.py), so a
+        SQL-first maintenance job never needs the Python API. DuckLake
+        spellings accepted: ducklake_expire_snapshots,
+        ducklake_merge_adjacent_files (-> compact),
+        ducklake_cleanup_old_files (-> gc)."""
+        self._no_txn("CALL")
+        f = fn.lower()
+        if f.startswith("ducklake_"):
+            f = f[len("ducklake_") :]
+        f = {"merge_adjacent_files": "compact", "cleanup_old_files": "gc"}.get(
+            f, f
+        )
+        pos, named = [], {}
+        for a in _split_top(argstext) if argstext.strip() else []:
+            mm = re.match(rf"^({_IDENT})\s*=>\s*(.+)$", a.strip(), re.S)
+            if mm:
+                named[mm.group(1).lower()] = mm.group(2).strip()
+            else:
+                pos.append(a.strip())
+
+        def _val(tok):
+            t = tok.strip()
+            if t.startswith("'") and t.endswith("'"):
+                return t[1:-1].replace("''", "'")
+            if re.fullmatch(_IDENT, t):
+                return t  # bare identifier = table name
+            try:
+                return int(t)
+            except ValueError:
+                try:
+                    return float(t)
+                except ValueError:
+                    raise LakeSQLError(f"bad CALL argument {tok!r}")
+
+        if f == "expire_snapshots":
+            kw = {}
+            for k, v in named.items():
+                key = {"older_than": "before_timestamp"}.get(k, k)
+                if key not in (
+                    "before_version", "before_timestamp", "keep_last"
+                ):
+                    raise LakeSQLError(f"unknown expire_snapshots arg {k!r}")
+                kw[key] = _val(v)
+            if pos:
+                raise LakeSQLError(
+                    "expire_snapshots takes named arguments only "
+                    "(before_version => n | before_timestamp => 'ts' | "
+                    "keep_last => n)"
+                )
+            r = self.c.expire_snapshots(**kw)
+            return self.c.spark.createDataFrame(
+                [tuple(int(r[k]) for k in sorted(r))],
+                ", ".join(f"{k} bigint" for k in sorted(r)),
+            )
+        if f == "compact":
+            args = [_val(v) for v in pos]
+            if not args:
+                raise LakeSQLError("compact(table [, target_file_bytes])")
+            tfb = named.get("target_file_bytes")
+            if tfb is not None:
+                args.append(_val(tfb))
+            self.c.compact(*args[:2])
+            return self._status("CALL compact", 0)
+        if f == "flush_inlined":
+            if len(pos) != 1:
+                raise LakeSQLError("flush_inlined(table)")
+            self.c.flush_inlined(_val(pos[0]))
+            return self._status("CALL flush_inlined", 0)
+        if f == "gc":
+            age = named.get("min_age_seconds") or (pos[0] if pos else None)
+            removed = self.c.gc(
+                **({"min_age_seconds": float(_val(age))} if age else {})
+            )
+            return self._status("CALL gc", len(removed))
+        raise LakeSQLError(f"unknown procedure {fn!r}")
 
     def _mv_exists(self, name: str) -> bool:
         from .rollup import _meta_name
@@ -547,21 +1006,53 @@ class SQLExecutor:
         is accepted only when it matches the canonical name — arbitrary
         renames would break the REFRESH machinery's stored-state contract,
         the same reason TimescaleDB restricts cagg definitions."""
+        bad_shape = LakeSQLError(
+            "CREATE MATERIALIZED VIEW supports only the maintainable "
+            "subset: SELECT <keys...>, [time_bucket(...),] "
+            "COUNT(*)/COUNT([DISTINCT] col)/APPROX_COUNT_DISTINCT(col)/"
+            "SUM/AVG/MIN/MAX(col)... FROM <lake table> "
+            "[WHERE <pred over source columns>] [GROUP BY ...] — "
+            "no JOIN/HAVING/subqueries"
+        )
         m = re.match(
-            rf"^SELECT\s+(.*?)\s+FROM\s+({_IDENT})"
-            r"(?:\s+GROUP\s+BY\s+(.*))?$",
+            rf"^SELECT\s+(.*?)\s+FROM\s+({_IDENT})\b(.*)$",
             body.strip(),
             re.I | re.S,
         )
         if not m:
-            raise LakeSQLError(
-                "CREATE MATERIALIZED VIEW supports only the maintainable "
-                "subset: SELECT <keys...>, [time_bucket(...),] "
-                "COUNT(*)/COUNT([DISTINCT] col)/APPROX_COUNT_DISTINCT(col)/"
-                "SUM/AVG/MIN/MAX(col)... FROM <lake table> "
-                "[GROUP BY ...] — no WHERE/JOIN/HAVING/subqueries"
-            )
-        items, src, gb = m.group(1), m.group(2), m.group(3)
+            raise bad_shape
+        items, src, tail = m.group(1), m.group(2), m.group(3)
+        where, gb = None, None
+        tail = tail.strip()
+        if tail:
+            gidx = None
+            for p in _top_keyword_positions(tail, "GROUP"):
+                if re.match(r"GROUP\s+BY\b", tail[p:], re.I):
+                    gidx = p
+                    break
+            head = (tail if gidx is None else tail[:gidx]).strip()
+            if gidx is not None:
+                gb = re.sub(
+                    r"^GROUP\s+BY\s+", "", tail[gidx:], flags=re.I | re.S
+                ).strip()
+                if _top_keyword_positions(gb, "HAVING"):
+                    raise bad_shape
+            if head:
+                mw = re.match(r"^WHERE\s+(.*)$", head, re.I | re.S)
+                if not mw:
+                    raise bad_shape
+                where = mw.group(1).strip()
+                from .rollup import scan_sql_identifiers
+
+                if any(
+                    nm.upper() == "SELECT"
+                    for _s, _e, nm in scan_sql_identifiers(where)
+                ):
+                    raise LakeSQLError(
+                        "materialized-view WHERE cannot contain "
+                        "subqueries: the predicate must be decidable per "
+                        "source row for incremental maintenance"
+                    )
         keys, sum_cols, minmax_cols = [], [], []
         count_cols, approx_cols, distinct_cols = [], [], []
         time_col, bucket_s, bucket_alias, bucket_expr = None, 3600, None, None
@@ -706,6 +1197,7 @@ class SQLExecutor:
             "count_cols": tuple(count_cols),
             "approx_cols": tuple(approx_cols),
             "distinct_cols": tuple(distinct_cols),
+            "where": where,
         }
 
     def _create_mv(self, name: str, body: str, replace: bool) -> DataFrame:
@@ -731,6 +1223,20 @@ class SQLExecutor:
             raise LakeSQLError(
                 f"column(s) {missing} not found in table {spec['src']!r}"
             )
+        if spec["where"]:
+            # analyze the predicate against an EMPTY frame of the source
+            # schema BEFORE anything is dropped or written (same contract
+            # as the column validation above): a typo'd column or invalid
+            # expression must fail here with the existing MV untouched
+            probe = self.c.spark.createDataFrame(
+                [], self._schema_of(spec["src"]).to_struct()
+            )
+            try:
+                probe.filter(spec["where"]).schema
+            except Exception as e:
+                raise LakeSQLError(
+                    f"invalid materialized-view WHERE predicate: {e}"
+                ) from None
         is_replace = False
         if self._mv_exists(name):
             if not replace:
@@ -754,6 +1260,7 @@ class SQLExecutor:
             approx_cols=spec["approx_cols"],
             distinct_cols=spec["distinct_cols"],
             replace=is_replace,
+            where=spec["where"],
         )
         return self._status("CREATE MATERIALIZED VIEW", 0)
 

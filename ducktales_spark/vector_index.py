@@ -171,6 +171,7 @@ def build_vector_index(
     n_centroids: Optional[int] = None,
     refine_iterations: int = 0,
     coarse_threshold: int = _COARSE_THRESHOLD,
+    quantize: bool = False,
 ) -> int:
     """Materialize the IVF index for ``vectors`` (vec_id, e) as lake tables
     ``name`` + ``name__centroids``. Returns the centroid count.
@@ -185,7 +186,22 @@ def build_vector_index(
     written clustered on ``coarse_id`` so a probe's ``coarse_id IN (...)``
     becomes centroid-FILE pruning. Index contents are identical to the flat
     build — corpus vectors are still assigned to their globally nearest
-    fine centroid — only the probe's centroid-ranking read path changes."""
+    fine centroid — only the probe's centroid-ranking read path changes.
+
+    ``quantize=True`` stores the index rows QUANTIZED AT REST:
+    ``(vec_id, q array<tinyint>, scale double, centroid_id)`` instead of
+    the float64 ``e`` — ~8x fewer bytes scanned per probed bucket, the
+    actual 100-TB payoff of int8 quantization (quantize_vectors).
+    Quantization stays a STORAGE format: every read path
+    (probe_vector_index, neardup_against_index) detects the quantized
+    schema and applies the ``dequantize_vectors`` face as a JVM-side
+    projection ON TOP of the int8 scan, so the kernels are unchanged and
+    the scan itself reads only the small codes. Assignment happens on the
+    full-precision vectors BEFORE quantization, and the centroid tables
+    (sqrt(N) rows) stay float — only the bulk corpus is compressed.
+    Recall impact is bounded by the same O(1/127) per-component deviation
+    the standalone format carries (recall gate:
+    tests/test_vector_index.py)."""
     C = n_centroids if n_centroids is not None else n_centroids_for(vectors)
     spark = vectors.sparkSession
     # DRIVER-FREE end to end: seed centroids stay a DataFrame cut of the
@@ -213,10 +229,15 @@ def build_vector_index(
         cent_df = assign_buckets_distributed(
             cent_df, coarse_df
         ).withColumnRenamed("centroid_id", "coarse_id")
+    stored = assigned.select("vec_id", "e", "centroid_id")
+    if quantize:
+        stored = quantize_vectors(stored).select(
+            "vec_id", "q", "scale", "centroid_id"
+        )
     with lake.transaction() as tx:
         tx.ctas(
             name,
-            assigned.select("vec_id", "e", "centroid_id"),
+            stored,
             partition_by=("centroid_id",),
         )
         tx.ctas(
@@ -250,7 +271,12 @@ def extend_vector_index(
     ``route_width`` routed shards — the same approximation contract as the
     probe's coarse ranking, and exactly flat with route_width >= shards."""
     assigned = _assign_under_index(lake, name, new_vectors, None, route_width)
-    lake.insert(name, assigned.select("vec_id", "e", "centroid_id"))
+    rows = assigned.select("vec_id", "e", "centroid_id")
+    if "q" in lake.read(name).columns:  # quantized-at-rest index
+        rows = quantize_vectors(rows).select(
+            "vec_id", "q", "scale", "centroid_id"
+        )
+    lake.insert(name, rows)
 
 
 def quantize_vectors(vectors: DataFrame) -> DataFrame:
@@ -363,6 +389,23 @@ def remove_vectors(lake: LakeCatalog, name: str, ids) -> int:
             when_not_matched="skip",  # unknown ids are a no-op, not an error
         )
     return stats["matched"]
+
+
+def _read_index_rows(
+    lake: LakeCatalog,
+    name: str,
+    version: Optional[int] = None,
+    where: Optional[str] = None,
+) -> DataFrame:
+    """Index rows in the kernel contract (vec_id, e, centroid_id): a
+    quantized-at-rest index (build_vector_index(quantize=True)) gets the
+    ``dequantize_vectors`` face applied as a codegen projection over the
+    int8 scan — file pruning (``where``) and the byte savings happen at
+    the scan; kernels above never know the storage format."""
+    df = lake.read(name, version=version, where=where)
+    if "q" in df.columns:
+        df = dequantize_vectors(df)
+    return df
 
 
 def _assign_under_index(
@@ -496,7 +539,7 @@ def neardup_against_index(
     assigned_new = _assign_under_index(
         lake, name, new_vectors, version, route_width
     ).select("vec_id", "e", "centroid_id", F.lit(True).alias("is_new"))
-    indexed = lake.read(name, version=version).select(
+    indexed = _read_index_rows(lake, name, version=version).select(
         "vec_id", "e", "centroid_id", F.lit(False).alias("is_new")
     )
     both = _salted_screen_input(
@@ -626,7 +669,7 @@ def probe_vector_index(
             np.linalg.norm(Qm, axis=1),
         )
     buckets = ", ".join(str(c) for c in sorted(lookup))
-    candidates = lake.read(
-        name, version=version, where=f"centroid_id IN ({buckets})"
+    candidates = _read_index_rows(
+        lake, name, version=version, where=f"centroid_id IN ({buckets})"
     )
     return probe_assigned(candidates, lookup, k)

@@ -488,10 +488,16 @@ def test_materialized_view_keys_only_and_minmax_sql(lake):
 def test_materialized_view_sql_errors(lake):
     lake.sql("CREATE TABLE src (k INT, v DOUBLE)")
     lake.sql("INSERT INTO src VALUES (1, 2.0)")
+    # WHERE is supported (filtered MVs) — HAVING/JOIN still are not
     with pytest.raises(LakeSQLError, match="maintainable subset"):
         lake.sql(
             "CREATE MATERIALIZED VIEW bad AS "
-            "SELECT k, COUNT(*) FROM src WHERE v > 0 GROUP BY k"
+            "SELECT k, COUNT(*) FROM src GROUP BY k HAVING COUNT(*) > 1"
+        )
+    with pytest.raises(LakeSQLError, match="maintainable subset"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT k, COUNT(*) FROM src JOIN src2 ON x = y GROUP BY k"
         )
     with pytest.raises(LakeSQLError, match="canonical names"):
         lake.sql(
@@ -1001,3 +1007,232 @@ def test_materialized_view_bucket_expression_forms(lake):
         "bucket_start, COUNT(*) FROM e2 GROUP BY 1, 2"
     )
     assert lake.sql("SELECT count(*) AS c FROM mv3").collect()[0]["c"] == 3
+
+
+# -- MERGE INTO + CALL maintenance (round 9) ---------------------------------
+
+
+def test_merge_into_sql_full_surface(lake):
+    """MERGE INTO as SQL: per-column UPDATE SET expressions referencing
+    both sides, expression INSERT, differing key names via alias-qualified
+    ON — the conn.execute()-everything surface DuckLake ships for CDC."""
+    lake.sql("CREATE TABLE acct (id INTEGER, bal DOUBLE, tag VARCHAR)")
+    lake.sql(
+        "INSERT INTO acct VALUES (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'c')"
+    )
+    lake.sql("CREATE TABLE feed (cust_id INTEGER, delta DOUBLE)")
+    lake.sql("INSERT INTO feed VALUES (2, 5.0), (4, 7.0)")
+    r = lake.sql(
+        "MERGE INTO acct AS t USING feed AS s ON t.id = s.cust_id "
+        "WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta "
+        "WHEN NOT MATCHED THEN INSERT (id, bal, tag) "
+        "VALUES (s.cust_id, s.delta, 'new')"
+    ).first()
+    assert (r["op"], r["rows"]) == ("MERGE", 2)
+    rows = sorted(
+        (x["id"], x["bal"], x["tag"])
+        for x in lake.sql("SELECT * FROM acct").collect()
+    )
+    assert rows == [(1, 10.0, "a"), (2, 25.0, "b"), (3, 30.0, "c"), (4, 7.0, "new")]
+    # untouched column (tag) survives a partial update verbatim
+    assert [x for x in rows if x[0] == 2][0][2] == "b"
+
+
+def test_merge_into_sql_subquery_delete_and_star(lake):
+    lake.sql("CREATE TABLE t (id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    # USING (subquery) + WHEN MATCHED DELETE only
+    r = lake.sql(
+        "MERGE INTO t USING (SELECT 1 AS id UNION ALL SELECT 9 AS id) s "
+        "ON t.id = s.id WHEN MATCHED THEN DELETE"
+    ).first()
+    assert r["rows"] == 1
+    assert sorted(x["id"] for x in lake.sql("SELECT * FROM t").collect()) == [2, 3]
+    # SET * / INSERT * (full-row CDC apply)
+    lake.sql("CREATE TABLE snap (id INTEGER, v VARCHAR)")
+    lake.sql("INSERT INTO snap VALUES (2, 'Y'), (5, 'E')")
+    lake.sql(
+        "MERGE INTO t USING snap ON t.id = snap.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = sorted(
+        (x["id"], x["v"]) for x in lake.sql("SELECT * FROM t").collect()
+    )
+    assert rows == [(2, "Y"), (3, "z"), (5, "E")]
+
+
+def test_merge_into_sql_txn_and_errors(lake):
+    lake.sql("CREATE TABLE t (id INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO t VALUES (1, 1), (2, 2)")
+    lake.sql("CREATE TABLE s (id INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO s VALUES (2, 20)")
+    # read-your-writes inside BEGIN, undone by ROLLBACK
+    lake.sql("BEGIN")
+    lake.sql(
+        "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE"
+    )
+    assert lake.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 1
+    lake.sql("ROLLBACK")
+    assert lake.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 2
+    for bad, pat in [
+        ("MERGE INTO t USING s ON t.id = s.id", "WHEN clause"),
+        ("MERGE INTO t USING s ON t.id < s.id WHEN MATCHED THEN DELETE",
+         "key equalities"),
+        ("MERGE INTO t USING s ON t.id = s.id "
+         "WHEN MATCHED THEN UPDATE SET id = s.id", "key column"),
+        ("MERGE INTO t USING s ON x.id = s.id WHEN MATCHED THEN DELETE",
+         "unknown alias"),
+        ("MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE "
+         "WHEN MATCHED THEN UPDATE SET v = 1", "duplicate WHEN MATCHED"),
+        ("MERGE INTO nope USING s ON nope.id = s.id "
+         "WHEN MATCHED THEN DELETE", "no such table"),
+    ]:
+        with pytest.raises(Exception, match=pat):
+            lake.sql(bad)
+    # string literals containing keywords survive the clause scanner
+    lake.sql(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = length(' WHEN MATCHED THEN ')"
+    )
+    assert lake.sql("SELECT v FROM t WHERE id = 2").first()["v"] == 19
+    # delete-only merge accepts a source with EXTRA payload columns (a
+    # takedown feed carries more than the keys; only the keys matter)
+    lake.sql("CREATE TABLE wide_feed (id INTEGER, note VARCHAR)")
+    lake.sql("INSERT INTO wide_feed VALUES (1, 'x')")
+    lake.sql(
+        "MERGE INTO t USING wide_feed ON t.id = wide_feed.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert sorted(r["id"] for r in lake.sql("SELECT * FROM t").collect()) == [2]
+
+
+def test_call_maintenance_statements(lake):
+    lake.sql("CREATE TABLE t (id INTEGER)")
+    for i in range(4):
+        lake.sql(f"INSERT INTO t VALUES ({i})")
+    lake.sql("CALL flush_inlined('t')")
+    lake.sql("CALL ducklake_merge_adjacent_files('t')")  # compact synonym
+    exp = lake.sql("CALL expire_snapshots(keep_last => 2)").first().asDict()
+    assert exp["snapshots_expired"] >= 1
+    assert lake.sql("CALL gc(min_age_seconds => 0)").first()["rows"] >= 0
+    assert sorted(
+        r["id"] for r in lake.sql("SELECT * FROM t").collect()
+    ) == [0, 1, 2, 3]
+    with pytest.raises(Exception, match="unknown procedure"):
+        lake.sql("CALL frobnicate(1)")
+    with pytest.raises(Exception, match="cannot run inside"):
+        lake.sql("BEGIN")
+        lake.sql("CALL gc()")
+
+
+def test_filtered_materialized_view_sql(lake):
+    """CREATE MATERIALIZED VIEW ... WHERE ... (the reference's own summary
+    view filters rows — demos/03_schema_evolution/demo.py:273-288): the
+    predicate applies to every refresh path, evolution guards extend to
+    predicate columns (drop refused, rename rewrites the stored WHERE),
+    and invalid predicates are rejected with the existing MV intact."""
+    lake.sql("CREATE TABLE ev (k VARCHAR, v INTEGER, ok VARCHAR)")
+    lake.sql("INSERT INTO ev VALUES ('a', 1, 'y'), ('a', 2, 'n'), ('b', 3, 'y')")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v) "
+        "FROM ev WHERE ok = 'y' GROUP BY k"
+    )
+    got = {r["k"]: (r["n_rows"], r["sum_v"]) for r in lake.sql("SELECT * FROM mv").collect()}
+    assert got == {"a": (1, 1), "b": (1, 3)}
+    # inserts inside and outside; boundary-crossing updates; outside delete
+    lake.sql("INSERT INTO ev VALUES ('a', 10, 'y'), ('b', 99, 'n')")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    lake.sql("UPDATE ev SET ok = 'n' WHERE k = 'a' AND v = 1")
+    lake.sql("UPDATE ev SET ok = 'y' WHERE k = 'b' AND v = 99")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    lake.sql("DELETE FROM ev WHERE ok = 'n'")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {r["k"]: (r["n_rows"], r["sum_v"]) for r in lake.sql("SELECT * FROM mv").collect()}
+    assert got == {"a": (1, 10), "b": (2, 102)}
+    # guards: predicate column cannot be dropped; rename rewrites the WHERE
+    with pytest.raises(Exception, match="maintained by materialized view"):
+        lake.sql("ALTER TABLE ev DROP COLUMN ok")
+    lake.sql("ALTER TABLE ev RENAME COLUMN ok TO status")
+    lake.sql("INSERT INTO ev VALUES ('a', 5, 'y')")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {r["k"]: (r["n_rows"], r["sum_v"]) for r in lake.sql("SELECT * FROM mv").collect()}
+    assert got == {"a": (2, 15), "b": (2, 102)}
+    with pytest.raises(Exception, match="maintained by materialized view"):
+        lake.sql("ALTER TABLE ev DROP COLUMN status")
+    # rejections leave the existing MV untouched
+    with pytest.raises(LakeSQLError, match="subquer"):
+        lake.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW mv AS SELECT k, COUNT(*) "
+            "FROM ev WHERE v IN (SELECT 1) GROUP BY k"
+        )
+    with pytest.raises(LakeSQLError, match="WHERE predicate"):
+        lake.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW mv AS SELECT k, COUNT(*) "
+            "FROM ev WHERE nope = 1 GROUP BY k"
+        )
+    assert {r["k"]: r["n_rows"] for r in lake.sql("SELECT * FROM mv").collect()} == {
+        "a": 2, "b": 2,
+    }
+    # time-bucketed + approx variant with a json_valid-style predicate
+    # (the reference's events_summary shape) through a delete-recompute
+    lake.sql("CREATE TABLE ej (ts TIMESTAMP, payload VARCHAR, uid INTEGER)")
+    lake.sql(
+        "INSERT INTO ej VALUES (TIMESTAMP '2024-01-01 00:10:00', '{\"a\":1}', 1), "
+        "(TIMESTAMP '2024-01-01 00:20:00', 'oops', 1), "
+        "(TIMESTAMP '2024-01-01 01:10:00', '{\"b\":2}', 2)"
+    )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW ejv AS SELECT "
+        "time_bucket(INTERVAL '1 hour', ts), COUNT(*), "
+        "APPROX_COUNT_DISTINCT(uid) FROM ej "
+        "WHERE payload IS NOT NULL AND get_json_object(payload, '$') IS NOT NULL "
+        "GROUP BY 1"
+    )
+    n0 = {str(r["bucket_start"]): r["n_rows"] for r in lake.sql("SELECT * FROM ejv").collect()}
+    assert sum(n0.values()) == 2  # 'oops' filtered out
+    lake.sql("DELETE FROM ej WHERE uid = 2")  # delete inside the predicate
+    lake.sql("INSERT INTO ej VALUES (TIMESTAMP '2024-01-01 00:40:00', '{\"c\":3}', 3)")
+    lake.sql("REFRESH MATERIALIZED VIEW ejv")
+    rows = lake.sql("SELECT * FROM ejv").collect()
+    got = {str(r["bucket_start"]): (r["n_rows"], r["approx_distinct_uid"]) for r in rows}
+    assert got == {"2024-01-01 00:00:00": (2, 2)}
+
+
+def test_export_meta_shaped_decoy_not_collected(lake, spark, tmp_path):
+    """A USER table with rollup-meta-SHAPED columns but many rows must be
+    skipped by export's restamp WITHOUT being collected to the driver —
+    the shape guard (schema + metadata row count) runs before any
+    collect(), so a huge decoy can't OOM an export."""
+    from pyspark.sql import DataFrame
+
+    from ducktales_spark.lake import LakeCatalog
+
+    lake.sql("CREATE TABLE big (k INT)")
+    lake.sql("INSERT INTO big VALUES (1)")
+    decoy = spark.createDataFrame(
+        [("s", 1, "[]", 0, f"m{i}") for i in range(50)],
+        "src string, bucket_s bigint, sum_cols string, last_version bigint,"
+        " decoy_marker string",
+    )
+    lake.ctas("big__rollup_meta", decoy)
+    other = LakeCatalog(str(tmp_path / "exp_decoy"), spark, inline_threshold=0)
+
+    pulled: list = []
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+
+    def spy_topandas(self):
+        pulled.append(self.columns)
+        return orig_topandas(self)
+
+    def spy_collect(self):
+        pulled.append(self.columns)
+        return orig_collect(self)
+
+    DataFrame.toPandas, DataFrame.collect = spy_topandas, spy_collect
+    try:
+        lake.export_to(other)
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
+    assert not [c for c in pulled if "decoy_marker" in c], pulled
+    # the decoy's rows survive verbatim in the target
+    assert other.count("big__rollup_meta") == 50

@@ -512,3 +512,106 @@ def test_compaction_is_refresh_noop(spark, lake):
     lake.compact("ev")
     assert refresh_rollup(lake, "ev_hourly")["changed_buckets"] == 0
     assert _rows(lake.read("ev_hourly")) == _rows(_recompute(lake))
+
+
+def test_filtered_rollup_incremental_equals_recompute(spark, lake):
+    """WHERE-filtered continuous aggregate: every refresh path (additive
+    fold, minmax partial recompute, approx delete-recompute) applies the
+    stored predicate, so incremental == a filtered from-scratch recompute
+    through inserts, boundary-crossing updates, and deletes."""
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "ev_f", "ev", "ts", 3600,
+        keys=("user_id",), sum_cols=("value",), minmax_cols=("value",),
+        where="value >= 20.0",
+    )
+
+    def recompute():
+        return (
+            lake.read("ev", where="value >= 20.0")
+            .groupBy(
+                _bucket_expr("ts", 3600).alias("bucket_start"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("value").alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+
+    def rows(df):
+        return sorted(
+            (
+                r["bucket_start"], r["user_id"], r["n_rows"],
+                r["sum_value"], r["min_value"], r["max_value"],
+            )
+            for r in df.collect()
+        )
+
+    assert rows(lake.read("ev_f")) == rows(recompute())
+    # inserts both inside and outside the predicate
+    lake.insert("ev", _mk_events(spark, [
+        (6, "2024-01-01 00:20:00", 1, 5.0),    # filtered out
+        (7, "2024-01-01 00:30:00", 1, 25.0),   # filtered in
+    ]))
+    refresh_rollup(lake, "ev_f")
+    assert rows(lake.read("ev_f")) == rows(recompute())
+    # UPDATE moving rows across the predicate boundary, both directions
+    lake.update("ev", {"value": "6.0"}, "event_id = 3")     # out (was 30)
+    lake.update("ev", {"value": "60.0"}, "event_id = 6")    # in  (was 5)
+    refresh_rollup(lake, "ev_f")
+    assert rows(lake.read("ev_f")) == rows(recompute())
+    # delete OUTSIDE the predicate: refresh folds an empty diff
+    lake.delete("ev", "value < 20.0")
+    out = refresh_rollup(lake, "ev_f")
+    assert out["changed_buckets"] == 0
+    assert rows(lake.read("ev_f")) == rows(recompute())
+    # delete INSIDE the predicate empties its bucket
+    lake.delete("ev", "event_id = 5")
+    refresh_rollup(lake, "ev_f")
+    assert rows(lake.read("ev_f")) == rows(recompute())
+
+
+def test_array_column_rollup_guards(spark, lake):
+    """Complex-typed source columns: SUM/AVG state is non-additive over
+    arrays, so creation fails with a CLEAN error and no half-created
+    tables; hash-shaped aggregates (keys, exact/approx DISTINCT) over the
+    same array column work and refresh — and the widening gate already
+    refuses ALTER TYPE on complex columns, so an engine-forced retype can
+    never reach array-maintained MV state."""
+    lake.ctas(
+        "vec",
+        spark.createDataFrame(
+            [(1, [1.0, 2.0], 10.0), (2, [3.0, 4.0], 20.0),
+             (3, [1.0, 2.0], 30.0)],
+            "id bigint, e array<double>, w double",
+        ),
+    )
+    v0 = lake.current_version()
+    with pytest.raises(Exception, match="non-additive type"):
+        create_rollup(lake, "bad", "vec", None, keys=(), sum_cols=("e",))
+    # nothing half-created, no snapshot minted
+    assert "bad" not in lake.tables()
+    assert "bad__rollup_meta" not in lake.tables()
+    assert lake.current_version() == v0
+    # array as a KEY plus approx/exact distinct over it: legal + refreshable
+    create_rollup(
+        lake, "by_vec", "vec", None, keys=("e",), sum_cols=("w",),
+        approx_cols=("e",), distinct_cols=("e",),
+    )
+    lake.insert(
+        "vec",
+        spark.createDataFrame(
+            [(4, [1.0, 2.0], 40.0)], "id bigint, e array<double>, w double"
+        ),
+    )
+    refresh_rollup(lake, "by_vec")
+    got = {
+        tuple(r["e"]): (r["n_rows"], r["sum_w"])
+        for r in lake.read("by_vec").collect()
+    }
+    assert got == {(1.0, 2.0): (3, 80.0), (3.0, 4.0): (1, 20.0)}
+    # the widening gate blocks complex-type retypes at the source
+    with pytest.raises(Exception, match="widening"):
+        lake.alter_column_type("vec", "e", "array<float>")

@@ -863,3 +863,84 @@ def test_routed_assignment_quality_at_default_route_width(spark, vectors):
     # rotation — a genuine ranking bug (inverted sort, wrong norm) lands
     # far below (route_width=4 already measures 0.65)
     assert match >= 0.85, f"routed assignment quality regressed: {match:.3f}"
+
+
+def test_quantized_at_rest_index(spark, tmp_path, vectors):
+    """build_vector_index(quantize=True): the index table stores int8
+    codes (q, scale) instead of float64 e — smaller at rest — while every
+    read path (probe, screen, extend, remove) behaves like the float
+    index through the dequantize face. Probe recall@10 vs the float index
+    under the standalone-format gate; no vector column is ever collected
+    to the driver."""
+    import os
+
+    from pyspark.sql import DataFrame
+
+    from ducktales_spark.vector_index import (
+        neardup_against_index,
+        remove_vectors,
+    )
+
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    build_vector_index(lake, "idx_f", vectors)
+    build_vector_index(lake, "idx_q", vectors, quantize=True)
+    assert {"vec_id", "q", "scale", "centroid_id"} == set(
+        lake.read("idx_q").columns
+    )
+    # storage: quantized index files at least 3x smaller than float
+    def _tbl_bytes(tname):
+        return sum(s["file_bytes"] or 0 for s in lake.file_stats(tname))
+
+    assert _tbl_bytes("idx_q") * 3 <= _tbl_bytes("idx_f")
+    # probe recall@10 vs the float index (identical centroids/buckets,
+    # only the stored corpus is quantized)
+    queries = vectors.filter(F.col("vec_id") < 10).toPandas()
+    exact = {}
+    for r in probe_vector_index(lake, "idx_f", queries, k=10, nprobe=4).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = tot = 0
+    got = probe_vector_index(lake, "idx_q", queries, k=10, nprobe=4)
+
+    pulled: list = []
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+
+    def spy_topandas(self):
+        pulled.append(self.columns)
+        return orig_topandas(self)
+
+    def spy_collect(self):
+        pulled.append(self.columns)
+        return orig_collect(self)
+
+    DataFrame.toPandas, DataFrame.collect = spy_topandas, spy_collect
+    try:
+        rows = got.collect()
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
+    assert not [
+        c for c in pulled[:-1] if "e" in c or "q" in c
+    ], "probe pulled vector/code columns to the driver"
+    for r in rows:
+        tot += 1
+        hits += r.neighbor_id in exact.get(r.query_id, set())
+    assert tot and hits / tot >= 0.9, hits / tot
+    # extend: appended rows land QUANTIZED (schema stays uniform)
+    newv = vectors.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "e"
+    ).limit(7)
+    extend_vector_index(lake, "idx_q", newv)
+    ext = lake.read("idx_q").filter("vec_id >= 1000000")
+    assert ext.count() == 7
+    assert {"q", "scale"} <= set(ext.columns)
+    assert ext.filter("q IS NULL").count() == 0
+    # screening consumes the quantized corpus through the same face
+    pairs = neardup_against_index(
+        lake, "idx_q",
+        vectors.limit(3).select((F.col("vec_id") + 2_000_000).alias("vec_id"), "e"),
+        threshold=0.99,
+    )
+    assert pairs.count() >= 3  # each new vector matches its own original
+    # remove: MERGE delete under the quantized schema
+    n = remove_vectors(lake, "idx_q", [1_000_000, 1_000_001])
+    assert n == 2
+    assert lake.read("idx_q").filter("vec_id IN (1000000, 1000001)").count() == 0
