@@ -1981,7 +1981,21 @@ class Transaction:
     # -- commit / rollback ----------------------------------------------
     def commit(self) -> int:
         """The atomic commit point: ONE catalog-DB transaction publishes every
-        staged file + metadata mutation; returns the new snapshot id."""
+        staged file + metadata mutation; returns the new snapshot id.
+
+        Multi-writer contract (stress-tested across processes in
+        tests/test_lake_concurrency.py): commits serialize on the
+        backend's write lock (SQLite BEGIN IMMEDIATE / PG advisory lock /
+        MySQL GET_LOCK) and snapshot ids allocate MAX+1 under that lock —
+        strictly monotone and contiguous. Conflict detection is
+        first-committer-wins PER TABLE: if any snapshot later than this
+        transaction's base touched one of its tables, ConflictError is
+        raised and NOTHING is published (staged parquet is cleaned up).
+        The client retry policy is to re-run the WHOLE transaction — new
+        base version, re-staged writes — with jittered exponential
+        backoff; lock-acquisition exhaustion raises the same
+        ConflictError, so one retry loop covers both contention
+        classes."""
         self._done = True
         touched = {
             n for n, st in self._states.items() if st.changes or st.created

@@ -70,7 +70,9 @@ def l01_lake_ctas_inlined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.read("region_l").select("r_regionkey", "r_name")
 
 
-@register(
+@register_extra(  # rotated to EXTRA in round 9: D3 rides l17 (SQL MERGE
+    # update path), D4 rides l04/r01 — the freed slot drives
+    # r02_rollup_count_distinct's MV count/distinct machinery
     "l02_lake_update_delete",
     oracle="""
         SELECT n_nationkey, n_name,
@@ -315,31 +317,54 @@ def l14_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey, c_name, c_acctbal
             FROM customer WHERE c_custkey % 10 <> 0
             UNION ALL
-            SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+            SELECT c_custkey + 1000000 AS c_custkey,
+                   'new customer' AS c_name, c_acctbal
             FROM customer WHERE c_custkey <= 50
-        ) t""",
-    survey_ids=("D1", "D3"),
+        ) t WHERE c_custkey % 97 <> 3""",
+    survey_ids=("D1", "D3", "D4"),
 )
 def l17_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE/upsert (Delta-style CDC apply — beyond the reference surface,
-    which composes it from UPDATE + INSERT): one batch updates every 10th
-    customer's balance and inserts 50 remapped new keys; the oracle
-    recomputes the final state relationally. Candidate files are pruned by
-    the source's key bounds, so at scale a CDC batch rewrites only
-    key-overlapping files."""
+    """MERGE INTO as SQL (round-9 surface; DuckLake ships MERGE as SQL,
+    the reference composes the same state from UPDATE + INSERT): a CDC
+    feed with a DIFFERENT key name and a payload column drives a
+    per-column ``UPDATE SET c_acctbal = t.c_acctbal + s.delta`` (the name
+    column must survive untouched) plus an expression INSERT; a second
+    delete-only MERGE applies a takedown feed that carries extra columns.
+    The oracle recomputes the final state relationally. Candidate files
+    are pruned by the source's key bounds and the hit-subset scan, so at
+    scale a CDC batch rewrites only files actually containing matched
+    keys."""
     lake = _fresh_lake(spark)
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
     lake.ctas("customer_l", cust, primary_key=["c_custkey"])
-    src = cust.filter("c_custkey % 10 = 0").withColumn(
-        "c_acctbal", F.col("c_acctbal") + 1000
+    feed = cust.filter("c_custkey % 10 = 0").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.lit(1000.0).alias("delta"),
     ).unionByName(
-        cust.filter("c_custkey <= 50").withColumn(
-            "c_custkey", F.col("c_custkey") + 1_000_000
+        cust.filter("c_custkey <= 50").select(
+            (F.col("c_custkey") + 1_000_000).alias("cust_id"),
+            F.col("c_acctbal").cast("double").alias("delta"),
         )
     )
-    lake.merge("customer_l", src, on=["c_custkey"])
+    lake.ctas("feed", feed)
+    lake.sql(
+        "MERGE INTO customer_l AS t USING feed AS s "
+        "ON t.c_custkey = s.cust_id "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta "
+        "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal) "
+        "VALUES (s.cust_id, 'new customer', s.delta)"
+    )
+    lake.sql(
+        "CREATE TABLE takedown AS SELECT c_custkey, 'gone' AS note "
+        "FROM customer_l WHERE c_custkey % 97 = 3"
+    )
+    lake.sql(
+        "MERGE INTO customer_l USING takedown "
+        "ON customer_l.c_custkey = takedown.c_custkey "
+        "WHEN MATCHED THEN DELETE"
+    )
     return lake.read("customer_l")
 
 
@@ -445,7 +470,7 @@ def r01_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(  # promoted to the driver sweep in round 9 (slot freed by l02)
     "r02_rollup_count_distinct",
     oracle="""
         WITH src AS (

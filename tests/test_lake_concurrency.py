@@ -1,0 +1,149 @@
+"""D8 hardening: N writer PROCESSES x M commits racing one catalog.
+
+The reference demos a concurrent writer thread against the DuckLake
+catalog (demos/03_schema_evolution/demo.py:32-72); this suite stress-tests
+the analogous contract here across real OS processes — the deployment
+shape of a multi-writer lakehouse — against both catalog backends that can
+boot in this sandbox (SQLite file, live PostgreSQL via pgmini).
+
+Retry/backoff policy under test (the documented client contract,
+lake/catalog.py Transaction.commit): the catalog serializes commits with a
+write lock (SQLite BEGIN IMMEDIATE / PG advisory lock) and applies
+first-committer-wins PER TABLE — a commit whose touched-table set
+intersects a snapshot that landed after its base version raises
+ConflictError and stages NOTHING. Writers retry the WHOLE transaction
+(fresh base version, re-staged writes) with jittered exponential backoff;
+lock-acquisition exhaustion surfaces as the same ConflictError, so one
+retry loop covers both contention classes.
+
+Invariants asserted: every commit lands exactly once (no lost updates),
+snapshot ids are strictly monotone AND contiguous (the MAX+1 allocation
+under the write lock can't skip or reuse), and per-writer sequences are
+complete.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+
+import pytest
+
+from ducktales_spark.lake import LakeCatalog
+from ducktales_spark.lake.metastore import ConflictError
+
+N_WRITERS = 4
+N_COMMITS = 6
+MAX_RETRIES = 60
+
+
+def _writer(location, data_dir, wid, n_commits, q):
+    """One writer process: n_commits transactions into the SHARED table
+    (guaranteed per-table conflicts with every concurrent writer) plus a
+    private per-writer table in the same transaction. No SparkSession:
+    inlined-row writes and the commit protocol are pure catalog-side."""
+    import random
+    import time
+
+    try:
+        lake = LakeCatalog(location, spark=None, data_dir=data_dir,
+                           inline_threshold=10_000)
+        committed = []
+        for seq in range(n_commits):
+            for attempt in range(MAX_RETRIES):
+                try:
+                    with lake.transaction() as tx:
+                        tx.insert_rows(
+                            "log", [{"writer": wid, "seq": seq}]
+                        )
+                        tx.insert_rows(
+                            f"w{wid}_private", [{"seq": seq}]
+                        )
+                    committed.append(seq)
+                    break
+                except ConflictError:
+                    # jittered exponential backoff, capped — the documented
+                    # client policy (module docstring)
+                    time.sleep(
+                        random.uniform(0.5, 1.5)
+                        * 0.004
+                        * min(2 ** attempt, 16)
+                    )
+            else:
+                q.put(("fail", wid, f"commit {seq} exhausted retries"))
+                return
+        q.put(("ok", wid, committed))
+    except Exception as e:  # surface real bugs, not a hung join
+        q.put(("fail", wid, f"{type(e).__name__}: {e}"))
+
+
+def _run_stress(location, data_dir, spark):
+    from ducktales_spark.lake.schema import Field, TableSchema
+
+    setup = LakeCatalog(location, spark=None, data_dir=data_dir,
+                        inline_threshold=10_000)
+    setup.create_table(
+        "log",
+        TableSchema((Field(1, "writer", "bigint"), Field(2, "seq", "bigint"))),
+    )
+    for w in range(N_WRITERS):
+        setup.create_table(
+            f"w{w}_private", TableSchema((Field(1, "seq", "bigint"),))
+        )
+    v0 = setup.current_version()
+
+    ctx = mp.get_context("spawn")  # never fork a JVM-attached parent
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_writer, args=(location, data_dir, w, N_COMMITS, q)
+        )
+        for w in range(N_WRITERS)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=180) for _ in procs]
+    for p in procs:
+        p.join(timeout=60)
+    fails = [r for r in results if r[0] != "ok"]
+    assert not fails, fails
+
+    # read back through Spark in THIS process
+    lake = LakeCatalog(location, spark, data_dir=data_dir)
+    rows = [
+        (r["writer"], r["seq"]) for r in lake.read("log").collect()
+    ]
+    # no lost updates, no duplicates: every (writer, seq) exactly once
+    assert sorted(rows) == sorted(
+        (w, s) for w in range(N_WRITERS) for s in range(N_COMMITS)
+    )
+    for w in range(N_WRITERS):
+        assert lake.count(f"w{w}_private") == N_COMMITS
+    # snapshot ids strictly monotone AND contiguous: exactly one snapshot
+    # per successful commit, none skipped, none reused
+    ids = [s["snapshot_id"] for s in lake.snapshots()]
+    assert ids == sorted(set(ids))
+    assert max(ids) == v0 + N_WRITERS * N_COMMITS
+    # every commit's changes record names the shared table
+    touched = [
+        s for s in lake.snapshots()
+        if s["snapshot_id"] > v0
+        and "log" in s["changes"].get("tables_inserted_into", [])
+    ]
+    assert len(touched) == N_WRITERS * N_COMMITS
+
+
+def test_multiprocess_writers_sqlite(spark, tmp_path):
+    """N processes x M commits against one SQLite catalog file."""
+    _run_stress(str(tmp_path / "cat"), None, spark)
+
+
+def test_multiprocess_writers_postgres(spark, tmp_path, pg_dsn):
+    """The same race against a live PostgreSQL catalog (advisory-lock
+    serialization instead of BEGIN IMMEDIATE)."""
+    _run_stress(pg_dsn, str(tmp_path / "pg_files"), spark)
+
+
+# reuse the bootable-PG fixture from test_lake (module-scoped there; one
+# server boot per module here as well)
+from test_lake import pg_dsn  # noqa: E402,F401
