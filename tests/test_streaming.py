@@ -614,6 +614,33 @@ def test_streaming_rollup_maintenance(spark, tmp_path, source_dir):
 
     assert kinds_rows() == kinds_recompute()
 
+    # a FILTERED rollup (round 9) refreshes off the same streamed diffs:
+    # the stored WHERE gates which streamed rows fold in
+    create_rollup(
+        lake, "ev_big", "ev", None, keys=("event_type",),
+        sum_cols=("value",), where="value >= 0.5",
+    )
+
+    def big_rows():
+        return sorted(
+            (r["event_type"], r["n_rows"], r["sum_value"])
+            for r in lake.read("ev_big").collect()
+        )
+
+    def big_recompute():
+        return sorted(
+            (r["event_type"], r["n_rows"], r["sum_value"])
+            for r in lake.read("ev", where="value >= 0.5")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("value").alias("sum_value"),
+            )
+            .collect()
+        )
+
+    assert big_rows() == big_recompute()
+
     # crash between append and refresh: append lands without its refresh...
     lake.insert("ev", lake.read("ev").limit(2))
     stale = _rows(lake.read("ev_hourly"))
@@ -623,6 +650,8 @@ def test_streaming_rollup_maintenance(spark, tmp_path, source_dir):
     assert _rows(lake.read("ev_hourly")) == recompute()
     refresh_rollup(lake, "ev_kinds")
     assert kinds_rows() == kinds_recompute()
+    refresh_rollup(lake, "ev_big")
+    assert big_rows() == big_recompute()
 
 
 def test_streaming_ingest_decontaminates(spark, tmp_path):
