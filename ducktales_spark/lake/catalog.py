@@ -2149,7 +2149,10 @@ def _norm_file_uri(p: str) -> str:
     equal to FileEntry's os paths."""
     from urllib.parse import unquote, urlsplit
 
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):", p)
+    # scheme must be >= 2 chars: a single-letter prefix is a Windows drive
+    # path ('C:/x'), not a URI — misparsing it would make every FileEntry
+    # path mismatch input_file_name() and trip the merge hit-subset guard
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]+):", p)
     if m:
         u = urlsplit(p)
         path = unquote(u.path)

@@ -103,13 +103,22 @@ def _where_of(m) -> Optional[str]:
     return d.get("where_sql") or None
 
 
-def scan_sql_identifiers(text: str):
-    """Yield (start, end, name) for bare column-like identifiers in one SQL
-    expression: quote-aware (string literals skipped, '' escapes handled),
-    and an identifier immediately followed by ``(`` is a FUNCTION name,
-    not a column reference. Shared by predicate-column discovery (which
-    source columns does a filtered MV's WHERE depend on) and rename
-    follow-through (rewriting the stored predicate)."""
+def scan_sql_identifiers(text: str, with_qualifiers: bool = False):
+    """Yield column-like identifier spans in one SQL expression:
+    quote-aware (string literals skipped, '' escapes handled), and an
+    identifier immediately followed by ``(`` is a FUNCTION name, not a
+    column reference. The SINGLE scanner shared by predicate-column
+    discovery, rename follow-through (rewriting a stored predicate), and
+    the MERGE expression rewriter — one place to fix quoting/keyword
+    handling.
+
+    ``with_qualifiers=False`` (default): yields ``(start, end, name)``
+    for BARE identifiers only — a dotted pair like ``a.b`` yields both
+    parts separately (callers matching plain column names are unaffected:
+    qualifiers aren't column names).
+    ``with_qualifiers=True``: yields ``(start, end, name, qualifier)``
+    where a dotted reference ``q.c`` arrives as ONE span with
+    qualifier='q' and bare identifiers carry qualifier=None."""
     import re as _re
 
     i, n = 0, len(text)
@@ -131,11 +140,20 @@ def scan_sql_identifiers(text: str):
             i += 1
             continue
         j = i + m.end()
+        if with_qualifiers:
+            mq = _re.match(r"\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)", text[j:])
+            if mq:
+                yield (i, j + mq.end(), mq.group(1), m.group(0))
+                i = j + mq.end()
+                continue
         k = j
         while k < n and text[k].isspace():
             k += 1
         if not (k < n and text[k] == "("):
-            yield (i, j, m.group(0))
+            if with_qualifiers:
+                yield (i, j, m.group(0), None)
+            else:
+                yield (i, j, m.group(0))
         i = j
 
 

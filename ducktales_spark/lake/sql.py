@@ -207,6 +207,42 @@ def _split_keyword(s: str, kw: str) -> list:
     return out
 
 
+def _merge_when_positions(s: str) -> list:
+    """Top-level positions of MERGE clause heads: ``WHEN`` immediately
+    followed by ``[NOT] MATCHED``. A bare top-level WHEN (a CASE
+    expression inside an un-parenthesized SET expression) is NOT a clause
+    boundary."""
+    return [
+        p
+        for p in _top_keyword_positions(s, "WHEN")
+        if re.match(r"WHEN\s+(NOT\s+)?MATCHED\b", s[p:], re.I)
+    ]
+
+
+def _unwrap_parens(s: str) -> str:
+    """Strip redundant OUTER parens (quote-aware): ``(t.id = s.id)`` ->
+    ``t.id = s.id``; ``(a) = (b)`` is left alone (the first paren closes
+    early)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth, in_str, closes_early = 0, False, False
+        for ch in s[:-1]:
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        closes_early = True
+                        break
+        if closes_early:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
 def _split_last_where(s: str):
     """Split ``s`` at the LAST top-level WHERE (outside parens and string
     literals). Returns (head, predicate_or_None). A first-match split breaks
@@ -563,6 +599,16 @@ class SQLExecutor:
 
     # -- materialized views (continuous aggregates behind SQL) ----------
     _MV_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    # time-dependent / volatile names refused in a filtered MV's WHERE
+    # (both call forms matter: current_timestamp parses as a bare keyword,
+    # now() as a function)
+    _MV_NONDETERMINISTIC = frozenset(
+        "now current_timestamp current_date current_time localtimestamp "
+        "today rand randn random uuid shuffle unix_timestamp "
+        "current_timezone session_user current_user user "
+        "monotonically_increasing_id input_file_name "
+        "spark_partition_id".split()
+    )
     _MV_AGG = re.compile(
         rf"^(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*"
         rf"\(\s*(DISTINCT\s+)?(\*|{_IDENT})\s*\)"
@@ -634,10 +680,11 @@ class SQLExecutor:
         if not mm:
             raise LakeSQLError("MERGE requires an ON condition")
         rest = rest[mm.end() :]
-        wpos = _top_keyword_positions(rest, "WHEN")
+        wpos = _merge_when_positions(rest)
         if not wpos:
             raise LakeSQLError("MERGE requires at least one WHEN clause")
-        cond, clauses_text = rest[: wpos[0]].strip(), rest[wpos[0] :]
+        cond = _unwrap_parens(rest[: wpos[0]].strip())
+        clauses_text = rest[wpos[0] :]
 
         # source DataFrame binds pre-statement state (read-your-writes
         # inside an open txn), exactly like UPDATE/DELETE subqueries
@@ -680,7 +727,7 @@ class SQLExecutor:
             mm = re.match(
                 rf"^(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*"
                 rf"(?:({_IDENT})\s*\.\s*)?({_IDENT})$",
-                conj.strip(),
+                _unwrap_parens(conj),
             )
             if not mm:
                 raise LakeSQLError(
@@ -713,7 +760,13 @@ class SQLExecutor:
             src_map[cl] = f"__s_{orig}"
         for t_key, s_key in pairs:
             on.append(t_key)
-            if s_key != t_key:
+            if s_key.lower() == t_key.lower():
+                # same column, possibly spelled with different case: align
+                # the spelling, never a collision (it IS that column)
+                if s_key != t_key:
+                    src_df = src_df.withColumnRenamed(s_key, t_key)
+                    src_map[s_key.lower()] = f"__s_{t_key}"
+            else:
                 if t_key.lower() in s_cols:
                     raise LakeSQLError(
                         f"cannot rename source key {s_key!r} to {t_key!r}:"
@@ -725,7 +778,12 @@ class SQLExecutor:
         wm, wnm = "skip", "skip"
         update_sets, insert_sets = None, None
         seen = set()
-        for clause in _split_keyword(clauses_text, "WHEN"):
+        cpos = _merge_when_positions(clauses_text)
+        clauses = [
+            clauses_text[p + len("WHEN") : q].strip()
+            for p, q in zip(cpos, cpos[1:] + [len(clauses_text)])
+        ]
+        for clause in clauses:
             if not clause:
                 continue
             mm = re.match(r"^MATCHED\s+THEN\s+DELETE$", clause, re.I)
@@ -837,71 +895,62 @@ class SQLExecutor:
         self._run(op)
         return self._status("MERGE", n[0])
 
+    # SQL keywords never rewritten as bare column references: a source
+    # column named 'end' or 'then' must be alias-qualified (s.end) to be
+    # referenced — rewriting the bare keyword would corrupt CASE/interval
+    # expressions that legitimately contain these words
+    _SQL_KEYWORDS = frozenset(
+        "case when then else end and or not in is null true false "
+        "between like ilike rlike distinct cast interval as div exists "
+        "all any some asc desc nulls first last over escape".split()
+    )
+
     def _rewrite_merge_expr(
         self, expr, t_al, s_al, src_map, t_cols, insert_ctx
     ) -> str:
         """Rewrite alias-qualified references in one MERGE SET/VALUES
         expression to the engine contract (target plain, source
-        ``__s_<col>``). Quote-aware; bare identifiers followed by ``(``
-        are function names and pass through. Unqualified names resolve to
-        the target when both sides have the column (qualify with the
-        source alias to override); in INSERT VALUES no target row is in
-        scope, so unqualified source names always rewrite."""
-        out, i, n = [], 0, len(expr)
-        while i < n:
-            ch = expr[i]
-            if ch == "'":
-                j = i + 1
-                while j < n:
-                    if expr[j] == "'":
-                        if j + 1 < n and expr[j + 1] == "'":
-                            j += 2
-                            continue
-                        break
-                    j += 1
-                out.append(expr[i : j + 1])
-                i = j + 1
-                continue
-            mm = re.match(r"[A-Za-z_][A-Za-z0-9_]*", expr[i:])
-            if not mm:
-                out.append(ch)
-                i += 1
-                continue
-            ident = mm.group(0)
-            j = i + len(ident)
-            mq = re.match(r"\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)", expr[j:])
-            if mq:
-                col, end = mq.group(1), j + mq.end()
-                ql, cl = ident.lower(), mq.group(1).lower()
-                if ql == t_al:
-                    if cl not in t_cols:
-                        raise LakeSQLError(
-                            f"unknown target column {col!r} in MERGE "
-                            f"expression"
-                        )
-                    out.append(col)
-                elif s_al and ql == s_al:
-                    if cl not in src_map:
-                        raise LakeSQLError(
-                            f"unknown source column {col!r} in MERGE "
-                            f"expression"
-                        )
-                    out.append(src_map[cl])
-                else:
-                    out.append(expr[i:end])
-                i = end
-                continue
-            k = j
-            while k < n and expr[k].isspace():
-                k += 1
-            low = ident.lower()
-            if (k < n and expr[k] == "(") or low not in src_map:
-                out.append(ident)  # function name / keyword / target col
-            elif insert_ctx or low not in t_cols:
-                out.append(src_map[low])
-            else:
-                out.append(ident)  # ambiguous -> target wins
-            i = j
+        ``__s_<col>``), over the shared quote-aware identifier scanner
+        (rollup.scan_sql_identifiers — function names pass through).
+        Unqualified names resolve to the target when both sides have the
+        column (qualify with the source alias to override); SQL keywords
+        never rewrite bare. In INSERT VALUES no target row is in scope:
+        target-qualified refs are a clean parse-time error and unqualified
+        source names always rewrite."""
+        from .rollup import scan_sql_identifiers
+
+        out, prev = [], 0
+        for start, end, name, qual in scan_sql_identifiers(
+            expr, with_qualifiers=True
+        ):
+            ql, cl = (qual or "").lower(), name.lower()
+            rep = None
+            if qual is not None and ql == t_al:
+                if insert_ctx:
+                    raise LakeSQLError(
+                        f"target column reference {qual}.{name} is not in "
+                        "scope in a MERGE INSERT VALUES clause (no target "
+                        "row exists for an unmatched source row)"
+                    )
+                if cl not in t_cols:
+                    raise LakeSQLError(
+                        f"unknown target column {name!r} in MERGE expression"
+                    )
+                rep = name
+            elif qual is not None and s_al and ql == s_al:
+                if cl not in src_map:
+                    raise LakeSQLError(
+                        f"unknown source column {name!r} in MERGE expression"
+                    )
+                rep = src_map[cl]
+            elif qual is None and cl not in self._SQL_KEYWORDS:
+                if cl in src_map and (insert_ctx or cl not in t_cols):
+                    rep = src_map[cl]
+            if rep is not None:
+                out.append(expr[prev:start])
+                out.append(rep)
+                prev = end
+        out.append(expr[prev:])
         return "".join(out)
 
     # -- CALL-style maintenance (DuckLake ships these as SQL surface) ----
@@ -1042,16 +1091,32 @@ class SQLExecutor:
                 if not mw:
                     raise bad_shape
                 where = mw.group(1).strip()
-                from .rollup import scan_sql_identifiers
-
-                if any(
-                    nm.upper() == "SELECT"
-                    for _s, _e, nm in scan_sql_identifiers(where)
-                ):
+                # scan the literal-stripped text: subqueries and
+                # non-deterministic/time-dependent functions both break
+                # the incremental==recompute invariant (a row's predicate
+                # verdict is judged ONCE, at the refresh that sees its
+                # diff — now()/rand() would make create, each refresh,
+                # and a recompute all disagree; TimescaleDB restricts
+                # cagg predicates to immutable functions the same way)
+                stripped = re.sub(r"'(?:[^']|'')*'", "''", where)
+                idents = {
+                    t.lower()
+                    for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped)
+                }
+                if "select" in idents:
                     raise LakeSQLError(
                         "materialized-view WHERE cannot contain "
                         "subqueries: the predicate must be decidable per "
                         "source row for incremental maintenance"
+                    )
+                nondet = idents & self._MV_NONDETERMINISTIC
+                if nondet:
+                    raise LakeSQLError(
+                        f"materialized-view WHERE must be deterministic "
+                        f"and row-local; {sorted(nondet)} would make the "
+                        "incrementally-maintained state diverge from a "
+                        "recompute (rows are judged once, at the refresh "
+                        "that sees their diff)"
                     )
         keys, sum_cols, minmax_cols = [], [], []
         count_cols, approx_cols, distinct_cols = [], [], []

@@ -231,8 +231,16 @@ def build_vector_index(
         ).withColumnRenamed("centroid_id", "coarse_id")
     stored = assigned.select("vec_id", "e", "centroid_id")
     if quantize:
-        stored = quantize_vectors(stored).select(
-            "vec_id", "q", "scale", "centroid_id"
+        # Dirty vectors (NaN/Inf/NULL-element) quantize to NULL codes,
+        # which no kernel can score — dequantized NULL e would abort the
+        # whole probe job inside the Arrow kernel. They are EXCLUDED from
+        # the quantized index (same retrieval outcome as the float index,
+        # where a NaN vector can never win a cosine comparison, but
+        # explicit instead of NaN-propagating).
+        stored = (
+            quantize_vectors(stored)
+            .filter(F.col("q").isNotNull())
+            .select("vec_id", "q", "scale", "centroid_id")
         )
     with lake.transaction() as tx:
         tx.ctas(
@@ -272,9 +280,12 @@ def extend_vector_index(
     probe's coarse ranking, and exactly flat with route_width >= shards."""
     assigned = _assign_under_index(lake, name, new_vectors, None, route_width)
     rows = assigned.select("vec_id", "e", "centroid_id")
-    if "q" in lake.read(name).columns:  # quantized-at-rest index
-        rows = quantize_vectors(rows).select(
-            "vec_id", "q", "scale", "centroid_id"
+    # quantized-at-rest sniff from catalog metadata — no scan plan built
+    if any(c[0] == "q" for c in lake.columns(name)):
+        rows = (
+            quantize_vectors(rows)
+            .filter(F.col("q").isNotNull())  # dirty rows never index
+            .select("vec_id", "q", "scale", "centroid_id")
         )
     lake.insert(name, rows)
 

@@ -1314,3 +1314,20 @@ def test_norm_file_uri_variants():
     assert _norm_file_uri("s3a://other/k/p.parquet") != _norm_file_uri(
         "s3a://bucket/k/p.parquet"
     )
+
+
+def test_norm_file_uri_single_letter_prefix_not_a_scheme():
+    """'C:/x' is a drive-letter path, not a URI — misparsing it as scheme
+    'c' would break file-identity matching for every merge on such a
+    platform (the hit-subset guard would then refuse all matched
+    merges)."""
+    import os as _os
+
+    from ducktales_spark.lake.catalog import _norm_file_uri
+
+    assert _norm_file_uri("C:/Users/x/t.parquet") == _os.path.abspath(
+        "C:/Users/x/t.parquet"
+    )
+    assert not _norm_file_uri("C:/Users/x/t.parquet").startswith("c://")
+    # two-letter-plus schemes still parse as URIs
+    assert _norm_file_uri("s3a://b/k.parquet") == "s3a://b/k.parquet"

@@ -1236,3 +1236,68 @@ def test_export_meta_shaped_decoy_not_collected(lake, spark, tmp_path):
     assert not [c for c in pulled if "decoy_marker" in c], pulled
     # the decoy's rows survive verbatim in the target
     assert other.count("big__rollup_meta") == 50
+
+
+def test_merge_sql_parser_hardening(lake):
+    """Round-9 code-review fixes: CASE WHEN inside SET expressions must
+    not split the WHEN-clause scan, parenthesized ON conditions parse,
+    keyword-named source columns don't corrupt expressions, target refs
+    in INSERT VALUES fail cleanly, and case-differing key spellings
+    merge."""
+    lake.sql("CREATE TABLE t (id INTEGER, v INTEGER, tag VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 1, 'a'), (2, 2, 'b')")
+    lake.sql("CREATE TABLE s (ID INTEGER, qty INTEGER, end INTEGER)")
+    lake.sql("INSERT INTO s VALUES (1, 5, 77), (3, -4, 88)")
+    # CASE WHEN in an un-parenthesized SET expression + parenthesized ON
+    # + case-differing key spelling (t.id vs s.ID) in one statement
+    lake.sql(
+        "MERGE INTO t USING s ON (t.id = s.ID) "
+        "WHEN MATCHED THEN UPDATE SET "
+        "v = CASE WHEN s.qty > 0 THEN t.v + s.qty ELSE t.v END "
+        "WHEN NOT MATCHED THEN INSERT (id, v, tag) "
+        "VALUES (s.ID, CASE WHEN s.qty > 0 THEN s.qty ELSE 0 END, 'new')"
+    )
+    rows = sorted(
+        (r["id"], r["v"], r["tag"]) for r in lake.sql("SELECT * FROM t").collect()
+    )
+    assert rows == [(1, 6, "a"), (2, 2, "b"), (3, 0, "new")], rows
+    # a source column named like the keyword END: the bare keyword in a
+    # CASE stays a keyword; the qualified form reaches the column
+    lake.sql(
+        "MERGE INTO t USING s ON t.id = s.ID "
+        "WHEN MATCHED THEN UPDATE SET "
+        "v = CASE WHEN s.end > 0 THEN s.end ELSE 0 END"
+    )
+    assert lake.sql("SELECT v FROM t WHERE id = 1").first()["v"] == 77
+    # target-qualified reference in INSERT VALUES: clean parse-time error
+    with pytest.raises(LakeSQLError, match="not in scope"):
+        lake.sql(
+            "MERGE INTO t USING s ON t.id = s.ID "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.ID, t.v)"
+        )
+
+
+def test_mv_where_must_be_deterministic(lake):
+    """now()/current_timestamp/rand() in an MV WHERE would silently
+    diverge incremental state from a recompute (rows are judged once, at
+    the refresh that sees their diff) — refused at parse time, the way
+    TimescaleDB restricts cagg predicates to immutable functions."""
+    lake.sql("CREATE TABLE ev (k VARCHAR, ts TIMESTAMP, v INTEGER)")
+    lake.sql("INSERT INTO ev VALUES ('a', TIMESTAMP '2024-01-01', 1)")
+    for bad in (
+        "ts >= now() - INTERVAL 7 DAYS",
+        "ts >= current_timestamp",
+        "rand() < 0.5",
+        "v > unix_timestamp()",
+    ):
+        with pytest.raises(LakeSQLError, match="deterministic"):
+            lake.sql(
+                "CREATE MATERIALIZED VIEW bad AS "
+                f"SELECT k, COUNT(*) FROM ev WHERE {bad} GROUP BY k"
+            )
+    # a LITERAL containing a blocked name is data, not a function call
+    lake.sql(
+        "CREATE MATERIALIZED VIEW ok AS SELECT k, COUNT(*) FROM ev "
+        "WHERE k != 'now() current_timestamp' GROUP BY k"
+    )
+    assert lake.sql("SELECT * FROM ok").first()["n_rows"] == 1

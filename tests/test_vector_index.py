@@ -944,3 +944,36 @@ def test_quantized_at_rest_index(spark, tmp_path, vectors):
     n = remove_vectors(lake, "idx_q", [1_000_000, 1_000_001])
     assert n == 2
     assert lake.read("idx_q").filter("vec_id IN (1000000, 1000001)").count() == 0
+
+
+def test_quantized_index_excludes_dirty_vectors(spark, tmp_path, vectors):
+    """A corpus row with NaN/Inf/NULL elements quantizes to NULL codes no
+    kernel can score: the quantized build and extend EXCLUDE it (explicit
+    policy), so probes over a dirty corpus run instead of aborting inside
+    the Arrow kernel on a NULL embedding."""
+    dim = len(vectors.first()["e"])
+    dirty = vectors.unionByName(
+        spark.createDataFrame(
+            [
+                (9_000_001, [float("nan")] * dim),
+                (9_000_002, [1.0, None] + [0.0] * (dim - 2)),
+            ],
+            "vec_id bigint, e array<double>",
+        )
+    )
+    lake = LakeCatalog(str(tmp_path / "lake"), spark)
+    build_vector_index(lake, "qi", dirty, quantize=True)
+    assert lake.read("qi").filter("vec_id >= 9000000").count() == 0
+    assert lake.read("qi").filter("q IS NULL").count() == 0
+    queries = vectors.filter(F.col("vec_id") < 3).toPandas()
+    assert probe_vector_index(lake, "qi", queries, k=5, nprobe=4).count() > 0
+    # extend with a dirty batch: clean rows land, dirty rows excluded
+    extend_vector_index(
+        lake, "qi",
+        spark.createDataFrame(
+            [(9_100_000, [0.5] * dim), (9_100_001, [float("inf")] * dim)],
+            "vec_id bigint, e array<double>",
+        ),
+    )
+    got = [r["vec_id"] for r in lake.read("qi").filter("vec_id >= 9100000").collect()]
+    assert got == [9_100_000]
