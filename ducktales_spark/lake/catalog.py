@@ -1624,6 +1624,8 @@ class Transaction:
         when_not_matched: str = "insert",
         update_sets: Optional[dict] = None,
         insert_sets: Optional[dict] = None,
+        matched_clauses: Optional[list] = None,
+        not_matched_clauses: Optional[list] = None,
     ) -> dict:
         """MERGE/upsert (Delta-style CDC apply; beyond the reference surface,
         which reaches the same state via UPDATE+INSERT pairs, e.g.
@@ -1644,6 +1646,21 @@ class Transaction:
         narrow partial-update feed never fabricates the untouched columns.
         Merge key columns cannot be assigned.
 
+        ``matched_clauses`` / ``not_matched_clauses`` (conditional
+        multi-clause CDC, first-match-wins — the Delta/standard-SQL
+        ``WHEN MATCHED AND <cond> THEN ...`` shape): ordered lists of
+        ``{"cond": <sql or None>, "action": "update"|"delete",
+        "sets": {...}}`` (matched) / ``{"cond": ..., "sets": {...}}``
+        (not-matched; ``{}`` = same-named source columns then defaults).
+        A matched row takes the FIRST clause whose condition holds
+        (condition expressions use the same target-plain / ``__s_<col>``
+        contract); a row matching no clause keeps its current values.
+        Only the LAST clause in each list may omit its condition.
+        Mutually exclusive with the flat when_matched/update_sets form.
+        ``matched`` in the result stays the raw matched-target-row count
+        (clause conditions don't change which files rewrite);
+        ``inserted`` is the count of rows actually appended.
+
         Scale path: the source's per-key min/max bounds prune the candidate
         file list exactly like UPDATE/DELETE (stats.py), then a key-column
         semi-join tagged with input_file_name() shrinks the rewrite to the
@@ -1660,16 +1677,70 @@ class Transaction:
             raise LakeError("update_sets requires when_matched='update'")
         if insert_sets is not None and when_not_matched != "insert":
             raise LakeError("insert_sets requires when_not_matched='insert'")
+        clausal = matched_clauses is not None or not_matched_clauses is not None
+        if clausal and (update_sets is not None or insert_sets is not None):
+            raise LakeError(
+                "pass matched_clauses/not_matched_clauses OR the flat "
+                "update_sets/insert_sets form, not both"
+            )
         st = self._state(name)
         sch = st.schema
         for k in on:
             sch.field_by_name(k)
-        custom = update_sets is not None or insert_sets is not None
+        if clausal:
+            mc = [dict(cl) for cl in (matched_clauses or [])]
+            nmc = [dict(cl) for cl in (not_matched_clauses or [])]
+            for i, cl in enumerate(mc):
+                if cl.get("action") not in ("update", "delete"):
+                    raise LakeError(
+                        f"matched clause action must be update/delete: {cl}"
+                    )
+                if cl["action"] == "update" and not isinstance(
+                    cl.get("sets"), dict
+                ):
+                    raise LakeError("update clause needs a 'sets' dict")
+                if cl.get("cond") is None and i != len(mc) - 1:
+                    raise LakeError(
+                        "only the last WHEN MATCHED clause may omit its "
+                        "AND <condition>"
+                    )
+            for i, cl in enumerate(nmc):
+                if not isinstance(cl.get("sets"), dict):
+                    raise LakeError(
+                        "not-matched clause needs a 'sets' dict ({} = "
+                        "same-named source columns)"
+                    )
+                if cl.get("cond") is None and i != len(nmc) - 1:
+                    raise LakeError(
+                        "only the last WHEN NOT MATCHED clause may omit "
+                        "its AND <condition>"
+                    )
+        else:
+            # normalize the flat form onto the clause machinery so ONE
+            # assembly path exists for every custom merge; sets=None on an
+            # update clause means full-row replace (same-named source cols)
+            mc = (
+                [{"cond": None, "action": "update", "sets": update_sets}]
+                if when_matched == "update"
+                else [{"cond": None, "action": "delete"}]
+                if when_matched == "delete"
+                else []
+            )
+            nmc = (
+                [{"cond": None, "sets": insert_sets}]
+                if when_not_matched == "insert"
+                else []
+            )
+        custom = clausal or update_sets is not None or insert_sets is not None
+        nmc_conditional = any(cl.get("cond") for cl in nmc)
         if custom:
-            for sets in (update_sets or {}), (insert_sets or {}):
+            all_sets = [cl.get("sets") or {} for cl in mc + nmc]
+            for sets in all_sets:
                 for c in sets:
                     sch.field_by_name(c)
-            bad_keys = set(update_sets or {}) & set(on)
+            bad_keys = set().union(
+                *[set(cl.get("sets") or {}) for cl in mc]
+            ) & set(on)
             if bad_keys:
                 raise LakeError(
                     f"cannot assign merge key column(s) {sorted(bad_keys)}"
@@ -1764,35 +1835,72 @@ class Transaction:
                 [F.col(k) == F.col(f"__s_{k}") for k in on],
             )
 
-            def _ins_rows(unmatched):
-                """Unmatched __s_-renamed source rows -> target-schema rows:
-                insert_sets expression wins, then the same-named source
-                column, then the column default (exactly _align's fill)."""
+            def _clause_chain(clauses):
+                """First-match-wins clause index (1-based; 0 = no clause)."""
+                chain = None
+                for i, cl in enumerate(clauses, 1):
+                    c = (
+                        F.expr(cl["cond"])
+                        if cl.get("cond")
+                        else F.lit(True)
+                    )
+                    chain = (
+                        F.when(c, F.lit(i))
+                        if chain is None
+                        else chain.when(c, F.lit(i))
+                    )
+                return chain.otherwise(F.lit(0)) if chain is not None else F.lit(0)
+
+            def _ins_frame(tgt):
+                """Unmatched source rows -> target-schema rows through the
+                not-matched clause list: the first clause whose condition
+                holds supplies per-column expressions; fields it doesn't
+                set fall back to the same-named source column, then the
+                column default (exactly _align's fill). Rows matching no
+                clause are dropped."""
+                ib = (
+                    srcR.join(tgt, jcond, "left_anti")
+                    .withColumn("__clause", _clause_chain(nmc))
+                    .filter(F.col("__clause") > 0)
+                )
                 cols = []
                 for f in sch.fields:
-                    if insert_sets and f.name in insert_sets:
-                        base = F.expr(insert_sets[f.name])
-                    elif f"__s_{f.name}" in srcR.columns:
+                    if f"__s_{f.name}" in srcR.columns:
                         base = F.col(f"__s_{f.name}")
                     else:
                         expr = default_expr(f)
                         base = (
                             F.expr(expr) if expr else F.lit(default_fill(f))
                         )
-                    cols.append(base.cast(f.type).alias(f.name))
-                return unmatched.select(*cols)
+                    col = base
+                    for i, cl in enumerate(nmc, 1):
+                        sets = cl.get("sets") or {}
+                        if f.name in sets:
+                            col = F.when(
+                                F.col("__clause") == i,
+                                F.expr(sets[f.name]),
+                            ).otherwise(col)
+                    cols.append(col.cast(f.type).alias(f.name))
+                return ib.select(*cols)
 
-            if when_matched == "skip":
+            if (custom and not mc) or (not custom and when_matched == "skip"):
                 # target rows untouched: no COW rewrite — append unmatched
                 # source rows as new files and leave every candidate in place.
                 if inserted == 0:
                     return {"matched": matched, "inserted": 0}
-                new_rows = (
-                    _ins_rows(srcR.join(target, jcond, "left_anti"))
-                    if custom
-                    else src.join(target, on, "left_anti")
-                )
+                if custom:
+                    new_rows = _ins_frame(target)
+                    if nmc_conditional:
+                        new_rows = new_rows.persist()
+                        inserted = new_rows.count()
+                        if inserted == 0:
+                            new_rows.unpersist()
+                            return {"matched": matched, "inserted": 0}
+                else:
+                    new_rows = src.join(target, on, "left_anti")
                 st.files.extend(self._write_staged(st, new_rows))
+                if custom and nmc_conditional:
+                    new_rows.unpersist()
                 st.changes.add("tables_inserted_into")
                 return {"matched": matched, "inserted": inserted}
             effective = matched
@@ -1816,24 +1924,54 @@ class Transaction:
             target = self.c._build_df(
                 candidates, touched_inlined, st.schemas, sch
             )
+            ins_df = None
             if custom:
                 parts = [target.join(srcR, jcond, "left_anti")]
-                if when_matched == "update":
-                    upd_cols = []
-                    for f in sch.fields:
-                        base = (
-                            F.expr(update_sets[f.name])
-                            if update_sets and f.name in update_sets
-                            else F.col(f.name)
-                        )
-                        upd_cols.append(base.cast(f.type).alias(f.name))
-                    parts.append(
-                        target.join(srcR, jcond, "inner").select(*upd_cols)
-                    )
-                if when_not_matched == "insert":
-                    parts.append(
-                        _ins_rows(srcR.join(target, jcond, "left_anti"))
-                    )
+                # matched rows route through the first-match clause index:
+                # update clauses override assigned columns, delete clauses
+                # drop the row, index 0 (no clause held) keeps it verbatim
+                m = target.join(srcR, jcond, "inner").withColumn(
+                    "__clause", _clause_chain(mc)
+                )
+                delete_idx = [
+                    i for i, cl in enumerate(mc, 1)
+                    if cl["action"] == "delete"
+                ]
+                if delete_idx:
+                    m = m.filter(~F.col("__clause").isin(delete_idx))
+                upd_cols = []
+                for f in sch.fields:
+                    col = F.col(f.name)
+                    for i, cl in enumerate(mc, 1):
+                        if cl["action"] != "update":
+                            continue
+                        sets = cl["sets"]
+                        if sets is None:
+                            # full-row replace: same-named source columns
+                            if (
+                                f"__s_{f.name}" in srcR.columns
+                                and f.name not in on
+                            ):
+                                rep = F.col(f"__s_{f.name}")
+                            else:
+                                continue
+                        elif f.name in sets:
+                            rep = F.expr(sets[f.name])
+                        else:
+                            continue
+                        col = F.when(
+                            F.col("__clause") == i, rep.cast(f.type)
+                        ).otherwise(col)
+                    upd_cols.append(col.cast(f.type).alias(f.name))
+                parts.append(m.select(*upd_cols))
+                if nmc:
+                    ins_df = _ins_frame(target)
+                    if nmc_conditional:
+                        # conditions shrink the insert set below the raw
+                        # unmatched count: report what actually lands
+                        ins_df = ins_df.persist()
+                        inserted = ins_df.count()
+                    parts.append(ins_df)
             else:
                 keep = target.join(src, on, "left_anti")
                 parts = [keep]
@@ -1844,6 +1982,12 @@ class Transaction:
                 elif when_not_matched == "insert":
                     parts.append(src.join(target, on, "left_anti"))
             out = reduce(DataFrame.unionByName, parts)
+            if custom and effective == 0 and inserted == 0:
+                # clause conditions filtered every unmatched row out and
+                # nothing matched: no rewrite, no append, no empty file
+                if ins_df is not None and nmc_conditional:
+                    ins_df.unpersist()
+                return {"matched": matched, "inserted": 0}
 
             for fe in candidates:
                 st.files.remove(fe)
@@ -1854,11 +1998,19 @@ class Transaction:
                 if not ie.staged:
                     st.removed_inlined_ids.append(ie.row_id)
             st.files.extend(self._write_staged(st, out))
+            if ins_df is not None and nmc_conditional:
+                ins_df.unpersist()
             if effective:
-                st.changes.add(
-                    "tables_deleted_from" if when_matched == "delete"
-                    else "tables_updated"
-                )
+                if custom:
+                    if any(cl["action"] == "update" for cl in mc):
+                        st.changes.add("tables_updated")
+                    if any(cl["action"] == "delete" for cl in mc):
+                        st.changes.add("tables_deleted_from")
+                else:
+                    st.changes.add(
+                        "tables_deleted_from" if when_matched == "delete"
+                        else "tables_updated"
+                    )
             if inserted:
                 st.changes.add("tables_inserted_into")
             return {"matched": matched, "inserted": inserted}

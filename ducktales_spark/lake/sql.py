@@ -775,9 +775,75 @@ class SQLExecutor:
                 src_df = src_df.withColumnRenamed(s_key, t_key)
                 src_map[s_key.lower()] = f"__s_{t_key}"
 
-        wm, wnm = "skip", "skip"
-        update_sets, insert_sets = None, None
-        seen = set()
+        def _parse_update_sets(body):
+            if body.strip() == "*":
+                sets = {
+                    t_cols[cl]: f"__s_{s_cols[cl]}"
+                    for cl in (set(t_cols) & set(s_cols))
+                    if t_cols[cl] not in on
+                }
+                if not sets:
+                    raise LakeSQLError(
+                        "UPDATE SET *: no non-key source column matches "
+                        "a target column"
+                    )
+                return sets
+            sets = {}
+            for part in _split_top(body):
+                ms = re.match(
+                    rf"^(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*(.+)$",
+                    part,
+                    re.S,
+                )
+                if not ms:
+                    raise LakeSQLError(f"bad SET clause: {part!r}")
+                if ms.group(1) and ms.group(1).lower() != t_al:
+                    raise LakeSQLError(
+                        f"SET may only assign target columns: {part!r}"
+                    )
+                cl = ms.group(2).lower()
+                if cl not in t_cols:
+                    raise LakeSQLError(
+                        f"unknown target column {ms.group(2)!r}"
+                    )
+                sets[t_cols[cl]] = self._rewrite_merge_expr(
+                    ms.group(3).strip(), t_al, s_al, src_map,
+                    set(t_cols), insert_ctx=False,
+                )
+            return sets
+
+        def _parse_insert_sets(body):
+            if body in ("", "*"):
+                return {}  # same-named source cols, then defaults
+            ms = re.match(
+                r"^\(([^)]*)\)\s*VALUES\s*\((.*)\)$", body, re.I | re.S
+            )
+            if not ms:
+                raise LakeSQLError(
+                    "INSERT clause must be *, empty, or "
+                    "(cols) VALUES (exprs)"
+                )
+            cols = [c.strip() for c in ms.group(1).split(",")]
+            exprs = _split_top(ms.group(2))
+            if len(cols) != len(exprs):
+                raise LakeSQLError(
+                    f"INSERT column list has {len(cols)} names, "
+                    f"VALUES has {len(exprs)} expressions"
+                )
+            sets = {}
+            for c, e in zip(cols, exprs):
+                cl = c.lower()
+                if cl not in t_cols:
+                    raise LakeSQLError(
+                        f"unknown target column {c!r} in INSERT"
+                    )
+                sets[t_cols[cl]] = self._rewrite_merge_expr(
+                    e.strip(), t_al, s_al, src_map,
+                    set(t_cols), insert_ctx=True,
+                )
+            return sets
+
+        matched_cls, not_matched_cls = [], []
         cpos = _merge_when_positions(clauses_text)
         clauses = [
             clauses_text[p + len("WHEN") : q].strip()
@@ -786,111 +852,104 @@ class SQLExecutor:
         for clause in clauses:
             if not clause:
                 continue
-            mm = re.match(r"^MATCHED\s+THEN\s+DELETE$", clause, re.I)
-            if mm:
-                if "matched" in seen:
-                    raise LakeSQLError("duplicate WHEN MATCHED clause")
-                seen.add("matched")
-                wm = "delete"
-                continue
-            mm = re.match(
-                r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", clause, re.I | re.S
-            )
-            if mm:
-                if "matched" in seen:
-                    raise LakeSQLError("duplicate WHEN MATCHED clause")
-                seen.add("matched")
-                wm = "update"
-                body = mm.group(1).strip()
-                if body == "*":
-                    update_sets = {
-                        t_cols[cl]: f"__s_{s_cols[cl]}"
-                        for cl in (set(t_cols) & set(s_cols))
-                        if t_cols[cl] not in on
-                    }
-                    if not update_sets:
-                        raise LakeSQLError(
-                            "UPDATE SET *: no non-key source column "
-                            "matches a target column"
-                        )
-                else:
-                    update_sets = {}
-                    for part in _split_top(body):
-                        ms = re.match(
-                            rf"^(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*(.+)$",
-                            part,
-                            re.S,
-                        )
-                        if not ms:
-                            raise LakeSQLError(f"bad SET clause: {part!r}")
-                        if ms.group(1) and ms.group(1).lower() != t_al:
-                            raise LakeSQLError(
-                                f"SET may only assign target columns: "
-                                f"{part!r}"
-                            )
-                        cl = ms.group(2).lower()
-                        if cl not in t_cols:
-                            raise LakeSQLError(
-                                f"unknown target column {ms.group(2)!r}"
-                            )
-                        update_sets[t_cols[cl]] = self._rewrite_merge_expr(
-                            ms.group(3).strip(), t_al, s_al, src_map,
-                            set(t_cols), insert_ctx=False,
-                        )
-                continue
-            mm = re.match(
-                r"^NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)$", clause, re.I | re.S
-            )
-            if mm:
-                if "not_matched" in seen:
-                    raise LakeSQLError("duplicate WHEN NOT MATCHED clause")
-                seen.add("not_matched")
-                wnm = "insert"
-                body = mm.group(1).strip()
-                if body in ("", "*"):
-                    insert_sets = {}  # same-named source cols, then defaults
-                else:
-                    ms = re.match(
-                        r"^\(([^)]*)\)\s*VALUES\s*\((.*)\)$", body, re.I | re.S
+            mm = re.match(r"^(NOT\s+)?MATCHED\b(.*)$", clause, re.I | re.S)
+            if not mm:
+                raise LakeSQLError(f"bad MERGE WHEN clause: WHEN {clause!r}")
+            is_not, rest2 = bool(mm.group(1)), mm.group(2)
+            # the clause's own THEN is the last top-level THEN followed by
+            # an action verb — a CASE ... THEN inside the AND-condition
+            # never precedes UPDATE/DELETE/INSERT
+            tpos = [
+                p
+                for p in _top_keyword_positions(rest2, "THEN")
+                if re.match(
+                    r"THEN\s+(UPDATE|DELETE|INSERT)\b", rest2[p:], re.I
+                )
+            ]
+            if not tpos:
+                raise LakeSQLError(
+                    f"MERGE WHEN clause needs THEN "
+                    f"UPDATE/DELETE/INSERT: WHEN {clause!r}"
+                )
+            p = tpos[-1]
+            cond_txt = rest2[:p].strip()
+            action_txt = rest2[p + len("THEN") :].strip()
+            cond = None
+            if cond_txt:
+                ma = re.match(r"^AND\s+(.*)$", cond_txt, re.I | re.S)
+                if not ma:
+                    raise LakeSQLError(
+                        f"bad MERGE clause condition (expected AND "
+                        f"<predicate>): {cond_txt!r}"
                     )
-                    if not ms:
-                        raise LakeSQLError(
-                            "INSERT clause must be *, empty, or "
-                            "(cols) VALUES (exprs)"
-                        )
-                    cols = [c.strip() for c in ms.group(1).split(",")]
-                    exprs = _split_top(ms.group(2))
-                    if len(cols) != len(exprs):
-                        raise LakeSQLError(
-                            f"INSERT column list has {len(cols)} names, "
-                            f"VALUES has {len(exprs)} expressions"
-                        )
-                    insert_sets = {}
-                    for c, e in zip(cols, exprs):
-                        cl = c.lower()
-                        if cl not in t_cols:
-                            raise LakeSQLError(
-                                f"unknown target column {c!r} in INSERT"
-                            )
-                        insert_sets[t_cols[cl]] = self._rewrite_merge_expr(
-                            e.strip(), t_al, s_al, src_map,
-                            set(t_cols), insert_ctx=True,
-                        )
-                continue
-            raise LakeSQLError(f"bad MERGE WHEN clause: WHEN {clause!r}")
-        if wm == "skip" and wnm == "skip":
+                # a NOT MATCHED condition sees only the source row
+                cond = self._rewrite_merge_expr(
+                    ma.group(1).strip(), t_al, s_al, src_map,
+                    set(t_cols), insert_ctx=is_not,
+                )
+            if is_not:
+                mi = re.match(r"^INSERT\s*(.*)$", action_txt, re.I | re.S)
+                if not mi:
+                    raise LakeSQLError(
+                        "WHEN NOT MATCHED supports only INSERT"
+                    )
+                not_matched_cls.append(
+                    {"cond": cond, "sets": _parse_insert_sets(mi.group(1).strip())}
+                )
+            elif re.fullmatch(r"DELETE", action_txt, re.I):
+                matched_cls.append({"cond": cond, "action": "delete"})
+            else:
+                mu = re.match(
+                    r"^UPDATE\s+SET\s+(.*)$", action_txt, re.I | re.S
+                )
+                if not mu:
+                    raise LakeSQLError(
+                        "WHEN MATCHED supports UPDATE SET ... or DELETE"
+                    )
+                matched_cls.append({
+                    "cond": cond,
+                    "action": "update",
+                    "sets": _parse_update_sets(mu.group(1).strip()),
+                })
+        if not matched_cls and not not_matched_cls:
             raise LakeSQLError("MERGE requires at least one WHEN clause")
 
+        simple = (
+            len(matched_cls) <= 1
+            and len(not_matched_cls) <= 1
+            and all(
+                c["cond"] is None for c in matched_cls + not_matched_cls
+            )
+        )
         n = [0]
 
         def op(tx):
-            r = tx.merge(
-                target, src_df, on=on,
-                when_matched=wm, when_not_matched=wnm,
-                update_sets=update_sets if wm == "update" else None,
-                insert_sets=insert_sets if wnm == "insert" else None,
-            )
-            n[0] = r["matched"] + r["inserted"]
+            if simple:
+                m0 = matched_cls[0] if matched_cls else None
+                r = tx.merge(
+                    target, src_df, on=on,
+                    when_matched=m0["action"] if m0 else "skip",
+                    when_not_matched=(
+                        "insert" if not_matched_cls else "skip"
+                    ),
+                    update_sets=(
+                        m0["sets"] if m0 and m0["action"] == "update"
+                        else None
+                    ),
+                    insert_sets=(
+                        not_matched_cls[0]["sets"]
+                        if not_matched_cls else None
+                    ),
+                )
+            else:
+                r = tx.merge(
+                    target, src_df, on=on,
+                    matched_clauses=matched_cls,
+                    not_matched_clauses=not_matched_cls,
+                )
+            # matched rows only count as affected when a matched clause
+            # exists to act on them (insert-only merges report inserts)
+            n[0] = (r["matched"] if matched_cls else 0) + r["inserted"]
 
         self._run(op)
         return self._status("MERGE", n[0])

@@ -1083,7 +1083,8 @@ def test_merge_into_sql_txn_and_errors(lake):
         ("MERGE INTO t USING s ON x.id = s.id WHEN MATCHED THEN DELETE",
          "unknown alias"),
         ("MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE "
-         "WHEN MATCHED THEN UPDATE SET v = 1", "duplicate WHEN MATCHED"),
+         "WHEN MATCHED THEN UPDATE SET v = 1",
+         "only the last WHEN MATCHED"),
         ("MERGE INTO nope USING s ON nope.id = s.id "
          "WHEN MATCHED THEN DELETE", "no such table"),
     ]:
@@ -1301,3 +1302,69 @@ def test_mv_where_must_be_deterministic(lake):
         "WHERE k != 'now() current_timestamp' GROUP BY k"
     )
     assert lake.sql("SELECT * FROM ok").first()["n_rows"] == 1
+
+
+def test_merge_conditional_multi_clause(lake):
+    """WHEN MATCHED AND <cond> / multiple clauses, first-match-wins (the
+    Delta/standard-SQL conditional-CDC shape): delete-by-op, guarded
+    update, fallback update, and a conditional insert in ONE statement;
+    rows matching no clause keep their values; CASE inside a condition
+    parses (clause boundaries anchor on WHEN [NOT] MATCHED)."""
+    lake.sql("CREATE TABLE acct (id INTEGER, bal DOUBLE, status VARCHAR)")
+    lake.sql(
+        "INSERT INTO acct VALUES (1, 10.0, 'open'), (2, -5.0, 'open'), "
+        "(3, 30.0, 'open'), (4, 1.0, 'open')"
+    )
+    lake.sql("CREATE TABLE feed (id INTEGER, amt DOUBLE, op VARCHAR)")
+    lake.sql(
+        "INSERT INTO feed VALUES (1, 100.0, 'D'), (2, 0.0, 'X'), "
+        "(3, -40.0, 'D'), (5, 7.0, 'N'), (6, -1.0, 'X')"
+    )
+    r = lake.sql(
+        "MERGE INTO acct AS t USING feed AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'X' THEN DELETE "
+        "WHEN MATCHED AND t.bal + s.amt < 0 THEN "
+        "UPDATE SET bal = 0.0, status = 'frozen' "
+        "WHEN MATCHED THEN UPDATE SET bal = t.bal + s.amt "
+        "WHEN NOT MATCHED AND s.op = 'N' THEN "
+        "INSERT (id, bal, status) VALUES (s.id, s.amt, 'new')"
+    ).first()
+    assert r["rows"] == 4  # 3 matched + 1 actually inserted (6 filtered)
+    rows = sorted(
+        (x["id"], x["bal"], x["status"])
+        for x in lake.sql("SELECT * FROM acct").collect()
+    )
+    assert rows == [
+        (1, 110.0, "open"),   # fallback update clause
+        (3, 0.0, "frozen"),   # guarded update (30 - 40 < 0)
+        (4, 1.0, "open"),     # unmatched target: untouched
+        (5, 7.0, "new"),      # conditional insert
+    ]                          # id 2 deleted; id 6 insert-condition false
+    # CASE WHEN inside a clause CONDITION (boundaries anchor on MATCHED)
+    lake.sql(
+        "MERGE INTO acct USING feed ON acct.id = feed.id "
+        "WHEN MATCHED AND CASE WHEN feed.op = 'D' THEN 1 ELSE 0 END = 1 "
+        "THEN UPDATE SET status = 'touched'"
+    )
+    got = {x["id"]: x["status"] for x in lake.sql("SELECT * FROM acct").collect()}
+    assert got[1] == "touched" and got[3] == "touched" and got[4] == "open"
+    # all-conditions-false merge: zero rows reported, no state change
+    v0 = lake.current_version()
+    r = lake.sql(
+        "MERGE INTO acct USING feed ON acct.id = feed.id "
+        "WHEN NOT MATCHED AND feed.op = 'NEVER' THEN INSERT *"
+    ).first()
+    assert r["rows"] == 0
+    # unconditional clause must come last
+    with pytest.raises(Exception, match="only the last WHEN MATCHED"):
+        lake.sql(
+            "MERGE INTO acct USING feed ON acct.id = feed.id "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED AND feed.op = 'D' THEN UPDATE SET bal = 0.0"
+        )
+    # a NOT MATCHED condition sees only the source row
+    with pytest.raises(LakeSQLError, match="not in scope"):
+        lake.sql(
+            "MERGE INTO acct AS t USING feed AS s ON t.id = s.id "
+            "WHEN NOT MATCHED AND t.bal > 0 THEN INSERT *"
+        )
