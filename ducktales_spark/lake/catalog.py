@@ -1678,10 +1678,17 @@ class Transaction:
         if insert_sets is not None and when_not_matched != "insert":
             raise LakeError("insert_sets requires when_not_matched='insert'")
         clausal = matched_clauses is not None or not_matched_clauses is not None
-        if clausal and (update_sets is not None or insert_sets is not None):
+        if clausal and (
+            update_sets is not None
+            or insert_sets is not None
+            or when_matched != "update"
+            or when_not_matched != "insert"
+        ):
+            # the flat flags are IGNORED by the clausal branch — silently
+            # accepting a non-default one would drop the caller's action
             raise LakeError(
                 "pass matched_clauses/not_matched_clauses OR the flat "
-                "update_sets/insert_sets form, not both"
+                "when_matched/update_sets form, not both"
             )
         st = self._state(name)
         sch = st.schema
@@ -1690,6 +1697,11 @@ class Transaction:
         if clausal:
             mc = [dict(cl) for cl in (matched_clauses or [])]
             nmc = [dict(cl) for cl in (not_matched_clauses or [])]
+            for cl in mc + nmc:
+                # '' and None both mean "no condition" — normalize so the
+                # ordering check below and _clause_chain can never disagree
+                # (a falsy cond compiles to lit(True))
+                cl["cond"] = cl.get("cond") or None
             for i, cl in enumerate(mc):
                 if cl.get("action") not in ("update", "delete"):
                     raise LakeError(
@@ -1699,7 +1711,7 @@ class Transaction:
                     cl.get("sets"), dict
                 ):
                     raise LakeError("update clause needs a 'sets' dict")
-                if cl.get("cond") is None and i != len(mc) - 1:
+                if cl["cond"] is None and i != len(mc) - 1:
                     raise LakeError(
                         "only the last WHEN MATCHED clause may omit its "
                         "AND <condition>"
@@ -1710,7 +1722,7 @@ class Transaction:
                         "not-matched clause needs a 'sets' dict ({} = "
                         "same-named source columns)"
                     )
-                if cl.get("cond") is None and i != len(nmc) - 1:
+                if cl["cond"] is None and i != len(nmc) - 1:
                     raise LakeError(
                         "only the last WHEN NOT MATCHED clause may omit "
                         "its AND <condition>"
@@ -1778,6 +1790,7 @@ class Transaction:
             ).persist()
         else:
             src = self._align(source, sch).persist()
+        persisted = [src]  # every persist in this merge unpersists in finally
         try:
             bounds = src.agg(
                 *[F.min(k).alias(f"mn_{k}") for k in on],
@@ -1819,10 +1832,11 @@ class Transaction:
                     f"duplicate merge keys {list(on)} in source"
                 )
             matched = int(stats["_matched"] or 0)
-            inserted = (
-                int(stats["_unmatched"] or 0)
-                if when_not_matched == "insert" else 0
-            )
+            # nmc is the normalized not-matched clause list for BOTH forms
+            # (the flat form maps when_not_matched onto it), so it — not
+            # the flat flag, which clausal callers never set — decides
+            # whether unmatched source rows can insert
+            inserted = int(stats["_unmatched"] or 0) if nmc else 0
             # Custom-expression scaffolding: source columns ride the join
             # under reserved __s_<col> names so expressions can reference
             # both rows without ambiguous-attribute resolution (the merge
@@ -1892,17 +1906,21 @@ class Transaction:
                     new_rows = _ins_frame(target)
                     if nmc_conditional:
                         new_rows = new_rows.persist()
+                        persisted.append(new_rows)
                         inserted = new_rows.count()
                         if inserted == 0:
-                            new_rows.unpersist()
-                            return {"matched": matched, "inserted": 0}
+                            res = {"matched": matched, "inserted": 0}
+                            if clausal:
+                                res["acted"] = 0
+                            return res
                 else:
                     new_rows = src.join(target, on, "left_anti")
                 st.files.extend(self._write_staged(st, new_rows))
-                if custom and nmc_conditional:
-                    new_rows.unpersist()
                 st.changes.add("tables_inserted_into")
-                return {"matched": matched, "inserted": inserted}
+                res = {"matched": matched, "inserted": inserted}
+                if clausal:
+                    res["acted"] = 0
+                return res
             effective = matched
             if effective == 0 and inserted == 0:
                 return {"matched": matched, "inserted": 0}
@@ -1925,14 +1943,40 @@ class Transaction:
                 candidates, touched_inlined, st.schemas, sch
             )
             ins_df = None
+            acted = matched  # matched rows a clause actually fires on
             if custom:
-                parts = [target.join(srcR, jcond, "left_anti")]
                 # matched rows route through the first-match clause index:
                 # update clauses override assigned columns, delete clauses
                 # drop the row, index 0 (no clause held) keeps it verbatim
-                m = target.join(srcR, jcond, "inner").withColumn(
+                joined = target.join(srcR, jcond, "inner").withColumn(
                     "__clause", _clause_chain(mc)
                 )
+                mc_conditional = any(cl.get("cond") for cl in mc)
+                if mc_conditional and matched:
+                    joined = joined.persist()
+                    persisted.append(joined)
+                    acted = joined.filter(F.col("__clause") > 0).count()
+                if nmc:
+                    ins_df = _ins_frame(target)
+                    if nmc_conditional:
+                        # conditions shrink the insert set below the raw
+                        # unmatched count: report what actually lands
+                        ins_df = ins_df.persist()
+                        persisted.append(ins_df)
+                        inserted = ins_df.count()
+                if acted == 0:
+                    # no matched clause fired (or nothing matched): the
+                    # matched side is a no-op — never rewrite hit files
+                    # byte-identical; unmatched inserts append as new files
+                    if inserted:
+                        st.files.extend(self._write_staged(st, ins_df))
+                        st.changes.add("tables_inserted_into")
+                    res = {"matched": matched, "inserted": inserted}
+                    if clausal:
+                        res["acted"] = 0
+                    return res
+                parts = [target.join(srcR, jcond, "left_anti")]
+                m = joined
                 delete_idx = [
                     i for i, cl in enumerate(mc, 1)
                     if cl["action"] == "delete"
@@ -1964,13 +2008,7 @@ class Transaction:
                         ).otherwise(col)
                     upd_cols.append(col.cast(f.type).alias(f.name))
                 parts.append(m.select(*upd_cols))
-                if nmc:
-                    ins_df = _ins_frame(target)
-                    if nmc_conditional:
-                        # conditions shrink the insert set below the raw
-                        # unmatched count: report what actually lands
-                        ins_df = ins_df.persist()
-                        inserted = ins_df.count()
+                if ins_df is not None:
                     parts.append(ins_df)
             else:
                 keep = target.join(src, on, "left_anti")
@@ -1982,12 +2020,6 @@ class Transaction:
                 elif when_not_matched == "insert":
                     parts.append(src.join(target, on, "left_anti"))
             out = reduce(DataFrame.unionByName, parts)
-            if custom and effective == 0 and inserted == 0:
-                # clause conditions filtered every unmatched row out and
-                # nothing matched: no rewrite, no append, no empty file
-                if ins_df is not None and nmc_conditional:
-                    ins_df.unpersist()
-                return {"matched": matched, "inserted": 0}
 
             for fe in candidates:
                 st.files.remove(fe)
@@ -1998,24 +2030,26 @@ class Transaction:
                 if not ie.staged:
                     st.removed_inlined_ids.append(ie.row_id)
             st.files.extend(self._write_staged(st, out))
-            if ins_df is not None and nmc_conditional:
-                ins_df.unpersist()
-            if effective:
-                if custom:
+            if custom:
+                if acted:
                     if any(cl["action"] == "update" for cl in mc):
                         st.changes.add("tables_updated")
                     if any(cl["action"] == "delete" for cl in mc):
                         st.changes.add("tables_deleted_from")
-                else:
-                    st.changes.add(
-                        "tables_deleted_from" if when_matched == "delete"
-                        else "tables_updated"
-                    )
+            elif effective:
+                st.changes.add(
+                    "tables_deleted_from" if when_matched == "delete"
+                    else "tables_updated"
+                )
             if inserted:
                 st.changes.add("tables_inserted_into")
-            return {"matched": matched, "inserted": inserted}
+            res = {"matched": matched, "inserted": inserted}
+            if clausal:
+                res["acted"] = acted
+            return res
         finally:
-            src.unpersist()
+            for df_ in persisted:
+                df_.unpersist()
 
     def _hit_subset(
         self, st, sch, candidates, touched_inlined, src, on, matched

@@ -856,9 +856,12 @@ class SQLExecutor:
             if not mm:
                 raise LakeSQLError(f"bad MERGE WHEN clause: WHEN {clause!r}")
             is_not, rest2 = bool(mm.group(1)), mm.group(2)
-            # the clause's own THEN is the last top-level THEN followed by
-            # an action verb — a CASE ... THEN inside the AND-condition
-            # never precedes UPDATE/DELETE/INSERT
+            # the clause's own THEN is a top-level THEN followed by an
+            # action verb whose PRECEDING text has balanced CASE/END
+            # pairs: a CASE ... THEN inside the AND-condition leaves an
+            # open CASE before it, and a 'THEN <column named update>'
+            # inside a SET-body CASE comes after the real anchor — pick
+            # the first balanced candidate
             tpos = [
                 p
                 for p in _top_keyword_positions(rest2, "THEN")
@@ -871,7 +874,15 @@ class SQLExecutor:
                     f"MERGE WHEN clause needs THEN "
                     f"UPDATE/DELETE/INSERT: WHEN {clause!r}"
                 )
-            p = tpos[-1]
+            p = next(
+                (
+                    q
+                    for q in tpos
+                    if len(_top_keyword_positions(rest2[:q], "CASE"))
+                    == len(_top_keyword_positions(rest2[:q], "END"))
+                ),
+                tpos[-1],
+            )
             cond_txt = rest2[:p].strip()
             action_txt = rest2[p + len("THEN") :].strip()
             cond = None
@@ -948,8 +959,12 @@ class SQLExecutor:
                     not_matched_clauses=not_matched_cls,
                 )
             # matched rows only count as affected when a matched clause
-            # exists to act on them (insert-only merges report inserts)
-            n[0] = (r["matched"] if matched_cls else 0) + r["inserted"]
+            # ACTS on them: 'acted' (clausal merges) excludes matched rows
+            # whose every clause condition was false; insert-only merges
+            # report inserts
+            n[0] = (
+                r.get("acted", r["matched"]) if matched_cls else 0
+            ) + r["inserted"]
 
         self._run(op)
         return self._status("MERGE", n[0])

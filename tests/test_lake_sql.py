@@ -1368,3 +1368,67 @@ def test_merge_conditional_multi_clause(lake):
             "MERGE INTO acct AS t USING feed AS s ON t.id = s.id "
             "WHEN NOT MATCHED AND t.bal > 0 THEN INSERT *"
         )
+
+
+def test_merge_clausal_no_phantom_effects(lake):
+    """Second-review regressions: a matched-clauses-only merge must not
+    report phantom inserts (the flat when_not_matched default is NOT the
+    clausal insert switch); a merge whose conditions fire on nothing
+    reports 0 rows and commits NO snapshot (no byte-identical COW
+    rewrite, no corrupted table_changes history); flat flags cannot be
+    mixed with clause lists; action-verb-named columns inside SET CASE
+    expressions don't confuse the clause anchor."""
+    lake.sql("CREATE TABLE t (id INTEGER, v DOUBLE, delete VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 1.0, 'a'), (2, 2.0, 'b'), (3, 3.0, 'c')")
+    lake.sql("CREATE TABLE s (id INTEGER, amt DOUBLE, op VARCHAR)")
+    lake.sql("INSERT INTO s VALUES (1, 5.0, 'D'), (7, 7.0, 'D'), (8, 8.0, 'X')")
+    # conditional update, NO not-matched clause: only the fired row counts,
+    # nothing inserts (ids 7/8 are unmatched and must NOT appear)
+    r = lake.sql(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED AND s.amt > 0 THEN UPDATE SET v = t.v + s.amt"
+    ).first()
+    assert r["rows"] == 1
+    assert sorted(x["id"] for x in lake.sql("SELECT * FROM t").collect()) == [1, 2, 3]
+    # zero-fire merge: 0 rows, EMPTY snapshot changes (per-statement
+    # snapshot semantics — a no-op UPDATE mints one too), no phantom
+    # tables_* markers, and the data files are NOT rewritten
+    v0 = lake.current_version()
+    files0 = {f["path"] for f in lake.file_stats("t")}
+    r = lake.sql(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED AND s.amt > 1000 THEN DELETE"
+    ).first()
+    assert r["rows"] == 0
+    newer = [sn for sn in lake.snapshots() if sn["snapshot_id"] > v0]
+    assert all(sn["changes"] == {} for sn in newer), newer
+    assert {f["path"] for f in lake.file_stats("t")} == files0
+    # zero-MATCH clausal merge (non-overlapping keys): same contract
+    r = lake.sql(
+        "MERGE INTO t USING (SELECT 99 AS id, 1.0 AS amt) s ON t.id = s.id "
+        "WHEN MATCHED AND s.amt > 0 THEN UPDATE SET v = 0.0"
+    ).first()
+    assert r["rows"] == 0
+    assert {f["path"] for f in lake.file_stats("t")} == files0
+    newer = [sn for sn in lake.snapshots() if sn["snapshot_id"] > v0]
+    assert all(sn["changes"] == {} for sn in newer), newer
+    # a target column literally named 'delete' inside a SET CASE: the
+    # clause anchor picks the FIRST balanced THEN-verb, parse succeeds
+    lake.sql(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET "
+        "delete = CASE WHEN s.op = 'D' THEN delete ELSE 'x' END"
+    )
+    assert lake.sql("SELECT delete FROM t WHERE id = 1").first()[0] == "a"
+    # engine-level guards: flag/clause mixing + falsy-condition ordering
+    from ducktales_spark.lake.catalog import LakeError
+
+    src = lake.read("s")
+    with pytest.raises(LakeError, match="not both"):
+        lake.merge("t", src, on=["id"], when_matched="delete",
+                   not_matched_clauses=[{"cond": None, "sets": {}}])
+    with pytest.raises(LakeError, match="only the last WHEN MATCHED"):
+        lake.merge("t", src, on=["id"], matched_clauses=[
+            {"cond": "", "action": "delete"},
+            {"cond": "v > 0", "action": "update", "sets": {"v": "v"}},
+        ])
