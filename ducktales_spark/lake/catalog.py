@@ -1049,7 +1049,17 @@ class Transaction:
                 (names.discard if st.dropped else names.add)(n)
             cache = {}
             for mv in sorted(n for n in names if _meta_name(n) in names):
-                meta = self.read(_meta_name(mv)).collect()
+                # Guard like export_to (catalog.py export path): a USER
+                # table merely NAMED X__rollup_meta with a sibling X must
+                # never be pulled to the driver here — check the column
+                # SHAPE (staged-schema metadata, no scan) and probe at
+                # most 2 rows before collecting
+                mst = self._state(_meta_name(mv))
+                if not {"src", "bucket_s", "sum_cols", "last_version"} <= {
+                    f.name for f in mst.schema.fields
+                }:
+                    continue
+                meta = self.read(_meta_name(mv)).limit(2).collect()
                 if len(meta) == 1:
                     cache[mv] = meta[0].asDict()
             self._rollup_metas_cache = cache
@@ -1637,8 +1647,12 @@ class Transaction:
 
         ``update_sets`` (partial updates — real CDC feeds carry deltas, not
         whole rows): {target_column: SQL expression}; matched rows keep
-        every column NOT in the dict. ``insert_sets``: the same for the
-        insert branch. Expressions reference TARGET columns by their plain
+        every column NOT in the dict. ``insert_sets``: per-column
+        expressions for the insert branch; columns NOT in the dict take
+        their DEFAULT (standard ``INSERT (cols) VALUES`` semantics — pass
+        ``None``/``{}`` for the star form, which fills every column from
+        the same-named source column then the default).
+        Expressions reference TARGET columns by their plain
         names and SOURCE columns as ``__s_<col>`` (``lake.sql('MERGE …')``
         rewrites ``alias.col`` qualifiers to this contract). With either
         dict the source is NOT aligned to the target schema — it only needs
@@ -1690,6 +1704,8 @@ class Transaction:
                 "pass matched_clauses/not_matched_clauses OR the flat "
                 "when_matched/update_sets form, not both"
             )
+        if not on:
+            raise LakeError("merge requires at least one key column")
         st = self._state(name)
         sch = st.schema
         for k in on:
@@ -1868,10 +1884,14 @@ class Transaction:
             def _ins_frame(tgt):
                 """Unmatched source rows -> target-schema rows through the
                 not-matched clause list: the first clause whose condition
-                holds supplies per-column expressions; fields it doesn't
-                set fall back to the same-named source column, then the
-                column default (exactly _align's fill). Rows matching no
-                clause are dropped."""
+                holds supplies the row. A star-form clause (``sets`` empty
+                or None) fills every field from the same-named source
+                column, then the column default (exactly _align's fill);
+                a clause with an EXPLICIT sets dict fills unlisted fields
+                with the column DEFAULT only — standard SQL/Delta
+                ``INSERT (cols) VALUES`` semantics (unlisted columns never
+                silently inherit same-named source values). Rows matching
+                no clause are dropped."""
                 ib = (
                     srcR.join(tgt, jcond, "left_anti")
                     .withColumn("__clause", _clause_chain(nmc))
@@ -1879,21 +1899,30 @@ class Transaction:
                 )
                 cols = []
                 for f in sch.fields:
-                    if f"__s_{f.name}" in srcR.columns:
-                        base = F.col(f"__s_{f.name}")
-                    else:
-                        expr = default_expr(f)
-                        base = (
-                            F.expr(expr) if expr else F.lit(default_fill(f))
-                        )
-                    col = base
+                    expr = default_expr(f)
+                    dflt = (
+                        F.expr(expr) if expr else F.lit(default_fill(f))
+                    )
+                    samenamed = (
+                        F.col(f"__s_{f.name}")
+                        if f"__s_{f.name}" in srcR.columns
+                        else dflt
+                    )
+                    chain = None
                     for i, cl in enumerate(nmc, 1):
                         sets = cl.get("sets") or {}
                         if f.name in sets:
-                            col = F.when(
-                                F.col("__clause") == i,
-                                F.expr(sets[f.name]),
-                            ).otherwise(col)
+                            v = F.expr(sets[f.name])
+                        elif sets:
+                            v = dflt  # explicit column list: default fill
+                        else:
+                            v = samenamed  # star form
+                        chain = (
+                            F.when(F.col("__clause") == i, v)
+                            if chain is None
+                            else chain.when(F.col("__clause") == i, v)
+                        )
+                    col = chain.otherwise(dflt) if chain is not None else dflt
                     cols.append(col.cast(f.type).alias(f.name))
                 return ib.select(*cols)
 
@@ -2320,6 +2349,19 @@ class Transaction:
         for d in self._staged_dirs:
             shutil.rmtree(d, ignore_errors=True)
         self._staged_dirs.clear()
+
+
+def _clause_chain_expr(clauses):
+    """First-match-wins clause index for MERGE clause lists (1-based;
+    0 = no clause condition held). A falsy/absent cond compiles to
+    lit(True), so only the last clause may omit it (validated in merge)."""
+    chain = None
+    for i, cl in enumerate(clauses, 1):
+        c = F.expr(cl["cond"]) if cl.get("cond") else F.lit(True)
+        chain = (
+            F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
+        )
+    return chain.otherwise(F.lit(0)) if chain is not None else F.lit(0)
 
 
 def _norm_file_uri(p: str) -> str:

@@ -752,6 +752,13 @@ class SQLExecutor:
                     f"MERGE ON equality must pair a target and a source "
                     f"column: {conj.strip()!r}"
                 )
+        if not pairs:
+            # a degenerate ON ('ON WHEN MATCHED ...', 'ON ()') would
+            # otherwise reach the engine with on=[] and die inside
+            # src.agg()/reduce() with an opaque PySpark error
+            raise LakeSQLError(
+                "MERGE ON requires at least one target = source key equality"
+            )
 
         # rename source key columns to the target key names; src_map sends
         # ORIGINAL source spellings to the engine's __s_<renamed> names
@@ -774,6 +781,7 @@ class SQLExecutor:
                     )
                 src_df = src_df.withColumnRenamed(s_key, t_key)
                 src_map[s_key.lower()] = f"__s_{t_key}"
+        on_lower = frozenset(k.lower() for k in on)
 
         def _parse_update_sets(body):
             if body.strip() == "*":
@@ -808,7 +816,7 @@ class SQLExecutor:
                     )
                 sets[t_cols[cl]] = self._rewrite_merge_expr(
                     ms.group(3).strip(), t_al, s_al, src_map,
-                    set(t_cols), insert_ctx=False,
+                    set(t_cols), insert_ctx=False, key_cols=on_lower,
                 )
             return sets
 
@@ -839,7 +847,7 @@ class SQLExecutor:
                     )
                 sets[t_cols[cl]] = self._rewrite_merge_expr(
                     e.strip(), t_al, s_al, src_map,
-                    set(t_cols), insert_ctx=True,
+                    set(t_cols), insert_ctx=True, key_cols=on_lower,
                 )
             return sets
 
@@ -896,7 +904,7 @@ class SQLExecutor:
                 # a NOT MATCHED condition sees only the source row
                 cond = self._rewrite_merge_expr(
                     ma.group(1).strip(), t_al, s_al, src_map,
-                    set(t_cols), insert_ctx=is_not,
+                    set(t_cols), insert_ctx=is_not, key_cols=on_lower,
                 )
             if is_not:
                 mi = re.match(r"^INSERT\s*(.*)$", action_txt, re.I | re.S)
@@ -980,14 +988,17 @@ class SQLExecutor:
     )
 
     def _rewrite_merge_expr(
-        self, expr, t_al, s_al, src_map, t_cols, insert_ctx
+        self, expr, t_al, s_al, src_map, t_cols, insert_ctx,
+        key_cols=frozenset(),
     ) -> str:
         """Rewrite alias-qualified references in one MERGE SET/VALUES
         expression to the engine contract (target plain, source
         ``__s_<col>``), over the shared quote-aware identifier scanner
         (rollup.scan_sql_identifiers — function names pass through).
-        Unqualified names resolve to the target when both sides have the
-        column (qualify with the source alias to override); SQL keywords
+        An unqualified name present on BOTH sides is an ambiguity error
+        (standard-engine behavior — a ported statement must never silently
+        compute from the wrong side), EXCEPT the merge key columns, whose
+        two sides are provably equal on every matched row; SQL keywords
         never rewrite bare. In INSERT VALUES no target row is in scope:
         target-qualified refs are a clean parse-time error and unqualified
         source names always rewrite."""
@@ -1020,6 +1031,14 @@ class SQLExecutor:
             elif qual is None and cl not in self._SQL_KEYWORDS:
                 if cl in src_map and (insert_ctx or cl not in t_cols):
                     rep = src_map[cl]
+                elif (
+                    cl in src_map and cl in t_cols and cl not in key_cols
+                ):
+                    raise LakeSQLError(
+                        f"column reference {name!r} is ambiguous in a "
+                        "MERGE expression (present on both target and "
+                        "source) — qualify it with an alias"
+                    )
             if rep is not None:
                 out.append(expr[prev:start])
                 out.append(rep)
@@ -1183,7 +1202,26 @@ class SQLExecutor:
                         "subqueries: the predicate must be decidable per "
                         "source row for incremental maintenance"
                     )
-                nondet = idents & self._MV_NONDETERMINISTIC
+                nondet = set(idents & self._MV_NONDETERMINISTIC)
+                # a legitimate source COLUMN named 'user'/'today'/'random'
+                # resolves as a deterministic column reference — excuse it
+                # unless (a) it's an ANSI niladic keyword (parses as the
+                # function even when a column shadows it) or (b) the text
+                # also CALLS it as a function
+                src_cols = (
+                    {f.name.lower() for f in self._schema_of(src).fields}
+                    if self._table_exists(src)
+                    else set()
+                )
+                niladic = {
+                    "current_timestamp", "current_date", "current_time",
+                    "localtimestamp",
+                }
+                for nm in sorted((nondet & src_cols) - niladic):
+                    if not re.search(
+                        rf"\b{nm}\s*\(", stripped, re.I
+                    ):
+                        nondet.discard(nm)
                 if nondet:
                     raise LakeSQLError(
                         f"materialized-view WHERE must be deterministic "
@@ -1448,10 +1486,18 @@ class SQLExecutor:
             hit = self._mv_cols.get(t)
             meta_row = hit[1] if hit is not None and hit[0] == v else None
             if meta_row is None:
-                meta = self.c.read(_meta_name(t), version=version).collect()
-                if len(meta) != 1:
+                # Guard like export_to: a huge USER table named
+                # X__rollup_meta with a sibling X must never be collected
+                # on a read overlay — column shape is DataFrame metadata,
+                # the row-count probe is catalog-metadata-only
+                meta_df = self.c.read(_meta_name(t), version=version)
+                if not {"src", "bucket_s", "sum_cols", "last_version"} <= set(
+                    meta_df.columns
+                ):
                     continue  # a same-named table pair, not an MV
-                meta_row = meta[0].asDict()
+                if self.c.count(_meta_name(t), version=version) != 1:
+                    continue
+                meta_row = meta_df.collect()[0].asDict()
                 self._mv_cols[t] = (v, meta_row)
             apply_read_face(
                 self.c.read(t, version=version), meta_row

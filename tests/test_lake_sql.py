@@ -1432,3 +1432,145 @@ def test_merge_clausal_no_phantom_effects(lake):
             {"cond": "", "action": "delete"},
             {"cond": "v > 0", "action": "update", "sets": {"v": "v"}},
         ])
+
+
+# -- round-10 ADVICE fixes + decoy guards ------------------------------------
+
+
+def test_merge_explicit_insert_list_defaults_unlisted(lake):
+    """An explicit INSERT (cols) VALUES list fills UNLISTED target columns
+    with their DEFAULT (standard SQL/Delta), never silently from
+    same-named source columns; the star/empty form keeps the same-named
+    fill."""
+    lake.sql("CREATE TABLE t (id INTEGER, v INTEGER, tag VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 1, 'a')")
+    lake.sql("CREATE TABLE s (id INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO s VALUES (2, 99), (1, 5)")
+    lake.sql(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)"
+    )
+    r2 = lake.sql("SELECT * FROM t WHERE id = 2").first()
+    assert (r2["v"], r2["tag"]) == (None, None)  # NOT 99 from source
+    # star form: same-named source column fills v
+    lake.sql("INSERT INTO s VALUES (3, 7)")
+    lake.sql(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    r3 = lake.sql("SELECT * FROM t WHERE id = 3").first()
+    assert (r3["v"], r3["tag"]) == (7, None)
+
+
+def test_merge_degenerate_on_clean_error(lake):
+    lake.sql("CREATE TABLE t (id INTEGER)")
+    lake.sql("CREATE TABLE s (id INTEGER)")
+    for on in ("", "() "):
+        with pytest.raises(LakeSQLError, match="MERGE ON"):
+            lake.sql(
+                f"MERGE INTO t USING s ON {on}"
+                "WHEN MATCHED THEN DELETE"
+            )
+    from ducktales_spark.lake.catalog import LakeError
+
+    with pytest.raises(LakeError, match="at least one key"):
+        lake.merge("t", lake.read("s"), on=[])
+
+
+def test_merge_ambiguous_unqualified_column_rejected(lake):
+    """An unqualified column present on BOTH sides of a MERGE is an
+    ambiguity error (standard-engine behavior); merge KEY columns are
+    exempt (both sides provably equal on matched rows)."""
+    lake.sql("CREATE TABLE t (id INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO t VALUES (1, 10)")
+    lake.sql("CREATE TABLE s (id INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO s VALUES (1, 5)")
+    with pytest.raises(LakeSQLError, match="ambiguous"):
+        lake.sql(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = v + 1"
+        )
+    with pytest.raises(LakeSQLError, match="ambiguous"):
+        lake.sql(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED AND v > 0 THEN DELETE"
+        )
+    # qualified forms + unqualified KEY reference both fine
+    lake.sql(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED AND id > 0 THEN UPDATE SET v = t.v + s.v"
+    )
+    assert lake.sql("SELECT v FROM t WHERE id = 1").first()[0] == 15
+
+
+def test_mv_where_volatile_named_source_column_allowed(lake):
+    """A source COLUMN named like a volatile function ('today', 'random')
+    is a deterministic column reference — the filtered-MV guard excuses
+    it; actually CALLING a volatile function stays refused, as do the
+    ANSI niladic keywords."""
+    lake.sql(
+        "CREATE TABLE ev (k VARCHAR, today DATE, random DOUBLE, v INTEGER)"
+    )
+    lake.sql(
+        "INSERT INTO ev VALUES ('a', DATE '2024-01-02', 0.9, 1), "
+        "('b', DATE '2024-01-02', 0.1, 2)"
+    )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*) AS n_rows "
+        "FROM ev WHERE random > 0.5 AND today >= DATE '2024-01-01' "
+        "GROUP BY k"
+    )
+    assert [r["k"] for r in lake.sql("SELECT k FROM mv").collect()] == ["a"]
+    with pytest.raises(LakeSQLError, match="deterministic"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW mv2 AS SELECT k, COUNT(*) AS n_rows "
+            "FROM ev WHERE rand() < 0.5 GROUP BY k"
+        )
+    with pytest.raises(LakeSQLError, match="deterministic"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW mv3 AS SELECT k, COUNT(*) AS n_rows "
+            "FROM ev WHERE today >= current_date GROUP BY k"
+        )
+
+
+def test_rollup_meta_decoy_never_fully_collected(lake, spark):
+    """A huge user table named X__rollup_meta (with a sibling X) must not
+    be pulled to the driver by the SQL read overlay or by the
+    transaction-DDL rollup-guard enumeration — shape + bounded probes run
+    first (the export_to guard, applied to both sibling sites)."""
+    from pyspark.sql import DataFrame
+
+    lake.sql("CREATE TABLE big (k INTEGER)")
+    lake.sql("INSERT INTO big VALUES (1)")
+    decoy = spark.createDataFrame(
+        [("s", 1, "[]", 0, f"m{i}") for i in range(60)],
+        "src string, bucket_s bigint, sum_cols string, last_version bigint,"
+        " decoy_marker string",
+    )
+    lake.ctas("big__rollup_meta", decoy)
+
+    pulled: list = []
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+
+    def spy_topandas(self):
+        out = orig_topandas(self)
+        pulled.append((self.columns, len(out)))
+        return out
+
+    def spy_collect(self):
+        out = orig_collect(self)
+        pulled.append((self.columns, len(out)))
+        return out
+
+    DataFrame.toPandas, DataFrame.collect = spy_topandas, spy_collect
+    try:
+        # read overlay (_mv_overlay) + DDL guard enumeration (_rollup_metas)
+        assert lake.sql("SELECT COUNT(*) AS n FROM big").first()["n"] == 1
+        lake.sql("ALTER TABLE big RENAME COLUMN k TO k2")
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
+    big_pulls = [
+        (c, n) for c, n in pulled if "decoy_marker" in c and n > 2
+    ]
+    assert not big_pulls, big_pulls
+    assert lake.count("big__rollup_meta") == 60
