@@ -917,7 +917,12 @@ class Transaction:
                 tuple(partition_by) or schema.partition_by,
             )
         for c in schema.partition_by:
-            schema.field_by_name(c)  # KeyError -> unknown partition column
+            try:
+                schema.field_by_name(c)
+            except KeyError:
+                raise LakeError(
+                    f"unknown partition column {c!r} for table {name!r}"
+                ) from None
         data_dir = os.path.join(
             self.c.root, f"{name}_{uuid.uuid4().hex[:8]}"
         )
@@ -1636,6 +1641,8 @@ class Transaction:
         insert_sets: Optional[dict] = None,
         matched_clauses: Optional[list] = None,
         not_matched_clauses: Optional[list] = None,
+        not_matched_by_source_clauses: Optional[list] = None,
+        sequence_col: Optional[str] = None,
     ) -> dict:
         """MERGE/upsert (Delta-style CDC apply; beyond the reference surface,
         which reaches the same state via UPDATE+INSERT pairs, e.g.
@@ -1675,6 +1682,27 @@ class Transaction:
         (clause conditions don't change which files rewrite);
         ``inserted`` is the count of rows actually appended.
 
+        ``not_matched_by_source_clauses`` (the standard tri-clause MERGE's
+        third leg — WHEN NOT MATCHED BY SOURCE — the full-sync/mirror CDC
+        pattern the reference composes from DELETE + versioned re-INSERT,
+        demos/02_time_travel/demo.py:112,228-235): ordered clauses
+        ``{"cond": <sql or None>, "action": "update"|"delete",
+        "sets": {...}}`` applied, first-match-wins, to TARGET rows whose
+        key matches NO source row. No source row exists for them, so
+        conditions and sets reference target columns only (``__s_<col>``
+        is rejected) and update clauses require an explicit sets dict.
+        Passing any by-source clause selects the clausal form (only
+        explicitly passed clause lists act — standard MERGE semantics).
+        The result carries ``acted_by_source``: the count of target rows
+        a by-source clause fired on.
+
+        ``sequence_col`` (out-of-order CDC feeds, Debezium-style): before
+        clause routing, the source keeps only the LATEST row per key by
+        this column (rank() — NULL sequence sorts last). Rows tied on
+        (key, sequence) all survive the rank and then fail the existing
+        duplicate-merge-key check, so an ambiguous feed is a clean
+        ConstraintViolation, never a nondeterministic winner.
+
         Scale path: the source's per-key min/max bounds prune the candidate
         file list exactly like UPDATE/DELETE (stats.py), then a key-column
         semi-join tagged with input_file_name() shrinks the rewrite to the
@@ -1691,7 +1719,11 @@ class Transaction:
             raise LakeError("update_sets requires when_matched='update'")
         if insert_sets is not None and when_not_matched != "insert":
             raise LakeError("insert_sets requires when_not_matched='insert'")
-        clausal = matched_clauses is not None or not_matched_clauses is not None
+        clausal = (
+            matched_clauses is not None
+            or not_matched_clauses is not None
+            or not_matched_by_source_clauses is not None
+        )
         if clausal and (
             update_sets is not None
             or insert_sets is not None
@@ -1710,10 +1742,43 @@ class Transaction:
         sch = st.schema
         for k in on:
             sch.field_by_name(k)
+        if sequence_col is not None:
+            if sequence_col not in source.columns:
+                raise LakeError(
+                    f"merge source lacks sequence column {sequence_col!r}"
+                )
+            missing = [k for k in on if k not in source.columns]
+            if missing:
+                raise LakeError(
+                    f"merge source lacks key column(s) {missing}"
+                )
+            from pyspark.sql.window import Window
+
+            # latest-wins per key; rank (not row_number) keeps exact
+            # (key, sequence) ties so the duplicate-key check below turns
+            # an ambiguous feed into a clean error
+            w = Window.partitionBy(*on).orderBy(
+                F.col(sequence_col).desc_nulls_last()
+            )
+            source = (
+                source.withColumn("__seq_rk", F.rank().over(w))
+                .filter(F.col("__seq_rk") == 1)
+                .drop("__seq_rk")
+            )
+            if sequence_col not in {f.name for f in sch.fields} and not (
+                clausal
+                or update_sets is not None
+                or insert_sets is not None
+            ):
+                # the flat form aligns the source to the target schema —
+                # a non-target sequence column has done its job (custom
+                # forms keep it: expressions may reference __s_<seq>)
+                source = source.drop(sequence_col)
         if clausal:
             mc = [dict(cl) for cl in (matched_clauses or [])]
             nmc = [dict(cl) for cl in (not_matched_clauses or [])]
-            for cl in mc + nmc:
+            bsc = [dict(cl) for cl in (not_matched_by_source_clauses or [])]
+            for cl in mc + nmc + bsc:
                 # '' and None both mean "no condition" — normalize so the
                 # ordering check below and _clause_chain can never disagree
                 # (a falsy cond compiles to lit(True))
@@ -1743,6 +1808,31 @@ class Transaction:
                         "only the last WHEN NOT MATCHED clause may omit "
                         "its AND <condition>"
                     )
+            for i, cl in enumerate(bsc):
+                if cl.get("action") not in ("update", "delete"):
+                    raise LakeError(
+                        f"by-source clause action must be update/delete: {cl}"
+                    )
+                if cl["action"] == "update" and not isinstance(
+                    cl.get("sets"), dict
+                ):
+                    raise LakeError(
+                        "by-source update clause needs a 'sets' dict (no "
+                        "source row exists to replace from)"
+                    )
+                if cl["cond"] is None and i != len(bsc) - 1:
+                    raise LakeError(
+                        "only the last WHEN NOT MATCHED BY SOURCE clause "
+                        "may omit its AND <condition>"
+                    )
+                for txt in [cl["cond"] or ""] + [
+                    str(v) for v in (cl.get("sets") or {}).values()
+                ]:
+                    if "__s_" in txt:
+                        raise LakeError(
+                            "by-source clause expressions see only the "
+                            "target row — no source columns are in scope"
+                        )
         else:
             # normalize the flat form onto the clause machinery so ONE
             # assembly path exists for every custom merge; sets=None on an
@@ -1759,15 +1849,16 @@ class Transaction:
                 if when_not_matched == "insert"
                 else []
             )
+            bsc = []
         custom = clausal or update_sets is not None or insert_sets is not None
         nmc_conditional = any(cl.get("cond") for cl in nmc)
         if custom:
-            all_sets = [cl.get("sets") or {} for cl in mc + nmc]
+            all_sets = [cl.get("sets") or {} for cl in mc + nmc + bsc]
             for sets in all_sets:
                 for c in sets:
                     sch.field_by_name(c)
             bad_keys = set().union(
-                *[set(cl.get("sets") or {}) for cl in mc]
+                *[set(cl.get("sets") or {}) for cl in mc + bsc]
             ) & set(on)
             if bad_keys:
                 raise LakeError(
@@ -1864,22 +1955,20 @@ class Transaction:
                 lambda a, b: a & b,
                 [F.col(k) == F.col(f"__s_{k}") for k in on],
             )
+            # WHEN NOT MATCHED BY SOURCE scans the WHOLE table (its rows
+            # are the complement of the source keys — range pruning cannot
+            # bound them), tagged by file, anti-joined on the keys, and
+            # filtered by the clause chain: only files actually HOLDING a
+            # firing row rewrite (a mirror-sync of an already-synced
+            # table rewrites nothing)
+            bs_files, bs_inlined, bs_acted = [], [], 0
+            if bsc:
+                bs_files, bs_inlined, bs_acted = self._miss_subset(
+                    st, sch, src, on, bsc
+                )
+            bs_fire = bs_acted > 0
 
-            def _clause_chain(clauses):
-                """First-match-wins clause index (1-based; 0 = no clause)."""
-                chain = None
-                for i, cl in enumerate(clauses, 1):
-                    c = (
-                        F.expr(cl["cond"])
-                        if cl.get("cond")
-                        else F.lit(True)
-                    )
-                    chain = (
-                        F.when(c, F.lit(i))
-                        if chain is None
-                        else chain.when(c, F.lit(i))
-                    )
-                return chain.otherwise(F.lit(0)) if chain is not None else F.lit(0)
+            _clause_chain = _clause_chain_expr
 
             def _ins_frame(tgt):
                 """Unmatched source rows -> target-schema rows through the
@@ -1926,11 +2015,17 @@ class Transaction:
                     cols.append(col.cast(f.type).alias(f.name))
                 return ib.select(*cols)
 
-            if (custom and not mc) or (not custom and when_matched == "skip"):
+            if (
+                (custom and not mc) or (not custom and when_matched == "skip")
+            ) and not bs_fire:
                 # target rows untouched: no COW rewrite — append unmatched
                 # source rows as new files and leave every candidate in place.
                 if inserted == 0:
-                    return {"matched": matched, "inserted": 0}
+                    res = {"matched": matched, "inserted": 0}
+                    if clausal:
+                        res["acted"] = 0
+                        res["acted_by_source"] = 0
+                    return res
                 if custom:
                     new_rows = _ins_frame(target)
                     if nmc_conditional:
@@ -1941,6 +2036,7 @@ class Transaction:
                             res = {"matched": matched, "inserted": 0}
                             if clausal:
                                 res["acted"] = 0
+                                res["acted_by_source"] = 0
                             return res
                 else:
                     new_rows = src.join(target, on, "left_anti")
@@ -1949,10 +2045,15 @@ class Transaction:
                 res = {"matched": matched, "inserted": inserted}
                 if clausal:
                     res["acted"] = 0
+                    res["acted_by_source"] = 0
                 return res
             effective = matched
-            if effective == 0 and inserted == 0:
-                return {"matched": matched, "inserted": 0}
+            if effective == 0 and inserted == 0 and not bs_fire:
+                res = {"matched": matched, "inserted": 0}
+                if clausal:
+                    res["acted"] = 0
+                    res["acted_by_source"] = 0
+                return res
 
             # Shrink the copy-on-write set to files that actually CONTAIN a
             # matched key. Range-based candidate pruning keeps every file
@@ -1968,11 +2069,27 @@ class Transaction:
             candidates, touched_inlined = self._hit_subset(
                 st, sch, candidates, touched_inlined, src, on, matched
             )
+            if bs_fire:
+                # union the by-source hit set into the rewrite set (a file
+                # can hold both matched and by-source-firing rows; both
+                # subsets filter st.files / st.inlined, so object identity
+                # dedupes)
+                have = {id(fe) for fe in candidates}
+                candidates = candidates + [
+                    fe for fe in bs_files if id(fe) not in have
+                ]
+                have_i = {id(ie) for ie in touched_inlined}
+                touched_inlined = touched_inlined + [
+                    ie for ie in bs_inlined if id(ie) not in have_i
+                ]
             target = self.c._build_df(
                 candidates, touched_inlined, st.schemas, sch
             )
             ins_df = None
-            acted = matched  # matched rows a clause actually fires on
+            # matched rows a clause actually fires on: zero when NO matched
+            # clause exists (a by-source-only merge must not count — or
+            # byte-identically rewrite — matched rows it never touches)
+            acted = matched if mc else 0
             if custom:
                 # matched rows route through the first-match clause index:
                 # update clauses override assigned columns, delete clauses
@@ -1993,7 +2110,7 @@ class Transaction:
                         ins_df = ins_df.persist()
                         persisted.append(ins_df)
                         inserted = ins_df.count()
-                if acted == 0:
+                if acted == 0 and not bs_fire:
                     # no matched clause fired (or nothing matched): the
                     # matched side is a no-op — never rewrite hit files
                     # byte-identical; unmatched inserts append as new files
@@ -2003,8 +2120,72 @@ class Transaction:
                     res = {"matched": matched, "inserted": inserted}
                     if clausal:
                         res["acted"] = 0
+                        res["acted_by_source"] = 0
                     return res
-                parts = [target.join(srcR, jcond, "left_anti")]
+                keep_matched_verbatim = acted == 0  # bs_fire holds here
+                if keep_matched_verbatim:
+                    # matched side is a no-op: shrink the rewrite to the
+                    # by-source hit files only (ins_df above was built
+                    # against the matched-superset target, so the insert
+                    # set stays correct; matched rows living in by-source
+                    # files carry through verbatim below)
+                    candidates = list(bs_files)
+                    touched_inlined = list(bs_inlined)
+                    target = self.c._build_df(
+                        candidates, touched_inlined, st.schemas, sch
+                    )
+                anti = target.join(srcR, jcond, "left_anti")
+                if bs_fire:
+                    # route unmatched target rows through the by-source
+                    # clause chain: delete clauses drop the row, update
+                    # clauses override assigned columns, index 0 keeps it
+                    anti = anti.withColumn("__bs", _clause_chain(bsc))
+                    bs_del = [
+                        i for i, cl in enumerate(bsc, 1)
+                        if cl["action"] == "delete"
+                    ]
+                    if bs_del:
+                        anti = anti.filter(~F.col("__bs").isin(bs_del))
+                    bs_cols = []
+                    for f in sch.fields:
+                        col = F.col(f.name)
+                        for i, cl in enumerate(bsc, 1):
+                            if cl["action"] != "update":
+                                continue
+                            if f.name in cl["sets"]:
+                                col = F.when(
+                                    F.col("__bs") == i,
+                                    F.expr(cl["sets"][f.name]).cast(f.type),
+                                ).otherwise(col)
+                        bs_cols.append(col.cast(f.type).alias(f.name))
+                    anti = anti.select(*bs_cols)
+                if keep_matched_verbatim:
+                    parts = [anti, target.join(srcR, jcond, "left_semi")]
+                    if ins_df is not None:
+                        parts.append(ins_df)
+                    out = reduce(DataFrame.unionByName, parts)
+                    for fe in candidates:
+                        st.files.remove(fe)
+                        if not fe.staged:
+                            st.removed_file_ids.append(fe.file_id)
+                    for ie in touched_inlined:
+                        st.inlined.remove(ie)
+                        if not ie.staged:
+                            st.removed_inlined_ids.append(ie.row_id)
+                    st.files.extend(self._write_staged(st, out))
+                    if any(cl["action"] == "update" for cl in bsc):
+                        st.changes.add("tables_updated")
+                    if any(cl["action"] == "delete" for cl in bsc):
+                        st.changes.add("tables_deleted_from")
+                    if inserted:
+                        st.changes.add("tables_inserted_into")
+                    return {
+                        "matched": matched,
+                        "inserted": inserted,
+                        "acted": 0,
+                        "acted_by_source": bs_acted,
+                    }
+                parts = [anti]
                 m = joined
                 delete_idx = [
                     i for i, cl in enumerate(mc, 1)
@@ -2065,6 +2246,11 @@ class Transaction:
                         st.changes.add("tables_updated")
                     if any(cl["action"] == "delete" for cl in mc):
                         st.changes.add("tables_deleted_from")
+                if bs_acted:
+                    if any(cl["action"] == "update" for cl in bsc):
+                        st.changes.add("tables_updated")
+                    if any(cl["action"] == "delete" for cl in bsc):
+                        st.changes.add("tables_deleted_from")
             elif effective:
                 st.changes.add(
                     "tables_deleted_from" if when_matched == "delete"
@@ -2075,6 +2261,7 @@ class Transaction:
             res = {"matched": matched, "inserted": inserted}
             if clausal:
                 res["acted"] = acted
+                res["acted_by_source"] = bs_acted
             return res
         finally:
             for df_ in persisted:
@@ -2139,6 +2326,66 @@ class Transaction:
                 "file/inlined entry (file URI normalization mismatch?)"
             )
         return hit_files, hit_inlined
+
+    def _miss_subset(self, st, sch, src, on, bsc):
+        """Files / inlined entries holding >=1 target row whose key matches
+        NO source row AND on which a by-source clause fires (see merge,
+        WHEN NOT MATCHED BY SOURCE). The complement of the source keys is
+        unboundable by min/max stats, so this scans the whole table — but
+        only the key columns plus the clause-condition columns cross the
+        scan (Catalyst prunes the rest), and ONE action returns both the
+        firing-row count and the distinct hit-file set, so an
+        already-synced mirror rewrites nothing."""
+        chain = _clause_chain_expr(bsc)
+        n_rows, hit_files = 0, []
+        if st.files:
+            by_sv: dict = {}
+            for fe in st.files:
+                by_sv.setdefault(fe.schema_version, []).append(fe.path)
+            parts = []
+            for sv, paths in sorted(by_sv.items()):
+                stored = st.schemas[sv]
+                sdf = self.c.spark.read.schema(stored.to_struct()).parquet(
+                    *paths
+                )
+                parts.append(
+                    _project(sdf, stored, sch).withColumn(
+                        "__f", F.input_file_name()
+                    )
+                )
+            tagged = reduce(DataFrame.unionByName, parts)
+            row = (
+                tagged.join(src.select(*on), on, "left_anti")
+                .withColumn("__bs", chain)
+                .filter(F.col("__bs") > 0)
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.collect_set("__f").alias("_fs"),
+                )
+                .first()
+            )
+            n_rows = int(row["_n"] or 0)
+            hits = {_norm_file_uri(x) for x in (row["_fs"] or [])}
+            hit_files = [
+                fe for fe in st.files if _norm_file_uri(fe.path) in hits
+            ]
+            if n_rows > 0 and not hit_files:
+                raise LakeError(
+                    "merge internal error: by-source rows fired but no "
+                    "hit file (file URI normalization mismatch?)"
+                )
+        hit_inlined, n_inl = [], 0
+        if st.inlined:
+            inl = self.c._build_df([], list(st.inlined), st.schemas, sch)
+            n_inl = (
+                inl.join(src.select(*on), on, "left_anti")
+                .withColumn("__bs", chain)
+                .filter(F.col("__bs") > 0)
+                .count()
+            )
+            if n_inl:
+                hit_inlined = list(st.inlined)
+        return hit_files, hit_inlined, n_rows + n_inl
 
     # -- maintenance (M1/M2) --------------------------------------------
     def flush_inlined(self, name: str) -> None:

@@ -359,12 +359,18 @@ class SQLExecutor:
             return self._status("CREATE VIEW", 0)
 
         m = re.match(
-            rf"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+AS\s+(.*)$",
+            rf"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
+            rf"(?:\s+PARTITION\s+BY\s*\(([^()]+)\))?\s+AS\s+(.*)$",
             q,
             re.I | re.S,
         )
-        if m:  # CTAS (S5)
-            replace, name, body = m.group(1), m.group(2), m.group(3)
+        if m:  # CTAS (S5), optionally range-clustered (X2)
+            replace, name, pby, body = (
+                m.group(1), m.group(2), m.group(3), m.group(4),
+            )
+            partition_by = (
+                [c.strip() for c in pby.split(",")] if pby else ()
+            )
             df = self._query(body)
             n = [0]
 
@@ -372,26 +378,43 @@ class SQLExecutor:
                 st = tx._state(name, must_exist=False)
                 if replace and st is not None and not st.dropped:
                     tx.drop_table(name)
-                n[0] = tx.ctas(name, df)
+                n[0] = tx.ctas(name, df, partition_by=partition_by)
 
             self._run(op)
             # row count comes from the write itself (tx.ctas), not a second
             # execution of the source query
             return self._status("CREATE TABLE AS", n[0])
 
+        # the PARTITION BY variant first: a greedy coldef group with an
+        # OPTIONAL suffix would swallow the suffix into the coldefs
         m = re.match(
-            rf"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$",
+            rf"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
+            rf"\((.*)\)\s*PARTITION\s+BY\s*\(([^()]+)\)\s*$",
+            q,
+            re.I | re.S,
+        ) or re.match(
+            rf"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
+            rf"\((.*)\)()?\s*$",
             q,
             re.I | re.S,
         )
         if m:
-            if_not, name, cols = m.group(1), m.group(2), m.group(3)
+            if_not, name, cols, pby = (
+                m.group(1), m.group(2), m.group(3), m.group(4),
+            )
             if self._table_exists(name):
                 if if_not:
                     return self._status("CREATE TABLE", 0)
                 raise LakeSQLError(f"table {name!r} exists")
             schema = self._parse_coldefs(cols)
-            self._run(lambda tx: tx.create_table(name, schema))
+            partition_by = (
+                [c.strip() for c in pby.split(",")] if pby else ()
+            )
+            self._run(
+                lambda tx: tx.create_table(
+                    name, schema, partition_by=partition_by
+                )
+            )
             return self._status("CREATE TABLE", 0)
 
         m = re.match(rf"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})$", q, re.I)
@@ -625,8 +648,19 @@ class SQLExecutor:
     # -- MERGE INTO (SQL face of Transaction.merge) ----------------------
     def _merge_stmt(self, q: str) -> DataFrame:
         """``MERGE INTO t [AS a] USING (<query>|table) [AS b] ON <equi-cond>
-        WHEN MATCHED THEN UPDATE SET (* | c = expr, ...) | DELETE
-        WHEN NOT MATCHED THEN INSERT [* | (cols) VALUES (exprs)]``
+        [SEQUENCE BY <source col>]
+        WHEN MATCHED [AND cond] THEN UPDATE SET (* | c = expr, ...) | DELETE
+        WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT [* | (cols) VALUES (exprs)]
+        WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE``
+
+        The full standard tri-clause MERGE: BY SOURCE clauses act on
+        target rows absent from the source (mirror/full-sync CDC — the
+        reference composes this from DELETE + versioned re-INSERT,
+        demos/02_time_travel/demo.py:112,228-235); their expressions see
+        only the target row. ``SEQUENCE BY`` (non-standard, Databricks
+        APPLY CHANGES-style) keeps only the latest source row per key for
+        out-of-order CDC feeds; exact (key, sequence) ties are a clean
+        duplicate-key error.
 
         The SQL face of the engine's merge: the ON condition must be a
         conjunction of target-key = source-key equalities (the engine's
@@ -683,7 +717,17 @@ class SQLExecutor:
         wpos = _merge_when_positions(rest)
         if not wpos:
             raise LakeSQLError("MERGE requires at least one WHEN clause")
-        cond = _unwrap_parens(rest[: wpos[0]].strip())
+        on_txt = rest[: wpos[0]]
+        seq_qual = seq_name = None
+        mseq = re.search(
+            rf"\bSEQUENCE\s+BY\s+(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*$",
+            on_txt,
+            re.I,
+        )
+        if mseq:
+            seq_qual, seq_name = mseq.group(1), mseq.group(2)
+            on_txt = on_txt[: mseq.start()]
+        cond = _unwrap_parens(on_txt.strip())
         clauses_text = rest[wpos[0] :]
 
         # source DataFrame binds pre-statement state (read-your-writes
@@ -782,9 +826,36 @@ class SQLExecutor:
                 src_df = src_df.withColumnRenamed(s_key, t_key)
                 src_map[s_key.lower()] = f"__s_{t_key}"
         on_lower = frozenset(k.lower() for k in on)
+        seq_engine = None
+        if seq_name is not None:
+            sq = (seq_qual or "").lower()
+            if sq and sq != s_al:
+                raise LakeSQLError(
+                    f"SEQUENCE BY column must come from the source "
+                    f"(got alias {seq_qual!r})"
+                )
+            scl = seq_name.lower()
+            if scl not in s_cols:
+                raise LakeSQLError(
+                    f"unknown source column {seq_name!r} in SEQUENCE BY"
+                )
+            # src_map sends the ORIGINAL spelling to __s_<renamed>; the
+            # engine wants the post-rename source column name
+            seq_engine = src_map[scl][len("__s_"):]
+            if seq_engine.lower() in on_lower:
+                raise LakeSQLError(
+                    "SEQUENCE BY column cannot be a merge key (it is "
+                    "constant within a key)"
+                )
 
-        def _parse_update_sets(body):
+        def _parse_update_sets(body, by_source=False):
             if body.strip() == "*":
+                if by_source:
+                    raise LakeSQLError(
+                        "UPDATE SET * needs a source row; a WHEN NOT "
+                        "MATCHED BY SOURCE clause must assign explicit "
+                        "expressions"
+                    )
                 sets = {
                     t_cols[cl]: f"__s_{s_cols[cl]}"
                     for cl in (set(t_cols) & set(s_cols))
@@ -817,6 +888,7 @@ class SQLExecutor:
                 sets[t_cols[cl]] = self._rewrite_merge_expr(
                     ms.group(3).strip(), t_al, s_al, src_map,
                     set(t_cols), insert_ctx=False, key_cols=on_lower,
+                    by_source_ctx=by_source,
                 )
             return sets
 
@@ -851,7 +923,7 @@ class SQLExecutor:
                 )
             return sets
 
-        matched_cls, not_matched_cls = [], []
+        matched_cls, not_matched_cls, by_source_cls = [], [], []
         cpos = _merge_when_positions(clauses_text)
         clauses = [
             clauses_text[p + len("WHEN") : q].strip()
@@ -860,10 +932,24 @@ class SQLExecutor:
         for clause in clauses:
             if not clause:
                 continue
-            mm = re.match(r"^(NOT\s+)?MATCHED\b(.*)$", clause, re.I | re.S)
+            mm = re.match(
+                r"^(NOT\s+)?MATCHED(\s+BY\s+(SOURCE|TARGET))?\b(.*)$",
+                clause,
+                re.I | re.S,
+            )
             if not mm:
                 raise LakeSQLError(f"bad MERGE WHEN clause: WHEN {clause!r}")
-            is_not, rest2 = bool(mm.group(1)), mm.group(2)
+            is_not, by_word, rest2 = (
+                bool(mm.group(1)),
+                (mm.group(3) or "").upper(),
+                mm.group(4),
+            )
+            if by_word and not is_not:
+                raise LakeSQLError(
+                    "BY SOURCE / BY TARGET applies to WHEN NOT MATCHED "
+                    "clauses only"
+                )
+            is_by_source = is_not and by_word == "SOURCE"
             # the clause's own THEN is a top-level THEN followed by an
             # action verb whose PRECEDING text has balanced CASE/END
             # pairs: a CASE ... THEN inside the AND-condition leaves an
@@ -901,12 +987,35 @@ class SQLExecutor:
                         f"bad MERGE clause condition (expected AND "
                         f"<predicate>): {cond_txt!r}"
                     )
-                # a NOT MATCHED condition sees only the source row
+                # a NOT MATCHED condition sees only the source row; a
+                # BY SOURCE condition sees only the target row
                 cond = self._rewrite_merge_expr(
                     ma.group(1).strip(), t_al, s_al, src_map,
-                    set(t_cols), insert_ctx=is_not, key_cols=on_lower,
+                    set(t_cols),
+                    insert_ctx=is_not and not is_by_source,
+                    key_cols=on_lower,
+                    by_source_ctx=is_by_source,
                 )
-            if is_not:
+            if is_by_source:
+                if re.fullmatch(r"DELETE", action_txt, re.I):
+                    by_source_cls.append({"cond": cond, "action": "delete"})
+                else:
+                    mu = re.match(
+                        r"^UPDATE\s+SET\s+(.*)$", action_txt, re.I | re.S
+                    )
+                    if not mu:
+                        raise LakeSQLError(
+                            "WHEN NOT MATCHED BY SOURCE supports "
+                            "UPDATE SET ... or DELETE"
+                        )
+                    by_source_cls.append({
+                        "cond": cond,
+                        "action": "update",
+                        "sets": _parse_update_sets(
+                            mu.group(1).strip(), by_source=True
+                        ),
+                    })
+            elif is_not:
                 mi = re.match(r"^INSERT\s*(.*)$", action_txt, re.I | re.S)
                 if not mi:
                     raise LakeSQLError(
@@ -930,12 +1039,13 @@ class SQLExecutor:
                     "action": "update",
                     "sets": _parse_update_sets(mu.group(1).strip()),
                 })
-        if not matched_cls and not not_matched_cls:
+        if not matched_cls and not not_matched_cls and not by_source_cls:
             raise LakeSQLError("MERGE requires at least one WHEN clause")
 
         simple = (
             len(matched_cls) <= 1
             and len(not_matched_cls) <= 1
+            and not by_source_cls
             and all(
                 c["cond"] is None for c in matched_cls + not_matched_cls
             )
@@ -959,20 +1069,26 @@ class SQLExecutor:
                         not_matched_cls[0]["sets"]
                         if not_matched_cls else None
                     ),
+                    sequence_col=seq_engine,
                 )
             else:
                 r = tx.merge(
                     target, src_df, on=on,
-                    matched_clauses=matched_cls,
-                    not_matched_clauses=not_matched_cls,
+                    matched_clauses=matched_cls or None,
+                    not_matched_clauses=not_matched_cls or None,
+                    not_matched_by_source_clauses=by_source_cls or None,
+                    sequence_col=seq_engine,
                 )
             # matched rows only count as affected when a matched clause
             # ACTS on them: 'acted' (clausal merges) excludes matched rows
             # whose every clause condition was false; insert-only merges
-            # report inserts
+            # report inserts; by-source merges report the rows a by-source
+            # clause fired on
             n[0] = (
-                r.get("acted", r["matched"]) if matched_cls else 0
-            ) + r["inserted"]
+                (r.get("acted", r["matched"]) if matched_cls else 0)
+                + r["inserted"]
+                + r.get("acted_by_source", 0)
+            )
 
         self._run(op)
         return self._status("MERGE", n[0])
@@ -989,7 +1105,7 @@ class SQLExecutor:
 
     def _rewrite_merge_expr(
         self, expr, t_al, s_al, src_map, t_cols, insert_ctx,
-        key_cols=frozenset(),
+        key_cols=frozenset(), by_source_ctx=False,
     ) -> str:
         """Rewrite alias-qualified references in one MERGE SET/VALUES
         expression to the engine contract (target plain, source
@@ -1001,7 +1117,10 @@ class SQLExecutor:
         two sides are provably equal on every matched row; SQL keywords
         never rewrite bare. In INSERT VALUES no target row is in scope:
         target-qualified refs are a clean parse-time error and unqualified
-        source names always rewrite."""
+        source names always rewrite. In a BY SOURCE clause
+        (``by_source_ctx``) no SOURCE row is in scope: source references
+        (qualified or bare) are a clean parse-time error and unqualified
+        names resolve to the target without ambiguity."""
         from .rollup import scan_sql_identifiers
 
         out, prev = [], 0
@@ -1023,13 +1142,27 @@ class SQLExecutor:
                     )
                 rep = name
             elif qual is not None and s_al and ql == s_al:
+                if by_source_ctx:
+                    raise LakeSQLError(
+                        f"source column reference {qual}.{name} is not "
+                        "in scope in a WHEN NOT MATCHED BY SOURCE clause "
+                        "(no source row exists for an unmatched target "
+                        "row)"
+                    )
                 if cl not in src_map:
                     raise LakeSQLError(
                         f"unknown source column {name!r} in MERGE expression"
                     )
                 rep = src_map[cl]
             elif qual is None and cl not in self._SQL_KEYWORDS:
-                if cl in src_map and (insert_ctx or cl not in t_cols):
+                if by_source_ctx:
+                    if cl in src_map and cl not in t_cols:
+                        raise LakeSQLError(
+                            f"source column {name!r} is not in scope in "
+                            "a WHEN NOT MATCHED BY SOURCE clause"
+                        )
+                    # target-only scope: bare names resolve to the target
+                elif cl in src_map and (insert_ctx or cl not in t_cols):
                     rep = src_map[cl]
                 elif (
                     cl in src_map and cl in t_cols and cl not in key_cols
@@ -1714,7 +1847,11 @@ class SQLExecutor:
                     "NO" if not f.nullable else "YES",
                     "PRI" if f.name in schema.primary_key else None,
                     dflt,
-                    None,
+                    # X2 clustering: writes range-repartition on these
+                    # columns so catalog min/max skipping prunes on them
+                    "partition key"
+                    if f.name in (schema.partition_by or ())
+                    else None,
                 )
             )
         return self.c.spark.createDataFrame(

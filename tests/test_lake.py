@@ -1331,3 +1331,181 @@ def test_norm_file_uri_single_letter_prefix_not_a_scheme():
     assert not _norm_file_uri("C:/Users/x/t.parquet").startswith("c://")
     # two-letter-plus schemes still parse as URIs
     assert _norm_file_uri("s3a://b/k.parquet") == "s3a://b/k.parquet"
+
+
+# -- tri-clause MERGE: WHEN NOT MATCHED BY SOURCE + SEQUENCE (round 10) ------
+
+
+def test_merge_by_source_mirror_sync(lake, spark):
+    """The standard MERGE's third leg: by-source clauses act on target
+    rows absent from the source (mirror/full-sync CDC — the reference
+    composes this from DELETE + versioned re-INSERT,
+    demos/02_time_travel/demo.py:112,228-235), first-match-wins, and only
+    files actually HOLDING a firing row rewrite."""
+    lake.create_table(
+        "dim",
+        StructType(
+            [
+                StructField("id", IntegerType(), False),
+                StructField("v", StringType(), True),
+                StructField("state", StringType(), True),
+            ]
+        ),
+    )
+    # two widely separated key-range files
+    lake.insert("dim", spark.createDataFrame(
+        [(i, f"lo{i}", "live") for i in range(50)],
+        "id int, v string, state string").coalesce(1))
+    lake.insert("dim", spark.createDataFrame(
+        [(i, f"hi{i}", "live") for i in range(10_000, 10_050)],
+        "id int, v string, state string").coalesce(1))
+    lo_files = set(lake.read("dim", where="id < 1000").inputFiles())
+
+    # source covers ALL low ids (so no by-source row lives in the low
+    # file) and none of the high ids
+    src = spark.createDataFrame(
+        [(i, f"lo{i}") for i in range(50)], "id int, v string"
+    )
+    res = lake.merge(
+        "dim", src, on=["id"],
+        not_matched_by_source_clauses=[
+            {"cond": "id >= 10025", "action": "delete"},
+            {"cond": None, "action": "update", "sets": {"state": "'orphan'"}},
+        ],
+    )
+    assert res == {
+        "matched": 50, "inserted": 0, "acted": 0, "acted_by_source": 50,
+    }
+    got = {r["id"]: r["state"] for r in lake.read("dim").collect()}
+    assert len(got) == 75  # 50 low + 25 surviving high
+    assert all(got[i] == "live" for i in range(50))
+    assert all(got[i] == "orphan" for i in range(10_000, 10_025))
+    # the low file held no by-source-firing row and no acting matched
+    # clause -> never rewritten
+    assert lo_files <= set(lake.read("dim").inputFiles())
+
+    # already-synced mirror: nothing fires, nothing rewrites
+    full = lake.read("dim").select("id", "v")
+    files_before = set(lake.read("dim").inputFiles())
+    res = lake.merge(
+        "dim", full, on=["id"],
+        not_matched_by_source_clauses=[{"cond": None, "action": "delete"}],
+    )
+    assert res["acted_by_source"] == 0
+    assert set(lake.read("dim").inputFiles()) == files_before
+
+
+def test_merge_tri_clause_combined(lake, spark):
+    """All three legs in one statement over a table with inlined rows:
+    matched update + not-matched insert + by-source delete (the classic
+    dimension mirror)."""
+    lake.create_table(
+        "d",
+        StructType(
+            [
+                StructField("id", IntegerType(), False),
+                StructField("v", StringType(), True),
+            ]
+        ),
+    )
+    lake.insert("d", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, v string"))
+    src = spark.createDataFrame([(1, "A"), (3, "c")], "id int, v string")
+    res = lake.merge(
+        "d", src, on=["id"],
+        matched_clauses=[
+            {"cond": None, "action": "update", "sets": {"v": "__s_v"}}
+        ],
+        not_matched_clauses=[{"cond": None, "sets": {}}],
+        not_matched_by_source_clauses=[{"cond": None, "action": "delete"}],
+    )
+    assert res == {
+        "matched": 1, "inserted": 1, "acted": 1, "acted_by_source": 1,
+    }
+    assert sorted(
+        (r["id"], r["v"]) for r in lake.read("d").collect()
+    ) == [(1, "A"), (3, "c")]
+
+
+def test_merge_by_source_validation(lake, spark):
+    lake.create_table(
+        "t",
+        StructType([StructField("id", IntegerType(), False),
+                    StructField("v", StringType(), True)]),
+    )
+    lake.insert("t", spark.createDataFrame([(1, "a")], "id int, v string"))
+    src = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(LakeError, match="only the target row"):
+        lake.merge("t", src, on=["id"], not_matched_by_source_clauses=[
+            {"cond": "__s_v = 'x'", "action": "delete"}])
+    with pytest.raises(LakeError, match="needs a 'sets' dict"):
+        lake.merge("t", src, on=["id"], not_matched_by_source_clauses=[
+            {"cond": None, "action": "update"}])
+    with pytest.raises(LakeError, match="only the last"):
+        lake.merge("t", src, on=["id"], not_matched_by_source_clauses=[
+            {"cond": None, "action": "delete"},
+            {"cond": "v = 'a'", "action": "delete"}])
+    with pytest.raises(LakeError, match="update/delete"):
+        lake.merge("t", src, on=["id"], not_matched_by_source_clauses=[
+            {"cond": None, "action": "insert"}])
+    with pytest.raises(LakeError, match="key column"):
+        lake.merge("t", src, on=["id"], not_matched_by_source_clauses=[
+            {"cond": None, "action": "update", "sets": {"id": "0"}}])
+    with pytest.raises(LakeError, match="not both"):
+        lake.merge("t", src, on=["id"], when_matched="delete",
+                   not_matched_by_source_clauses=[
+                       {"cond": None, "action": "delete"}])
+
+
+def test_merge_sequence_col_latest_wins(lake, spark):
+    """Out-of-order CDC feed with duplicate keys: sequence_col keeps the
+    latest row per key BEFORE clause routing, shuffled == sorted, and an
+    exact (key, sequence) tie is a clean duplicate-key error (never a
+    nondeterministic winner)."""
+    import random
+
+    lake.create_table(
+        "c",
+        StructType([StructField("id", IntegerType(), False),
+                    StructField("v", IntegerType(), True)]),
+    )
+    lake.insert("c", spark.createDataFrame([(0, -1)], "id int, v int"))
+    rows = [(i, i * 100 + s, s) for i in range(20) for s in range(5)]
+    random.Random(7).shuffle(rows)
+    feed = spark.createDataFrame(rows, "id int, v int, seq int")
+    res = lake.merge("c", feed, on=["id"], sequence_col="seq")
+    assert res == {"matched": 1, "inserted": 19}
+    got = sorted((r["id"], r["v"]) for r in lake.read("c").collect())
+    assert got == sorted((i, i * 100 + 4) for i in range(20))
+
+    # NULL sequence sorts last (a non-NULL row wins over it)
+    feed2 = spark.createDataFrame(
+        [(0, 111, 9), (0, 222, None)], "id int, v int, seq int"
+    )
+    lake.merge("c", feed2, on=["id"], sequence_col="seq")
+    assert {r["v"] for r in lake.read("c").where("id = 0").collect()} == {111}
+
+    # exact tie -> ConstraintViolation via the duplicate-key check
+    with pytest.raises(ConstraintViolation, match="duplicate merge keys"):
+        lake.merge(
+            "c",
+            spark.createDataFrame([(0, 1, 5), (0, 2, 5)],
+                                  "id int, v int, seq int"),
+            on=["id"], sequence_col="seq",
+        )
+    with pytest.raises(LakeError, match="sequence column"):
+        lake.merge("c", feed.drop("seq"), on=["id"], sequence_col="seq")
+
+    # clausal + sequence: the surviving row routes through conditions
+    res = lake.merge(
+        "c",
+        spark.createDataFrame([(0, 5, 1), (0, -7, 2)],
+                              "id int, v int, seq int"),
+        on=["id"], sequence_col="seq",
+        matched_clauses=[
+            {"cond": "__s_v > 0", "action": "update", "sets": {"v": "__s_v"}},
+            {"cond": None, "action": "delete"},
+        ],
+    )
+    assert res["matched"] == 1 and res["acted"] == 1
+    assert lake.read("c").where("id = 0").count() == 0  # -7 -> delete

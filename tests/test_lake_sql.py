@@ -1574,3 +1574,158 @@ def test_rollup_meta_decoy_never_fully_collected(lake, spark):
     ]
     assert not big_pulls, big_pulls
     assert lake.count("big__rollup_meta") == 60
+
+
+def test_merge_tri_clause_sql_mirror(lake):
+    """Full standard tri-clause MERGE as SQL: matched update + not-matched
+    (BY TARGET) insert + conditional by-source update/delete,
+    first-match-wins — the mirror-sync pattern the reference composes
+    from DELETE + versioned re-INSERT (demos/02_time_travel/demo.py:112,
+    228-235)."""
+    lake.sql("CREATE TABLE dim (id INTEGER, name VARCHAR, active BOOLEAN)")
+    lake.sql(
+        "INSERT INTO dim VALUES (1,'a',true),(2,'b',true),(3,'c',true)"
+    )
+    lake.sql("CREATE TABLE feed (id INTEGER, name VARCHAR)")
+    lake.sql("INSERT INTO feed VALUES (1,'A'),(4,'d')")
+    r = lake.sql(
+        "MERGE INTO dim AS t USING feed AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN NOT MATCHED BY TARGET THEN "
+        "INSERT (id, name, active) VALUES (s.id, s.name, true) "
+        "WHEN NOT MATCHED BY SOURCE AND active THEN UPDATE SET active = false "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    ).first()
+    assert (r["op"], r["rows"]) == ("MERGE", 4)  # 1 upd + 1 ins + 2 by-src
+    rows = sorted(
+        (x["id"], x["name"], x["active"])
+        for x in lake.sql("SELECT * FROM dim").collect()
+    )
+    assert rows == [
+        (1, "A", True), (2, "b", False), (3, "c", False), (4, "d", True),
+    ], rows
+    # second pass: the two inactive rows now fail the AND-active guard and
+    # fall to the DELETE clause (first-match-wins ordering)
+    r = lake.sql(
+        "MERGE INTO dim AS t USING feed AS s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND active THEN UPDATE SET active = false "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    ).first()
+    assert r["rows"] == 2
+    assert sorted(
+        x["id"] for x in lake.sql("SELECT id FROM dim").collect()
+    ) == [1, 4]
+
+
+def test_merge_sequence_by_sql(lake):
+    """SEQUENCE BY <source col>: latest-wins per key for out-of-order CDC
+    feeds with duplicate keys; exact ties are a clean duplicate-key
+    error."""
+    from ducktales_spark.lake.catalog import ConstraintViolation
+
+    lake.sql("CREATE TABLE tgt (id INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO tgt VALUES (1, 0)")
+    lake.sql("CREATE TABLE cdc (id INTEGER, v INTEGER, seq BIGINT)")
+    lake.sql("INSERT INTO cdc VALUES (1,5,10),(1,9,30),(1,7,20),(2,4,15)")
+    lake.sql(
+        "MERGE INTO tgt AS t USING cdc AS s ON t.id = s.id "
+        "SEQUENCE BY s.seq "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+    )
+    rows = sorted(
+        (x["id"], x["v"]) for x in lake.sql("SELECT * FROM tgt").collect()
+    )
+    assert rows == [(1, 9), (2, 4)], rows
+    lake.sql("INSERT INTO cdc VALUES (2, 99, 15)")  # tie with (2,4,15)
+    with pytest.raises(ConstraintViolation, match="duplicate merge keys"):
+        lake.sql(
+            "MERGE INTO tgt AS t USING cdc AS s ON t.id = s.id "
+            "SEQUENCE BY s.seq WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+    with pytest.raises(LakeSQLError, match="SEQUENCE BY"):
+        lake.sql(
+            "MERGE INTO tgt AS t USING cdc AS s ON t.id = s.id "
+            "SEQUENCE BY t.id WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(LakeSQLError, match="unknown source column"):
+        lake.sql(
+            "MERGE INTO tgt AS t USING cdc AS s ON t.id = s.id "
+            "SEQUENCE BY nope WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_by_source_sql_errors(lake):
+    lake.sql("CREATE TABLE t (id INTEGER, v VARCHAR)")
+    lake.sql("CREATE TABLE s (id INTEGER, v VARCHAR)")
+    cases = [
+        ("WHEN NOT MATCHED BY SOURCE AND s.v = 'x' THEN DELETE",
+         "not in scope"),
+        ("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v",
+         "not in scope"),
+        ("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *", "source row"),
+        ("WHEN NOT MATCHED BY SOURCE THEN INSERT *", "UPDATE SET"),
+        ("WHEN MATCHED BY SOURCE THEN DELETE", "BY SOURCE"),
+    ]
+    for bad, msg in cases:
+        with pytest.raises(LakeSQLError, match=msg):
+            lake.sql(f"MERGE INTO t USING s ON t.id = s.id {bad}")
+    # an unqualified column in a by-source clause resolves to the TARGET
+    # without ambiguity (no source row is in scope)
+    lake.sql("INSERT INTO t VALUES (1, 'x')")
+    r = lake.sql(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND v = 'x' THEN UPDATE SET v = 'y'"
+    ).first()
+    assert r["rows"] == 1
+    assert lake.sql("SELECT v FROM t").first()[0] == "y"
+
+
+def test_create_table_partition_by_sql(lake, spark):
+    """SQL face for X2 clustering: CREATE TABLE ... PARTITION BY and the
+    CTAS variant dispatch to the engine's partition_by (writes range-
+    repartition so catalog min/max skipping prunes on the cluster key);
+    DESCRIBE surfaces the clustering in `extra`."""
+    lake.sql(
+        "CREATE TABLE pt (id INTEGER, region VARCHAR, v DOUBLE) "
+        "PARTITION BY (region)"
+    )
+    desc = {
+        r["column_name"]: r["extra"]
+        for r in lake.sql("DESCRIBE pt").collect()
+    }
+    assert desc == {"id": None, "region": "partition key", "v": None}
+    lake.insert(
+        "pt",
+        spark.range(3000).selectExpr(
+            "CAST(id AS INT) AS id",
+            "CASE WHEN id % 3 = 0 THEN 'ap' WHEN id % 3 = 1 THEN 'eu' "
+            "ELSE 'us' END AS region",
+            "CAST(id AS DOUBLE) AS v",
+        ).repartition(8),
+    )
+    # the clustering spec reached the engine (file-level pruning itself
+    # is covered by test_lake.test_partitioned_clustered_writes_prune)
+    assert lake.read("pt", where="region = 'eu'").count() == 1000
+    lake.sql(
+        "CREATE TABLE pt2 PARTITION BY (region) "
+        "AS SELECT * FROM pt WHERE id < 6"
+    )
+    assert {
+        r["column_name"]: r["extra"]
+        for r in lake.sql("DESCRIBE pt2").collect()
+    }["region"] == "partition key"
+    assert lake.sql("SELECT COUNT(*) AS n FROM pt2").first()["n"] == 6
+    lake.sql(
+        "CREATE OR REPLACE TABLE pt2 PARTITION BY (id) "
+        "AS SELECT * FROM pt WHERE id <= 2"
+    )
+    desc3 = {
+        r["column_name"]: r["extra"]
+        for r in lake.sql("DESCRIBE pt2").collect()
+    }
+    assert desc3["id"] == "partition key" and desc3["region"] is None
+    from ducktales_spark.lake import LakeError
+
+    with pytest.raises(LakeError, match="unknown partition column"):
+        lake.sql("CREATE TABLE bad (id INTEGER) PARTITION BY (nope)")
