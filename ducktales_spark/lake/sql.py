@@ -1207,6 +1207,8 @@ class SQLExecutor:
             t = tok.strip()
             if t.startswith("'") and t.endswith("'"):
                 return t[1:-1].replace("''", "'")
+            if t.lower() in ("true", "false"):
+                return t.lower() == "true"
             if re.fullmatch(_IDENT, t):
                 return t  # bare identifier = table name
             try:
@@ -1216,6 +1218,19 @@ class SQLExecutor:
                     return float(t)
                 except ValueError:
                     raise LakeSQLError(f"bad CALL argument {tok!r}")
+
+        def _df_arg(tok, what):
+            """A CALL argument naming rows: a lake table/view name or a
+            parenthesized subquery, evaluated through the same read face
+            as every other statement."""
+            t = tok.strip()
+            if t.startswith("("):
+                return self._query(_unwrap_parens(t))
+            if re.fullmatch(_IDENT, t):
+                return self._query(f"SELECT * FROM {t}")
+            raise LakeSQLError(
+                f"{what} must be a table name or (subquery); got {tok!r}"
+            )
 
         if f == "expire_snapshots":
             kw = {}
@@ -1257,6 +1272,84 @@ class SQLExecutor:
                 **({"min_age_seconds": float(_val(age))} if age else {})
             )
             return self._status("CALL gc", len(removed))
+        if f in (
+            "build_vector_index", "extend_vector_index",
+            "remove_vectors", "probe_vector_index",
+        ):
+            # X15 lifecycle as SQL verbs — same engines as the Python API
+            # (ducktales_spark/vector_index.py); probe returns its result
+            # set like a table function
+            from .. import vector_index as _vx
+
+            if not pos:
+                raise LakeSQLError(f"{f} needs an index name")
+            idx = _val(pos[0])
+            if not isinstance(idx, str):
+                raise LakeSQLError(f"{f}: bad index name {pos[0]!r}")
+            if f == "build_vector_index":
+                if len(pos) != 2:
+                    raise LakeSQLError(
+                        "build_vector_index(index, source_table|(subquery)"
+                        " [, n_centroids => n, refine_iterations => n, "
+                        "quantize => true|false])"
+                    )
+                kw = {}
+                for k, v in named.items():
+                    if k not in (
+                        "n_centroids", "refine_iterations",
+                        "coarse_threshold", "quantize",
+                    ):
+                        raise LakeSQLError(
+                            f"unknown build_vector_index arg {k!r}"
+                        )
+                    kw[k] = _val(v)
+                n_cent = _vx.build_vector_index(
+                    self.c, idx, _df_arg(pos[1], "source"), **kw
+                )
+                return self._status("CALL build_vector_index", int(n_cent))
+            if f == "extend_vector_index":
+                if len(pos) != 2:
+                    raise LakeSQLError(
+                        "extend_vector_index(index, source_table|(subquery)"
+                        " [, route_width => n])"
+                    )
+                kw = {}
+                for k, v in named.items():
+                    if k != "route_width":
+                        raise LakeSQLError(
+                            f"unknown extend_vector_index arg {k!r}"
+                        )
+                    kw[k] = _val(v)
+                _vx.extend_vector_index(
+                    self.c, idx, _df_arg(pos[1], "source"), **kw
+                )
+                return self._status("CALL extend_vector_index", 0)
+            if f == "remove_vectors":
+                if len(pos) != 2:
+                    raise LakeSQLError(
+                        "remove_vectors(index, ids_table|(subquery))"
+                    )
+                n = _vx.remove_vectors(
+                    self.c, idx, _df_arg(pos[1], "ids")
+                )
+                return self._status("CALL remove_vectors", int(n))
+            # probe_vector_index: queries are driver-small by the probe's
+            # own contract (|Q| x k result pairs), so toPandas here is the
+            # documented bounded collect, not a scale leak
+            if len(pos) != 2:
+                raise LakeSQLError(
+                    "probe_vector_index(index, queries_table|(subquery)"
+                    " [, k => n, nprobe => n])"
+                )
+            kw = {}
+            for k, v in named.items():
+                if k not in ("k", "nprobe", "coarse_nprobe", "version"):
+                    raise LakeSQLError(
+                        f"unknown probe_vector_index arg {k!r}"
+                    )
+                kw[k] = _val(v)
+            qdf = _df_arg(pos[1], "queries").toPandas()
+            return _vx.probe_vector_index(self.c, idx, qdf, **kw)
         raise LakeSQLError(f"unknown procedure {fn!r}")
 
     def _mv_exists(self, name: str) -> bool:

@@ -1729,3 +1729,54 @@ def test_create_table_partition_by_sql(lake, spark):
 
     with pytest.raises(LakeError, match="unknown partition column"):
         lake.sql("CREATE TABLE bad (id INTEGER) PARTITION BY (nope)")
+
+
+def test_vector_index_lifecycle_call_sql(lake, spark):
+    """X15 lifecycle drivable SQL-first: CALL build/extend/remove/probe
+    dispatch to the same engines as the Python API
+    (ducktales_spark/vector_index.py) and the probe returns its result
+    set like a table function — parity-checked against the Python probe."""
+    import numpy as np
+    import pandas as pd
+
+    from ducktales_spark.vector_index import probe_vector_index
+
+    rng = np.random.default_rng(0)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(300)],
+        "vec_id bigint, e array<double>",
+    )
+    lake.ctas("emb", emb)
+    r = lake.sql(
+        "CALL build_vector_index('idx', emb, n_centroids => 8, "
+        "quantize => true)"
+    ).first()
+    assert (r["op"], r["rows"]) == ("CALL build_vector_index", 8)
+    sql_res = lake.sql(
+        "CALL probe_vector_index('idx', "
+        "(SELECT vec_id, e FROM emb WHERE vec_id < 3), k => 5, nprobe => 4)"
+    ).toPandas()
+    py_res = probe_vector_index(
+        lake, "idx",
+        emb.filter("vec_id < 3").toPandas(), k=5, nprobe=4,
+    ).toPandas()
+    key = ["query_id", "neighbor_id", "rnk"]
+    assert sorted(map(tuple, sql_res[key].values.tolist())) == sorted(
+        map(tuple, py_res[key].values.tolist())
+    )
+    lake.ctas("more", spark.createDataFrame(
+        [(int(1000 + i), [float(x) for x in rng.normal(size=8)])
+         for i in range(20)],
+        "vec_id bigint, e array<double>",
+    ))
+    lake.sql("CALL extend_vector_index('idx', more)")
+    assert lake.count("idx") == 320
+    r = lake.sql(
+        "CALL remove_vectors('idx', (SELECT vec_id FROM emb "
+        "WHERE vec_id < 10))"
+    ).first()
+    assert r["rows"] == 10 and lake.count("idx") == 310
+    with pytest.raises(LakeSQLError, match="unknown build_vector_index"):
+        lake.sql("CALL build_vector_index('i2', emb, nope => 1)")
+    with pytest.raises(LakeSQLError, match="table name or"):
+        lake.sql("CALL remove_vectors('idx', 42)")
