@@ -1643,6 +1643,7 @@ class Transaction:
         not_matched_clauses: Optional[list] = None,
         not_matched_by_source_clauses: Optional[list] = None,
         sequence_col: Optional[str] = None,
+        auto_merge_schema: bool = False,
     ) -> dict:
         """MERGE/upsert (Delta-style CDC apply; beyond the reference surface,
         which reaches the same state via UPDATE+INSERT pairs, e.g.
@@ -1703,6 +1704,16 @@ class Transaction:
         duplicate-merge-key check, so an ambiguous feed is a clean
         ConstraintViolation, never a nondeterministic winner.
 
+        ``auto_merge_schema`` (opt-in, Delta autoMerge-style): a source
+        carrying columns the target lacks ADDs them (nullable, no
+        default; rows untouched by the merge read NULL) and a shared
+        column whose source type is strictly WIDER upgrades the target
+        via the exact-representability rules (schema.can_widen) — all in
+        THIS transaction, one snapshot with the data change. The
+        sequence column is transport metadata and is never auto-added.
+        Off by default: an unexpected feed column is a schema error, not
+        a silent DDL.
+
         Scale path: the source's per-key min/max bounds prune the candidate
         file list exactly like UPDATE/DELETE (stats.py), then a key-column
         semi-join tagged with input_file_name() shrinks the rewrite to the
@@ -1740,6 +1751,28 @@ class Transaction:
             raise LakeError("merge requires at least one key column")
         st = self._state(name)
         sch = st.schema
+        if auto_merge_schema:
+            from .schema import can_widen
+
+            tnames = {f.name for f in sch.fields}
+            evolved = False
+            for sf in source.schema.fields:
+                stype = sf.dataType.simpleString()
+                if sf.name == sequence_col and sf.name not in tnames:
+                    continue  # transport metadata, never auto-added
+                if sf.name not in tnames:
+                    self.add_column(name, sf.name, stype)
+                    evolved = True
+                    continue
+                ttype = sch.field_by_name(sf.name).type
+                if ttype.lower() != stype.lower() and can_widen(
+                    ttype, stype
+                ):
+                    self.alter_column_type(name, sf.name, stype)
+                    evolved = True
+            if evolved:
+                st = self._state(name)
+                sch = st.schema
         for k in on:
             sch.field_by_name(k)
         if sequence_col is not None:

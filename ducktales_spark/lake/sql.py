@@ -611,8 +611,13 @@ class SQLExecutor:
             self._run(op)
             return self._status("DELETE", n[0])
 
-        if re.match(r"^MERGE\s+INTO\b", q, re.I):
-            return self._merge_stmt(q)
+        m = re.match(
+            r"^MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\b", q, re.I
+        )
+        if m:
+            return self._merge_stmt(
+                "MERGE INTO" + q[m.end() :], evolve=bool(m.group(1))
+            )
 
         m = re.match(rf"^CALL\s+({_IDENT})\s*\((.*)\)$", q, re.I | re.S)
         if m:
@@ -646,8 +651,9 @@ class SQLExecutor:
     )
 
     # -- MERGE INTO (SQL face of Transaction.merge) ----------------------
-    def _merge_stmt(self, q: str) -> DataFrame:
-        """``MERGE INTO t [AS a] USING (<query>|table) [AS b] ON <equi-cond>
+    def _merge_stmt(self, q: str, evolve: bool = False) -> DataFrame:
+        """``MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a] USING
+        (<query>|table) [AS b] ON <equi-cond>
         [SEQUENCE BY <source col>]
         WHEN MATCHED [AND cond] THEN UPDATE SET (* | c = expr, ...) | DELETE
         WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT [* | (cols) VALUES (exprs)]
@@ -738,6 +744,13 @@ class SQLExecutor:
         sch = self._schema_of(target)
         t_cols = {f.name.lower(): f.name for f in sch.fields}
         s_cols = {c.lower(): c for c in src_df.columns}
+        if evolve:
+            # WITH SCHEMA EVOLUTION: every source column missing from the
+            # target will be ADDed by the engine (auto_merge_schema), so
+            # SET/VALUES expressions may reference it as a target column
+            # already at parse time
+            for cl, orig in s_cols.items():
+                t_cols.setdefault(cl, orig)
         t_al = (t_alias or target).lower()
         s_al = (s_alias or src_name or "").lower()
         if s_al == t_al:
@@ -1070,6 +1083,7 @@ class SQLExecutor:
                         if not_matched_cls else None
                     ),
                     sequence_col=seq_engine,
+                    auto_merge_schema=evolve,
                 )
             else:
                 r = tx.merge(
@@ -1078,6 +1092,7 @@ class SQLExecutor:
                     not_matched_clauses=not_matched_cls or None,
                     not_matched_by_source_clauses=by_source_cls or None,
                     sequence_col=seq_engine,
+                    auto_merge_schema=evolve,
                 )
             # matched rows only count as affected when a matched clause
             # ACTS on them: 'acted' (clausal merges) excludes matched rows

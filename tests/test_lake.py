@@ -1509,3 +1509,65 @@ def test_merge_sequence_col_latest_wins(lake, spark):
     )
     assert res["matched"] == 1 and res["acted"] == 1
     assert lake.read("c").where("id = 0").count() == 0  # -7 -> delete
+
+
+def test_merge_auto_schema_evolution(lake, spark):
+    """Opt-in autoMerge (Delta-style): a CDC source carrying NEW columns
+    auto-ADDs them and widenable shared columns upgrade
+    (schema.can_widen), all inside the merge's own transaction — one
+    snapshot carries both the DDL and the data change; rows the merge
+    never touches read NULL for the new column. Off by default."""
+    lake.create_table(
+        "t",
+        StructType([StructField("id", IntegerType(), False),
+                    StructField("v", IntegerType(), True)]),
+    )
+    lake.insert("t", spark.createDataFrame([(1, 10), (2, 20)],
+                                           "id int, v int"))
+    src = spark.createDataFrame(
+        [(2, 9_000_000_000, "x"), (3, 30, "y")],
+        "id int, v bigint, tag string",
+    )
+    # off by default: the unexpected column is an alignment error
+    with pytest.raises(LakeError, match="unknown columns"):
+        lake.merge("t", src, on=["id"])
+    v_before = lake.current_version()
+    res = lake.merge("t", src, on=["id"], auto_merge_schema=True)
+    assert res == {"matched": 1, "inserted": 1}
+    assert lake.current_version() == v_before + 1  # ONE snapshot
+    rows = sorted(
+        (r["id"], r["v"], r["tag"]) for r in lake.read("t").collect()
+    )
+    assert rows == [(1, 10, None), (2, 9_000_000_000, "x"), (3, 30, "y")]
+    types = {f.name: f.type for f in lake._schemas_at(
+        lake._table_at("t", lake.current_version())[0],
+        lake.current_version(),
+    )[max(lake._schemas_at(
+        lake._table_at("t", lake.current_version())[0],
+        lake.current_version(),
+    ))].fields}
+    assert types["v"] == "bigint" and types["tag"] == "string"
+    # time travel still serves the narrow pre-merge schema's data
+    assert {r["id"] for r in lake.read("t", version=v_before).collect()} == {
+        1, 2,
+    }
+
+    # the sequence column is transport metadata: never auto-added
+    feed = spark.createDataFrame(
+        [(3, 31, "z", 7)], "id int, v bigint, tag string, seq int"
+    )
+    lake.merge("t", feed, on=["id"], sequence_col="seq",
+               auto_merge_schema=True)
+    assert "seq" not in [f.name for f in lake.read("t").schema.fields]
+    assert lake.read("t").where("id = 3").first()["v"] == 31
+
+    # incompatible type change is NOT silently widened: the source's
+    # string 'v' fails the can_widen gate, so alignment casts (and ANSI
+    # cast surfaces the malformed value) — the schema never changed
+    bad = spark.createDataFrame([(4, "oops")], "id int, v string")
+    with pytest.raises(Exception, match="oops|CAST|cast"):
+        lake.merge("t", bad, on=["id"], auto_merge_schema=True)
+    assert {
+        f.name: f.dataType.simpleString()
+        for f in lake.read("t").schema.fields
+    }["v"] == "bigint"

@@ -1780,3 +1780,37 @@ def test_vector_index_lifecycle_call_sql(lake, spark):
         lake.sql("CALL build_vector_index('i2', emb, nope => 1)")
     with pytest.raises(LakeSQLError, match="table name or"):
         lake.sql("CALL remove_vectors('idx', 42)")
+
+
+def test_merge_with_schema_evolution_sql(lake):
+    """MERGE WITH SCHEMA EVOLUTION (Databricks SQL spelling): new source
+    columns are referenceable in SET/VALUES at parse time and the engine
+    adds/widens them in the merge's own snapshot; plain MERGE keeps
+    refusing unknown columns."""
+    lake.sql("CREATE TABLE t (id INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    lake.sql("CREATE TABLE feed (id INTEGER, v BIGINT, tag VARCHAR)")
+    lake.sql(
+        "INSERT INTO feed VALUES (2, 9000000000, 'x'), (3, 30, 'y')"
+    )
+    with pytest.raises(LakeSQLError, match="unknown target column"):
+        lake.sql(
+            "MERGE INTO t USING feed ON t.id = feed.id "
+            "WHEN MATCHED THEN UPDATE SET tag = feed.tag"
+        )
+    r = lake.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING feed ON t.id = feed.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert r["rows"] == 2
+    rows = sorted(
+        (x["id"], x["v"], x["tag"])
+        for x in lake.sql("SELECT * FROM t").collect()
+    )
+    assert rows == [(1, 10, None), (2, 9000000000, "x"), (3, 30, "y")]
+    desc = {
+        x["column_name"]: x["column_type"]
+        for x in lake.sql("DESCRIBE t").collect()
+    }
+    assert desc["v"] == "BIGINT" and desc["tag"] == "STRING"
