@@ -1079,14 +1079,35 @@ class Transaction:
         for mv, row in self._rollup_metas().items():
             if row.get("src") != src_name:
                 continue
+            ke = json.loads(row.get("key_exprs") or "{}")
             cols = set()
             for key in self._ROLLUP_COL_LISTS:
-                cols.update(json.loads(row.get(key) or "[]"))
+                for c in json.loads(row.get(key) or "[]"):
+                    if key == "keys" and c in ke:
+                        continue  # expression-key ALIAS, not a source col
+                    cols.add(c)
+            for expr in ke.values():
+                cols.update(self._expr_source_cols(src_name, expr))
             if row.get("time_col"):
                 cols.add(row["time_col"])
             cols.update(self._predicate_cols(src_name, row))
             out.append((mv, row, cols))
         return out
+
+    def _expr_source_cols(self, src_name: str, text: str) -> set:
+        """Source columns a stored SQL expression references (bare
+        identifiers naming source columns; function names and literals
+        excluded by the scanner) — the guard set for expression keys,
+        exactly like _predicate_cols guards a filtered MV's WHERE."""
+        from .rollup import scan_sql_identifiers
+
+        names = {f.name for f in self._state(src_name).schema.fields}
+        lower = {n.lower(): n for n in names}
+        return {
+            lower[nm.lower()]
+            for _s, _e, nm in scan_sql_identifiers(text)
+            if nm.lower() in lower
+        }
 
     def _predicate_cols(self, src_name: str, row: dict) -> set:
         """Source columns a filtered MV's WHERE references: every bare
@@ -1134,8 +1155,9 @@ class Transaction:
             # Spark: sum(decimal(p,s)) -> decimal(min(38, p+10), s)
             sum_t = f"decimal({min(38, d[0] + 10)},{d[1]})" if d else None
         for mv, row, _cols in self._dependent_rollups(src_name):
+            ke = json.loads(row.get("key_exprs") or "{}")
             targets = {}
-            if col in json.loads(row.get("keys") or "[]"):
+            if col in json.loads(row.get("keys") or "[]") and col not in ke:
                 targets[col] = t
             if col in json.loads(row.get("sum_cols") or "[]") and sum_t:
                 targets[f"sum_{col}"] = sum_t
@@ -1145,11 +1167,32 @@ class Transaction:
             resketch = col in json.loads(
                 row.get("approx_cols") or "[]"
             ) and not (old_type.lower() in int_family and t in int_family)
-            if not targets and not resketch:
+            # a widened column referenced by an EXPRESSION key can change
+            # both the expr's output type and (for type-dependent exprs
+            # like a string cast: int 7 -> double '7.0') its output
+            # VALUES — re-derive the stored alias type from the widened
+            # source and rebuild the state, same discipline as sketches
+            expr_key_hits = [
+                a for a, e in ke.items()
+                if col in self._expr_source_cols(src_name, e)
+            ]
+            if not targets and not resketch and not expr_key_hits:
                 continue
             st_mv = self._state(mv)
             sch = st_mv.schema
             changed = False
+            if expr_key_hits:
+                probe = self.c.spark.createDataFrame(
+                    [], self._state(src_name).schema.to_struct()
+                )
+                for a in expr_key_hits:
+                    new_t = (
+                        probe.select(F.expr(ke[a]).alias(a))
+                        .schema[0].dataType.simpleString()
+                    )
+                    if sch.field_by_name(a).type.lower() != new_t.lower():
+                        targets[a] = new_t
+                resketch = True  # rebuild: expr output values may change
             for cname, ctype in targets.items():
                 if sch.field_by_name(cname).type.lower() != ctype:
                     # force: sum state follows Spark's sum type for the
@@ -1198,12 +1241,14 @@ class Transaction:
             df = _project(df, committed_sch, staged_sch)
         if row.get("where_sql"):
             df = df.filter(F.expr(row["where_sql"]))
+        from .rollup import _key_group_cols, _key_exprs_of
+
         df = (
             df.groupBy(
                 _bucket_expr(
                     row["time_col"] or None, int(row["bucket_s"])
                 ).alias("bucket_start"),
-                *_lst("keys"),
+                *_key_group_cols(_lst("keys"), _key_exprs_of(row)),
             )
             .agg(
                 *_agg_exprs(
@@ -1241,23 +1286,36 @@ class Transaction:
         from .rollup import scan_sql_identifiers
 
         for mv, row, cols in self._dependent_rollups(src_name):
+            ke = json.loads(row.get("key_exprs") or "{}")
             # cols is derived from the CURRENT (already-renamed) schema, so
-            # a predicate-only reference to the old name is invisible in
-            # it — scan the stored WHERE text for `old` directly
+            # a predicate-only (or expr-key-only) reference to the old name
+            # is invisible in it — scan the stored TEXTS for `old` directly
             in_where = bool(row.get("where_sql")) and any(
                 nm.lower() == old.lower()
                 for _s, _e, nm in scan_sql_identifiers(row["where_sql"])
             )
-            if old not in cols and not in_where:
+            in_key_expr = any(
+                nm.lower() == old.lower()
+                for e in ke.values()
+                for _s, _e2, nm in scan_sql_identifiers(e)
+            )
+            if old not in cols and not in_where and not in_key_expr:
                 continue
             renames = []
             for key, prefs in prefixes.items():
                 lst = json.loads(row.get(key) or "[]")
-                if old in lst:
+                if old in lst and not (key == "keys" and old in ke):
                     row[key] = json.dumps(
                         [new if c == old else c for c in lst]
                     )
                     renames += [(f"{p}{old}", f"{p}{new}") for p in prefs]
+            if in_key_expr:
+                from .rollup import rewrite_sql_identifiers
+
+                row["key_exprs"] = json.dumps({
+                    a: rewrite_sql_identifiers(e, {old: new})
+                    for a, e in ke.items()
+                })
             if row.get("time_col") == old:
                 row["time_col"] = new  # bucket expr re-derives from meta
             if row.get("where_sql"):

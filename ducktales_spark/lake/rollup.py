@@ -103,6 +103,26 @@ def _where_of(m) -> Optional[str]:
     return d.get("where_sql") or None
 
 
+def _key_exprs_of(m) -> dict:
+    """The rollup's expression-key map {stored_column_alias: sql_expr}
+    ({} / missing column = every key is a plain source column — metas
+    written before expression keys existed simply have none)."""
+    d = m.asDict() if hasattr(m, "asDict") else dict(m)
+    s = d.get("key_exprs")
+    return json.loads(s) if s else {}
+
+
+def _key_group_cols(keys, key_exprs):
+    """Source-side grouping columns: plain keys by name, expression keys
+    computed and stored under their alias. Every refresh path and the
+    create both group through this — the single place the expr evaluates,
+    so incremental and recompute can never disagree on a key's value."""
+    ke = key_exprs or {}
+    return [
+        F.expr(ke[k]).alias(k) if k in ke else F.col(k) for k in keys
+    ]
+
+
 def scan_sql_identifiers(text: str, with_qualifiers: bool = False):
     """Yield column-like identifier spans in one SQL expression:
     quote-aware (string literals skipped, '' escapes handled), and an
@@ -190,6 +210,7 @@ def create_rollup(
     distinct_cols: tuple = (),
     replace: bool = False,
     where: Optional[str] = None,
+    key_exprs: Optional[dict] = None,
 ) -> None:
     """Materialize the initial rollup of ``src`` and its meta table in ONE
     catalog transaction, stamped with the snapshot version it reflects.
@@ -228,6 +249,12 @@ def create_rollup(
     minmax_cols = tuple(minmax_cols)
     count_cols, approx_cols = tuple(count_cols), tuple(approx_cols)
     distinct_cols = tuple(distinct_cols)
+    key_exprs = dict(key_exprs or {})
+    for alias in key_exprs:
+        if alias not in keys:
+            raise RollupError(
+                f"key_exprs alias {alias!r} is not a key (add it to keys)"
+            )
     version = lake.current_version()
     base = lake.read(src, version=version)
     types = dict(base.dtypes)
@@ -257,7 +284,8 @@ def create_rollup(
     df = (
         base
         .groupBy(
-            _bucket_expr(time_col, bucket_s).alias("bucket_start"), *keys
+            _bucket_expr(time_col, bucket_s).alias("bucket_start"),
+            *_key_group_cols(keys, key_exprs),
         )
         .agg(
             *_agg_exprs(
@@ -292,13 +320,14 @@ def create_rollup(
                     json.dumps(list(approx_cols)),
                     json.dumps(list(distinct_cols)),
                     where or "",  # "" = unfiltered
+                    json.dumps(key_exprs),  # {} = all keys plain columns
                     version,
                 )
             ],
             "src string, time_col string, bucket_s bigint, "
             "keys string, sum_cols string, minmax_cols string, "
             "count_cols string, approx_cols string, distinct_cols string, "
-            "where_sql string, last_version bigint",
+            "where_sql string, key_exprs string, last_version bigint",
         )
         tx.ctas(_meta_name(name), meta)
 
@@ -367,6 +396,7 @@ def refresh_rollup(lake, name: str) -> dict:
         raise RollupError(f"rollup meta for {name!r} is corrupt")
     m = meta_rows[0]
     keys = tuple(json.loads(m["keys"]))
+    key_exprs = _key_exprs_of(m)
     sum_cols = tuple(json.loads(m["sum_cols"]))
     minmax_cols = tuple(json.loads(m["minmax_cols"]))
     count_cols = _meta_list(m, "count_cols")
@@ -419,7 +449,7 @@ def refresh_rollup(lake, name: str) -> dict:
             _bucket_expr(m["time_col"] or None, int(m["bucket_s"])).alias(
                 "bucket_start"
             ),
-            *keys,
+            *_key_group_cols(keys, key_exprs),
         )
         .agg(
             *_agg_exprs(
@@ -557,7 +587,7 @@ def _refresh_full_recompute(
             _bucket_expr(m["time_col"] or None, int(m["bucket_s"])).alias(
                 "bucket_start"
             ),
-            *keys,
+            *_key_group_cols(keys, _key_exprs_of(m)),
         )
         .agg(
             *_agg_exprs(
@@ -607,7 +637,7 @@ def _refresh_recompute(
     regroup = (
         src.groupBy(
             _bucket_expr(time_col, int(m["bucket_s"])).alias("bucket_start"),
-            *keys,
+            *_key_group_cols(keys, _key_exprs_of(m)),
         )
         .agg(
             *_agg_exprs(

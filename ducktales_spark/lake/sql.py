@@ -1381,6 +1381,60 @@ class SQLExecutor:
                 "as the reference's ducklake DDL-in-txn limits)"
             )
 
+    def _mv_guard_deterministic(self, text: str, src: str, what: str):
+        """Refuse subqueries and non-deterministic / time-dependent names
+        in a maintained MV expression (WHERE predicate or expression key):
+        the value is computed ONCE, at the refresh that sees a row's diff
+        — now()/rand() would make create, each refresh, and a recompute
+        all disagree (TimescaleDB restricts cagg expressions to immutable
+        functions the same way)."""
+        stripped = re.sub(r"'(?:[^']|'')*'", "''", text)
+        idents = {
+            t.lower()
+            for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped)
+        }
+        if "select" in idents:
+            raise LakeSQLError(
+                f"materialized-view {what} cannot contain subqueries: "
+                "it must be decidable per source row for incremental "
+                "maintenance"
+            )
+        nondet = set(idents & self._MV_NONDETERMINISTIC)
+        # a legitimate source COLUMN named 'user'/'today'/'random'
+        # resolves as a deterministic column reference — excuse it
+        # unless (a) it's an ANSI niladic keyword (parses as the
+        # function even when a column shadows it) or (b) the text
+        # also CALLS it as a function
+        src_cols = (
+            {f.name.lower() for f in self._schema_of(src).fields}
+            if self._table_exists(src)
+            else set()
+        )
+        niladic = {
+            "current_timestamp", "current_date", "current_time",
+            "localtimestamp",
+        }
+        for nm in sorted((nondet & src_cols) - niladic):
+            if not re.search(rf"\b{nm}\s*\(", stripped, re.I):
+                nondet.discard(nm)
+        if nondet:
+            raise LakeSQLError(
+                f"materialized-view {what} must be deterministic "
+                f"and row-local; {sorted(nondet)} would make the "
+                "incrementally-maintained state diverge from a "
+                "recompute (rows are judged once, at the refresh "
+                "that sees their diff)"
+            )
+
+    # aggregate function names refused inside an expression KEY (an
+    # aggregate belongs in the select's agg items, not a group key)
+    _MV_AGG_NAMES = frozenset(
+        "count sum avg min max approx_count_distinct hll_sketch_agg "
+        "collect_list collect_set stddev stddev_pop stddev_samp variance "
+        "var_pop var_samp percentile percentile_approx median first last "
+        "any_value".split()
+    )
+
     def _parse_mv_select(self, body: str) -> dict:
         """Parse the incrementally-maintainable aggregate-SELECT subset.
 
@@ -1432,46 +1486,8 @@ class SQLExecutor:
                 # diff — now()/rand() would make create, each refresh,
                 # and a recompute all disagree; TimescaleDB restricts
                 # cagg predicates to immutable functions the same way)
-                stripped = re.sub(r"'(?:[^']|'')*'", "''", where)
-                idents = {
-                    t.lower()
-                    for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped)
-                }
-                if "select" in idents:
-                    raise LakeSQLError(
-                        "materialized-view WHERE cannot contain "
-                        "subqueries: the predicate must be decidable per "
-                        "source row for incremental maintenance"
-                    )
-                nondet = set(idents & self._MV_NONDETERMINISTIC)
-                # a legitimate source COLUMN named 'user'/'today'/'random'
-                # resolves as a deterministic column reference — excuse it
-                # unless (a) it's an ANSI niladic keyword (parses as the
-                # function even when a column shadows it) or (b) the text
-                # also CALLS it as a function
-                src_cols = (
-                    {f.name.lower() for f in self._schema_of(src).fields}
-                    if self._table_exists(src)
-                    else set()
-                )
-                niladic = {
-                    "current_timestamp", "current_date", "current_time",
-                    "localtimestamp",
-                }
-                for nm in sorted((nondet & src_cols) - niladic):
-                    if not re.search(
-                        rf"\b{nm}\s*\(", stripped, re.I
-                    ):
-                        nondet.discard(nm)
-                if nondet:
-                    raise LakeSQLError(
-                        f"materialized-view WHERE must be deterministic "
-                        f"and row-local; {sorted(nondet)} would make the "
-                        "incrementally-maintained state diverge from a "
-                        "recompute (rows are judged once, at the refresh "
-                        "that sees their diff)"
-                    )
-        keys, sum_cols, minmax_cols = [], [], []
+                self._mv_guard_deterministic(where, src, "WHERE")
+        keys, key_exprs, sum_cols, minmax_cols = [], {}, [], []
         count_cols, approx_cols, distinct_cols = [], [], []
         time_col, bucket_s, bucket_alias, bucket_expr = None, 3600, None, None
         has_bucket = False
@@ -1563,9 +1579,47 @@ class SQLExecutor:
                         minmax_cols.append(arg)
                 parsed.append(("agg",))
                 continue
+            mk = re.match(
+                rf"^(.*)\s+AS\s+({_IDENT})\s*$", item, re.I | re.S
+            )
+            if mk:
+                # expression KEY: a deterministic scalar over source
+                # columns, stored under its (mandatory) alias — grouped by
+                # computing the expr on every refresh path (rollup tier)
+                expr, alias = mk.group(1).strip(), mk.group(2)
+                al = alias.lower()
+                reserved = al in ("bucket_start", "n_rows") or re.match(
+                    r"^(sum|avg|min|max|count|hll|distinct|"
+                    r"approx_distinct)_", al
+                )
+                if reserved:
+                    raise LakeSQLError(
+                        f"expression-key alias {alias!r} collides with a "
+                        "canonical rollup column name"
+                    )
+                called = {
+                    t.lower()
+                    for t in re.findall(
+                        r"([A-Za-z_][A-Za-z0-9_]*)\s*\(",
+                        re.sub(r"'(?:[^']|'')*'", "''", expr),
+                    )
+                }
+                if called & self._MV_AGG_NAMES:
+                    raise LakeSQLError(
+                        f"aggregate {sorted(called & self._MV_AGG_NAMES)} "
+                        "cannot appear in a group-key expression"
+                    )
+                self._mv_guard_deterministic(expr, src, "key expression")
+                if al in {k.lower() for k in keys}:
+                    raise LakeSQLError(f"duplicate key alias {alias!r}")
+                keys.append(alias)
+                key_exprs[alias] = expr
+                parsed.append(("key", alias))
+                continue
             raise LakeSQLError(
                 f"unsupported materialized-view select item: {item!r} "
-                "(plain key columns, one time_bucket(...), and COUNT(*)/"
+                "(plain key columns, <deterministic expr> AS <alias> "
+                "keys, one time_bucket(...), and COUNT(*)/"
                 "COUNT(col)/COUNT(DISTINCT col)/APPROX_COUNT_DISTINCT(col)/"
                 "SUM/AVG/MIN/MAX(col) only)"
             )
@@ -1589,6 +1643,15 @@ class SQLExecutor:
                     raise LakeSQLError("cannot GROUP BY an aggregate")
             elif tl in {k.lower() for k in keys}:
                 covered_keys.add(tl)
+            elif any(
+                re.sub(r"\s+", " ", e).lower() == re.sub(r"\s+", " ", t).lower()
+                for e in key_exprs.values()
+            ):
+                covered_keys.add(next(
+                    a.lower() for a, e in key_exprs.items()
+                    if re.sub(r"\s+", " ", e).lower()
+                    == re.sub(r"\s+", " ", t).lower()
+                ))
             elif has_bucket and (
                 tl == "bucket_start"
                 or (bucket_alias and tl == bucket_alias.lower())
@@ -1610,6 +1673,7 @@ class SQLExecutor:
             "time_col": time_col,
             "bucket_s": bucket_s,
             "keys": tuple(keys),
+            "key_exprs": key_exprs,
             "sum_cols": tuple(sum_cols),
             "minmax_cols": tuple(minmax_cols),
             "count_cols": tuple(count_cols),
@@ -1630,7 +1694,9 @@ class SQLExecutor:
         # must fail here, with the existing MV untouched — not deep inside
         # create_rollup's CTAS.
         src_cols = {f.name.lower() for f in self._schema_of(spec["src"]).fields}
-        referenced = [c for c in spec["keys"]]
+        referenced = [
+            c for c in spec["keys"] if c not in spec["key_exprs"]
+        ]
         referenced += list(spec["sum_cols"]) + list(spec["minmax_cols"])
         referenced += list(spec["count_cols"]) + list(spec["approx_cols"])
         referenced += list(spec["distinct_cols"])
@@ -1641,6 +1707,21 @@ class SQLExecutor:
             raise LakeSQLError(
                 f"column(s) {missing} not found in table {spec['src']!r}"
             )
+        for alias, expr in spec["key_exprs"].items():
+            # analyze each key expression against an EMPTY frame of the
+            # source schema BEFORE anything is dropped or written (same
+            # contract as the WHERE validation below)
+            from pyspark.sql import functions as F
+
+            probe = self.c.spark.createDataFrame(
+                [], self._schema_of(spec["src"]).to_struct()
+            )
+            try:
+                probe.select(F.expr(expr).alias(alias)).schema
+            except Exception as e:
+                raise LakeSQLError(
+                    f"invalid expression key {expr!r}: {e}"
+                ) from None
         if spec["where"]:
             # analyze the predicate against an EMPTY frame of the source
             # schema BEFORE anything is dropped or written (same contract
@@ -1679,6 +1760,7 @@ class SQLExecutor:
             distinct_cols=spec["distinct_cols"],
             replace=is_replace,
             where=spec["where"],
+            key_exprs=spec["key_exprs"],
         )
         return self._status("CREATE MATERIALIZED VIEW", 0)
 

@@ -310,7 +310,11 @@ def l14_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l17_merge_upsert",
     oracle="""
-        SELECT c_custkey, c_name, c_acctbal FROM (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 97 = 3 THEN 'flagged' ELSE c_name END
+                   AS c_name,
+               c_acctbal
+        FROM (
             SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal
             FROM customer WHERE c_custkey % 10 = 0
             UNION ALL
@@ -320,50 +324,70 @@ def l14_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey + 1000000 AS c_custkey,
                    'new customer' AS c_name, c_acctbal
             FROM customer WHERE c_custkey <= 50
-        ) t WHERE c_custkey % 97 <> 3""",
+        ) t WHERE c_custkey % 97 <> 3 OR c_acctbal < 0""",
     survey_ids=("D1", "D3", "D4"),
 )
 def l17_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO as SQL (round-9 surface; DuckLake ships MERGE as SQL,
-    the reference composes the same state from UPDATE + INSERT): a CDC
-    feed with a DIFFERENT key name and a payload column drives a
+    """Full tri-clause MERGE as SQL (DuckLake ships MERGE as SQL; the
+    reference composes the same states from UPDATE + INSERT + DELETE):
+    stage 1 is an OUT-OF-ORDER CDC upsert — the feed carries two rows per
+    matched key and ``SEQUENCE BY s.seq`` picks the latest before a
     per-column ``UPDATE SET c_acctbal = t.c_acctbal + s.delta`` (the name
-    column must survive untouched) plus an expression INSERT; a second
-    delete-only MERGE applies a takedown feed that carries extra columns.
+    column must survive untouched) plus an expression INSERT; stage 2 is
+    a MIRROR SYNC — ``WHEN NOT MATCHED BY SOURCE`` flags overdrawn rows
+    absent from the keep-list and deletes the rest, first-match-wins.
     The oracle recomputes the final state relationally. Candidate files
-    are pruned by the source's key bounds and the hit-subset scan, so at
-    scale a CDC batch rewrites only files actually containing matched
-    keys."""
+    are pruned by the source's key bounds and the hit-subset scan (and
+    the by-source leg by its own miss-subset scan), so at scale a CDC
+    batch rewrites only files actually holding an affected row."""
     lake = _fresh_lake(spark)
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
     lake.ctas("customer_l", cust, primary_key=["c_custkey"])
-    feed = cust.filter("c_custkey % 10 = 0").select(
-        F.col("c_custkey").alias("cust_id"),
-        F.lit(1000.0).alias("delta"),
-    ).unionByName(
-        cust.filter("c_custkey <= 50").select(
-            (F.col("c_custkey") + 1_000_000).alias("cust_id"),
-            F.col("c_acctbal").cast("double").alias("delta"),
+    # out-of-order CDC feed: TWO rows per matched key (a stale delta=250
+    # at seq 1 and the authoritative delta=1000 at seq 2) — SEQUENCE BY
+    # must pick the latest before clause routing
+    upd = cust.filter("c_custkey % 10 = 0").select(
+        F.col("c_custkey").alias("cust_id")
+    )
+    feed = (
+        upd.select("cust_id", F.lit(250.0).alias("delta"),
+                   F.lit(1).alias("seq"))
+        .unionByName(
+            upd.select("cust_id", F.lit(1000.0).alias("delta"),
+                       F.lit(2).alias("seq"))
+        )
+        .unionByName(
+            cust.filter("c_custkey <= 50").select(
+                (F.col("c_custkey") + 1_000_000).alias("cust_id"),
+                F.col("c_acctbal").cast("double").alias("delta"),
+                F.lit(1).alias("seq"),
+            )
         )
     )
     lake.ctas("feed", feed)
     lake.sql(
         "MERGE INTO customer_l AS t USING feed AS s "
-        "ON t.c_custkey = s.cust_id "
+        "ON t.c_custkey = s.cust_id SEQUENCE BY s.seq "
         "WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta "
         "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal) "
         "VALUES (s.cust_id, 'new customer', s.delta)"
     )
+    # mirror sync (tri-clause third leg): rows absent from the keep-list
+    # are flagged when overdrawn, deleted otherwise — the full-sync CDC
+    # pattern the reference composes from DELETE + versioned re-INSERT
+    # (demos/02_time_travel/demo.py:112,228-235)
     lake.sql(
-        "CREATE TABLE takedown AS SELECT c_custkey, 'gone' AS note "
-        "FROM customer_l WHERE c_custkey % 97 = 3"
+        "CREATE TABLE keep AS SELECT c_custkey FROM customer_l "
+        "WHERE c_custkey % 97 <> 3"
     )
     lake.sql(
-        "MERGE INTO customer_l USING takedown "
-        "ON customer_l.c_custkey = takedown.c_custkey "
-        "WHEN MATCHED THEN DELETE"
+        "MERGE INTO customer_l AS t USING keep AS k "
+        "ON t.c_custkey = k.c_custkey "
+        "WHEN NOT MATCHED BY SOURCE AND c_acctbal < 0 "
+        "THEN UPDATE SET c_name = 'flagged' "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
     )
     return lake.read("customer_l")
 

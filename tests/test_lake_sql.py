@@ -1814,3 +1814,53 @@ def test_merge_with_schema_evolution_sql(lake):
         for x in lake.sql("DESCRIBE t").collect()
     }
     assert desc["v"] == "BIGINT" and desc["tag"] == "STRING"
+
+
+def test_mv_expression_keys_sql(lake):
+    """CREATE MATERIALIZED VIEW with a deterministic scalar expression as
+    a group key (GROUP BY lower(domain)): parsed into key_exprs, grouped
+    through every refresh path, guarded like where_sql (nondeterminism /
+    aggregates / subqueries refused at parse time; alias collisions with
+    canonical rollup names refused)."""
+    lake.sql("CREATE TABLE ev (domain VARCHAR, ts TIMESTAMP, v INTEGER)")
+    lake.sql(
+        "INSERT INTO ev VALUES ('A.com', TIMESTAMP '2024-01-01 00:10:00', 1), "
+        "('a.COM', TIMESTAMP '2024-01-01 00:20:00', 2), "
+        "('b.org', TIMESTAMP '2024-01-01 01:10:00', 3)"
+    )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT lower(domain) AS dom, "
+        "time_bucket(INTERVAL '1 hour', ts) AS bucket_start, "
+        "COUNT(*) AS n_rows, SUM(v) AS sum_v "
+        "FROM ev GROUP BY lower(domain), bucket_start"
+    )
+    rows = sorted(
+        (r["dom"], int(r["n_rows"]), int(r["sum_v"]))
+        for r in lake.sql("SELECT * FROM mv").collect()
+    )
+    assert rows == [("a.com", 2, 3), ("b.org", 1, 3)], rows
+    lake.sql(
+        "INSERT INTO ev VALUES ('A.COM', TIMESTAMP '2024-01-01 00:40:00', 10)"
+    )
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        r["dom"]: int(r["sum_v"])
+        for r in lake.sql("SELECT * FROM mv").collect()
+    }
+    assert got == {"a.com": 13, "b.org": 3}
+    # GROUP BY may also name the alias, the ordinal, or the expr text
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv2 AS SELECT lower(domain) AS dom, "
+        "COUNT(*) AS n_rows FROM ev GROUP BY 1"
+    )
+    assert lake.sql("SELECT * FROM mv2").count() == 2
+    for bad, msg in [
+        ("SELECT concat(domain, rand()) AS k, COUNT(*) AS n_rows "
+         "FROM ev GROUP BY concat(domain, rand())", "deterministic"),
+        ("SELECT lower(domain) AS sum_x, COUNT(*) AS n_rows "
+         "FROM ev GROUP BY lower(domain)", "collides"),
+        ("SELECT (SELECT 1) AS k, COUNT(*) AS n_rows FROM ev GROUP BY 1",
+         "subquer"),
+    ]:
+        with pytest.raises(LakeSQLError, match=msg):
+            lake.sql(f"CREATE MATERIALIZED VIEW bad_mv AS {bad}")

@@ -615,3 +615,130 @@ def test_array_column_rollup_guards(spark, lake):
     # the widening gate blocks complex-type retypes at the source
     with pytest.raises(Exception, match="widening"):
         lake.alter_column_type("vec", "e", "array<float>")
+
+
+# -- expression keys (round 10) ----------------------------------------------
+
+
+def _expr_recompute(lake, src="docs"):
+    """DuckDB-free oracle: a from-scratch Spark recompute of the
+    expression-keyed definition."""
+    return {
+        (r["dom"], r["band"]): (int(r["n"]), float(r["s"]))
+        for r in (
+            lake.read(src)
+            .groupBy(
+                F.expr("lower(domain)").alias("dom"),
+                F.expr("CAST(v % 3 AS INT)").alias("band"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+    }
+
+
+def _mv_state(lake, name="mv"):
+    return {
+        (r["dom"], r["band"]): (int(r["n_rows"]), float(r["sum_value"]))
+        for r in lake.read(name).collect()
+    }
+
+
+def test_expression_keys_incremental_equals_recompute(spark, lake):
+    """Expression group keys (stored as SQL text like where_sql): the
+    incrementally maintained state equals a from-scratch recompute
+    through insert / update / delete, with the expr computed on every
+    refresh path."""
+    df = spark.createDataFrame(
+        [(1, "A.com", 1, 10.0), (2, "a.COM", 2, 20.0), (3, "B.org", 3, 30.0),
+         (4, "b.ORG", 4, 40.0), (5, "C.net", 5, 50.0)],
+        "id bigint, domain string, v int, value double",
+    )
+    lake.ctas("docs", df)
+    create_rollup(
+        lake, "mv", "docs", time_col=None,
+        keys=("dom", "band"), sum_cols=("value",),
+        key_exprs={"dom": "lower(domain)", "band": "CAST(v % 3 AS INT)"},
+    )
+    assert _mv_state(lake) == _expr_recompute(lake)
+    lake.insert("docs", spark.createDataFrame(
+        [(6, "A.COM", 7, 5.0), (7, "d.io", 1, 1.0)],
+        "id bigint, domain string, v int, value double"))
+    lake.update("docs", {"value": "value + 100"}, where="id = 3")
+    lake.delete("docs", where="id = 2")
+    refresh_rollup(lake, "mv")
+    assert _mv_state(lake) == _expr_recompute(lake)
+    # group vanishes when its last row leaves
+    lake.delete("docs", where="id IN (5)")
+    refresh_rollup(lake, "mv")
+    state = _mv_state(lake)
+    assert state == _expr_recompute(lake)
+    assert ("c.net", 2) not in state
+
+
+def test_expression_keys_rename_follow_through(spark, lake):
+    """Renaming a source column referenced ONLY inside a key expression
+    rewrites the stored expr text (rewrite_sql_identifiers) so later
+    refreshes keep resolving; the stored alias column never renames."""
+    lake.ctas("docs", spark.createDataFrame(
+        [(1, "X.com", 1, 2.0)], "id bigint, domain string, v int, value double"))
+    create_rollup(
+        lake, "mv", "docs", time_col=None,
+        keys=("dom",), sum_cols=("value",),
+        key_exprs={"dom": "lower(domain)"},
+    )
+    lake.rename_column("docs", "domain", "host")
+    lake.insert("docs", spark.createDataFrame(
+        [(2, "x.COM", 1, 3.0)], "id bigint, host string, v int, value double"))
+    refresh_rollup(lake, "mv")
+    rows = {r["dom"]: float(r["sum_value"]) for r in lake.read("mv").collect()}
+    assert rows == {"x.com": 5.0}
+    import json
+
+    meta = lake.read("mv__rollup_meta").collect()[0].asDict()
+    assert json.loads(meta["key_exprs"]) == {"dom": "lower(host)"}
+
+
+def test_expression_keys_guard_drop_and_widen(spark, lake):
+    """Dropping a column referenced by a key expression is refused;
+    widening one re-derives the stored alias type and REBUILDS the state
+    (type-dependent exprs like a string cast change output values)."""
+    lake.ctas("docs", spark.createDataFrame(
+        [(1, 7, 2.0), (2, 9, 3.0)], "id bigint, v int, value double"))
+    create_rollup(
+        lake, "mv", "docs", time_col=None,
+        keys=("vs",), sum_cols=("value",),
+        key_exprs={"vs": "CAST(v AS STRING)"},
+    )
+    with pytest.raises(Exception, match="maintain|rollup|refus|depend"):
+        lake.drop_column("docs", "v")
+    lake.alter_column_type("docs", "v", "bigint")
+    # state rebuilt under the widened type; incremental keeps matching
+    lake.insert("docs", spark.createDataFrame(
+        [(3, 7, 5.0)], "id bigint, v bigint, value double"))
+    refresh_rollup(lake, "mv")
+    rows = {r["vs"]: float(r["sum_value"]) for r in lake.read("mv").collect()}
+    assert rows == {"7": 7.0, "9": 3.0}
+
+
+def test_expression_keys_nonadditive_partial_recompute(spark, lake):
+    """Expression keys compose with the non-additive (minmax / exact
+    distinct) partial-recompute path: touched groups re-aggregate from the
+    source with the expr recomputed there too."""
+    lake.ctas("docs", spark.createDataFrame(
+        [(1, "A.com", 1, 10.0), (2, "a.COM", 2, 20.0), (3, "b.org", 3, 30.0)],
+        "id bigint, domain string, v int, value double"))
+    create_rollup(
+        lake, "mv", "docs", time_col=None,
+        keys=("dom",), minmax_cols=("value",),
+        key_exprs={"dom": "lower(domain)"},
+    )
+    lake.delete("docs", where="id = 2")  # removes a max -> recompute path
+    lake.insert("docs", spark.createDataFrame(
+        [(4, "A.COM", 9, 5.0)], "id bigint, domain string, v int, value double"))
+    refresh_rollup(lake, "mv")
+    rows = {
+        r["dom"]: (float(r["min_value"]), float(r["max_value"]))
+        for r in lake.read("mv").collect()
+    }
+    assert rows == {"a.com": (5.0, 10.0), "b.org": (30.0, 30.0)}
