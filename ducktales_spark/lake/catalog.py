@@ -649,10 +649,10 @@ class LakeCatalog:
             # collecting (schema is metadata; the row-count probe reads at
             # most 2 rows), so a huge decoy table is never pulled to the
             # driver during export.
+            from .rollup import META_REQUIRED_COLS
+
             meta_df = other.read(name)
-            if not {
-                "src", "bucket_s", "sum_cols", "last_version"
-            } <= set(meta_df.columns):
+            if not META_REQUIRED_COLS <= set(meta_df.columns):
                 continue
             if other.count(name) != 1:  # metadata-only, no scan
                 continue
@@ -1060,7 +1060,9 @@ class Transaction:
                 # SHAPE (staged-schema metadata, no scan) and probe at
                 # most 2 rows before collecting
                 mst = self._state(_meta_name(mv))
-                if not {"src", "bucket_s", "sum_cols", "last_version"} <= {
+                from .rollup import META_REQUIRED_COLS
+
+                if not META_REQUIRED_COLS <= {
                     f.name for f in mst.schema.fields
                 }:
                     continue
@@ -1116,17 +1118,7 @@ class Transaction:
         guarded like maintained columns — dropping one would make every
         refresh unresolvable."""
         where = row.get("where_sql")
-        if not where:
-            return set()
-        from .rollup import scan_sql_identifiers
-
-        names = {f.name for f in self._state(src_name).schema.fields}
-        lower = {n.lower(): n for n in names}
-        return {
-            lower[nm.lower()]
-            for _s, _e, nm in scan_sql_identifiers(where)
-            if nm.lower() in lower
-        }
+        return self._expr_source_cols(src_name, where) if where else set()
 
     def _widen_dependent_rollups(self, src_name, col, old_type, new_type) -> None:
         """A continuous aggregate stores state TYPED BY its source column:
@@ -1812,21 +1804,28 @@ class Transaction:
         if auto_merge_schema:
             from .schema import can_widen
 
-            tnames = {f.name for f in sch.fields}
+            # case-INSENSITIVE detection (the lake's column model is
+            # case-sensitive, but creating a case-duplicate of an existing
+            # column would make every later reference ambiguous): a source
+            # column differing only in case widens the canonical target
+            # column, never adds a twin
+            tnames = {f.name.lower(): f.name for f in sch.fields}
             evolved = False
             for sf in source.schema.fields:
                 stype = sf.dataType.simpleString()
-                if sf.name == sequence_col and sf.name not in tnames:
+                low = sf.name.lower()
+                if sf.name == sequence_col and low not in tnames:
                     continue  # transport metadata, never auto-added
-                if sf.name not in tnames:
+                if low not in tnames:
                     self.add_column(name, sf.name, stype)
                     evolved = True
                     continue
-                ttype = sch.field_by_name(sf.name).type
+                canonical = tnames[low]
+                ttype = sch.field_by_name(canonical).type
                 if ttype.lower() != stype.lower() and can_widen(
                     ttype, stype
                 ):
-                    self.alter_column_type(name, sf.name, stype)
+                    self.alter_column_type(name, canonical, stype)
                     evolved = True
             if evolved:
                 st = self._state(name)
@@ -2368,33 +2367,14 @@ class Transaction:
             return [], []  # pure-insert merge: rewrite nothing
         hit_files = candidates
         if candidates:
-            by_sv: dict = {}
-            for fe in candidates:
-                by_sv.setdefault(fe.schema_version, []).append(fe.path)
-            parts = []
-            for sv, paths in sorted(by_sv.items()):
-                stored = st.schemas[sv]
-                sdf = self.c.spark.read.schema(stored.to_struct()).parquet(
-                    *paths
-                )
-                parts.append(
-                    _project(sdf, stored, sch)
-                    .select(*on)
-                    .withColumn("__f", F.input_file_name())
-                )
-            tagged = reduce(DataFrame.unionByName, parts)
-            hits = {
-                _norm_file_uri(r["__f"])
+            tagged = self._tagged_scan(st, sch, candidates, cols=on)
+            hit_files = _files_by_uri(candidates, (
+                r["__f"]
                 for r in tagged.join(src.select(*on), on, "left_semi")
                 .select("__f")
                 .distinct()
                 .collect()
-            }
-            hit_files = [
-                fe
-                for fe in candidates
-                if _norm_file_uri(fe.path) in hits
-            ]
+            ))
         hit_inlined = touched_inlined
         if touched_inlined:
             inl = self.c._build_df([], touched_inlined, st.schemas, sch)
@@ -2418,6 +2398,26 @@ class Transaction:
             )
         return hit_files, hit_inlined
 
+    def _tagged_scan(self, st, sch, files, cols=None):
+        """Union-of-schema-versions scan of ``files`` projected to the
+        current schema (optionally to ``cols`` only) and tagged with
+        ``input_file_name()`` as ``__f`` — the shared base of the merge
+        legs' hit-/miss-subset scans (one URI-normalization contract)."""
+        by_sv: dict = {}
+        for fe in files:
+            by_sv.setdefault(fe.schema_version, []).append(fe.path)
+        parts = []
+        for sv, paths in sorted(by_sv.items()):
+            stored = st.schemas[sv]
+            sdf = self.c.spark.read.schema(stored.to_struct()).parquet(
+                *paths
+            )
+            p = _project(sdf, stored, sch)
+            if cols is not None:
+                p = p.select(*cols)
+            parts.append(p.withColumn("__f", F.input_file_name()))
+        return reduce(DataFrame.unionByName, parts)
+
     def _miss_subset(self, st, sch, src, on, bsc):
         """Files / inlined entries holding >=1 target row whose key matches
         NO source row AND on which a by-source clause fires (see merge,
@@ -2430,21 +2430,7 @@ class Transaction:
         chain = _clause_chain_expr(bsc)
         n_rows, hit_files = 0, []
         if st.files:
-            by_sv: dict = {}
-            for fe in st.files:
-                by_sv.setdefault(fe.schema_version, []).append(fe.path)
-            parts = []
-            for sv, paths in sorted(by_sv.items()):
-                stored = st.schemas[sv]
-                sdf = self.c.spark.read.schema(stored.to_struct()).parquet(
-                    *paths
-                )
-                parts.append(
-                    _project(sdf, stored, sch).withColumn(
-                        "__f", F.input_file_name()
-                    )
-                )
-            tagged = reduce(DataFrame.unionByName, parts)
+            tagged = self._tagged_scan(st, sch, st.files)
             row = (
                 tagged.join(src.select(*on), on, "left_anti")
                 .withColumn("__bs", chain)
@@ -2456,10 +2442,7 @@ class Transaction:
                 .first()
             )
             n_rows = int(row["_n"] or 0)
-            hits = {_norm_file_uri(x) for x in (row["_fs"] or [])}
-            hit_files = [
-                fe for fe in st.files if _norm_file_uri(fe.path) in hits
-            ]
+            hit_files = _files_by_uri(st.files, row["_fs"] or [])
             if n_rows > 0 and not hit_files:
                 raise LakeError(
                     "merge internal error: by-source rows fired but no "
@@ -2700,6 +2683,13 @@ def _clause_chain_expr(clauses):
             F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
         )
     return chain.otherwise(F.lit(0)) if chain is not None else F.lit(0)
+
+
+def _files_by_uri(files, uris):
+    """File entries among ``files`` whose normalized path matches one of
+    the input_file_name() URIs."""
+    hits = {_norm_file_uri(u) for u in uris}
+    return [fe for fe in files if _norm_file_uri(fe.path) in hits]
 
 
 def _norm_file_uri(p: str) -> str:

@@ -96,6 +96,11 @@ def _meta_name(name: str) -> str:
     return f"{name}__rollup_meta"
 
 
+# the column shape every decoy guard checks before trusting (or reading)
+# a *__rollup_meta table — ONE definition so the guards can never drift
+META_REQUIRED_COLS = frozenset({"src", "bucket_s", "sum_cols", "last_version"})
+
+
 def _where_of(m) -> Optional[str]:
     """The rollup's WHERE predicate ('' / missing column = unfiltered —
     metas written before filtered MVs existed simply have none)."""

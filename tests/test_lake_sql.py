@@ -1864,3 +1864,49 @@ def test_mv_expression_keys_sql(lake):
     ]:
         with pytest.raises(LakeSQLError, match=msg):
             lake.sql(f"CREATE MATERIALIZED VIEW bad_mv AS {bad}")
+
+
+def test_merge_evolution_star_excludes_transport_columns(lake):
+    """Round-10 review fixes: WITH SCHEMA EVOLUTION must augment the
+    referenceable target columns with exactly what the ENGINE will add —
+    the post-rename source set minus the SEQUENCE BY column — so
+    UPDATE SET * under evolution never emits sets for the sequence column
+    or a pre-rename key spelling."""
+    lake.sql("CREATE TABLE t (id INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO t VALUES (1, 10)")
+    lake.sql(
+        "CREATE TABLE feed (id INTEGER, v BIGINT, tag VARCHAR, seq INTEGER)"
+    )
+    lake.sql("INSERT INTO feed VALUES (1, 5, 'x', 2), (1, 4, 'old', 1)")
+    lake.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING feed ON t.id = feed.id "
+        "SEQUENCE BY feed.seq WHEN MATCHED THEN UPDATE SET *"
+    )
+    r = lake.sql("SELECT * FROM t").first()
+    assert (r["v"], r["tag"]) == (5, "x")
+    assert "seq" not in lake.read("t").columns
+    # differently-named key: the pre-rename spelling must not leak either
+    lake.sql("CREATE TABLE t2 (id INTEGER, v INTEGER)")
+    lake.sql("INSERT INTO t2 VALUES (1, 10)")
+    lake.sql("CREATE TABLE feed2 (cust INTEGER, v BIGINT, tag VARCHAR)")
+    lake.sql("INSERT INTO feed2 VALUES (1, 6, 'y')")
+    lake.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t2 USING feed2 "
+        "ON t2.id = feed2.cust WHEN MATCHED THEN UPDATE SET *"
+    )
+    r = lake.sql("SELECT * FROM t2").first()
+    assert (r["v"], r["tag"]) == (6, "y")
+    assert "cust" not in lake.read("t2").columns
+
+
+def test_mv_duplicate_key_items_clean_error(lake):
+    lake.sql("CREATE TABLE ev (d VARCHAR, v INTEGER)")
+    for bad in (
+        # later plain key colliding with an expression-key alias
+        "SELECT lower(d) AS v, v, COUNT(*) AS n_rows FROM ev "
+        "GROUP BY lower(d), v",
+        # plain duplicate
+        "SELECT v, v, COUNT(*) AS n_rows FROM ev GROUP BY v, v",
+    ):
+        with pytest.raises(LakeSQLError, match="duplicate key"):
+            lake.sql(f"CREATE MATERIALIZED VIEW mv AS {bad}")
