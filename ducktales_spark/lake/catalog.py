@@ -201,6 +201,10 @@ class LakeCatalog:
         with self.transaction() as tx:
             tx.set_not_null(name, col)
 
+    def set_partition_by(self, name, cols):
+        with self.transaction() as tx:
+            tx.set_partition_by(name, cols)
+
     def alter_column_type(self, name, col, new_type):
         with self.transaction() as tx:
             tx.alter_column_type(name, col, new_type)
@@ -1001,6 +1005,22 @@ class Transaction:
         st = self._state(name)
         self._evolve(st, st.schema.rename_column(old, new), "tables_altered")
         self._rename_in_dependent_rollups(name, old, new)
+
+    def set_partition_by(self, name, cols) -> None:
+        """X2: change the clustering spec (DuckLake ALTER TABLE ... SET
+        PARTITIONED BY). Metadata-only — no file rewrites: old files keep
+        their narrow min/max stats under the OLD spec (still pruneable),
+        future writes range-repartition on the new columns, and compact()
+        re-clusters everything under the new spec."""
+        st = self._state(name)
+        try:
+            self._evolve(
+                st, st.schema.set_partition_by(cols), "tables_altered"
+            )
+        except KeyError as e:
+            raise LakeError(
+                f"unknown partition column for table {name!r}: {e.args[0]}"
+            ) from None
 
     def set_not_null(self, name, col) -> None:
         """D13: validates existing rows first (a distributed null-scan), then

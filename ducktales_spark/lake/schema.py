@@ -153,6 +153,17 @@ class TableSchema:
             tuple(new if c == old else c for c in self.partition_by),
         )
 
+    def set_partition_by(self, cols) -> "TableSchema":
+        """X2 re-clustering spec (DuckLake: ``ALTER TABLE ... SET
+        PARTITIONED BY``): only FUTURE writes range-repartition on the new
+        columns — existing files keep their stats and stay exactly as
+        pruneable as they were; compaction re-clusters under the new
+        spec."""
+        cols = tuple(cols)
+        for c in cols:
+            self.field_by_name(c)  # KeyError -> unknown column
+        return TableSchema(self.fields, self.primary_key, cols)
+
     def set_not_null(self, name: str) -> "TableSchema":
         f = self.field_by_name(name)
         nf = Field(f.field_id, f.name, f.type, False, f.default)

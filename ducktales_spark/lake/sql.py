@@ -464,6 +464,25 @@ class SQLExecutor:
         if m:
             self._run(lambda tx: tx.set_not_null(m.group(1), m.group(2)))
             return self._status("ALTER TABLE", 0)
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+SET\s+PARTITIONED\s+BY\s*"
+            rf"\(([^()]*)\)\s*$",
+            q,
+            re.I,
+        )
+        if m:
+            t = m.group(1)
+            cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+            self._run(lambda tx: tx.set_partition_by(t, cols))
+            return self._status("ALTER TABLE", 0)
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+RESET\s+PARTITIONED\s+BY$",
+            q,
+            re.I,
+        )
+        if m:
+            self._run(lambda tx: tx.set_partition_by(m.group(1), ()))
+            return self._status("ALTER TABLE", 0)
         # ALTER COLUMN c TYPE T / SET DATA TYPE T (widening casts only —
         # the reference's "change data types" claim, README.md:50)
         m = re.match(

@@ -1910,3 +1910,43 @@ def test_mv_duplicate_key_items_clean_error(lake):
     ):
         with pytest.raises(LakeSQLError, match="duplicate key"):
             lake.sql(f"CREATE MATERIALIZED VIEW mv AS {bad}")
+
+
+def test_alter_table_set_partitioned_by_sql(lake, spark):
+    """DuckLake's ALTER TABLE ... SET PARTITIONED BY: metadata-only
+    re-clustering — future writes range-repartition on the new spec, old
+    files stay as-is, DESCRIBE flips the marker, RESET clears it."""
+    lake.sql("CREATE TABLE t (id INTEGER, region VARCHAR, v DOUBLE)")
+    lake.insert("t", spark.range(2000).selectExpr(
+        "CAST(id AS INT) AS id",
+        "CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END AS region",
+        "CAST(id AS DOUBLE) AS v",
+    ))
+    lake.sql("ALTER TABLE t SET PARTITIONED BY (region)")
+    desc = {
+        r["column_name"]: r["extra"] for r in lake.sql("DESCRIBE t").collect()
+    }
+    assert desc["region"] == "partition key"
+    # future writes honour the new spec; data stays correct
+    lake.insert("t", spark.range(2000, 2400).selectExpr(
+        "CAST(id AS INT) AS id",
+        "CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END AS region",
+        "CAST(id AS DOUBLE) AS v",
+    ))
+    assert lake.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 2400
+    # partition columns can't be dropped while the spec references them
+    with pytest.raises(Exception, match="partition"):
+        lake.sql("ALTER TABLE t DROP COLUMN region")
+    lake.sql("ALTER TABLE t RESET PARTITIONED BY")
+    desc = {
+        r["column_name"]: r["extra"] for r in lake.sql("DESCRIBE t").collect()
+    }
+    assert desc["region"] is None
+    lake.sql("ALTER TABLE t DROP COLUMN region")  # now allowed
+    from ducktales_spark.lake import LakeError
+
+    with pytest.raises(LakeError, match="unknown partition column"):
+        lake.sql("ALTER TABLE t SET PARTITIONED BY (nope)")
+    # time travel: the pre-reset snapshot still DESCRIBEs with clustering
+    # via the versioned read path (data unaffected either way)
+    assert lake.count("t") == 2400
