@@ -1336,6 +1336,23 @@ class Transaction:
                 row["where_sql"] = rewrite_sql_identifiers(
                     row["where_sql"], {old: new}
                 )
+            if row.get("having_sql") and renames:
+                # the HAVING references STORED/read-face names, which just
+                # changed with the source rename: follow the stored pairs
+                # plus the derived read-face names (avg_<c> rides sum_<c>,
+                # approx_distinct_<c> rides hll_<c>)
+                from .rollup import rewrite_sql_identifiers
+
+                face_map = dict(renames)
+                if (f"sum_{old}", f"sum_{new}") in renames:
+                    face_map[f"avg_{old}"] = f"avg_{new}"
+                if (f"hll_{old}", f"hll_{new}") in renames:
+                    face_map[f"approx_distinct_{old}"] = (
+                        f"approx_distinct_{new}"
+                    )
+                row["having_sql"] = rewrite_sql_identifiers(
+                    row["having_sql"], face_map
+                )
             st_mv = self._state(mv)
             sch = st_mv.schema
             for a, b in renames:

@@ -108,6 +108,18 @@ def _where_of(m) -> Optional[str]:
     return d.get("where_sql") or None
 
 
+def _having_of(m) -> Optional[str]:
+    """The rollup's HAVING predicate over its READ FACE ('' / missing
+    column = none — metas written before HAVING existed simply have
+    none). Unlike where_sql (which filters source rows before they enter
+    the maintained state), having_sql filters GROUPS at read time: the
+    state is always maintained unfiltered, so a group that later crosses
+    the threshold (in either direction) appears/disappears exactly as a
+    from-scratch GROUP BY ... HAVING recompute would show it."""
+    d = m.asDict() if hasattr(m, "asDict") else dict(m)
+    return d.get("having_sql") or None
+
+
 def _key_exprs_of(m) -> dict:
     """The rollup's expression-key map {stored_column_alias: sql_expr}
     ({} / missing column = every key is a plain source column — metas
@@ -216,6 +228,7 @@ def create_rollup(
     replace: bool = False,
     where: Optional[str] = None,
     key_exprs: Optional[dict] = None,
+    having: Optional[str] = None,
 ) -> None:
     """Materialize the initial rollup of ``src`` and its meta table in ONE
     catalog transaction, stamped with the snapshot version it reflects.
@@ -249,7 +262,16 @@ def create_rollup(
     time_col is set — stats skip non-overlapping source files), then
     MERGEd. O(source rows in touched buckets) per refresh instead of
     O(changes) — the standard continuous-aggregate trade for
-    non-invertible aggregates (a deleted max cannot be subtracted out)."""
+    non-invertible aggregates (a deleted max cannot be subtracted out).
+
+    ``having`` is a predicate over the rollup's READ FACE (keys,
+    bucket_start, n_rows, sum_/avg_/min_/max_/count_/distinct_/
+    approx_distinct_ columns). It is applied at READ time only — the
+    state is maintained unfiltered, so groups crossing the threshold in
+    either direction appear/disappear exactly like a from-scratch
+    ``GROUP BY ... HAVING`` recompute (physically dropping sub-threshold
+    groups would instead lose their accumulators and corrupt later
+    refreshes)."""
     keys, sum_cols = tuple(keys), tuple(sum_cols)
     minmax_cols = tuple(minmax_cols)
     count_cols, approx_cols = tuple(count_cols), tuple(approx_cols)
@@ -302,6 +324,20 @@ def create_rollup(
             )
         )
     )
+    meta_dict = {
+        "sum_cols": json.dumps(list(sum_cols)),
+        "approx_cols": json.dumps(list(approx_cols)),
+    }
+    if having:
+        # analyze the predicate against the (empty) read face BEFORE the
+        # transaction: under replace=True a typo'd HAVING must fail here
+        # with the existing rollup untouched
+        try:
+            apply_read_face(df.limit(0), meta_dict).filter(
+                F.expr(having)
+            ).schema
+        except Exception as e:
+            raise RollupError(f"invalid HAVING predicate: {e}") from None
     with lake.transaction() as tx:
         if replace:
             existing = set(lake.tables())
@@ -326,13 +362,15 @@ def create_rollup(
                     json.dumps(list(distinct_cols)),
                     where or "",  # "" = unfiltered
                     json.dumps(key_exprs),  # {} = all keys plain columns
+                    having or "",  # "" = no read-face group filter
                     version,
                 )
             ],
             "src string, time_col string, bucket_s bigint, "
             "keys string, sum_cols string, minmax_cols string, "
             "count_cols string, approx_cols string, distinct_cols string, "
-            "where_sql string, key_exprs string, last_version bigint",
+            "where_sql string, key_exprs string, having_sql string, "
+            "last_version bigint",
         )
         tx.ctas(_meta_name(name), meta)
 
@@ -363,6 +401,11 @@ def apply_read_face(df: DataFrame, meta_row) -> DataFrame:
                 F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)
             ).cast("bigint"),
         ).drop(f"hll_{c}")
+    having = _having_of(meta_row)
+    if having:
+        # read-time group filter (see _having_of): applied AFTER the
+        # derived columns so HAVING may reference avg_/approx_distinct_
+        df = df.filter(F.expr(having))
     return df
 
 

@@ -21,11 +21,14 @@ same statement coverage so a reference user can port scripts verbatim:
   ``SELECT <keys...>, [time_bucket(INTERVAL '1 hour', ts),]
   COUNT(*)/COUNT(col)/COUNT(DISTINCT col)/APPROX_COUNT_DISTINCT(col)/
   SUM/AVG/MIN/MAX(col)... FROM <lake table> [WHERE <pred over source
-  columns, no subqueries>] GROUP BY ...`` — no JOIN/HAVING (the same
-  restriction TimescaleDB continuous aggregates and Materialize place on
-  their incremental paths; the WHERE is maintainable because CDC diff
-  rows carry the predicate columns — the reference's own summary-view
-  pattern filters rows, demos/03_schema_evolution/demo.py:273-288). Reads of
+  columns, no subqueries>] GROUP BY ... [HAVING <pred over the selected
+  aggregates/keys>]`` — no JOIN (the same restriction TimescaleDB
+  continuous aggregates and Materialize place on their incremental
+  paths; the WHERE is maintainable because CDC diff rows carry the
+  predicate columns — the reference's own summary-view pattern filters
+  rows, demos/03_schema_evolution/demo.py:273-288 — and the HAVING is a
+  READ-TIME group filter over the maintained face, so state for a group
+  that dips below the threshold is never lost). Reads of
   the MV go through :func:`~ducktales_spark.lake.rollup.read_rollup`, so
   ``SELECT avg_<c> FROM mv`` works without hand-dividing and
   ``approx_distinct_<c>`` reads as the HLL estimate, never raw sketch
@@ -666,6 +669,13 @@ class SQLExecutor:
         r"^time_bucket\s*\(\s*(?:INTERVAL\s+'(\d+)\s*"
         rf"(second|minute|hour|day)s?'|(\d+))\s*,\s*({_IDENT})\s*\)"
         rf"(?:\s+AS\s+({_IDENT}))?$",
+        re.I,
+    )
+    # unanchored _MV_AGG twin for rewriting aggregate spellings inside a
+    # HAVING predicate to their canonical read-face column names
+    _MV_HAVING_AGG = re.compile(
+        rf"\b(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*"
+        rf"\(\s*(DISTINCT\s+)?(\*|{_IDENT})\s*\)",
         re.I,
     )
 
@@ -1471,8 +1481,9 @@ class SQLExecutor:
             "subset: SELECT <keys...>, [time_bucket(...),] "
             "COUNT(*)/COUNT([DISTINCT] col)/APPROX_COUNT_DISTINCT(col)/"
             "SUM/AVG/MIN/MAX(col)... FROM <lake table> "
-            "[WHERE <pred over source columns>] [GROUP BY ...] — "
-            "no JOIN/HAVING/subqueries"
+            "[WHERE <pred over source columns>] [GROUP BY ...] "
+            "[HAVING <pred over the selected aggregates/keys>] — "
+            "no JOIN/subqueries"
         )
         m = re.match(
             rf"^SELECT\s+(.*?)\s+FROM\s+({_IDENT})\b(.*)$",
@@ -1482,7 +1493,7 @@ class SQLExecutor:
         if not m:
             raise bad_shape
         items, src, tail = m.group(1), m.group(2), m.group(3)
-        where, gb = None, None
+        where, gb, having = None, None, None
         tail = tail.strip()
         if tail:
             gidx = None
@@ -1495,8 +1506,18 @@ class SQLExecutor:
                 gb = re.sub(
                     r"^GROUP\s+BY\s+", "", tail[gidx:], flags=re.I | re.S
                 ).strip()
-                if _top_keyword_positions(gb, "HAVING"):
-                    raise bad_shape
+                hpos = _top_keyword_positions(gb, "HAVING")
+                if hpos:
+                    having = gb[hpos[0] + len("HAVING"):].strip()
+                    gb = gb[: hpos[0]].strip()
+            elif head:
+                # HAVING with no GROUP BY (global-aggregate MV)
+                hpos = _top_keyword_positions(head, "HAVING")
+                if hpos:
+                    having = head[hpos[0] + len("HAVING"):].strip()
+                    head = head[: hpos[0]].strip()
+            if having == "":
+                raise LakeSQLError("HAVING requires a predicate")
             if head:
                 mw = re.match(r"^WHERE\s+(.*)$", head, re.I | re.S)
                 if not mw:
@@ -1696,6 +1717,20 @@ class SQLExecutor:
         if has_bucket and not covered_bucket:
             raise LakeSQLError("time_bucket(...) must appear in GROUP BY")
 
+        if having is not None:
+            having = self._rewrite_mv_having(
+                having,
+                sum_cols=sum_cols,
+                minmax_cols=minmax_cols,
+                count_cols=count_cols,
+                approx_cols=approx_cols,
+                distinct_cols=distinct_cols,
+            )
+            # same discipline as the WHERE/key-expr guards: a volatile or
+            # subquery-bearing HAVING would make two reads of the same MV
+            # version disagree
+            self._mv_guard_deterministic(having, src, "HAVING")
+
         return {
             "src": src,
             "time_col": time_col,
@@ -1708,7 +1743,106 @@ class SQLExecutor:
             "approx_cols": tuple(approx_cols),
             "distinct_cols": tuple(distinct_cols),
             "where": where,
+            "having": having,
         }
+
+    def _rewrite_mv_having(
+        self, text: str, *, sum_cols, minmax_cols, count_cols,
+        approx_cols, distinct_cols,
+    ) -> str:
+        """Rewrite aggregate-function spellings in a HAVING predicate to
+        the rollup's canonical read-face column names (``COUNT(*)`` ->
+        n_rows, ``SUM(c)`` -> sum_c, ``AVG(c)`` -> avg_c, ``MIN/MAX(c)``
+        -> min_c/max_c, ``COUNT(c)`` -> count_c, ``COUNT(DISTINCT c)`` ->
+        distinct_c, ``APPROX_COUNT_DISTINCT(c)`` -> approx_distinct_c),
+        refusing aggregates the view does not maintain — HAVING can only
+        be answered from maintained state, never by re-scanning the
+        source at read time. Canonical names (``HAVING sum_c > 5``) and
+        key/bucket_start references pass through untouched."""
+        pools = {
+            "sum": {c.lower(): c for c in sum_cols},
+            "minmax": {c.lower(): c for c in minmax_cols},
+            "count": {c.lower(): c for c in count_cols},
+            "approx": {c.lower(): c for c in approx_cols},
+            "distinct": {c.lower(): c for c in distinct_cols},
+        }
+
+        def canon(m: "re.Match") -> str:
+            fn = m.group(1).upper()
+            is_distinct = bool(m.group(2))
+            arg = m.group(3)
+
+            def need(pool: str, face: str) -> str:
+                hit = pools[pool].get(arg.lower())
+                if hit is None:
+                    shown = re.sub(r"\s+", " ", m.group(0))
+                    raise LakeSQLError(
+                        f"HAVING references {shown!r} but the view does "
+                        "not maintain that aggregate: add it to the "
+                        "SELECT list"
+                    )
+                return face.format(hit)
+
+            if arg == "*":
+                if fn == "COUNT" and not is_distinct:
+                    return "n_rows"
+                what = f"{fn}(DISTINCT *)" if is_distinct else f"{fn}(*)"
+                raise LakeSQLError(
+                    f"{what} is not a valid aggregate: it takes a "
+                    "column argument"
+                )
+            if is_distinct:
+                if fn != "COUNT":
+                    raise LakeSQLError(
+                        f"DISTINCT is only maintained under COUNT "
+                        f"(got {fn}(DISTINCT {arg}) in HAVING)"
+                    )
+                return need("distinct", "distinct_{}")
+            if fn == "COUNT":
+                return need("count", "count_{}")
+            if fn == "APPROX_COUNT_DISTINCT":
+                return need("approx", "approx_distinct_{}")
+            if fn in ("SUM", "AVG"):
+                return need("sum", fn.lower() + "_{}")
+            return need("minmax", fn.lower() + "_{}")  # MIN / MAX
+
+        # literal-aware substitution: copy string literals verbatim,
+        # rewrite only the SQL text between them
+        out, i, n = [], 0, len(text)
+        while i < n:
+            if text[i] == "'":
+                j = i + 1
+                while j < n:
+                    if text[j] == "'":
+                        if j + 1 < n and text[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(text[i : j + 1])
+                i = j + 1
+            else:
+                j = text.find("'", i)
+                seg = text[i:] if j < 0 else text[i:j]
+                out.append(self._MV_HAVING_AGG.sub(canon, seg))
+                i = n if j < 0 else j
+        rewritten = "".join(out)
+        # any aggregate CALL still standing is one the face cannot serve
+        called = {
+            t.lower()
+            for t in re.findall(
+                r"([A-Za-z_][A-Za-z0-9_]*)\s*\(",
+                re.sub(r"'(?:[^']|'')*'", "''", rewritten),
+            )
+        }
+        bad = sorted(called & self._MV_AGG_NAMES)
+        if bad:
+            raise LakeSQLError(
+                f"HAVING aggregate {bad} is not maintained by this view: "
+                "only its selected aggregates (or scalar expressions over "
+                "them) may appear"
+            )
+        return rewritten
 
     def _create_mv(self, name: str, body: str, replace: bool) -> DataFrame:
         from .rollup import create_rollup
@@ -1790,6 +1924,7 @@ class SQLExecutor:
             replace=is_replace,
             where=spec["where"],
             key_exprs=spec["key_exprs"],
+            having=spec["having"],
         )
         return self._status("CREATE MATERIALIZED VIEW", 0)
 

@@ -488,12 +488,7 @@ def test_materialized_view_keys_only_and_minmax_sql(lake):
 def test_materialized_view_sql_errors(lake):
     lake.sql("CREATE TABLE src (k INT, v DOUBLE)")
     lake.sql("INSERT INTO src VALUES (1, 2.0)")
-    # WHERE is supported (filtered MVs) — HAVING/JOIN still are not
-    with pytest.raises(LakeSQLError, match="maintainable subset"):
-        lake.sql(
-            "CREATE MATERIALIZED VIEW bad AS "
-            "SELECT k, COUNT(*) FROM src GROUP BY k HAVING COUNT(*) > 1"
-        )
+    # WHERE and HAVING are supported — JOIN still is not
     with pytest.raises(LakeSQLError, match="maintainable subset"):
         lake.sql(
             "CREATE MATERIALIZED VIEW bad AS "
@@ -661,6 +656,135 @@ def test_mv_count_col_and_distinct_sql(lake):
             "CREATE MATERIALIZED VIEW bad AS SELECT region, "
             "COUNT(DISTINCT *) FROM sales GROUP BY region"
         )
+
+
+def test_mv_having_sql(lake):
+    """HAVING on a materialized view is a READ-TIME group filter over the
+    maintained face: the state stays maintained unfiltered, so groups
+    crossing the threshold in either direction appear/disappear exactly
+    like a from-scratch GROUP BY ... HAVING recompute."""
+    lake.sql("CREATE TABLE sales (region VARCHAR, amt DOUBLE)")
+    lake.sql(
+        "INSERT INTO sales VALUES "
+        "('eu', 10.0), ('eu', 20.0), ('us', 1.0), ('ap', 50.0)"
+    )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW big AS "
+        "SELECT region, COUNT(*), SUM(amt) FROM sales "
+        "GROUP BY region HAVING COUNT(*) >= 2 AND AVG(amt) > 5.0"
+    )
+
+    def recompute():
+        return _mv_rows(
+            lake,
+            "SELECT region, count(*) AS n_rows, sum(amt) AS sum_amt "
+            "FROM sales GROUP BY region "
+            "HAVING count(*) >= 2 AND avg(amt) > 5.0",
+        )
+
+    def mv():
+        return _mv_rows(lake, "SELECT region, n_rows, sum_amt FROM big")
+
+    assert mv() == recompute()
+    assert [r[0] for r in mv()] == ["eu"]
+
+    # 'us' crosses INTO the threshold, 'eu' drops OUT (avg falls to 5):
+    # read-time filtering shows both transitions after one refresh
+    v0 = lake.current_version()
+    lake.sql("INSERT INTO sales VALUES ('us', 99.0), ('eu', 0.0)")
+    lake.sql("DELETE FROM sales WHERE region = 'eu' AND amt = 20.0")
+    lake.sql("REFRESH MATERIALIZED VIEW big")
+    assert mv() == recompute()
+    assert [r[0] for r in mv()] == ["us"]
+    # time travel re-applies the predicate of THAT version's meta
+    old = lake.sql(
+        "SELECT region FROM big AT (VERSION => {})".format(v0)
+    ).collect()
+    assert [r["region"] for r in old] == ["eu"]
+
+    # canonical read-face names are equally legal in HAVING, and the
+    # face derivations (avg_<c>) are visible to it
+    lake.sql(
+        "CREATE MATERIALIZED VIEW big2 AS "
+        "SELECT region, COUNT(*), SUM(amt) FROM sales "
+        "GROUP BY region HAVING sum_amt > 50.0 OR avg_amt > 50.0"
+    )
+    got = {r["region"] for r in lake.sql("SELECT region FROM big2").collect()}
+    assert got == {"us"}
+    # DESCRIBE still shows the face (HAVING changes rows, not columns)
+    desc = {r["column_name"] for r in lake.sql("DESCRIBE big2").collect()}
+    assert {"region", "n_rows", "sum_amt", "avg_amt"} <= desc
+
+
+def test_mv_having_errors(lake):
+    lake.sql("CREATE TABLE t (k VARCHAR, v DOUBLE, w DOUBLE)")
+    lake.sql("INSERT INTO t VALUES ('a', 1.0, 2.0)")
+    # an aggregate the view does not maintain cannot be answered from
+    # the face — the error says to add it to the SELECT list
+    with pytest.raises(LakeSQLError, match="does not maintain"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT k, COUNT(*) FROM t "
+            "GROUP BY k HAVING SUM(w) > 1"
+        )
+    # aggregates outside the maintainable family are refused by name
+    with pytest.raises(LakeSQLError, match="not maintained by this view"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT k, COUNT(*) FROM t "
+            "GROUP BY k HAVING stddev(v) > 1"
+        )
+    with pytest.raises(LakeSQLError, match="deterministic"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT k, COUNT(*) FROM t "
+            "GROUP BY k HAVING n_rows > rand()"
+        )
+    with pytest.raises(LakeSQLError, match="requires a predicate"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT k, COUNT(*) FROM t "
+            "GROUP BY k HAVING"
+        )
+    with pytest.raises(LakeSQLError, match=r"SUM\(\*\)"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT k, COUNT(*) FROM t "
+            "GROUP BY k HAVING SUM(*) > 1"
+        )
+    # a typo'd face column fails BEFORE anything is dropped or written
+    # (engine probe against the empty face), old MV intact under REPLACE
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v) "
+        "FROM t GROUP BY k HAVING n_rows > 0"
+    )
+    with pytest.raises(Exception, match="invalid HAVING"):
+        lake.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW mv AS "
+            "SELECT k, COUNT(*), SUM(v) FROM t GROUP BY k "
+            "HAVING nope_col > 1"
+        )
+    assert {r["k"] for r in lake.sql("SELECT k FROM mv").collect()} == {"a"}
+
+
+def test_mv_having_rename_follow_through(lake):
+    """Renaming a source column the HAVING references (through its stored
+    sum_<c>/avg_<c>/key spellings) rewrites the stored predicate in the
+    same transaction, so reads and refreshes keep resolving."""
+    lake.sql("CREATE TABLE ev (k VARCHAR, v DOUBLE)")
+    lake.sql("INSERT INTO ev VALUES ('a', 10.0), ('a', 20.0), ('b', 1.0)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v) "
+        "FROM ev GROUP BY k "
+        "HAVING SUM(v) > 5.0 AND AVG(v) > 2.0 AND k <> 'zz'"
+    )
+    lake.sql("ALTER TABLE ev RENAME COLUMN v TO amount")
+    lake.sql("ALTER TABLE ev RENAME COLUMN k TO grp")
+    assert [
+        r["grp"] for r in lake.sql("SELECT grp FROM mv").collect()
+    ] == ["a"]
+    lake.sql("INSERT INTO ev VALUES ('b', 99.0)")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        r["grp"]: r["sum_amount"]
+        for r in lake.sql("SELECT grp, sum_amount FROM mv").collect()
+    }
+    assert got == {"a": 30.0, "b": 100.0}
 
 
 def test_alter_type_widens_dependent_mv_state(lake):

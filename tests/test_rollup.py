@@ -742,3 +742,49 @@ def test_expression_keys_nonadditive_partial_recompute(spark, lake):
         for r in lake.read("mv").collect()
     }
     assert rows == {"a.com": (5.0, 10.0), "b.org": (30.0, 30.0)}
+
+
+def test_having_python_api_read_face_filter(spark, lake):
+    """create_rollup(having=...) filters GROUPS at read time only: the
+    state stays maintained for every group, so incremental refreshes keep
+    sub-threshold accumulators alive and read_rollup always equals the
+    from-scratch GROUP BY ... HAVING recompute."""
+    from ducktales_spark.lake.rollup import RollupError, read_rollup
+
+    lake.ctas("ev", _mk_events(spark, BASE))
+    create_rollup(
+        lake, "mv", "ev", time_col=None, keys=("user_id",),
+        sum_cols=("value",), having="n_rows >= 2 AND avg_value > 20.0",
+    )
+    got = {r["user_id"] for r in read_rollup(lake, "mv").collect()}
+    # user 1: n=3 avg=23.3 (in); user 2: n=2 avg=40 (in)
+    assert got == {1, 2}
+    # drop user 2 below the row threshold, push user 1 below the avg:
+    # both groups disappear from the face but their state persists
+    lake.delete("ev", where="event_id = 5")
+    lake.insert("ev", _mk_events(
+        spark, [(6, "2024-01-01 04:00:00", 1, 0.0)]
+    ))
+    refresh_rollup(lake, "mv")
+    assert read_rollup(lake, "mv").count() == 0
+    state = {
+        r["user_id"]: r["n_rows"] for r in lake.read("mv").collect()
+    }
+    assert state == {1: 4, 2: 1}  # accumulators alive under the face
+    # and a later insert resurfaces the group with full history intact
+    lake.insert("ev", _mk_events(
+        spark, [(7, "2024-01-01 05:00:00", 2, 99.0)]
+    ))
+    refresh_rollup(lake, "mv")
+    rows = {
+        r["user_id"]: (r["n_rows"], r["sum_value"])
+        for r in read_rollup(lake, "mv").collect()
+    }
+    assert rows == {2: (2, 129.0)}
+    # invalid predicates fail BEFORE any transaction starts
+    with pytest.raises(RollupError, match="invalid HAVING"):
+        create_rollup(
+            lake, "mv2", "ev", time_col=None, keys=("user_id",),
+            sum_cols=("value",), having="no_such_col > 1",
+        )
+    assert "mv2" not in lake.tables()
