@@ -1166,6 +1166,7 @@ class Transaction:
             d = _decimal(t)
             # Spark: sum(decimal(p,s)) -> decimal(min(38, p+10), s)
             sum_t = f"decimal({min(38, d[0] + 10)},{d[1]})" if d else None
+        probe = None  # empty source-schema frame, built once across MVs
         for mv, row, _cols in self._dependent_rollups(src_name):
             ke = json.loads(row.get("key_exprs") or "{}")
             targets = {}
@@ -1194,9 +1195,10 @@ class Transaction:
             sch = st_mv.schema
             changed = False
             if expr_key_hits:
-                probe = self.c.spark.createDataFrame(
-                    [], self._state(src_name).schema.to_struct()
-                )
+                if probe is None:
+                    probe = self.c.spark.createDataFrame(
+                        [], self._state(src_name).schema.to_struct()
+                    )
                 for a in expr_key_hits:
                     new_t = (
                         probe.select(F.expr(ke[a]).alias(a))
@@ -1204,7 +1206,13 @@ class Transaction:
                     )
                     if sch.field_by_name(a).type.lower() != new_t.lower():
                         targets[a] = new_t
-                resketch = True  # rebuild: expr output values may change
+                # rebuild UNCONDITIONALLY: even a same-family widen with an
+                # unchanged alias type can change expr OUTPUT VALUES
+                # (typeof(v) flips 'int'->'bigint'; a string cast flips
+                # '7'->'7.0' on cross-family) — proving value-invariance
+                # would need expression analysis, and widening is a rare
+                # explicit-DDL moment, so conservative is correct
+                resketch = True
             for cname, ctype in targets.items():
                 if sch.field_by_name(cname).type.lower() != ctype:
                     # force: sum state follows Spark's sum type for the
@@ -1836,40 +1844,8 @@ class Transaction:
             )
         if not on:
             raise LakeError("merge requires at least one key column")
-        st = self._state(name)
-        sch = st.schema
-        if auto_merge_schema:
-            from .schema import can_widen
-
-            # case-INSENSITIVE detection (the lake's column model is
-            # case-sensitive, but creating a case-duplicate of an existing
-            # column would make every later reference ambiguous): a source
-            # column differing only in case widens the canonical target
-            # column, never adds a twin
-            tnames = {f.name.lower(): f.name for f in sch.fields}
-            evolved = False
-            for sf in source.schema.fields:
-                stype = sf.dataType.simpleString()
-                low = sf.name.lower()
-                if sf.name == sequence_col and low not in tnames:
-                    continue  # transport metadata, never auto-added
-                if low not in tnames:
-                    self.add_column(name, sf.name, stype)
-                    evolved = True
-                    continue
-                canonical = tnames[low]
-                ttype = sch.field_by_name(canonical).type
-                if ttype.lower() != stype.lower() and can_widen(
-                    ttype, stype
-                ):
-                    self.alter_column_type(name, canonical, stype)
-                    evolved = True
-            if evolved:
-                st = self._state(name)
-                sch = st.schema
-        for k in on:
-            sch.field_by_name(k)
         if sequence_col is not None:
+            # schema-free presence checks, BEFORE any staged DDL below
             if sequence_col not in source.columns:
                 raise LakeError(
                     f"merge source lacks sequence column {sequence_col!r}"
@@ -1879,28 +1855,6 @@ class Transaction:
                 raise LakeError(
                     f"merge source lacks key column(s) {missing}"
                 )
-            from pyspark.sql.window import Window
-
-            # latest-wins per key; rank (not row_number) keeps exact
-            # (key, sequence) ties so the duplicate-key check below turns
-            # an ambiguous feed into a clean error
-            w = Window.partitionBy(*on).orderBy(
-                F.col(sequence_col).desc_nulls_last()
-            )
-            source = (
-                source.withColumn("__seq_rk", F.rank().over(w))
-                .filter(F.col("__seq_rk") == 1)
-                .drop("__seq_rk")
-            )
-            if sequence_col not in {f.name for f in sch.fields} and not (
-                clausal
-                or update_sets is not None
-                or insert_sets is not None
-            ):
-                # the flat form aligns the source to the target schema —
-                # a non-target sequence column has done its job (custom
-                # forms keep it: expressions may reference __s_<seq>)
-                source = source.drop(sequence_col)
         if clausal:
             mc = [dict(cl) for cl in (matched_clauses or [])]
             nmc = [dict(cl) for cl in (not_matched_clauses or [])]
@@ -1955,7 +1909,9 @@ class Transaction:
                 for txt in [cl["cond"] or ""] + [
                     str(v) for v in (cl.get("sets") or {}).values()
                 ]:
-                    if "__s_" in txt:
+                    # literal-stripped: a '__s_' inside a STRING LITERAL
+                    # is data, not a source-column reference
+                    if "__s_" in re.sub(r"'(?:[^']|'')*'", "''", txt):
                         raise LakeError(
                             "by-source clause expressions see only the "
                             "target row — no source columns are in scope"
@@ -1977,6 +1933,73 @@ class Transaction:
                 else []
             )
             bsc = []
+        st = self._state(name)
+        sch = st.schema
+        if auto_merge_schema:
+            # Staged DDL starts HERE — everything parseable was validated
+            # above, so a statement that fails its parse-level checks never
+            # leaves schema evolution behind in an explicit transaction.
+            # (Failures past this point — e.g. the duplicate-merge-key
+            # check, which needs a Spark job — are restored by the SQL
+            # face's statement-level snapshot; Python-API callers get the
+            # transaction context manager's full rollback.)
+            from .schema import can_widen
+
+            # case-INSENSITIVE detection (the lake's column model is
+            # case-sensitive, but creating a case-duplicate of an existing
+            # column would make every later reference ambiguous): a source
+            # column differing only in case widens the canonical target
+            # column, never adds a twin
+            tnames = {f.name.lower(): f.name for f in sch.fields}
+            evolved = False
+            for sf in source.schema.fields:
+                stype = sf.dataType.simpleString()
+                low = sf.name.lower()
+                if sf.name == sequence_col and low not in tnames:
+                    continue  # transport metadata, never auto-added
+                if low not in tnames:
+                    self.add_column(name, sf.name, stype)
+                    evolved = True
+                    continue
+                canonical = tnames[low]
+                ttype = sch.field_by_name(canonical).type
+                if ttype.lower() != stype.lower() and can_widen(
+                    ttype, stype
+                ):
+                    self.alter_column_type(name, canonical, stype)
+                    evolved = True
+            if evolved:
+                st = self._state(name)
+                sch = st.schema
+        for k in on:
+            sch.field_by_name(k)
+        if sequence_col is not None:
+            from pyspark.sql.window import Window
+
+            # latest-wins per key; rank (not row_number) keeps exact
+            # (key, sequence) ties so the duplicate-key check below turns
+            # an ambiguous feed into a clean error. Partition by the keys
+            # CAST to the target type — matching and the duplicate check
+            # both compare cast keys, so source keys that only coincide
+            # after the cast ('01' and '1' against an int key) must dedup
+            # as ONE key here, not two
+            w = Window.partitionBy(
+                *[F.col(k).cast(sch.field_by_name(k).type) for k in on]
+            ).orderBy(F.col(sequence_col).desc_nulls_last())
+            source = (
+                source.withColumn("__seq_rk", F.rank().over(w))
+                .filter(F.col("__seq_rk") == 1)
+                .drop("__seq_rk")
+            )
+            if sequence_col not in {f.name for f in sch.fields} and not (
+                clausal
+                or update_sets is not None
+                or insert_sets is not None
+            ):
+                # the flat form aligns the source to the target schema —
+                # a non-target sequence column has done its job (custom
+                # forms keep it: expressions may reference __s_<seq>)
+                source = source.drop(sequence_col)
         custom = clausal or update_sets is not None or insert_sets is not None
         nmc_conditional = any(cl.get("cond") for cl in nmc)
         if custom:
@@ -2702,6 +2725,36 @@ class Transaction:
         self._cleanup_staged()
         self._states.clear()
         self._view_ops.clear()
+
+    # -- statement-level atomicity (SQL face) ---------------------------
+    def _snapshot_staging(self):
+        """Deep copy of the driver-side staging buffers, taken by the SQL
+        executor before each statement inside an explicit transaction so a
+        FAILED statement restores them — Postgres/DuckDB statement
+        atomicity. Without this, a statement that stages mutations before
+        its failure point (e.g. MERGE WITH SCHEMA EVOLUTION staging an ADD
+        COLUMN and then hitting the duplicate-merge-key check) would leave
+        those mutations for a later COMMIT to persist. Everything here is
+        plain driver-side data (TableState/FileEntry/TableSchema — no
+        DataFrames), so deepcopy is safe; _staged_dirs is deliberately NOT
+        restored (parquet staged by the failed statement simply becomes
+        unreferenced, collected by gc() like any crash residue)."""
+        import copy
+
+        return (
+            copy.deepcopy(self._states),
+            list(self._view_ops),
+            dict(self._replaced),
+            copy.deepcopy(self._rollup_metas_cache),
+        )
+
+    def _restore_staging(self, snap) -> None:
+        (
+            self._states,
+            self._view_ops,
+            self._replaced,
+            self._rollup_metas_cache,
+        ) = snap
 
     def _cleanup_staged(self) -> None:
         for d in self._staged_dirs:

@@ -194,6 +194,33 @@ def scan_sql_identifiers(text: str, with_qualifiers: bool = False):
         i = j
 
 
+def map_sql_nonliteral(text: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``text`` OUTSIDE single-quoted
+    string literals (''-escape aware), copying literals verbatim — the
+    ONE literal-walk shared by the HAVING aggregate rewriter and SQL-text
+    normalization, using the same quoting rules as
+    :func:`scan_sql_identifiers` (a future quoting fix lands in both)."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i : j + 1])
+            i = j + 1
+        else:
+            j = text.find("'", i)
+            seg = text[i:] if j < 0 else text[i:j]
+            out.append(fn(seg))
+            i = n if j < 0 else j
+    return "".join(out)
+
+
 def rewrite_sql_identifiers(text: str, mapping: dict) -> str:
     """Replace bare identifiers per ``mapping`` (case-insensitive keys),
     leaving literals and function names alone."""

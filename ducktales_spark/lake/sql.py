@@ -42,7 +42,9 @@ same statement coverage so a reference user can port scripts verbatim:
 * ``INSERT INTO t [(cols)] VALUES (...), (...)`` (demo 01:58-66) and
   ``INSERT INTO t [(cols)] <select>`` (demos/02_time_travel/demo.py:228-235)
 * ``UPDATE t SET a = expr [, ...] [WHERE pred]`` (demo 01:96-102)
-* ``DELETE FROM t [WHERE pred]`` (demos/02_time_travel/demo.py:112)
+* ``DELETE FROM t [WHERE pred]`` (demos/02_time_travel/demo.py:112) and
+  ``TRUNCATE [TABLE] t`` (DuckDB's spelling of the metadata-only full
+  delete)
 * anything else -> read query via Catalyst, with the ``AT (VERSION|TIMESTAMP
   =>)`` time-travel rewrite (README.md:216-220)
 
@@ -145,6 +147,20 @@ def _strip(sql: str) -> str:
         out.append(ch)
         i += 1
     return "".join(out).strip().rstrip(";").strip()
+
+
+def _norm_sql_expr(t: str) -> str:
+    """Normalize one SQL expression for TEXTUAL identity comparison:
+    lowercase + collapse whitespace OUTSIDE string literals, literals
+    verbatim — so ``concat(r, 'EU')`` never compares equal to
+    ``concat(r, 'eu')`` (the matching is textual, like Postgres matching
+    a GROUP BY item to a select expression by equivalence; semantically
+    different literals must be a mismatch)."""
+    from .rollup import map_sql_nonliteral
+
+    return map_sql_nonliteral(
+        t, lambda s: re.sub(r"\s+", " ", s).lower()
+    ).strip()
 
 
 def _split_top(s: str) -> list:
@@ -304,6 +320,27 @@ class SQLExecutor:
 
     # ------------------------------------------------------------------
     def execute(self, sql: str, version=None) -> DataFrame:
+        """Statement dispatch, with STATEMENT-LEVEL ATOMICITY inside an
+        explicit transaction (Postgres/DuckDB semantics): a statement that
+        raises restores the transaction's staging buffers to their
+        pre-statement state, so a later COMMIT can never persist the
+        partial effects of a failed statement (e.g. schema evolution a
+        failed MERGE WITH SCHEMA EVOLUTION had staged). Snapshot/restore
+        is pure driver-side metadata — no Spark job."""
+        tx = self._tx
+        if tx is None or re.match(
+            r"^(BEGIN|COMMIT|ROLLBACK)\b", _strip(sql), re.I
+        ):
+            return self._execute_stmt(sql, version)
+        snap = tx._snapshot_staging()
+        try:
+            return self._execute_stmt(sql, version)
+        except BaseException:
+            if self._tx is tx:  # txn still open: undo this statement only
+                tx._restore_staging(snap)
+            raise
+
+    def _execute_stmt(self, sql: str, version=None) -> DataFrame:
         q = _strip(sql)
 
         if re.match(r"^BEGIN(\s+TRANSACTION)?$", q, re.I):
@@ -632,6 +669,20 @@ class SQLExecutor:
 
             self._run(op)
             return self._status("DELETE", n[0])
+
+        m = re.match(rf"^TRUNCATE\s+(?:TABLE\s+)?({_IDENT})$", q, re.I)
+        if m:
+            # DuckDB's TRUNCATE spelling of the full-table DELETE: the
+            # engine's no-WHERE delete is metadata-only (files marked
+            # removed, no rewrite), so this is O(metadata) at any scale
+            name = m.group(1)
+            n = [0]
+
+            def op(tx):
+                n[0] = tx.delete(name, None)
+
+            self._run(op)
+            return self._status("TRUNCATE", n[0])
 
         m = re.match(
             r"^MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\b", q, re.I
@@ -1414,13 +1465,18 @@ class SQLExecutor:
                 "as the reference's ducklake DDL-in-txn limits)"
             )
 
-    def _mv_guard_deterministic(self, text: str, src: str, what: str):
+    def _mv_guard_deterministic(
+        self, text: str, src: str, what: str, extra_cols=()
+    ):
         """Refuse subqueries and non-deterministic / time-dependent names
         in a maintained MV expression (WHERE predicate or expression key):
         the value is computed ONCE, at the refresh that sees a row's diff
         — now()/rand() would make create, each refresh, and a recompute
         all disagree (TimescaleDB restricts cagg expressions to immutable
-        functions the same way)."""
+        functions the same way). ``extra_cols`` names additional
+        legitimate column references beyond the source schema (HAVING
+        sees the READ FACE, so an expression-key alias named 'today' or
+        'random' resolves as a deterministic column there)."""
         stripped = re.sub(r"'(?:[^']|'')*'", "''", text)
         idents = {
             t.lower()
@@ -1443,6 +1499,7 @@ class SQLExecutor:
             if self._table_exists(src)
             else set()
         )
+        src_cols |= {c.lower() for c in extra_cols}
         niladic = {
             "current_timestamp", "current_date", "current_time",
             "localtimestamp",
@@ -1693,13 +1750,12 @@ class SQLExecutor:
             elif tl in {k.lower() for k in keys}:
                 covered_keys.add(tl)
             elif any(
-                re.sub(r"\s+", " ", e).lower() == re.sub(r"\s+", " ", t).lower()
+                _norm_sql_expr(e) == _norm_sql_expr(t)
                 for e in key_exprs.values()
             ):
                 covered_keys.add(next(
                     a.lower() for a, e in key_exprs.items()
-                    if re.sub(r"\s+", " ", e).lower()
-                    == re.sub(r"\s+", " ", t).lower()
+                    if _norm_sql_expr(e) == _norm_sql_expr(t)
                 ))
             elif has_bucket and (
                 tl == "bucket_start"
@@ -1728,8 +1784,12 @@ class SQLExecutor:
             )
             # same discipline as the WHERE/key-expr guards: a volatile or
             # subquery-bearing HAVING would make two reads of the same MV
-            # version disagree
-            self._mv_guard_deterministic(having, src, "HAVING")
+            # version disagree. Keys (incl. expression-key aliases) are
+            # legitimate face references even when named like a volatile
+            # function.
+            self._mv_guard_deterministic(
+                having, src, "HAVING", extra_cols=keys
+            )
 
         return {
             "src": src,
@@ -1808,25 +1868,11 @@ class SQLExecutor:
 
         # literal-aware substitution: copy string literals verbatim,
         # rewrite only the SQL text between them
-        out, i, n = [], 0, len(text)
-        while i < n:
-            if text[i] == "'":
-                j = i + 1
-                while j < n:
-                    if text[j] == "'":
-                        if j + 1 < n and text[j + 1] == "'":
-                            j += 2
-                            continue
-                        break
-                    j += 1
-                out.append(text[i : j + 1])
-                i = j + 1
-            else:
-                j = text.find("'", i)
-                seg = text[i:] if j < 0 else text[i:j]
-                out.append(self._MV_HAVING_AGG.sub(canon, seg))
-                i = n if j < 0 else j
-        rewritten = "".join(out)
+        from .rollup import map_sql_nonliteral
+
+        rewritten = map_sql_nonliteral(
+            text, lambda seg: self._MV_HAVING_AGG.sub(canon, seg)
+        )
         # any aggregate CALL still standing is one the face cannot serve
         called = {
             t.lower()

@@ -2074,3 +2074,113 @@ def test_alter_table_set_partitioned_by_sql(lake, spark):
     # time travel: the pre-reset snapshot still DESCRIBEs with clustering
     # via the versioned read path (data unaffected either way)
     assert lake.count("t") == 2400
+
+
+# -- round-10 second review-pass fixes ---------------------------------------
+
+
+def test_failed_statement_restores_staging_in_explicit_txn(lake):
+    """Statement-level atomicity (Postgres/DuckDB semantics): a statement
+    that fails inside BEGIN restores the transaction's staging to its
+    pre-statement state — in particular, schema evolution staged by a
+    MERGE WITH SCHEMA EVOLUTION that later hits the duplicate-merge-key
+    check must not survive into a subsequent COMMIT."""
+    lake.sql("CREATE TABLE t (id INT, v INT)")
+    lake.sql("INSERT INTO t VALUES (1, 10)")
+    lake.sql("CREATE TABLE feed (id INT, v INT, extra INT)")
+    lake.sql("INSERT INTO feed VALUES (1, 11, 7), (1, 12, 8)")  # dup keys
+    lake.sql("BEGIN")
+    lake.sql("INSERT INTO t VALUES (2, 20)")  # pre-failure work survives
+    with pytest.raises(Exception, match="duplicate merge keys"):
+        lake.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO t USING feed "
+            "ON t.id = feed.id WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    lake.sql("COMMIT")
+    assert "extra" not in lake.read("t").columns  # DDL did not leak
+    got = {r["id"]: r["v"] for r in lake.read("t").collect()}
+    assert got == {1: 10, 2: 20}  # merge wrote nothing; insert committed
+
+
+def test_sequence_by_dedups_on_cast_keys(spark, lake):
+    """SEQUENCE BY partitions by the keys CAST to the target type: source
+    keys that only coincide after the cast ('01' and '1' against an int
+    key) are ONE logical key — latest-wins, not a duplicate-key error."""
+    lake.sql("CREATE TABLE t (id INT, v INT)")
+    lake.sql("INSERT INTO t VALUES (1, 0)")
+    feed = spark.createDataFrame(
+        [("01", 11, 1), ("1", 12, 2)], "id string, v int, seq int"
+    )
+    with lake.transaction() as tx:
+        res = tx.merge("t", feed, on=["id"], sequence_col="seq")
+    assert res["matched"] == 1
+    assert {r["v"] for r in lake.read("t").collect()} == {12}  # seq 2 won
+
+
+def test_by_source_literal_with_source_prefix_is_data(lake):
+    """A '__s_' inside a STRING LITERAL of a by-source clause is data, not
+    a source-column reference — the scope guard must not false-positive."""
+    lake.sql("CREATE TABLE t (id INT, note VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    lake.sql("CREATE TABLE k (id INT)")
+    lake.sql("INSERT INTO k VALUES (1)")
+    lake.sql(
+        "MERGE INTO t USING k ON t.id = k.id "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'retired__s_24'"
+    )
+    got = {r["id"]: r["note"] for r in lake.read("t").collect()}
+    assert got == {1: "a", 2: "retired__s_24"}
+
+
+def test_mv_group_by_expr_literal_case_mismatch_rejected(lake):
+    """GROUP BY coverage matches expression keys TEXTUALLY with literals
+    compared verbatim: a GROUP BY expression whose string literal differs
+    in case/whitespace from the select item is a different expression and
+    must be rejected, not silently accepted."""
+    lake.sql("CREATE TABLE t (k VARCHAR, d VARCHAR)")
+    lake.sql("INSERT INTO t VALUES ('a', '2024-05-01')")
+    with pytest.raises(LakeSQLError, match="bad GROUP BY item"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT concat(k, 'EU') AS tag, COUNT(*) FROM t "
+            "GROUP BY concat(k, 'eu')"
+        )
+    # identical literal (case and spacing) still matches
+    lake.sql(
+        "CREATE MATERIALIZED VIEW ok AS "
+        "SELECT concat(k, 'EU') AS tag, COUNT(*) FROM t "
+        "GROUP BY concat(k, 'EU')"
+    )
+    assert [r["tag"] for r in lake.sql("SELECT tag FROM ok").collect()] == [
+        "aEU"
+    ]
+    # an expression-key ALIAS named like a volatile function is a
+    # legitimate deterministic face reference in HAVING
+    lake.sql(
+        "CREATE MATERIALIZED VIEW byday AS "
+        "SELECT substr(d, 1, 10) AS today, COUNT(*) FROM t "
+        "GROUP BY today HAVING today > '2024-01-01'"
+    )
+    assert [
+        r["today"] for r in lake.sql("SELECT today FROM byday").collect()
+    ] == ["2024-05-01"]
+
+
+def test_truncate_table(lake):
+    """TRUNCATE [TABLE] t = the metadata-only full delete (files marked
+    removed, nothing rewritten) under DuckDB's spelling; time travel still
+    sees the pre-truncate rows."""
+    lake.sql("CREATE TABLE t (id INT, v VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    v0 = lake.current_version()
+    st = lake.sql("TRUNCATE TABLE t").collect()[0]
+    assert st["op"] == "TRUNCATE" and st["rows"] == 2
+    assert lake.read("t").count() == 0
+    assert lake.read("t", version=v0).count() == 2
+    lake.sql("INSERT INTO t VALUES (3, 'c')")  # table still writable
+    assert lake.read("t").count() == 1
+    lake.sql("TRUNCATE t")  # TABLE keyword optional
+    assert lake.read("t").count() == 0
+    with pytest.raises(Exception, match="missing"):
+        lake.sql("TRUNCATE missing")
