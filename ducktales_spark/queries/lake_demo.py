@@ -113,7 +113,8 @@ def l04_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_before = [
         s for s in lake.snapshots() if s["snapshot_id"] == v_before
     ][0]["snapshot_time"]
-    lake.delete("region_l")
+    # DuckDB's TRUNCATE spelling of the metadata-only full delete (r10)
+    lake.sql("TRUNCATE TABLE region_l")
     assert lake.read("region_l").count() == 0
     # timestamp resolves to the latest snapshot at-or-before ts (T2)
     lake.insert("region_l", lake.read("region_l", timestamp=ts_before))
@@ -510,16 +511,18 @@ def r01_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(DISTINCT value) AS BIGINT) AS distinct_value
         FROM src
         WHERE user_id % 5 != 2
-        GROUP BY 1, 2""",
+        GROUP BY 1, 2
+        HAVING count(*) >= 2""",
     survey_ids=(),  # extension: MV COUNT(col)/COUNT(DISTINCT) maintenance
 )
 def r02_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-8 MV aggregate surface end to end, SQL-first: CREATE
     MATERIALIZED VIEW with COUNT(*) / null-skipping COUNT(col) / exact
-    COUNT(DISTINCT col) / APPROX_COUNT_DISTINCT(col), mutate the source
-    (NULL-valued inserts so count_value diverges from n_rows, then a
-    predicate DELETE so the distinct counts must recompute — sketches and
-    exact distincts cannot subtract), REFRESH, and read the view back. The
+    COUNT(DISTINCT col) / APPROX_COUNT_DISTINCT(col) and (r10) a HAVING
+    read-face group filter, mutate the source (NULL-valued inserts so
+    count_value diverges from n_rows, then a predicate DELETE so the
+    distinct counts must recompute — sketches and exact distincts cannot
+    subtract), REFRESH, and read the view back. The
     oracle recomputes the final state from scratch; the approx column is
     asserted in-query against the exact one (HLL is exact at these
     per-bucket cardinalities) but excluded from the cross-engine
@@ -533,7 +536,8 @@ def r02_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CREATE MATERIALIZED VIEW ev_mv AS "
         "SELECT user_id, time_bucket(INTERVAL '1 hour', ts), COUNT(*), "
         "COUNT(value), COUNT(DISTINCT value), APPROX_COUNT_DISTINCT(value) "
-        "FROM ev_l GROUP BY user_id, bucket_start"
+        "FROM ev_l GROUP BY user_id, bucket_start "
+        "HAVING COUNT(*) >= 2"  # r10: read-time group filter over the face
     )
     nulls = (
         lake.read("ev_l")
