@@ -1911,7 +1911,9 @@ class Transaction:
                 ]:
                     # literal-stripped: a '__s_' inside a STRING LITERAL
                     # is data, not a source-column reference
-                    if "__s_" in re.sub(r"'(?:[^']|'')*'", "''", txt):
+                    from .rollup import strip_sql_literals
+
+                    if "__s_" in strip_sql_literals(txt):
                         raise LakeError(
                             "by-source clause expressions see only the "
                             "target row — no source columns are in scope"
@@ -1978,13 +1980,50 @@ class Transaction:
 
             # latest-wins per key; rank (not row_number) keeps exact
             # (key, sequence) ties so the duplicate-key check below turns
-            # an ambiguous feed into a clean error. Partition by the keys
-            # CAST to the target type — matching and the duplicate check
-            # both compare cast keys, so source keys that only coincide
-            # after the cast ('01' and '1' against an int key) must dedup
-            # as ONE key here, not two
+            # an ambiguous feed into a clean error. Keys arriving in a
+            # FOREIGN type partition CAST to the target type — matching
+            # and the duplicate check both compare cast keys, so source
+            # keys that only coincide after the cast ('01' and '1'
+            # against an int key) must dedup as ONE key here, not two.
+            src_types = dict(source.dtypes)
+            cast_keys = [
+                k for k in on
+                if src_types.get(k, "").lower()
+                != sch.field_by_name(k).type.lower()
+            ]
+            if cast_keys:
+                # ...but a non-NULL key value that does not CONVERT would
+                # either throw an opaque ANSI cast error mid-job or (under
+                # try_cast semantics) silently collapse DISTINCT business
+                # keys into one NULL partition and drop all but the
+                # latest — feed corruption is a loud, clean error, never
+                # silent row loss (one bounded take(1) probe with
+                # try_cast, only on foreign-typed key feeds)
+                corrupt = source.filter(
+                    reduce(
+                        lambda a, b: a | b,
+                        [
+                            F.col(k).isNotNull()
+                            & F.col(k)
+                            .try_cast(sch.field_by_name(k).type)
+                            .isNull()
+                            for k in cast_keys
+                        ],
+                    )
+                ).take(1)
+                if corrupt:
+                    raise ConstraintViolation(
+                        f"merge key(s) {cast_keys} contain values that "
+                        "cast to NULL under the target key type; cannot "
+                        "sequence-dedup a corrupted key feed"
+                    )
             w = Window.partitionBy(
-                *[F.col(k).cast(sch.field_by_name(k).type) for k in on]
+                *[
+                    F.col(k).cast(sch.field_by_name(k).type)
+                    if k in cast_keys
+                    else F.col(k)
+                    for k in on
+                ]
             ).orderBy(F.col(sequence_col).desc_nulls_last())
             source = (
                 source.withColumn("__seq_rk", F.rank().over(w))

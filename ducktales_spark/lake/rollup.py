@@ -194,12 +194,13 @@ def scan_sql_identifiers(text: str, with_qualifiers: bool = False):
         i = j
 
 
-def map_sql_nonliteral(text: str, fn) -> str:
+def map_sql_nonliteral(text: str, fn, literal_fn=None) -> str:
     """Apply ``fn`` to the segments of ``text`` OUTSIDE single-quoted
-    string literals (''-escape aware), copying literals verbatim — the
-    ONE literal-walk shared by the HAVING aggregate rewriter and SQL-text
-    normalization, using the same quoting rules as
-    :func:`scan_sql_identifiers` (a future quoting fix lands in both)."""
+    string literals (''-escape aware), copying literals verbatim (or
+    through ``literal_fn``) — the ONE literal-walk shared by the HAVING
+    aggregate rewriter, SQL-text normalization, and literal stripping,
+    using the same quoting rules as :func:`scan_sql_identifiers` (a
+    future quoting fix lands in all of them)."""
     out, i, n = [], 0, len(text)
     while i < n:
         if text[i] == "'":
@@ -211,7 +212,8 @@ def map_sql_nonliteral(text: str, fn) -> str:
                         continue
                     break
                 j += 1
-            out.append(text[i : j + 1])
+            lit = text[i : j + 1]
+            out.append(lit if literal_fn is None else literal_fn(lit))
             i = j + 1
         else:
             j = text.find("'", i)
@@ -219,6 +221,15 @@ def map_sql_nonliteral(text: str, fn) -> str:
             out.append(fn(seg))
             i = n if j < 0 else j
     return "".join(out)
+
+
+def strip_sql_literals(text: str) -> str:
+    """Replace every string literal with an empty ``''`` so substring /
+    identifier scans can never match literal CONTENT — the shared
+    replacement for ad-hoc literal-stripping regexes."""
+    return map_sql_nonliteral(
+        text, lambda s: s, literal_fn=lambda _s: "''"
+    )
 
 
 def rewrite_sql_identifiers(text: str, mapping: dict) -> str:

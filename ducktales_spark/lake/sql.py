@@ -45,6 +45,10 @@ same statement coverage so a reference user can port scripts verbatim:
 * ``DELETE FROM t [WHERE pred]`` (demos/02_time_travel/demo.py:112) and
   ``TRUNCATE [TABLE] t`` (DuckDB's spelling of the metadata-only full
   delete)
+* ``COPY <table|(subquery)> TO '<path>' [(FORMAT PARQUET|CSV, ...)]`` —
+  DuckDB's export verb: ``*.parquet``/``*.csv`` paths write ONE file
+  (coalesced, DuckDB parity), any other path writes a directory of part
+  files (the distributed scale path)
 * anything else -> read query via Catalyst, with the ``AT (VERSION|TIMESTAMP
   =>)`` time-travel rewrite (README.md:216-220)
 
@@ -63,6 +67,7 @@ import re
 
 from pyspark.sql import DataFrame
 
+from .rollup import strip_sql_literals
 from .schema import Field, TableSchema
 
 __all__ = ["SQLExecutor", "LakeSQLError"]
@@ -329,7 +334,14 @@ class SQLExecutor:
         is pure driver-side metadata — no Spark job."""
         tx = self._tx
         if tx is None or re.match(
-            r"^(BEGIN|COMMIT|ROLLBACK)\b", _strip(sql), re.I
+            # txn verbs manage the txn themselves; read-only statements
+            # cannot mutate staging, so they skip the snapshot — a
+            # SELECT-heavy interactive txn must not pay O(loaded file
+            # entries) deepcopy per read
+            r"^(BEGIN|COMMIT|ROLLBACK|SELECT|WITH|SHOW|DESCRIBE|DESC"
+            r"|EXPLAIN)\b",
+            _strip(sql),
+            re.I,
         ):
             return self._execute_stmt(sql, version)
         snap = tx._snapshot_staging()
@@ -695,6 +707,18 @@ class SQLExecutor:
         m = re.match(rf"^CALL\s+({_IDENT})\s*\((.*)\)$", q, re.I | re.S)
         if m:
             return self._call_stmt(m.group(1), m.group(2))
+
+        m = re.match(
+            rf"^COPY\s+(\(.*\)|{_IDENT})\s+TO\s+'([^']+)'"
+            r"\s*(?:\(\s*(.*?)\s*\))?$",
+            q,
+            re.I | re.S,
+        )
+        if m:
+            # external file writes are not transactional — refuse inside
+            # BEGIN like the other self-committing verbs
+            self._no_txn("COPY")
+            return self._copy_stmt(m.group(1), m.group(2), m.group(3))
 
         return self._query(q, version)
 
@@ -1279,6 +1303,101 @@ class SQLExecutor:
         return "".join(out)
 
     # -- CALL-style maintenance (DuckLake ships these as SQL surface) ----
+    def _rows_arg(self, tok, what):
+        """A statement argument naming rows: a lake table/view name or a
+        parenthesized subquery, evaluated through the same read face as
+        every other statement (shared by the CALL verbs and COPY)."""
+        t = tok.strip()
+        if t.startswith("("):
+            return self._query(_unwrap_parens(t))
+        if re.fullmatch(_IDENT, t):
+            return self._query(f"SELECT * FROM {t}")
+        raise LakeSQLError(
+            f"{what} must be a table name or (subquery); got {tok!r}"
+        )
+
+    def _copy_stmt(self, srctok: str, path: str, opts_text: str) -> DataFrame:
+        """``COPY <table|(subquery)> TO '<path>' [(FORMAT PARQUET|CSV
+        [, HEADER true|false] [, DELIMITER 'c'] [, OVERWRITE])]`` —
+        DuckDB's result-export verb over Spark's writers.
+
+        Two output shapes, chosen by the path:
+        * ``*.parquet`` / ``*.csv`` — ONE file, DuckDB parity: the frame is
+          coalesced to a single writer task (serializes the write — the
+          small-export convenience form; existing file replaced, like
+          DuckDB). Written to a temp dir next to the target, then moved,
+          so a crash never leaves a half-written target.
+        * anything else — a DIRECTORY of part files via the native
+          distributed write (the 100-TB path: every task writes its own
+          file). Refuses to clobber an existing directory unless
+          OVERWRITE is given.
+        """
+        import glob as _glob
+        import os
+        import shutil
+        import uuid as _uuid
+
+        df = self._rows_arg(srctok, "COPY source")
+        fmt, header, delim, overwrite = None, None, ",", False
+        for item in _split_top(opts_text) if opts_text else []:
+            mm = re.match(
+                r"^([A-Za-z_]+)\s*(.*)$", item.strip(), re.S
+            )
+            if not mm:
+                raise LakeSQLError(f"bad COPY option {item!r}")
+            k, v = mm.group(1).lower(), mm.group(2).strip().strip("'")
+            if k == "format":
+                fmt = v.lower()
+                if fmt not in ("parquet", "csv"):
+                    raise LakeSQLError(
+                        f"unsupported COPY format {v!r} (parquet/csv)"
+                    )
+            elif k == "header":
+                header = v.lower() != "false"
+            elif k == "delimiter" or k == "delim" or k == "sep":
+                delim = v
+            elif k == "overwrite":
+                overwrite = v == "" or v.lower() != "false"
+            else:
+                raise LakeSQLError(f"unknown COPY option {k!r}")
+        low = path.lower()
+        if fmt is None:
+            fmt = "csv" if low.endswith(".csv") else "parquet"
+        single = low.endswith(".parquet") or low.endswith(".csv")
+        n = df.count()
+
+        def _write(target, frame):
+            w = frame.write.mode("overwrite")
+            if fmt == "csv":
+                # DuckDB writes a header line by default; Spark doesn't
+                w = w.option("header", str(header is not False).lower())
+                w = w.option("sep", delim)
+            getattr(w, fmt)(target)
+
+        if single:
+            parent = os.path.dirname(os.path.abspath(path)) or "."
+            tmp = os.path.join(
+                parent, f".__copy_tmp_{_uuid.uuid4().hex[:12]}"
+            )
+            try:
+                _write(tmp, df.coalesce(1))
+                parts = sorted(_glob.glob(os.path.join(tmp, "part-*")))
+                if len(parts) != 1:
+                    raise LakeSQLError(
+                        f"single-file COPY produced {len(parts)} parts"
+                    )
+                shutil.move(parts[0], path)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            if os.path.exists(path) and not overwrite:
+                raise LakeSQLError(
+                    f"COPY target {path!r} exists (pass OVERWRITE to "
+                    "replace the directory)"
+                )
+            _write(path, df)
+        return self._status("COPY", n)
+
     def _call_stmt(self, fn: str, argstext: str) -> DataFrame:
         """``CALL expire_snapshots(...)`` / ``CALL compact(t [, bytes])`` /
         ``CALL flush_inlined(t)`` / ``CALL gc([min_age_seconds])`` —
@@ -1318,18 +1437,7 @@ class SQLExecutor:
                 except ValueError:
                     raise LakeSQLError(f"bad CALL argument {tok!r}")
 
-        def _df_arg(tok, what):
-            """A CALL argument naming rows: a lake table/view name or a
-            parenthesized subquery, evaluated through the same read face
-            as every other statement."""
-            t = tok.strip()
-            if t.startswith("("):
-                return self._query(_unwrap_parens(t))
-            if re.fullmatch(_IDENT, t):
-                return self._query(f"SELECT * FROM {t}")
-            raise LakeSQLError(
-                f"{what} must be a table name or (subquery); got {tok!r}"
-            )
+        _df_arg = self._rows_arg
 
         if f == "expire_snapshots":
             kw = {}
@@ -1477,7 +1585,7 @@ class SQLExecutor:
         legitimate column references beyond the source schema (HAVING
         sees the READ FACE, so an expression-key alias named 'today' or
         'random' resolves as a deterministic column there)."""
-        stripped = re.sub(r"'(?:[^']|'')*'", "''", text)
+        stripped = strip_sql_literals(text)
         idents = {
             t.lower()
             for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped)
@@ -1707,7 +1815,7 @@ class SQLExecutor:
                     t.lower()
                     for t in re.findall(
                         r"([A-Za-z_][A-Za-z0-9_]*)\s*\(",
-                        re.sub(r"'(?:[^']|'')*'", "''", expr),
+                        strip_sql_literals(expr),
                     )
                 }
                 if called & self._MV_AGG_NAMES:
@@ -1750,12 +1858,16 @@ class SQLExecutor:
             elif tl in {k.lower() for k in keys}:
                 covered_keys.add(tl)
             elif any(
-                _norm_sql_expr(e) == _norm_sql_expr(t)
+                # normalize the RAW token (t is pre-collapsed INCLUDING
+                # inside literals — feeding it here would reject a
+                # byte-identical expression whose literal contains
+                # consecutive whitespace)
+                _norm_sql_expr(e) == _norm_sql_expr(tok.strip())
                 for e in key_exprs.values()
             ):
                 covered_keys.add(next(
                     a.lower() for a, e in key_exprs.items()
-                    if _norm_sql_expr(e) == _norm_sql_expr(t)
+                    if _norm_sql_expr(e) == _norm_sql_expr(tok.strip())
                 ))
             elif has_bucket and (
                 tl == "bucket_start"
@@ -1878,7 +1990,7 @@ class SQLExecutor:
             t.lower()
             for t in re.findall(
                 r"([A-Za-z_][A-Za-z0-9_]*)\s*\(",
-                re.sub(r"'(?:[^']|'')*'", "''", rewritten),
+                strip_sql_literals(rewritten),
             )
         }
         bad = sorted(called & self._MV_AGG_NAMES)

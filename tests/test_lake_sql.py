@@ -2184,3 +2184,88 @@ def test_truncate_table(lake):
     assert lake.read("t").count() == 0
     with pytest.raises(Exception, match="missing"):
         lake.sql("TRUNCATE missing")
+
+
+def test_mv_group_by_expr_literal_whitespace_identical_matches(lake):
+    """A byte-identical GROUP BY expression whose literal contains
+    consecutive whitespace must match its select item (regression: the
+    pre-collapsed token was fed into the literal-aware normalizer, so
+    'a  b' on the GROUP BY side collapsed to 'a b' and mismatched)."""
+    lake.sql("CREATE TABLE t (k VARCHAR)")
+    lake.sql("INSERT INTO t VALUES ('x')")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mvws AS "
+        "SELECT concat(k, 'a  b') AS tag, COUNT(*) FROM t "
+        "GROUP BY concat(k, 'a  b')"
+    )
+    assert [r["tag"] for r in lake.sql("SELECT tag FROM mvws").collect()] \
+        == ["xa  b"]
+
+
+def test_sequence_by_null_casting_keys_error_not_row_loss(spark, lake):
+    """Distinct source keys that CAST to NULL under the target key type
+    must raise, never silently collapse into one NULL partition where the
+    sequence dedup would drop all but the latest row."""
+    from ducktales_spark.lake.catalog import ConstraintViolation
+
+    lake.sql("CREATE TABLE t (id INT, v INT)")
+    lake.sql("INSERT INTO t VALUES (1, 0)")
+    feed = spark.createDataFrame(
+        [("alpha", 11, 1), ("beta", 12, 2)], "id string, v int, seq int"
+    )
+    with pytest.raises(ConstraintViolation, match="cast to NULL"):
+        with lake.transaction() as tx:
+            tx.merge("t", feed, on=["id"], sequence_col="seq")
+    # same-typed keys pay no probe and keep working
+    ok = spark.createDataFrame(
+        [(1, 7, 1), (1, 9, 2)], "id int, v int, seq int"
+    )
+    with lake.transaction() as tx:
+        res = tx.merge("t", ok, on=["id"], sequence_col="seq")
+    assert res["matched"] == 1
+    assert {r["v"] for r in lake.read("t").collect()} == {9}
+
+
+def test_copy_to_single_file_and_directory(lake, spark, tmp_path):
+    """COPY ... TO: *.parquet/*.csv paths write ONE file (DuckDB parity,
+    atomic via temp-dir + move); other paths write a part-file directory
+    (the distributed form, refusing to clobber without OVERWRITE)."""
+    import os
+
+    lake.sql("CREATE TABLE t (id INT, name VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    # single parquet file, subquery source
+    p = str(tmp_path / "out.parquet")
+    st = lake.sql(
+        f"COPY (SELECT id, name FROM t WHERE id != 2) TO '{p}'"
+    ).collect()[0]
+    assert st["op"] == "COPY" and st["rows"] == 2
+    assert os.path.isfile(p)
+    back = spark.read.parquet(p)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [
+        (1, "a"), (3, "c"),
+    ]
+    # single csv with default header (DuckDB default), table source
+    c = str(tmp_path / "out.csv")
+    lake.sql(f"COPY t TO '{c}' (FORMAT CSV)")
+    lines = open(c).read().splitlines()
+    assert lines[0] == "id,name" and len(lines) == 4
+    # overwriting the single file replaces it (DuckDB parity)
+    lake.sql(f"COPY (SELECT * FROM t WHERE id = 1) TO '{c}' (FORMAT CSV)")
+    assert len(open(c).read().splitlines()) == 2
+    # directory form: distributed part files; clobber refused sans OVERWRITE
+    d = str(tmp_path / "outdir")
+    st = lake.sql(f"COPY t TO '{d}'").collect()[0]
+    assert st["rows"] == 3
+    assert spark.read.parquet(d).count() == 3
+    with pytest.raises(LakeSQLError, match="OVERWRITE"):
+        lake.sql(f"COPY t TO '{d}'")
+    lake.sql(f"COPY t TO '{d}' (OVERWRITE)")
+    assert spark.read.parquet(d).count() == 3
+    # not transactional -> refused inside BEGIN
+    lake.sql("BEGIN")
+    with pytest.raises(LakeSQLError, match="explicit transaction"):
+        lake.sql(f"COPY t TO '{str(tmp_path / 'x.parquet')}'")
+    lake.sql("ROLLBACK")
+    with pytest.raises(LakeSQLError, match="unsupported COPY format"):
+        lake.sql(f"COPY t TO '{p}' (FORMAT JSON)")
