@@ -48,7 +48,10 @@ same statement coverage so a reference user can port scripts verbatim:
 * ``COPY <table|(subquery)> TO '<path>' [(FORMAT PARQUET|CSV, ...)]`` —
   DuckDB's export verb: ``*.parquet``/``*.csv`` paths write ONE file
   (coalesced, DuckDB parity), any other path writes a directory of part
-  files (the distributed scale path)
+  files (the distributed scale path) — and its inverse, the
+  ``read_parquet('path')`` / ``read_csv('path')`` table functions
+  (files, part-file directories, or globs; csv auto-detects header +
+  types like DuckDB)
 * anything else -> read query via Catalyst, with the ``AT (VERSION|TIMESTAMP
   =>)`` time-travel rewrite (README.md:216-220)
 
@@ -2169,8 +2172,44 @@ class SQLExecutor:
         self._bind_tables(version)
         return self.c.spark.sql(
             self._rewrite_meta_fns(
-                self.c._rewrite_at(self._rewrite_mv_at(body))
+                self.c._rewrite_at(
+                    self._rewrite_mv_at(self._rewrite_file_fns(body))
+                )
             )
+        )
+
+    def _rewrite_file_fns(self, q: str) -> str:
+        """DuckDB's file table functions — ``read_parquet('path')`` and
+        ``read_csv('path')`` / ``read_csv_auto`` — rewrite to temp views
+        bound to Spark's readers (csv with header + schema inference,
+        matching DuckDB's auto-detection), so external files are queryable
+        and ingestible SQL-first: COPY's inverse
+        (``INSERT INTO t SELECT * FROM read_parquet('dump.parquet')``).
+        The path may be a file, a directory of part files (what a
+        directory-form COPY wrote), or a glob — whatever spark.read
+        accepts."""
+
+        def _rw(m: "re.Match") -> str:
+            fn, path = m.group(1).lower(), m.group(2)
+            if fn == "read_parquet":
+                df = self.c.spark.read.parquet(path)
+            else:
+                df = (
+                    self.c.spark.read.option("header", "true")
+                    .option("inferSchema", "true")
+                    .csv(path)
+                )
+            view = "__file_" + hashlib.md5(
+                f"{fn}:{path}".encode()
+            ).hexdigest()[:12]
+            df.createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"\b(read_parquet|read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*\)",
+            _rw,
+            q,
+            flags=re.I,
         )
 
     def _rewrite_mv_at(self, q: str) -> str:

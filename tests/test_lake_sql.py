@@ -2269,3 +2269,37 @@ def test_copy_to_single_file_and_directory(lake, spark, tmp_path):
     lake.sql("ROLLBACK")
     with pytest.raises(LakeSQLError, match="unsupported COPY format"):
         lake.sql(f"COPY t TO '{p}' (FORMAT JSON)")
+
+
+def test_read_parquet_and_csv_table_functions(lake, spark, tmp_path):
+    """read_parquet/read_csv table functions: COPY's inverse — external
+    files queryable and insertable SQL-first, including a directory of
+    part files written by the directory-form COPY."""
+    lake.sql("CREATE TABLE t (id INT, name VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    p = str(tmp_path / "dump.parquet")
+    lake.sql(f"COPY t TO '{p}'")
+    rows = lake.sql(
+        f"SELECT name FROM read_parquet('{p}') WHERE id = 2"
+    ).collect()
+    assert [r["name"] for r in rows] == ["b"]
+    # round trip: COPY out -> read_parquet back in
+    lake.sql("CREATE TABLE t2 (id INT, name VARCHAR)")
+    st = lake.sql(
+        f"INSERT INTO t2 SELECT * FROM read_parquet('{p}')"
+    ).collect()[0]
+    assert st["rows"] == 2
+    assert lake.read("t2").count() == 2
+    # csv with header + type inference (DuckDB read_csv_auto parity)
+    c = str(tmp_path / "dump.csv")
+    lake.sql(f"COPY t TO '{c}' (FORMAT CSV)")
+    got = lake.sql(
+        f"SELECT id + 1 AS nxt FROM read_csv('{c}') ORDER BY nxt"
+    ).collect()
+    assert [r["nxt"] for r in got] == [2, 3]  # id inferred numeric
+    # a DIRECTORY of part files (distributed COPY form) reads back too
+    d = str(tmp_path / "dumpdir")
+    lake.sql(f"COPY t TO '{d}'")
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM read_parquet('{d}')"
+    ).first()["n"] == 2
