@@ -1321,8 +1321,11 @@ class SQLExecutor:
 
     def _copy_stmt(self, srctok: str, path: str, opts_text: str) -> DataFrame:
         """``COPY <table|(subquery)> TO '<path>' [(FORMAT PARQUET|CSV
-        [, HEADER true|false] [, DELIMITER 'c'] [, OVERWRITE])]`` —
-        DuckDB's result-export verb over Spark's writers.
+        [, HEADER true|false] [, DELIMITER 'c'] [, OVERWRITE]
+        [, PARTITION_BY (cols)])]`` — DuckDB's result-export verb over
+        Spark's writers; PARTITION_BY produces DuckDB's hive-partitioned
+        tree (``col=value/`` directories, each partition written by its
+        own tasks).
 
         Two output shapes, chosen by the path:
         * ``*.parquet`` / ``*.csv`` — ONE file, DuckDB parity: the frame is
@@ -1342,6 +1345,7 @@ class SQLExecutor:
 
         df = self._rows_arg(srctok, "COPY source")
         fmt, header, delim, overwrite = None, None, ",", False
+        partition_by = []
         for item in _split_top(opts_text) if opts_text else []:
             mm = re.match(
                 r"^([A-Za-z_]+)\s*(.*)$", item.strip(), re.S
@@ -1349,6 +1353,21 @@ class SQLExecutor:
             if not mm:
                 raise LakeSQLError(f"bad COPY option {item!r}")
             k, v = mm.group(1).lower(), mm.group(2).strip().strip("'")
+            if k == "partition_by":
+                # DuckDB's hive-partitioned export: one value-directory
+                # tree, each partition written by its own tasks — the
+                # native distributed layout for downstream pruning
+                partition_by = [
+                    c.strip().strip("'\"")
+                    for c in _split_top(_unwrap_parens(v.strip()))
+                ]
+                missing = [c for c in partition_by if c not in df.columns]
+                if missing:
+                    raise LakeSQLError(
+                        f"PARTITION_BY column(s) {missing} not in the "
+                        "COPY source"
+                    )
+                continue
             if k == "format":
                 fmt = v.lower()
                 if fmt not in ("parquet", "csv"):
@@ -1367,10 +1386,17 @@ class SQLExecutor:
         if fmt is None:
             fmt = "csv" if low.endswith(".csv") else "parquet"
         single = low.endswith(".parquet") or low.endswith(".csv")
+        if partition_by and single:
+            raise LakeSQLError(
+                "PARTITION_BY writes a directory tree; the target must "
+                "not be a single *.parquet/*.csv file"
+            )
         n = df.count()
 
         def _write(target, frame):
             w = frame.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
             if fmt == "csv":
                 # DuckDB writes a header line by default; Spark doesn't
                 w = w.option("header", str(header is not False).lower())

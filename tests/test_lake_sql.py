@@ -2303,3 +2303,36 @@ def test_read_parquet_and_csv_table_functions(lake, spark, tmp_path):
     assert lake.sql(
         f"SELECT count(*) AS n FROM read_parquet('{d}')"
     ).first()["n"] == 2
+
+
+def test_copy_to_hive_partitioned(lake, spark, tmp_path):
+    """COPY ... (PARTITION_BY (col)): DuckDB's hive-partitioned export —
+    a col=value directory tree, readable back with partition pruning."""
+    import os
+
+    lake.sql("CREATE TABLE t (id INT, region VARCHAR, v DOUBLE)")
+    lake.sql(
+        "INSERT INTO t VALUES (1, 'eu', 1.0), (2, 'eu', 2.0), "
+        "(3, 'us', 3.0)"
+    )
+    d = str(tmp_path / "tree")
+    st = lake.sql(
+        f"COPY t TO '{d}' (FORMAT PARQUET, PARTITION_BY (region))"
+    ).collect()[0]
+    assert st["rows"] == 3
+    assert sorted(
+        x for x in os.listdir(d) if x.startswith("region=")
+    ) == ["region=eu", "region=us"]
+    back = spark.read.parquet(d)
+    assert back.filter("region = 'eu'").count() == 2
+    # and the tree reads back through the read_parquet face too
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM read_parquet('{d}')"
+    ).first()["n"] == 3
+    with pytest.raises(LakeSQLError, match="single"):
+        lake.sql(
+            f"COPY t TO '{str(tmp_path / 'x.parquet')}' "
+            "(PARTITION_BY (region))"
+        )
+    with pytest.raises(LakeSQLError, match="not in the COPY source"):
+        lake.sql(f"COPY t TO '{d}2' (PARTITION_BY (nope))")
