@@ -711,17 +711,27 @@ class SQLExecutor:
         if m:
             return self._call_stmt(m.group(1), m.group(2))
 
-        m = re.match(
-            rf"^COPY\s+(\(.*\)|{_IDENT})\s+TO\s+'([^']+)'"
-            r"\s*(?:\(\s*(.*?)\s*\))?$",
-            q,
-            re.I | re.S,
-        )
-        if m:
+        if re.match(r"^COPY\b", q, re.I):
+            m = re.match(
+                rf"^COPY\s+(\(.*\)|{_IDENT})\s+TO\s+'((?:[^']|'')*)'"
+                r"\s*(?:\(\s*(.*?)\s*\))?$",
+                q,
+                re.I | re.S,
+            )
+            if not m:
+                # a malformed COPY must fail IN-BAND, not fall through to
+                # _query and surface as an unrelated Catalyst parse error
+                raise LakeSQLError(
+                    "bad COPY statement: expected COPY <table|(subquery)> "
+                    "TO '<path>' [(FORMAT PARQUET|CSV, HEADER, DELIMITER, "
+                    "OVERWRITE, PARTITION_BY (cols))]"
+                )
             # external file writes are not transactional — refuse inside
             # BEGIN like the other self-committing verbs
             self._no_txn("COPY")
-            return self._copy_stmt(m.group(1), m.group(2), m.group(3))
+            return self._copy_stmt(
+                m.group(1), m.group(2).replace("''", "'"), m.group(3)
+            )
 
         return self._query(q, version)
 
@@ -1391,7 +1401,20 @@ class SQLExecutor:
                 "PARTITION_BY writes a directory tree; the target must "
                 "not be a single *.parquet/*.csv file"
             )
-        n = df.count()
+        # target checks BEFORE any job runs (a clobber refusal must not
+        # cost a source scan)
+        if single and os.path.isdir(path):
+            raise LakeSQLError(
+                f"single-file COPY target {path!r} is a DIRECTORY "
+                "(remove it, or use a directory-form path without the "
+                ".parquet/.csv suffix)"
+            )
+        if not single and os.path.exists(path) and not overwrite:
+            raise LakeSQLError(
+                f"COPY target {path!r} exists (pass OVERWRITE to "
+                "replace the directory)"
+            )
+        write_header = fmt == "csv" and header is not False
 
         def _write(target, frame):
             w = frame.write.mode("overwrite")
@@ -1399,9 +1422,30 @@ class SQLExecutor:
                 w = w.partitionBy(*partition_by)
             if fmt == "csv":
                 # DuckDB writes a header line by default; Spark doesn't
-                w = w.option("header", str(header is not False).lower())
+                w = w.option("header", str(write_header).lower())
                 w = w.option("sep", delim)
             getattr(w, fmt)(target)
+
+        def _rows_written(files):
+            """Row count FROM the written files (parquet footers / csv
+            line counts) — never a second execution of the source query:
+            the export runs ONE job, the count is pure metadata/local IO,
+            and a non-deterministic source can't make the reported count
+            disagree with what landed."""
+            total = 0
+            for p in files:
+                if fmt == "parquet":
+                    import pyarrow.parquet as pq
+
+                    total += pq.ParquetFile(p).metadata.num_rows
+                else:
+                    with open(p, "rb") as fh:
+                        lines = sum(
+                            chunk.count(b"\n")
+                            for chunk in iter(lambda: fh.read(1 << 20), b"")
+                        )
+                    total += max(0, lines - (1 if write_header else 0))
+            return total
 
         if single:
             parent = os.path.dirname(os.path.abspath(path)) or "."
@@ -1415,16 +1459,20 @@ class SQLExecutor:
                     raise LakeSQLError(
                         f"single-file COPY produced {len(parts)} parts"
                     )
+                n = _rows_written(parts)
                 shutil.move(parts[0], path)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
         else:
-            if os.path.exists(path) and not overwrite:
-                raise LakeSQLError(
-                    f"COPY target {path!r} exists (pass OVERWRITE to "
-                    "replace the directory)"
-                )
             _write(path, df)
+            pattern = (
+                "/".join(["*"] * len(partition_by)) + "/part-*"
+                if partition_by
+                else "part-*"
+            )
+            n = _rows_written(
+                sorted(_glob.glob(os.path.join(path, pattern)))
+            )
         return self._status("COPY", n)
 
     def _call_stmt(self, fn: str, argstext: str) -> DataFrame:
@@ -2206,9 +2254,10 @@ class SQLExecutor:
 
     def _rewrite_file_fns(self, q: str) -> str:
         """DuckDB's file table functions — ``read_parquet('path')`` and
-        ``read_csv('path')`` / ``read_csv_auto`` — rewrite to temp views
-        bound to Spark's readers (csv with header + schema inference,
-        matching DuckDB's auto-detection), so external files are queryable
+        ``read_csv('path' [, header => true|false])`` / ``read_csv_auto``
+        — rewrite to temp views bound to Spark's readers (csv with schema
+        inference and a DuckDB-style header sniff, overridable with the
+        ``header`` argument), so external files are queryable
         and ingestible SQL-first: COPY's inverse
         (``INSERT INTO t SELECT * FROM read_parquet('dump.parquet')``).
         The path may be a file, a directory of part files (what a
@@ -2216,23 +2265,35 @@ class SQLExecutor:
         accepts."""
 
         def _rw(m: "re.Match") -> str:
-            fn, path = m.group(1).lower(), m.group(2)
+            fn, path, hdr = m.group(1).lower(), m.group(2), m.group(3)
             if fn == "read_parquet":
                 df = self.c.spark.read.parquet(path)
             else:
-                df = (
-                    self.c.spark.read.option("header", "true")
-                    .option("inferSchema", "true")
-                    .csv(path)
-                )
+                rd = self.c.spark.read.option("inferSchema", "true")
+                if hdr is not None:
+                    use_header = hdr.lower() == "true"
+                else:
+                    # DuckDB-style header sniff: read WITHOUT a header
+                    # first — if type inference finds any non-string
+                    # column, the first record is DATA (a header line
+                    # would have forced every column to string), so the
+                    # file is headerless; all-string columns mean a
+                    # header is present. (All-text data is ambiguous —
+                    # header assumed, pass `header => false` to override.)
+                    nohdr = rd.option("header", "false").csv(path)
+                    use_header = all(
+                        t == "string" for _c, t in nohdr.dtypes
+                    )
+                df = rd.option("header", str(use_header).lower()).csv(path)
             view = "__file_" + hashlib.md5(
-                f"{fn}:{path}".encode()
+                f"{fn}:{path}:{hdr}".encode()
             ).hexdigest()[:12]
             df.createOrReplaceTempView(view)
             return view
 
         return re.sub(
-            r"\b(read_parquet|read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*\)",
+            r"\b(read_parquet|read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*"
+            r"(?:,\s*header\s*=>\s*(true|false)\s*)?\)",
             _rw,
             q,
             flags=re.I,

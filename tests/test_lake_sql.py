@@ -2336,3 +2336,46 @@ def test_copy_to_hive_partitioned(lake, spark, tmp_path):
         )
     with pytest.raises(LakeSQLError, match="not in the COPY source"):
         lake.sql(f"COPY t TO '{d}2' (PARTITION_BY (nope))")
+
+
+def test_copy_and_read_csv_third_pass_fixes(lake, spark, tmp_path):
+    """Third review-pass regressions: headerless csv keeps its first row
+    (header sniff + header=>false override); single-file COPY onto an
+    existing DIRECTORY refuses instead of dropping the part file inside
+    it; malformed COPY fails in-band; reported rows come from the
+    written files."""
+    import os
+
+    lake.sql("CREATE TABLE t (id INT, name VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    # headerless numeric csv: the sniff sees typed columns -> data row kept
+    raw = tmp_path / "nohdr.csv"
+    raw.write_text("1,x\n2,y\n3,z\n")
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM read_csv('{raw}')"
+    ).first()["n"] == 3
+    # all-text data is ambiguous -> header assumed; override keeps row 1
+    txt = tmp_path / "alltext.csv"
+    txt.write_text("alpha,beta\ngamma,delta\n")
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM read_csv('{txt}', header => false)"
+    ).first()["n"] == 2
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM read_csv('{txt}')"
+    ).first()["n"] == 1
+    # single-file target that is a DIRECTORY: refused loudly
+    trap = tmp_path / "trap.parquet"
+    trap.mkdir()
+    with pytest.raises(LakeSQLError, match="DIRECTORY"):
+        lake.sql(f"COPY t TO '{trap}'")
+    assert os.listdir(trap) == []  # nothing snuck inside
+    # malformed COPY: in-band error, not a Catalyst fall-through
+    with pytest.raises(LakeSQLError, match="bad COPY statement"):
+        lake.sql(f"COPY t TO '{tmp_path / 'x.csv'}' FORMAT CSV")
+    # reported rows come from the WRITTEN files (csv line count)
+    out = str(tmp_path / "out.csv")
+    st = lake.sql(f"COPY t TO '{out}' (FORMAT CSV)").collect()[0]
+    assert st["rows"] == 2
+    outdir = str(tmp_path / "outdir")
+    st = lake.sql(f"COPY t TO '{outdir}'").collect()[0]
+    assert st["rows"] == 2
