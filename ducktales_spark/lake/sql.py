@@ -48,10 +48,11 @@ same statement coverage so a reference user can port scripts verbatim:
 * ``COPY <table|(subquery)> TO '<path>' [(FORMAT PARQUET|CSV, ...)]`` —
   DuckDB's export verb: ``*.parquet``/``*.csv`` paths write ONE file
   (coalesced, DuckDB parity), any other path writes a directory of part
-  files (the distributed scale path) — and its inverse, the
-  ``read_parquet('path')`` / ``read_csv('path')`` table functions
-  (files, part-file directories, or globs; csv auto-detects header +
-  types like DuckDB)
+  files (the distributed scale path) — and its inverses: ``COPY t FROM
+  '<path>'`` (transactional file ingestion through the normal insert
+  path) and the ``read_parquet('path')`` / ``read_csv('path')`` table
+  functions (files, part-file directories, or globs; csv auto-detects
+  header + types like DuckDB)
 * anything else -> read query via Catalyst, with the ``AT (VERSION|TIMESTAMP
   =>)`` time-travel rewrite (README.md:216-220)
 
@@ -718,19 +719,32 @@ class SQLExecutor:
                 q,
                 re.I | re.S,
             )
-            if not m:
-                # a malformed COPY must fail IN-BAND, not fall through to
-                # _query and surface as an unrelated Catalyst parse error
-                raise LakeSQLError(
-                    "bad COPY statement: expected COPY <table|(subquery)> "
-                    "TO '<path>' [(FORMAT PARQUET|CSV, HEADER, DELIMITER, "
-                    "OVERWRITE, PARTITION_BY (cols))]"
+            if m:
+                # external file writes are not transactional — refuse
+                # inside BEGIN like the other self-committing verbs
+                self._no_txn("COPY")
+                return self._copy_stmt(
+                    m.group(1), m.group(2).replace("''", "'"), m.group(3)
                 )
-            # external file writes are not transactional — refuse inside
-            # BEGIN like the other self-committing verbs
-            self._no_txn("COPY")
-            return self._copy_stmt(
-                m.group(1), m.group(2).replace("''", "'"), m.group(3)
+            m = re.match(
+                rf"^COPY\s+({_IDENT})\s+FROM\s+'((?:[^']|'')*)'"
+                r"\s*(?:\(\s*(.*?)\s*\))?$",
+                q,
+                re.I | re.S,
+            )
+            if m:
+                # ingestion is an INSERT through the normal write path —
+                # transactional, composes with BEGIN
+                return self._copy_from_stmt(
+                    m.group(1), m.group(2).replace("''", "'"), m.group(3)
+                )
+            # a malformed COPY must fail IN-BAND, not fall through to
+            # _query and surface as an unrelated Catalyst parse error
+            raise LakeSQLError(
+                "bad COPY statement: expected COPY <table|(subquery)> "
+                "TO '<path>' [(FORMAT PARQUET|CSV, HEADER, DELIMITER, "
+                "OVERWRITE, PARTITION_BY (cols))] or COPY <table> FROM "
+                "'<path>' [(FORMAT PARQUET|CSV, HEADER, DELIMITER)]"
             )
 
         return self._query(q, version)
@@ -1328,6 +1342,66 @@ class SQLExecutor:
         raise LakeSQLError(
             f"{what} must be a table name or (subquery); got {tok!r}"
         )
+
+    def _external_df(self, path: str, fmt: str, header, delim: str):
+        """Read an external parquet/csv file, part-file directory, or
+        glob. ``header=None`` on csv triggers the DuckDB-style sniff:
+        read WITHOUT a header first — if type inference finds any
+        non-string column, the first record is DATA (a header line would
+        have forced every column to string), so the file is headerless;
+        all-string columns mean a header is present (all-text data is
+        ambiguous — header assumed; pass an explicit header to
+        override)."""
+        if fmt == "parquet":
+            return self.c.spark.read.parquet(path)
+        rd = (
+            self.c.spark.read.option("inferSchema", "true")
+            .option("sep", delim)
+        )
+        if header is None:
+            nohdr = rd.option("header", "false").csv(path)
+            header = all(t == "string" for _c, t in nohdr.dtypes)
+        return rd.option("header", str(bool(header)).lower()).csv(path)
+
+    def _copy_from_stmt(
+        self, name: str, path: str, opts_text: str
+    ) -> DataFrame:
+        """``COPY t FROM '<path>' [(FORMAT PARQUET|CSV [, HEADER
+        true|false] [, DELIMITER 'c'])]`` — DuckDB's file-ingestion verb:
+        read the external file(s) and INSERT them through the normal
+        transactional write path (columns aligned by name, missing ones
+        defaulted, unknown ones refused — the insert contract). Unlike
+        COPY TO, this IS transactional (it's an insert), so it composes
+        with BEGIN/ROLLBACK; csv header auto-detection as in
+        :meth:`_external_df`."""
+        fmt, header, delim = None, None, ","
+        for item in _split_top(opts_text) if opts_text else []:
+            mm = re.match(r"^([A-Za-z_]+)\s*(.*)$", item.strip(), re.S)
+            if not mm:
+                raise LakeSQLError(f"bad COPY option {item!r}")
+            k, v = mm.group(1).lower(), mm.group(2).strip().strip("'")
+            if k == "format":
+                fmt = v.lower()
+                if fmt not in ("parquet", "csv"):
+                    raise LakeSQLError(
+                        f"unsupported COPY format {v!r} (parquet/csv)"
+                    )
+            elif k == "header":
+                header = v.lower() != "false"
+            elif k in ("delimiter", "delim", "sep"):
+                delim = v
+            else:
+                raise LakeSQLError(f"unknown COPY FROM option {k!r}")
+        if fmt is None:
+            fmt = "csv" if path.lower().endswith(".csv") else "parquet"
+        df = self._external_df(path, fmt, header, delim)
+        n = [0]
+
+        def op(tx):
+            n[0] = tx.insert(name, df)
+
+        self._run(op)
+        return self._status("COPY", n[0])
 
     def _copy_stmt(self, srctok: str, path: str, opts_text: str) -> DataFrame:
         """``COPY <table|(subquery)> TO '<path>' [(FORMAT PARQUET|CSV
@@ -2266,25 +2340,9 @@ class SQLExecutor:
 
         def _rw(m: "re.Match") -> str:
             fn, path, hdr = m.group(1).lower(), m.group(2), m.group(3)
-            if fn == "read_parquet":
-                df = self.c.spark.read.parquet(path)
-            else:
-                rd = self.c.spark.read.option("inferSchema", "true")
-                if hdr is not None:
-                    use_header = hdr.lower() == "true"
-                else:
-                    # DuckDB-style header sniff: read WITHOUT a header
-                    # first — if type inference finds any non-string
-                    # column, the first record is DATA (a header line
-                    # would have forced every column to string), so the
-                    # file is headerless; all-string columns mean a
-                    # header is present. (All-text data is ambiguous —
-                    # header assumed, pass `header => false` to override.)
-                    nohdr = rd.option("header", "false").csv(path)
-                    use_header = all(
-                        t == "string" for _c, t in nohdr.dtypes
-                    )
-                df = rd.option("header", str(use_header).lower()).csv(path)
+            fmt = "parquet" if fn == "read_parquet" else "csv"
+            header = None if hdr is None else hdr.lower() == "true"
+            df = self._external_df(path, fmt, header, ",")
             view = "__file_" + hashlib.md5(
                 f"{fn}:{path}:{hdr}".encode()
             ).hexdigest()[:12]

@@ -2379,3 +2379,34 @@ def test_copy_and_read_csv_third_pass_fixes(lake, spark, tmp_path):
     outdir = str(tmp_path / "outdir")
     st = lake.sql(f"COPY t TO '{outdir}'").collect()[0]
     assert st["rows"] == 2
+
+
+def test_copy_from_ingestion(lake, spark, tmp_path):
+    """COPY t FROM 'file': DuckDB's ingestion verb — external parquet/csv
+    inserted through the normal transactional write path (so it composes
+    with BEGIN/ROLLBACK and time travel sees it as one snapshot)."""
+    lake.sql("CREATE TABLE t (id INT, name VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'a')")
+    p = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(2, "b"), (3, "c")], "id int, name string"
+    ).coalesce(1).write.parquet(p + ".dir")
+    lake.sql(f"COPY t FROM '{p}.dir'")  # a part-file directory ingests
+    assert lake.read("t").count() == 3
+    # csv with header, type-aligned by the insert contract
+    c = tmp_path / "in.csv"
+    c.write_text("id,name\n4,d\n5,e\n")
+    st = lake.sql(f"COPY t FROM '{c}' (FORMAT CSV)").collect()[0]
+    assert st["op"] == "COPY" and st["rows"] == 2
+    assert lake.read("t").count() == 5
+    # transactional: a rolled-back COPY FROM leaves nothing behind
+    lake.sql("BEGIN")
+    lake.sql(f"COPY t FROM '{c}'")
+    assert lake.sql("SELECT count(*) AS n FROM t").first()["n"] == 7
+    lake.sql("ROLLBACK")
+    assert lake.read("t").count() == 5
+    # unknown option + unknown table fail cleanly
+    with pytest.raises(LakeSQLError, match="unknown COPY FROM option"):
+        lake.sql(f"COPY t FROM '{c}' (OVERWRITE)")
+    with pytest.raises(Exception, match="missing"):
+        lake.sql(f"COPY missing FROM '{c}'")
