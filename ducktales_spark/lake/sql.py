@@ -2037,6 +2037,18 @@ class SQLExecutor:
             raise LakeSQLError("time_bucket(...) must appear in GROUP BY")
 
         if having is not None:
+            # AVG(c) parity needs to know whether c can hold NULLs: the
+            # read face's avg_c divides by COUNT(*), which equals SQL AVG
+            # only for non-nullable columns (see _rewrite_mv_having).
+            nullable_cols = (
+                {
+                    f.name.lower()
+                    for f in self._schema_of(src).fields
+                    if f.nullable
+                }
+                if self._table_exists(src)
+                else {c.lower() for c in sum_cols}  # unknown: assume nullable
+            )
             having = self._rewrite_mv_having(
                 having,
                 sum_cols=sum_cols,
@@ -2044,6 +2056,7 @@ class SQLExecutor:
                 count_cols=count_cols,
                 approx_cols=approx_cols,
                 distinct_cols=distinct_cols,
+                nullable_cols=nullable_cols,
             )
             # same discipline as the WHERE/key-expr guards: a volatile or
             # subquery-bearing HAVING would make two reads of the same MV
@@ -2071,17 +2084,26 @@ class SQLExecutor:
 
     def _rewrite_mv_having(
         self, text: str, *, sum_cols, minmax_cols, count_cols,
-        approx_cols, distinct_cols,
+        approx_cols, distinct_cols, nullable_cols=frozenset(),
     ) -> str:
         """Rewrite aggregate-function spellings in a HAVING predicate to
         the rollup's canonical read-face column names (``COUNT(*)`` ->
-        n_rows, ``SUM(c)`` -> sum_c, ``AVG(c)`` -> avg_c, ``MIN/MAX(c)``
-        -> min_c/max_c, ``COUNT(c)`` -> count_c, ``COUNT(DISTINCT c)`` ->
-        distinct_c, ``APPROX_COUNT_DISTINCT(c)`` -> approx_distinct_c),
+        n_rows, ``SUM(c)`` -> sum_c, ``MIN/MAX(c)`` -> min_c/max_c,
+        ``COUNT(c)`` -> count_c, ``COUNT(DISTINCT c)`` -> distinct_c,
+        ``APPROX_COUNT_DISTINCT(c)`` -> approx_distinct_c),
         refusing aggregates the view does not maintain — HAVING can only
         be answered from maintained state, never by re-scanning the
         source at read time. Canonical names (``HAVING sum_c > 5``) and
-        key/bucket_start references pass through untouched."""
+        key/bucket_start references pass through untouched.
+
+        ``AVG(c)`` is NULL-exact: SQL AVG divides by the count of
+        NON-NULL values, but the read face's ``avg_c`` divides by
+        ``n_rows`` (COUNT(*)), so the two diverge as soon as the group
+        holds a NULL. The rewrite therefore emits ``(sum_c / count_c)``
+        when ``COUNT(c)`` is maintained, falls back to ``avg_c`` only
+        when the source column is provably non-nullable (then the two
+        denominators are equal), and otherwise refuses with a pointer at
+        adding ``COUNT(c)`` to the SELECT list."""
         pools = {
             "sum": {c.lower(): c for c in sum_cols},
             "minmax": {c.lower(): c for c in minmax_cols},
@@ -2125,8 +2147,22 @@ class SQLExecutor:
                 return need("count", "count_{}")
             if fn == "APPROX_COUNT_DISTINCT":
                 return need("approx", "approx_distinct_{}")
-            if fn in ("SUM", "AVG"):
-                return need("sum", fn.lower() + "_{}")
+            if fn == "SUM":
+                return need("sum", "sum_{}")
+            if fn == "AVG":
+                face = need("sum", "sum_{}")  # validates AVG's arg too
+                hit_count = pools["count"].get(arg.lower())
+                if hit_count is not None:
+                    return f"({face} / count_{hit_count})"
+                if arg.lower() not in nullable_cols:
+                    return need("sum", "avg_{}")  # no NULLs: /n_rows exact
+                raise LakeSQLError(
+                    f"HAVING AVG({arg}) over a nullable column needs "
+                    f"COUNT({arg}) maintained for exact NULL-skipping "
+                    f"semantics: add COUNT({arg}) to the SELECT list "
+                    f"(or use sum_{arg} / n_rows explicitly for the "
+                    "COUNT(*) denominator)"
+                )
             return need("minmax", fn.lower() + "_{}")  # MIN / MAX
 
         # literal-aware substitution: copy string literals verbatim,
@@ -2513,9 +2549,20 @@ class SQLExecutor:
         derived = []
         hidden = set()
         if self._mv_exists(name):
-            from .rollup import _meta_name, derived_columns
+            from .rollup import META_REQUIRED_COLS, _meta_name, derived_columns
 
-            meta = self.c.read(_meta_name(name)).collect()
+            # Guard like the read-overlay path above: _mv_exists checks
+            # NAMES only, so a huge USER table named X__rollup_meta with a
+            # sibling X must never be collected by DESCRIBE X — column
+            # shape is DataFrame metadata, the row-count probe is
+            # catalog-metadata-only; both run before any collect()
+            meta_df = self.c.read(_meta_name(name))
+            meta = (
+                meta_df.collect()
+                if META_REQUIRED_COLS <= set(meta_df.columns)
+                and self.c.count(_meta_name(name)) == 1
+                else []
+            )
             if len(meta) == 1:
                 # the read face's contract (rollup.derived_columns): list
                 # every column a SELECT returns, hide raw sketch state

@@ -670,7 +670,7 @@ def test_mv_having_sql(lake):
     )
     lake.sql(
         "CREATE MATERIALIZED VIEW big AS "
-        "SELECT region, COUNT(*), SUM(amt) FROM sales "
+        "SELECT region, COUNT(*), SUM(amt), COUNT(amt) FROM sales "
         "GROUP BY region HAVING COUNT(*) >= 2 AND AVG(amt) > 5.0"
     )
 
@@ -762,6 +762,44 @@ def test_mv_having_errors(lake):
     assert {r["k"] for r in lake.sql("SELECT k FROM mv").collect()} == {"a"}
 
 
+def test_mv_having_avg_null_exact(lake):
+    """HAVING AVG(c) matches SQL AVG (NULL-skipping denominator) exactly:
+    the rewrite targets sum_c / count_c when COUNT(c) is maintained, and a
+    nullable column without COUNT(c) is refused with guidance — the
+    read-face avg_c (sum / COUNT(*)) silently diverges on NULLs."""
+    lake.sql("CREATE TABLE s (g VARCHAR, v DOUBLE)")
+    lake.sql("INSERT INTO s VALUES ('a', 10.0), ('a', NULL), ('b', 4.0)")
+    # nullable v without COUNT(v): refused, pointing at the fix
+    with pytest.raises(LakeSQLError, match=r"COUNT\(v\)"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT g, COUNT(*), SUM(v) "
+            "FROM s GROUP BY g HAVING AVG(v) >= 10.0"
+        )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, COUNT(*), SUM(v), "
+        "COUNT(v) FROM s GROUP BY g HAVING AVG(v) >= 10.0"
+    )
+    # group 'a' = (10.0, NULL): SQL AVG = 10.0 -> kept; the COUNT(*)
+    # denominator (sum/n_rows = 5.0) would have wrongly dropped it
+    assert [r["g"] for r in lake.sql("SELECT g FROM mv").collect()] == ["a"]
+    assert _mv_rows(lake, "SELECT g, n_rows, sum_v FROM mv") == _mv_rows(
+        lake,
+        "SELECT g, count(*) AS n_rows, sum(v) AS sum_v FROM s "
+        "GROUP BY g HAVING avg(v) >= 10.0",
+    )
+    # a NOT NULL column needs no COUNT(c): the /n_rows face is provably
+    # exact, so plain AVG(c) stays accepted
+    lake.sql("CREATE TABLE s2 (g VARCHAR, v DOUBLE NOT NULL)")
+    lake.sql("INSERT INTO s2 VALUES ('a', 10.0), ('a', 20.0), ('b', 1.0)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv2 AS SELECT g, COUNT(*), SUM(v) "
+        "FROM s2 GROUP BY g HAVING AVG(v) > 5.0"
+    )
+    assert [
+        r["g"] for r in lake.sql("SELECT g FROM mv2").collect()
+    ] == ["a"]
+
+
 def test_mv_having_rename_follow_through(lake):
     """Renaming a source column the HAVING references (through its stored
     sum_<c>/avg_<c>/key spellings) rewrites the stored predicate in the
@@ -769,8 +807,8 @@ def test_mv_having_rename_follow_through(lake):
     lake.sql("CREATE TABLE ev (k VARCHAR, v DOUBLE)")
     lake.sql("INSERT INTO ev VALUES ('a', 10.0), ('a', 20.0), ('b', 1.0)")
     lake.sql(
-        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v) "
-        "FROM ev GROUP BY k "
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, COUNT(*), SUM(v), "
+        "COUNT(v) FROM ev GROUP BY k "
         "HAVING SUM(v) > 5.0 AND AVG(v) > 2.0 AND k <> 'zz'"
     )
     lake.sql("ALTER TABLE ev RENAME COLUMN v TO amount")
@@ -1361,6 +1399,38 @@ def test_export_meta_shaped_decoy_not_collected(lake, spark, tmp_path):
     assert not [c for c in pulled if "decoy_marker" in c], pulled
     # the decoy's rows survive verbatim in the target
     assert other.count("big__rollup_meta") == 50
+
+
+def test_describe_ignores_lookalike_rollup_meta(lake, spark):
+    """DESCRIBE X with a huge USER table named X__rollup_meta must never
+    collect it: _mv_exists checks names only, so the meta collect is
+    gated on column shape (DataFrame metadata) + a catalog-metadata row
+    count — same guard as export_to and the read overlay."""
+    from pyspark.sql import DataFrame
+
+    lake.sql("CREATE TABLE big (k INT)")
+    decoy = spark.createDataFrame(
+        [("s", 1, "[]", 0, f"m{i}") for i in range(50)],
+        "src string, bucket_s bigint, sum_cols string, last_version bigint,"
+        " decoy_marker string",
+    )
+    lake.ctas("big__rollup_meta", decoy)
+
+    pulled: list = []
+    orig_collect = DataFrame.collect
+
+    def spy_collect(self):
+        pulled.append(self.columns)
+        return orig_collect(self)
+
+    DataFrame.collect = spy_collect
+    try:
+        desc = orig_collect(lake.sql("DESCRIBE big"))
+    finally:
+        DataFrame.collect = orig_collect
+    assert not [c for c in pulled if "decoy_marker" in c], pulled
+    # and the decoy contributes no phantom 'derived' read-face rows
+    assert [r["column_name"] for r in desc] == ["k"]
 
 
 def test_merge_sql_parser_hardening(lake):
