@@ -430,6 +430,51 @@ def l18_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l19_copy_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+        FROM nation WHERE n_regionkey = 2""",
+    survey_ids=("S3", "S5", "D1", "D2"),  # extension: COPY TO/FROM +
+    # read_parquet/read_csv — the reference's data-exchange idiom
+    # (exploration/ducklake_analysis.sh CSV exports)
+)
+def l19_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COPY surface end to end — the reference's data-exchange idiom
+    (exploration/ducklake_analysis.sh writes CSV outputs;
+    utils/ducklake_utils.py:53 fetches result sets): export a lake table
+    to ONE parquet file (``COPY t TO``), re-ingest it through the
+    ``read_parquet`` table function into a second table, export a
+    filtered subquery as CSV-with-header, and transactionally ingest that
+    with ``COPY t FROM``. The oracle recomputes the final state
+    relationally, so every hop of the round trip must be lossless."""
+    lake = _fresh_lake(spark)
+    tmp = tempfile.mkdtemp(prefix="l19_copy_")
+    lake.ctas("nation_l", table(spark, sf_dir, "nation"))
+    st = lake.sql(f"COPY nation_l TO '{tmp}/nation.parquet'").collect()[0]
+    assert st["op"] == "COPY" and st["rows"] == 25
+    lake.sql(
+        "CREATE TABLE nat2 "
+        "(n_nationkey INT, n_name VARCHAR, n_regionkey INT)"
+    )
+    lake.sql(
+        "INSERT INTO nat2 "
+        f"SELECT * FROM read_parquet('{tmp}/nation.parquet')"
+    )
+    lake.sql(
+        "COPY (SELECT n_nationkey + 100 AS n_nationkey, n_name, "
+        "n_regionkey FROM nation_l WHERE n_regionkey = 2) "
+        f"TO '{tmp}/extra.csv' (FORMAT CSV)"
+    )
+    st = lake.sql(f"COPY nat2 FROM '{tmp}/extra.csv' (FORMAT CSV)").collect()[0]
+    assert st["rows"] == 5
+    return lake.read("nat2")
+
+
+@register_extra(  # rotated to EXTRA in round 11 (slot freed for
+    # l19_copy_roundtrip): rollup maintenance stays driver-swept via
+    # r02 (SQL CREATE/REFRESH MATERIALIZED VIEW + HAVING), T4/T5 via l14
     "r01_rollup_refresh",
     oracle="""
         WITH src AS (
