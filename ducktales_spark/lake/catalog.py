@@ -102,6 +102,14 @@ class TableState:
     removed_file_ids: list = _dcfield(default_factory=list)
     removed_inlined_ids: list = _dcfield(default_factory=list)
     changes: set = _dcfield(default_factory=set)  # change-kind markers
+    # Fine-grained conflict metadata (Delta-style WriteSerializable): one
+    # entry per MERGE this txn ran on the table, {"conjuncts": [(col, op,
+    # val), ...]} describing the key range the merge read. Commit uses it
+    # to let two MERGEs on DISJOINT key ranges both commit without retry.
+    # Any non-merge mutation (or a whole-table merge leg) sets
+    # coarse_write, falling back to table-level first-committer-wins.
+    merge_reads: list = _dcfield(default_factory=list)
+    coarse_write: bool = False
 
     @property
     def schema(self) -> TableSchema:
@@ -972,6 +980,7 @@ class Transaction:
         st.schemas[st.schema_version] = new_schema
         st.staged_schema_versions.append(st.schema_version)
         st.changes.add(marker)
+        st.coarse_write = True  # schema changes never conflict-resolve finely
 
     def add_column(self, name, col, type_, default=None, backfill=None) -> None:
         """D10: ALTER TABLE ADD COLUMN [DEFAULT v]. Old files never rewritten —
@@ -1509,6 +1518,7 @@ class Transaction:
         else:
             st.files.extend(entries)
         st.changes.add("tables_inserted_into")
+        st.coarse_write = True
         return total
 
     def insert_rows(self, name: str, rows: list) -> None:
@@ -1590,6 +1600,7 @@ class Transaction:
                     )
                 )
             st.changes.add("tables_inserted_into")
+            st.coarse_write = True
             return
         self.insert(
             name, self.c.spark.createDataFrame(data, st.schema.to_struct())
@@ -1698,6 +1709,7 @@ class Transaction:
 
         n = self._rewrite(st, where, xform)
         st.changes.add("tables_updated")
+        st.coarse_write = True
         return n
 
     def delete(self, name: str, where: Optional[str] = None) -> int:
@@ -1723,6 +1735,7 @@ class Transaction:
                 deleting=True,
             )
         st.changes.add("tables_deleted_from")
+        st.coarse_write = True
         return n
 
     def merge(
@@ -2104,6 +2117,15 @@ class Transaction:
                 or file_may_match(fe.col_stats, conjuncts, sch)
             ]
             touched_inlined = list(st.inlined)
+            # fine-grained conflict metadata: this merge READ exactly the
+            # key-range region described by conjuncts (plus all inlined
+            # rows — commit conflicts on any concurrent inlined change).
+            # A WHEN NOT MATCHED BY SOURCE leg reads the whole table (the
+            # complement of the source keys), so it poisons the fine path.
+            if bsc:
+                st.coarse_write = True
+            else:
+                st.merge_reads.append({"conjuncts": list(conjuncts)})
             target = self.c._build_df(candidates, touched_inlined, st.schemas, sch)
             # One action answers dup-key check + matched + unmatched: src keys
             # left-join per-key target counts, then a global aggregate.
@@ -2584,6 +2606,7 @@ class Transaction:
         # a flushed inline batch is tiny — one file, not worth a cluster shuffle
         st.files.extend(self._write_staged(st, df, cluster=False))
         st.changes.add("tables_compacted")
+        st.coarse_write = True
 
     def compact(self, name: str, target_file_bytes: int = 128 << 20) -> None:
         """M2: rewrite the table into ~target-sized files (+ flush inlined).
@@ -2612,6 +2635,41 @@ class Transaction:
         # already clustered/sized above; don't re-shuffle in the write path
         st.files.extend(self._write_staged(st, df, cluster=False))
         st.changes.add("tables_compacted")
+        st.coarse_write = True
+
+    def _merge_read_conflict(self, t, st: TableState, sid: int) -> bool:
+        """Does concurrent snapshot ``sid`` intersect any of this txn's
+        recorded MERGE read ranges on ``st``? Sound via file min/max
+        stats: a file ADDED by sid may hold rows my merge would have
+        matched; a file REMOVED by sid may have held rows whose content
+        my rewrite/insert decisions depended on — either overlapping the
+        read range is a conflict. Missing stats conservatively conflict
+        (file_may_match returns True). Inlined-row changes always
+        conflict: their key values live inside row_json, not in
+        range-checkable stats."""
+        ms = self.c.ms
+        n = t.exec(
+            ms._ph(
+                "SELECT COUNT(*) FROM lake_inlined WHERE table_id=? AND "
+                "(added_snapshot=? OR removed_snapshot=?)"
+            ),
+            (st.table_id, sid, sid),
+        ).fetchone()[0]
+        if n:
+            return True
+        rows = t.exec(
+            ms._ph(
+                "SELECT col_stats FROM lake_data_file WHERE table_id=? "
+                "AND (added_snapshot=? OR removed_snapshot=?)"
+            ),
+            (st.table_id, sid, sid),
+        ).fetchall()
+        sch = st.schema
+        return any(
+            file_may_match(cs, mr["conjuncts"], sch)
+            for (cs,) in rows
+            for mr in st.merge_reads
+        )
 
     # -- commit / rollback ----------------------------------------------
     def commit(self) -> int:
@@ -2636,6 +2694,9 @@ class Transaction:
             n for n, st in self._states.items() if st.changes or st.created
         } | {n for n, _ in self._view_ops}
         ms = self.c.ms
+        row_markers = {
+            "tables_inserted_into", "tables_updated", "tables_deleted_from"
+        }
         try:
             with ms.tx() as t:
                 for sid, chj in t.exec(
@@ -2643,14 +2704,33 @@ class Transaction:
                            "WHERE snapshot_id > ?"),
                     (self.base_version,),
                 ).fetchall():
+                    ch = json.loads(chj)
                     others = set()
-                    for names in json.loads(chj).values():
+                    for names in ch.values():
                         others.update(names)
-                    clash = touched & others
-                    if clash:
-                        raise ConflictError(
-                            f"snapshot {sid} already modified {sorted(clash)}"
+                    for nm in sorted(touched & others):
+                        # Delta-style fine-grained resolution: when BOTH
+                        # sides' changes to this table are row-level and
+                        # ours came only through MERGE (recorded key-range
+                        # read sets), disjoint key ranges commute — both
+                        # commit, no retry. Anything else (schema change,
+                        # drop/create, non-merge write, whole-table merge
+                        # leg) stays table-level first-committer-wins.
+                        st = self._states.get(nm)
+                        conc = {mk for mk, names in ch.items() if nm in names}
+                        fine = (
+                            st is not None
+                            and st.merge_reads
+                            and not st.coarse_write
+                            and not st.created
+                            and not st.dropped
+                            and st.changes <= row_markers
+                            and conc <= row_markers
                         )
+                        if not fine or self._merge_read_conflict(t, st, sid):
+                            raise ConflictError(
+                                f"snapshot {sid} already modified {nm!r}"
+                            )
                 new_v = (
                     t.exec(
                         "SELECT COALESCE(MAX(snapshot_id),-1) FROM lake_snapshot"

@@ -53,6 +53,13 @@ same statement coverage so a reference user can port scripts verbatim:
   path) and the ``read_parquet('path')`` / ``read_csv('path')`` table
   functions (files, part-file directories, or globs; csv auto-detects
   header + types like DuckDB)
+* ``ATTACH '<path>' AS name`` / ``DETACH name`` — bind a SECOND lake
+  catalog for qualified ``name.table`` reads (the reference's
+  side-by-side dev/prod migration, utils/ducklake_utils.py:27,
+  demos/05_catalog_portability/demo.py:194-299), and ``COPY FROM
+  DATABASE a TO b`` (DuckDB's whole-catalog migration verb; ``main``
+  names the bound catalog). Attached catalogs are read-only through
+  this executor — writes name the bound catalog unqualified.
 * anything else -> read query via Catalyst, with the ``AT (VERSION|TIMESTAMP
   =>)`` time-travel rewrite (README.md:216-220)
 
@@ -309,6 +316,10 @@ class SQLExecutor:
         # long-lived executor on a busy catalog stays O(#MVs), not
         # O(#MVs x versions)
         self._mv_cols = {}
+        # ATTACH'd secondary catalogs: lowercased name -> LakeCatalog.
+        # Session-scoped like DuckDB's ATTACH; read via qualified
+        # name.table references, migrated via COPY FROM DATABASE.
+        self._attached = {}
 
     # -- staged-aware existence (an open txn's DDL must be visible to the
     # next statement's checks, not just committed state) -----------------
@@ -377,7 +388,39 @@ class SQLExecutor:
             tx.rollback()
             return self._status("ROLLBACK", 0)
         if re.match(rf"^USE\s+{_IDENT}$", q, re.I):
-            return self._status("USE", 0)  # single attached catalog
+            return self._status("USE", 0)  # writes stay on the bound catalog
+
+        # -- multi-catalog verbs (demos/05_catalog_portability) ----------
+        m = re.match(
+            rf"^ATTACH\s+'((?:[^']|'')*)'\s+AS\s+({_IDENT})$", q, re.I
+        )
+        if m:
+            return self._attach_stmt(
+                m.group(1).replace("''", "'"), m.group(2)
+            )
+        m = re.match(rf"^DETACH\s+({_IDENT})$", q, re.I)
+        if m:
+            return self._detach_stmt(m.group(1))
+        m = re.match(
+            rf"^COPY\s+FROM\s+DATABASE\s+({_IDENT})\s+TO\s+({_IDENT})$",
+            q,
+            re.I,
+        )
+        if m:
+            return self._copy_database_stmt(m.group(1), m.group(2))
+        m = re.match(
+            rf"^(INSERT\s+INTO|UPDATE|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?"
+            rf"|MERGE\s+INTO)\s+({_IDENT})\s*\.\s*{_IDENT}\b",
+            q,
+            re.I,
+        )
+        if m and m.group(2).lower() in self._attached:
+            raise LakeSQLError(
+                f"cannot write to attached catalog {m.group(2)!r}: "
+                "attached catalogs are readable (qualified SELECT) and "
+                "migratable (COPY FROM DATABASE a TO b); writes go "
+                "through the bound catalog"
+            )
 
         m = re.match(
             rf"^CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+({_IDENT})"
@@ -2357,9 +2400,103 @@ class SQLExecutor:
         return self.c.spark.sql(
             self._rewrite_meta_fns(
                 self.c._rewrite_at(
-                    self._rewrite_mv_at(self._rewrite_file_fns(body))
+                    self._rewrite_mv_at(
+                        self._rewrite_attached(self._rewrite_file_fns(body))
+                    )
                 )
             )
+        )
+
+    # -- attached catalogs (ATTACH 'path' AS name) -----------------------
+    def _attach_stmt(self, path: str, name: str) -> DataFrame:
+        """``ATTACH '<path>' AS <name>`` — bind a SECOND lake catalog for
+        qualified reads, the reference's side-by-side dev/prod migration
+        flow (utils/ducklake_utils.py:27 ``ATTACH 'ducklake:...' AS``;
+        demos/05_catalog_portability/demo.py:194-299). Session-scoped,
+        like a DuckDB connection's attach list. The ``ducklake:`` /
+        ``lake:`` URL prefixes are accepted and stripped."""
+        self._no_txn("ATTACH")
+        key = name.lower()
+        if key in self._attached:
+            raise LakeSQLError(f"catalog {name!r} is already attached")
+        for pref in ("ducklake:", "lake:"):
+            if path.startswith(pref):
+                path = path[len(pref):]
+        from .catalog import LakeCatalog
+
+        self._attached[key] = LakeCatalog(path, self.c.spark)
+        return self._status("ATTACH", 0)
+
+    def _detach_stmt(self, name: str) -> DataFrame:
+        self._no_txn("DETACH")
+        if self._attached.pop(name.lower(), None) is None:
+            raise LakeSQLError(f"no attached catalog named {name!r}")
+        return self._status("DETACH", 0)
+
+    def _copy_database_stmt(self, src: str, dst: str) -> DataFrame:
+        """``COPY FROM DATABASE a TO b`` — DuckDB's whole-catalog
+        migration verb (demos/05_catalog_portability/demo.py:199-280):
+        every live table (schema + PK + rows) and view recreated in the
+        target via export_to. Either side may be an attached name or
+        ``main`` (the bound catalog)."""
+        self._no_txn("COPY FROM DATABASE")
+
+        def _cat(n: str):
+            if n.lower() == "main":
+                return self.c
+            got = self._attached.get(n.lower())
+            if got is None:
+                raise LakeSQLError(
+                    f"no attached catalog named {n!r} (ATTACH it first; "
+                    "'main' names the bound catalog)"
+                )
+            return got
+
+        src_c, dst_c = _cat(src), _cat(dst)
+        if src_c is dst_c:
+            raise LakeSQLError("COPY FROM DATABASE: source == target")
+        src_c.export_to(dst_c)
+        return self._status("COPY FROM DATABASE", len(src_c.tables()))
+
+    def _rewrite_attached(self, q: str) -> str:
+        """Rewrite ``<attached>.<table>`` qualified references to temp
+        views bound from the attached catalog — lazily, only for names
+        the query actually touches (an attach list of N catalogs must not
+        cost N full binds per statement). MVs bind through the rollup
+        read face (same shape+count guard as the main overlay). Qualified
+        names only rewrite when the prefix IS an attached catalog AND the
+        suffix IS one of its tables, so ordinary ``alias.column``
+        references never match."""
+        if not self._attached:
+            return q
+        from .rollup import META_REQUIRED_COLS, _meta_name, read_rollup
+
+        def _rw(m: "re.Match") -> str:
+            cat, tbl = m.group(1), m.group(2)
+            ac = self._attached.get(cat.lower())
+            if ac is None:
+                return m.group(0)
+            ts = set(ac.tables())
+            if tbl not in ts:
+                return m.group(0)
+            view = f"__att_{cat.lower()}__{tbl}"
+            df = ac.read(tbl)
+            if _meta_name(tbl) in ts:
+                meta_df = ac.read(_meta_name(tbl))
+                if META_REQUIRED_COLS <= set(meta_df.columns) and (
+                    ac.count(_meta_name(tbl)) == 1
+                ):
+                    df = read_rollup(ac, tbl)
+            df.createOrReplaceTempView(view)
+            return view
+
+        from .rollup import map_sql_nonliteral
+
+        return map_sql_nonliteral(
+            q,
+            lambda seg: re.sub(
+                rf"\b({_IDENT})\s*\.\s*({_IDENT})\b", _rw, seg
+            ),
         )
 
     def _rewrite_file_fns(self, q: str) -> str:

@@ -147,3 +147,83 @@ def test_multiprocess_writers_postgres(spark, tmp_path, pg_dsn):
 # reuse the bootable-PG fixture from test_lake (module-scoped there; one
 # server boot per module here as well)
 from test_lake import pg_dsn  # noqa: E402,F401
+
+
+def test_disjoint_merges_commit_without_retry(spark, tmp_path):
+    """Delta-style fine-grained MERGE conflicts: two transactions merging
+    DISJOINT key ranges on the same table both commit with no retry (the
+    second validates its recorded read range against the first's
+    added/removed file stats); overlapping ranges — and any non-merge
+    write — still conflict first-committer-wins."""
+    lake = LakeCatalog(
+        str(tmp_path / "lk"), spark, inline_threshold=0
+    )
+    # key-clustered files: ids 0-9 in one file, 100-109 in another, so a
+    # low-range merge's CoW rewrite never spans the high range
+    lake.ctas(
+        "t",
+        spark.createDataFrame(
+            [(i, 0) for i in range(10)], "id int, v int"
+        ).coalesce(1),
+    )
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(i, 0) for i in range(100, 110)], "id int, v int"
+        ).coalesce(1),
+    )
+
+    def src(lo, hi, v):
+        return spark.createDataFrame(
+            [(i, v) for i in range(lo, hi)], "id int, v int"
+        )
+
+    # disjoint ranges: both commit, contiguous snapshots, no ConflictError
+    tx1, tx2 = lake.transaction(), lake.transaction()
+    tx1.merge("t", src(3, 7, 1), ["id"])
+    tx2.merge("t", src(103, 107, 2), ["id"])
+    v1 = tx1.commit()
+    v2 = tx2.commit()  # the fine-grained pass: no retry needed
+    assert v2 == v1 + 1
+    got = {r["id"]: r["v"] for r in lake.read("t").collect()}
+    assert all(got[i] == 1 for i in range(3, 7))
+    assert all(got[i] == 2 for i in range(103, 107))
+    assert all(got[i] == 0 for i in (0, 9, 100, 109))
+
+    # overlapping ranges: second committer still conflicts
+    tx3, tx4 = lake.transaction(), lake.transaction()
+    tx3.merge("t", src(3, 7, 3), ["id"])
+    tx4.merge("t", src(5, 9, 4), ["id"])
+    tx3.commit()
+    with pytest.raises(ConflictError):
+        tx4.commit()
+
+    # a SECOND-committing merge may fine-resolve against a concurrent
+    # non-merge write (its read range vs that write's file stats) ...
+    tx5, tx6 = lake.transaction(), lake.transaction()
+    tx5.merge("t", src(103, 105, 5), ["id"])
+    tx6.update("t", {"v": "v + 10"}, "id = 0")
+    v6 = tx6.commit()
+    assert tx5.commit() == v6 + 1  # update touched only the low file
+    # ... but a second-committing NON-merge write has no recorded read
+    # set, so it stays table-level first-committer-wins
+    tx5b, tx6b = lake.transaction(), lake.transaction()
+    tx5b.merge("t", src(103, 105, 8), ["id"])
+    tx6b.update("t", {"v": "v + 10"}, "id = 0")
+    tx5b.commit()
+    with pytest.raises(ConflictError):
+        tx6b.commit()
+
+    # and a whole-table merge leg (NOT MATCHED BY SOURCE) does too
+    tx7, tx8 = lake.transaction(), lake.transaction()
+    tx7.merge("t", src(3, 5, 6), ["id"])
+    tx8.merge(
+        "t", src(100, 102, 7), ["id"],
+        matched_clauses=[{"action": "update", "sets": {"v": "__s_v"}}],
+        not_matched_by_source_clauses=[
+            {"action": "delete", "cond": "id = 9"}
+        ],
+    )
+    tx7.commit()
+    with pytest.raises(ConflictError):
+        tx8.commit()

@@ -2480,3 +2480,68 @@ def test_copy_from_ingestion(lake, spark, tmp_path):
         lake.sql(f"COPY t FROM '{c}' (OVERWRITE)")
     with pytest.raises(Exception, match="missing"):
         lake.sql(f"COPY missing FROM '{c}'")
+
+
+def test_attach_cross_catalog_sql(lake, spark, tmp_path):
+    """ATTACH '<path>' AS name binds a second lake catalog for qualified
+    name.table reads — the reference's side-by-side dev/prod migration
+    (utils/ducklake_utils.py:27; demos/05_catalog_portability/demo.py:
+    194-299) — and COPY FROM DATABASE migrates the whole catalog."""
+    # a second, independent catalog with its own table
+    dev = LakeCatalog(str(tmp_path / "devlake"), spark, inline_threshold=4)
+    dev.sql("CREATE TABLE prices (sku INT, price DOUBLE)")
+    dev.sql("INSERT INTO prices VALUES (1, 9.5), (2, 20.0), (3, 1.25)")
+    dev.sql("CREATE TABLE dim (sku INT, label VARCHAR)")
+    dev.sql("INSERT INTO dim VALUES (1, 'pen'), (2, 'book')")
+
+    lake.sql("CREATE TABLE sales (sku INT, qty INT)")
+    lake.sql("INSERT INTO sales VALUES (1, 3), (2, 1), (1, 2)")
+
+    lake.sql(f"ATTACH 'ducklake:{tmp_path / 'devlake'}' AS dev")
+    # qualified read, and a JOIN across the two catalogs
+    got = lake.sql(
+        "SELECT s.sku, SUM(s.qty * p.price) AS rev "
+        "FROM sales s JOIN dev.prices p ON s.sku = p.sku "
+        "GROUP BY s.sku ORDER BY s.sku"
+    ).collect()
+    assert [(r["sku"], r["rev"]) for r in got] == [(1, 47.5), (2, 20.0)]
+    # alias.column references never match the qualified rewrite (p.price
+    # above), and a non-table suffix passes through untouched
+    with pytest.raises(Exception):
+        lake.sql("SELECT * FROM dev.nope").collect()
+    # attached catalogs are read-only through this executor
+    with pytest.raises(LakeSQLError, match="attached catalog"):
+        lake.sql("INSERT INTO dev.prices VALUES (9, 9.0)")
+    # an attached MV reads through its rollup face (avg_ derivation)
+    dev.sql(
+        "CREATE MATERIALIZED VIEW psum AS SELECT sku, COUNT(*), "
+        "SUM(price) FROM prices GROUP BY sku"
+    )
+    face = lake.sql("SELECT sku, avg_price FROM dev.psum ORDER BY sku")
+    assert [r["sku"] for r in face.collect()] == [1, 2, 3]
+
+    # whole-catalog migration: dev -> a third catalog, rows identical
+    tgt_path = str(tmp_path / "prodlake")
+    LakeCatalog(tgt_path, spark)  # initialize empty target
+    lake.sql(f"ATTACH '{tgt_path}' AS prod")
+    st = lake.sql("COPY FROM DATABASE dev TO prod").collect()[0]
+    assert st["op"] == "COPY FROM DATABASE"
+    assert sorted(
+        tuple(r) for r in lake.sql("SELECT * FROM prod.prices").collect()
+    ) == sorted(tuple(r) for r in dev.read("prices").collect())
+
+    # errors: double attach, unknown detach, writes stay refused
+    with pytest.raises(LakeSQLError, match="already attached"):
+        lake.sql(f"ATTACH '{tgt_path}' AS prod")
+    lake.sql("DETACH prod")
+    with pytest.raises(LakeSQLError, match="no attached catalog"):
+        lake.sql("DETACH prod")
+    with pytest.raises(Exception):  # detached: prod.prices unresolvable
+        lake.sql("SELECT * FROM prod.prices").collect()
+    with pytest.raises(LakeSQLError, match="no attached catalog"):
+        lake.sql("COPY FROM DATABASE nope TO dev")
+    # not allowed inside an explicit transaction
+    lake.sql("BEGIN")
+    with pytest.raises(LakeSQLError, match="explicit transaction"):
+        lake.sql(f"ATTACH '{tgt_path}' AS p2")
+    lake.sql("ROLLBACK")
