@@ -1286,6 +1286,7 @@ class Transaction:
                     count_cols=_lst("count_cols"),
                     approx_cols=_lst("approx_cols"),
                     distinct_cols=_lst("distinct_cols"),
+                    var_cols=_lst("var_cols"),
                 )
             )
         )
@@ -1311,6 +1312,7 @@ class Transaction:
             "count_cols": ("count_",),
             "approx_cols": ("hll_",),
             "distinct_cols": ("distinct_",),
+            "var_cols": ("sumsq_",),
         }
         from .rollup import scan_sql_identifiers
 
@@ -1367,6 +1369,9 @@ class Transaction:
                     face_map[f"approx_distinct_{old}"] = (
                         f"approx_distinct_{new}"
                     )
+                if (f"sumsq_{old}", f"sumsq_{new}") in renames:
+                    face_map[f"var_{old}"] = f"var_{new}"
+                    face_map[f"stddev_{old}"] = f"stddev_{new}"
                 row["having_sql"] = rewrite_sql_identifiers(
                     row["having_sql"], face_map
                 )

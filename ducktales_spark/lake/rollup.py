@@ -60,12 +60,23 @@ def _agg_exprs(
     count_cols: tuple = (),
     approx_cols: tuple = (),
     distinct_cols: tuple = (),
+    var_cols: tuple = (),
 ):
     n = F.sum(sign) if sign is not None else F.count(F.lit(1))
     out = [n.cast("bigint").alias("n_rows")]
     for c in sum_cols:
         v = F.col(c) * sign if sign is not None else F.col(c)
         out.append(F.sum(v).alias(f"sum_{c}"))
+    for c in var_cols:
+        # sum of squares: additive exactly like sum (a delete subtracts
+        # v^2), carried in DOUBLE — variance is a float-domain statistic
+        # and squaring a wide decimal would overflow its precision. The
+        # read face derives var_/stddev_ from (sumsq, sum, count); the
+        # usual sum-of-squares cancellation caveat applies at extreme
+        # mean/variance ratios (the trade every additive engine makes).
+        sq = F.col(c).cast("double") * F.col(c).cast("double")
+        v = sq * sign if sign is not None else sq
+        out.append(F.sum(v).alias(f"sumsq_{c}"))
     for c in count_cols:  # COUNT(col): null-skipping, signed => additive
         v = (
             F.sum(F.when(F.col(c).isNotNull(), sign).otherwise(0))
@@ -118,6 +129,24 @@ def _having_of(m) -> Optional[str]:
     from-scratch GROUP BY ... HAVING recompute would show it."""
     d = m.asDict() if hasattr(m, "asDict") else dict(m)
     return d.get("having_sql") or None
+
+
+def _retain_of(m) -> Optional[str]:
+    """The rollup's retention horizon: buckets strictly BEFORE this
+    timestamp are expired ('' / missing column = keep everything — metas
+    written before retention existed simply have none)."""
+    d = m.asDict() if hasattr(m, "asDict") else dict(m)
+    return d.get("retain_after") or None
+
+
+def _retention_filter(df: DataFrame, m) -> DataFrame:
+    """Drop sub-horizon buckets from a refresh-path frame so a refresh
+    (incremental fold, partial recompute, or the expired-base full
+    recompute) can never resurrect buckets a retention policy expired."""
+    r = _retain_of(m)
+    if not r:
+        return df
+    return df.filter(F.col("bucket_start") >= F.expr(f"timestamp'{r}'"))
 
 
 def _key_exprs_of(m) -> dict:
@@ -267,6 +296,7 @@ def create_rollup(
     where: Optional[str] = None,
     key_exprs: Optional[dict] = None,
     having: Optional[str] = None,
+    var_cols: tuple = (),
 ) -> None:
     """Materialize the initial rollup of ``src`` and its meta table in ONE
     catalog transaction, stamped with the snapshot version it reflects.
@@ -302,9 +332,17 @@ def create_rollup(
     O(changes) — the standard continuous-aggregate trade for
     non-invertible aggregates (a deleted max cannot be subtracted out).
 
+    ``var_cols`` adds additive VARIANCE/STDDEV state: a DOUBLE
+    sum-of-squares column (``sumsq_<c>``) folded with the same signed
+    deltas as sums. Every var column must ALSO be in ``sum_cols`` and
+    ``count_cols`` (enforced here): the read face derives
+    ``var_<c>`` = (sumsq - sum^2/count) / (count - 1) and
+    ``stddev_<c>`` = sqrt(var) — sample semantics with the NULL-skipping
+    count denominator, exactly SQL VAR_SAMP/STDDEV_SAMP.
+
     ``having`` is a predicate over the rollup's READ FACE (keys,
     bucket_start, n_rows, sum_/avg_/min_/max_/count_/distinct_/
-    approx_distinct_ columns). It is applied at READ time only — the
+    approx_distinct_/var_/stddev_ columns). It is applied at READ time only — the
     state is maintained unfiltered, so groups crossing the threshold in
     either direction appear/disappear exactly like a from-scratch
     ``GROUP BY ... HAVING`` recompute (physically dropping sub-threshold
@@ -313,7 +351,14 @@ def create_rollup(
     keys, sum_cols = tuple(keys), tuple(sum_cols)
     minmax_cols = tuple(minmax_cols)
     count_cols, approx_cols = tuple(count_cols), tuple(approx_cols)
-    distinct_cols = tuple(distinct_cols)
+    distinct_cols, var_cols = tuple(distinct_cols), tuple(var_cols)
+    for c in var_cols:
+        if c not in sum_cols or c not in count_cols:
+            raise RollupError(
+                f"VAR/STDDEV column {c!r} needs SUM({c}) and COUNT({c}) "
+                "maintained too (the read-face formula divides by the "
+                "null-skipping count): add both"
+            )
     key_exprs = dict(key_exprs or {})
     for alias in key_exprs:
         if alias not in keys:
@@ -359,12 +404,15 @@ def create_rollup(
                 count_cols=count_cols,
                 approx_cols=approx_cols,
                 distinct_cols=distinct_cols,
+                var_cols=var_cols,
             )
         )
     )
     meta_dict = {
         "sum_cols": json.dumps(list(sum_cols)),
         "approx_cols": json.dumps(list(approx_cols)),
+        "count_cols": json.dumps(list(count_cols)),
+        "var_cols": json.dumps(list(var_cols)),
     }
     if having:
         # analyze the predicate against the (empty) read face BEFORE the
@@ -401,6 +449,8 @@ def create_rollup(
                     where or "",  # "" = unfiltered
                     json.dumps(key_exprs),  # {} = all keys plain columns
                     having or "",  # "" = no read-face group filter
+                    json.dumps(list(var_cols)),
+                    "",  # retain_after: no retention policy yet
                     version,
                 )
             ],
@@ -408,7 +458,7 @@ def create_rollup(
             "keys string, sum_cols string, minmax_cols string, "
             "count_cols string, approx_cols string, distinct_cols string, "
             "where_sql string, key_exprs string, having_sql string, "
-            "last_version bigint",
+            "var_cols string, retain_after string, last_version bigint",
         )
         tx.ctas(_meta_name(name), meta)
 
@@ -432,6 +482,25 @@ def apply_read_face(df: DataFrame, meta_row) -> DataFrame:
     never drift."""
     for c in _meta_list(meta_row, "sum_cols"):
         df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
+    for c in _meta_list(meta_row, "var_cols"):
+        # sample variance from additive state: (sumsq - sum^2/count) /
+        # (count - 1), NULL below two non-null values (SQL VAR_SAMP),
+        # clamped at 0 against float round-off going negative
+        cnt = F.col(f"count_{c}").cast("double")
+        mean_sq = (
+            F.col(f"sum_{c}").cast("double")
+            * F.col(f"sum_{c}").cast("double")
+            / cnt
+        )
+        var = F.when(
+            F.col(f"count_{c}") >= 2,
+            F.greatest(
+                (F.col(f"sumsq_{c}") - mean_sq) / (cnt - 1), F.lit(0.0)
+            ),
+        )
+        df = df.withColumn(f"var_{c}", var).withColumn(
+            f"stddev_{c}", F.sqrt(var)
+        )
     for c in _meta_list(meta_row, "approx_cols"):
         df = df.withColumn(
             f"approx_distinct_{c}",
@@ -454,6 +523,9 @@ def derived_columns(meta_row) -> list:
         (f"avg_{c}", "DOUBLE", None)
         for c in _meta_list(meta_row, "sum_cols")
     ]
+    for c in _meta_list(meta_row, "var_cols"):
+        out.append((f"var_{c}", "DOUBLE", None))
+        out.append((f"stddev_{c}", "DOUBLE", None))
     out += [
         (f"approx_distinct_{c}", "BIGINT", f"hll_{c}")
         for c in _meta_list(meta_row, "approx_cols")
@@ -488,6 +560,7 @@ def refresh_rollup(lake, name: str) -> dict:
     count_cols = _meta_list(m, "count_cols")
     approx_cols = _meta_list(m, "approx_cols")
     distinct_cols = _meta_list(m, "distinct_cols")
+    var_cols = _meta_list(m, "var_cols")
     v0, v1 = int(m["last_version"]), lake.current_version()
     if v0 not in {s["snapshot_id"] for s in lake.snapshots()} and v0 < v1:
         # The stamped base snapshot was retired by expire_snapshots: the
@@ -498,7 +571,7 @@ def refresh_rollup(lake, name: str) -> dict:
         # cost once; subsequent refreshes are incremental again.
         return _refresh_full_recompute(
             lake, name, m, keys, sum_cols, minmax_cols, v0, v1,
-            count_cols, approx_cols, distinct_cols,
+            count_cols, approx_cols, distinct_cols, var_cols,
         )
     if v1 <= v0 or not _src_touched(lake, m["src"], v0, v1):
         # Metadata-only no-op: the snapshot log records which tables each
@@ -543,9 +616,11 @@ def refresh_rollup(lake, name: str) -> dict:
                 sign=sign,
                 count_cols=count_cols,
                 approx_cols=() if nonadditive else approx_cols,
+                var_cols=var_cols,
             )
         )
     )
+    delta = _retention_filter(delta, m)
     # Prune the rollup-side read to the delta's bucket range BEFORE joining:
     # refreshes of a time-ordered source touch a narrow recent window, so the
     # stats-pruned read skips almost every rollup file.
@@ -561,7 +636,7 @@ def refresh_rollup(lake, name: str) -> dict:
     if nonadditive:
         return _refresh_recompute(
             lake, name, m, keys, sum_cols, minmax_cols, delta, bounds,
-            v0, v1, count_cols, approx_cols, distinct_cols,
+            v0, v1, count_cols, approx_cols, distinct_cols, var_cols,
         )
     old = lake.read(name, where=(
         f"bucket_start >= '{bounds['lo']}' AND bucket_start <= '{bounds['hi']}'"
@@ -582,6 +657,13 @@ def refresh_rollup(lake, name: str) -> dict:
                     + F.col(f"d.sum_{c}")
                 ).alias(f"sum_{c}")
                 for c in sum_cols
+            ],
+            *[
+                (
+                    F.coalesce(F.col(f"o.sumsq_{c}"), F.lit(0.0))
+                    + F.col(f"d.sumsq_{c}")
+                ).alias(f"sumsq_{c}")
+                for c in var_cols
             ],
             *[
                 (
@@ -658,7 +740,7 @@ def _stamp_meta_tx(tx, lake, name: str, m, version: int) -> None:
 
 def _refresh_full_recompute(
     lake, name, m, keys, sum_cols, minmax_cols, v0, v1,
-    count_cols=(), approx_cols=(), distinct_cols=(),
+    count_cols=(), approx_cols=(), distinct_cols=(), var_cols=(),
 ) -> dict:
     """Rebuild the whole rollup from the source at ``v1`` (the expired-base
     escape hatch): one delete + one insert + the meta stamp in a single
@@ -682,9 +764,11 @@ def _refresh_full_recompute(
                 count_cols=count_cols,
                 approx_cols=approx_cols,
                 distinct_cols=distinct_cols,
+                var_cols=var_cols,
             )
         )
     )
+    df = _retention_filter(df, m)
     with lake.transaction() as tx:
         tx.delete(name)
         n = tx.insert(name, df)
@@ -694,7 +778,7 @@ def _refresh_full_recompute(
 
 def _refresh_recompute(
     lake, name, m, keys, sum_cols, minmax_cols, delta, bounds, v0, v1,
-    count_cols=(), approx_cols=(), distinct_cols=(),
+    count_cols=(), approx_cols=(), distinct_cols=(), var_cols=(),
 ) -> dict:
     """Non-additive refresh: re-aggregate the touched (bucket, keys) groups
     from the CURRENT source and MERGE them in; groups whose rows all
@@ -732,6 +816,7 @@ def _refresh_recompute(
                 count_cols=count_cols,
                 approx_cols=approx_cols,
                 distinct_cols=distinct_cols,
+                var_cols=var_cols,
             )
         )
     )
@@ -755,3 +840,53 @@ def _refresh_recompute(
         "to_version": v1,
         "changed_buckets": n_changed,
     }
+
+
+def apply_retention(lake, name: str, drop_before: str) -> int:
+    """Retention policy for a time-bucketed rollup (the TimescaleDB
+    ``add_retention_policy`` idea as an explicit verb): expire every
+    bucket strictly before ``drop_before`` and remember the horizon in
+    the meta row — ONE catalog transaction, so readers see the expiry
+    and the recorded policy atomically, and AT (VERSION =>) reads of
+    earlier snapshots still show the expired buckets (time travel is the
+    archive). Every refresh path filters folded/recomputed buckets by
+    the stored horizon, so late-arriving source rows (or the
+    expired-base full recompute) can never resurrect expired buckets.
+    Returns the number of expired rollup rows."""
+    import datetime as _dt
+
+    meta_rows = lake.read(_meta_name(name)).collect()
+    if len(meta_rows) != 1:
+        raise RollupError(f"rollup meta for {name!r} is corrupt")
+    row = meta_rows[0].asDict()
+    if not row.get("time_col"):
+        raise RollupError(
+            f"{name!r} is a keys-only materialized view (no time bucket): "
+            "retention needs a time-bucketed rollup"
+        )
+    # strict literal check: this value lands inside DELETE/refresh
+    # predicates as a timestamp literal, so only ISO date[time] passes
+    ts = drop_before.strip()
+    try:
+        _dt.datetime.fromisoformat(ts)
+    except ValueError:
+        raise RollupError(
+            f"drop_before must be an ISO date/timestamp, got {ts!r}"
+        ) from None
+    prev = row.get("retain_after") or None
+    if prev and _dt.datetime.fromisoformat(prev) > _dt.datetime.fromisoformat(ts):
+        raise RollupError(
+            f"retention horizon may only advance (current {prev!r}, "
+            f"got {ts!r}): expired buckets are already gone at HEAD"
+        )
+    had_col = "retain_after" in row
+    row["retain_after"] = ts
+    row["bucket_s"] = int(row["bucket_s"])
+    with lake.transaction() as tx:
+        if not had_col:
+            # meta written before retention existed: widen it in the same
+            # transaction so the restamp below can carry the horizon
+            tx.add_column(_meta_name(name), "retain_after", "string")
+        n = tx.delete(name, f"bucket_start < timestamp'{ts}'")
+        _stamp_meta_tx(tx, lake, name, row, int(row["last_version"]))
+    return n

@@ -20,7 +20,7 @@ same statement coverage so a reference user can port scripts verbatim:
   ergonomics. The SELECT must be the incrementally-maintainable subset:
   ``SELECT <keys...>, [time_bucket(INTERVAL '1 hour', ts),]
   COUNT(*)/COUNT(col)/COUNT(DISTINCT col)/APPROX_COUNT_DISTINCT(col)/
-  SUM/AVG/MIN/MAX(col)... FROM <lake table> [WHERE <pred over source
+  SUM/AVG/MIN/MAX/STDDEV/VARIANCE(col)... FROM <lake table> [WHERE <pred over source
   columns, no subqueries>] GROUP BY ... [HAVING <pred over the selected
   aggregates/keys>]`` — no JOIN (the same restriction TimescaleDB
   continuous aggregates and Materialize place on their incremental
@@ -180,15 +180,16 @@ def _norm_sql_expr(t: str) -> str:
 
 
 def _split_top(s: str) -> list:
-    """Split on top-level commas (outside parens and quotes)."""
+    """Split on top-level commas (outside parens, braces, and quotes —
+    braces carry read_csv/COPY ``columns {'a': 'INT', ...}`` structs)."""
     out, depth, cur, in_str = [], 0, [], False
     for ch in s:
         if ch == "'":
             in_str = not in_str
         elif not in_str:
-            if ch == "(":
+            if ch in "({":
                 depth += 1
-            elif ch == ")":
+            elif ch in ")}":
                 depth -= 1
             elif ch == "," and depth == 0:
                 out.append("".join(cur).strip())
@@ -320,6 +321,10 @@ class SQLExecutor:
         # Session-scoped like DuckDB's ATTACH; read via qualified
         # name.table references, migrated via COPY FROM DATABASE.
         self._attached = {}
+        # read_parquet/read_csv temp views registered while rewriting the
+        # CURRENT statement — dropped right after its plan is analyzed
+        # (_query), so file views never accumulate in the session catalog
+        self._file_views = []
 
     # -- staged-aware existence (an open txn's DDL must be visible to the
     # next statement's checks, not just committed state) -----------------
@@ -805,7 +810,8 @@ class SQLExecutor:
         "spark_partition_id".split()
     )
     _MV_AGG = re.compile(
-        rf"^(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*"
+        rf"^(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT"
+        rf"|STDDEV_SAMP|STDDEV_POP|STDDEV|VAR_SAMP|VAR_POP|VARIANCE)\s*"
         rf"\(\s*(DISTINCT\s+)?(\*|{_IDENT})\s*\)"
         rf"(?:\s+AS\s+({_IDENT}))?$",
         re.I,
@@ -819,7 +825,8 @@ class SQLExecutor:
     # unanchored _MV_AGG twin for rewriting aggregate spellings inside a
     # HAVING predicate to their canonical read-face column names
     _MV_HAVING_AGG = re.compile(
-        rf"\b(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*"
+        rf"\b(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT"
+        rf"|STDDEV_SAMP|STDDEV|VAR_SAMP|VARIANCE)\s*"
         rf"\(\s*(DISTINCT\s+)?(\*|{_IDENT})\s*\)",
         re.I,
     )
@@ -1386,25 +1393,69 @@ class SQLExecutor:
             f"{what} must be a table name or (subquery); got {tok!r}"
         )
 
-    def _external_df(self, path: str, fmt: str, header, delim: str):
+    def _external_df(
+        self, path: str, fmt: str, header, delim: str, quote: str = '"',
+        columns=None,
+    ):
         """Read an external parquet/csv file, part-file directory, or
-        glob. ``header=None`` on csv triggers the DuckDB-style sniff:
-        read WITHOUT a header first — if type inference finds any
-        non-string column, the first record is DATA (a header line would
-        have forced every column to string), so the file is headerless;
-        all-string columns mean a header is present (all-text data is
-        ambiguous — header assumed; pass an explicit header to
-        override)."""
+        glob. ``columns`` ({name: ddl_type}) declares the csv schema
+        outright (inference off; header defaults to ABSENT then, like
+        DuckDB's read_csv with columns). Otherwise ``header=None``
+        triggers the DuckDB-style sniff: read WITHOUT a header first —
+        any non-string inferred column means the first record is DATA (a
+        header line would have forced every column to string). All-string
+        columns are ambiguous; the first record is then compared against
+        sampled data rows — an empty or duplicated first-row value, or a
+        first-row value that reappears in its own column's data, marks it
+        DATA; otherwise a header is assumed and a warning points at the
+        explicit ``header``/``columns`` overrides."""
         if fmt == "parquet":
             return self.c.spark.read.parquet(path)
-        rd = (
-            self.c.spark.read.option("inferSchema", "true")
-            .option("sep", delim)
-        )
+        rd = self.c.spark.read.option("sep", delim).option("quote", quote)
+        if columns:
+            ddl = ", ".join(f"`{n}` {t}" for n, t in columns.items())
+            return (
+                rd.schema(ddl)
+                .option("header", str(bool(header)).lower())
+                .csv(path)
+            )
+        rd = rd.option("inferSchema", "true")
         if header is None:
             nohdr = rd.option("header", "false").csv(path)
-            header = all(t == "string" for _c, t in nohdr.dtypes)
+            if any(t != "string" for _c, t in nohdr.dtypes):
+                header = False
+            else:
+                header = self._sniff_header_all_text(nohdr, path)
         return rd.option("header", str(bool(header)).lower()).csv(path)
+
+    @staticmethod
+    def _sniff_header_all_text(nohdr, path: str) -> bool:
+        """Header-vs-data call for the ambiguous all-text csv: column
+        names are unique, non-empty, and don't normally recur as their
+        own column's values — any counter-signal from a bounded sample
+        marks the first record as DATA. A True verdict warns visibly: a
+        headerless all-text file would silently lose its first row."""
+        sample = nohdr.limit(101).collect()
+        if not sample:
+            return False
+        first, rest = sample[0], sample[1:]
+        vals = [first[c] for c in nohdr.columns]
+        if any(v is None or str(v).strip() == "" for v in vals):
+            return False  # header names are never empty
+        if len({str(v) for v in vals}) != len(vals):
+            return False  # header names are unique
+        for c in nohdr.columns:
+            if any(r[c] == first[c] for r in rest):
+                return False  # 'name' reappearing as a value => data
+        import warnings
+
+        warnings.warn(
+            f"read_csv: assuming the first record of {path!r} is a "
+            "header (all columns are text); pass header => false or "
+            "columns => {...} if it is data",
+            stacklevel=2,
+        )
+        return True
 
     def _copy_from_stmt(
         self, name: str, path: str, opts_text: str
@@ -1417,12 +1468,13 @@ class SQLExecutor:
         COPY TO, this IS transactional (it's an insert), so it composes
         with BEGIN/ROLLBACK; csv header auto-detection as in
         :meth:`_external_df`."""
-        fmt, header, delim = None, None, ","
+        fmt, header, delim, quote, columns = None, None, ",", '"', None
         for item in _split_top(opts_text) if opts_text else []:
             mm = re.match(r"^([A-Za-z_]+)\s*(.*)$", item.strip(), re.S)
             if not mm:
                 raise LakeSQLError(f"bad COPY option {item!r}")
-            k, v = mm.group(1).lower(), mm.group(2).strip().strip("'")
+            k, raw = mm.group(1).lower(), mm.group(2).strip()
+            v = raw.strip("'")
             if k == "format":
                 fmt = v.lower()
                 if fmt not in ("parquet", "csv"):
@@ -1433,11 +1485,19 @@ class SQLExecutor:
                 header = v.lower() != "false"
             elif k in ("delimiter", "delim", "sep"):
                 delim = v
+            elif k == "quote":
+                quote = v
+            elif k in ("columns", "types"):
+                # mis-sniffed header/type recovery without leaving SQL:
+                # same struct grammar as read_csv's columns argument
+                columns = self._parse_csv_columns(raw)
             else:
                 raise LakeSQLError(f"unknown COPY FROM option {k!r}")
         if fmt is None:
             fmt = "csv" if path.lower().endswith(".csv") else "parquet"
-        df = self._external_df(path, fmt, header, delim)
+        df = self._external_df(
+            path, fmt, header, delim, quote=quote, columns=columns
+        )
         n = [0]
 
         def op(tx):
@@ -1556,12 +1616,34 @@ class SQLExecutor:
 
                     total += pq.ParquetFile(p).metadata.num_rows
                 else:
-                    with open(p, "rb") as fh:
-                        lines = sum(
-                            chunk.count(b"\n")
-                            for chunk in iter(lambda: fh.read(1 << 20), b"")
-                        )
-                    total += max(0, lines - (1 if write_header else 0))
+                    # quote-aware record count: embedded newlines inside
+                    # quoted string values must not inflate the reported
+                    # row count (raw b'\n' counting did). Arrow's csv
+                    # reader when it parses cleanly, stdlib csv otherwise.
+                    hdr = 1 if write_header else 0
+                    try:
+                        import pyarrow.csv as _pacsv
+
+                        total += max(0, _pacsv.read_csv(
+                            p,
+                            read_options=_pacsv.ReadOptions(
+                                autogenerate_column_names=True
+                            ),
+                            parse_options=_pacsv.ParseOptions(
+                                delimiter=delim, newlines_in_values=True
+                            ),
+                        ).num_rows - hdr)
+                    except Exception:
+                        import csv as _csv
+
+                        with open(
+                            p, newline="", encoding="utf-8",
+                            errors="replace",
+                        ) as fh:
+                            nrec = sum(
+                                1 for _ in _csv.reader(fh, delimiter=delim)
+                            )
+                        total += max(0, nrec - hdr)
             return total
 
         if single:
@@ -1667,6 +1749,26 @@ class SQLExecutor:
                 raise LakeSQLError("flush_inlined(table)")
             self.c.flush_inlined(_val(pos[0]))
             return self._status("CALL flush_inlined", 0)
+        if f in ("add_retention_policy", "apply_retention"):
+            # bucket expiry on a time-bucketed rollup (TimescaleDB's
+            # add_retention_policy idea as an explicit one-shot verb):
+            # expire + record the horizon in ONE catalog txn; AT(VERSION)
+            # reads keep the archive, refreshes can't resurrect (rollup.py)
+            from .rollup import apply_retention
+
+            if len(pos) != 1 or "drop_before" not in named:
+                raise LakeSQLError(
+                    "add_retention_policy(mv, drop_before => 'timestamp')"
+                )
+            if not self._mv_exists(_val(pos[0])):
+                raise LakeSQLError(
+                    f"no materialized view named {pos[0]!r}"
+                )
+            n = apply_retention(
+                self.c, _val(pos[0]), str(_val(named["drop_before"]))
+            )
+            self._mv_cols.pop(_val(pos[0]), None)  # meta changed: drop cache
+            return self._status("CALL add_retention_policy", n)
         if f == "gc":
             age = named.get("min_age_seconds") or (pos[0] if pos else None)
             removed = self.c.gc(
@@ -1839,7 +1941,7 @@ class SQLExecutor:
             "CREATE MATERIALIZED VIEW supports only the maintainable "
             "subset: SELECT <keys...>, [time_bucket(...),] "
             "COUNT(*)/COUNT([DISTINCT] col)/APPROX_COUNT_DISTINCT(col)/"
-            "SUM/AVG/MIN/MAX(col)... FROM <lake table> "
+            "SUM/AVG/MIN/MAX/STDDEV/VARIANCE(col)... FROM <lake table> "
             "[WHERE <pred over source columns>] [GROUP BY ...] "
             "[HAVING <pred over the selected aggregates/keys>] — "
             "no JOIN/subqueries"
@@ -1891,7 +1993,7 @@ class SQLExecutor:
                 # cagg predicates to immutable functions the same way)
                 self._mv_guard_deterministic(where, src, "WHERE")
         keys, key_exprs, sum_cols, minmax_cols = [], {}, [], []
-        count_cols, approx_cols, distinct_cols = [], [], []
+        count_cols, approx_cols, distinct_cols, var_cols = [], [], [], []
         time_col, bucket_s, bucket_alias, bucket_expr = None, 3600, None, None
         has_bucket = False
 
@@ -1981,6 +2083,30 @@ class SQLExecutor:
                     _check_alias(alias, f"{fn.lower()}_{arg}")
                     if arg not in sum_cols:
                         sum_cols.append(arg)
+                elif fn in (
+                    "STDDEV", "STDDEV_SAMP", "VARIANCE", "VAR_SAMP",
+                    "STDDEV_POP", "VAR_POP",
+                ):
+                    if fn.endswith("_POP"):
+                        raise LakeSQLError(
+                            f"{fn} is not maintained (sample semantics "
+                            f"only): use {fn[:-4]}_SAMP, or derive the "
+                            "population form from the sumsq_/sum_/count_ "
+                            "state columns"
+                        )
+                    face = (
+                        "stddev" if fn.startswith("STDDEV") else "var"
+                    )
+                    _check_alias(alias, f"{face}_{arg}")
+                    # additive sum-of-squares state; the read-face formula
+                    # divides by the NULL-skipping count, so SUM and COUNT
+                    # state for the column ride along automatically
+                    if arg not in var_cols:
+                        var_cols.append(arg)
+                    if arg not in sum_cols:
+                        sum_cols.append(arg)
+                    if arg not in count_cols:
+                        count_cols.append(arg)
                 else:  # MIN / MAX
                     _check_alias(alias, f"{fn.lower()}_{arg}")
                     if arg not in minmax_cols:
@@ -1997,8 +2123,8 @@ class SQLExecutor:
                 expr, alias = mk.group(1).strip(), mk.group(2)
                 al = alias.lower()
                 reserved = al in ("bucket_start", "n_rows") or re.match(
-                    r"^(sum|avg|min|max|count|hll|distinct|"
-                    r"approx_distinct)_", al
+                    r"^(sum|sumsq|avg|min|max|count|hll|distinct|"
+                    r"approx_distinct|var|stddev)_", al
                 )
                 if reserved:
                     raise LakeSQLError(
@@ -2029,7 +2155,7 @@ class SQLExecutor:
                 "(plain key columns, <deterministic expr> AS <alias> "
                 "keys, one time_bucket(...), and COUNT(*)/"
                 "COUNT(col)/COUNT(DISTINCT col)/APPROX_COUNT_DISTINCT(col)/"
-                "SUM/AVG/MIN/MAX(col) only)"
+                "SUM/AVG/MIN/MAX/STDDEV/VARIANCE(col) only)"
             )
 
         # GROUP BY must cover exactly the keys (+ the bucket, if present);
@@ -2100,6 +2226,7 @@ class SQLExecutor:
                 approx_cols=approx_cols,
                 distinct_cols=distinct_cols,
                 nullable_cols=nullable_cols,
+                var_cols=var_cols,
             )
             # same discipline as the WHERE/key-expr guards: a volatile or
             # subquery-bearing HAVING would make two reads of the same MV
@@ -2121,6 +2248,7 @@ class SQLExecutor:
             "count_cols": tuple(count_cols),
             "approx_cols": tuple(approx_cols),
             "distinct_cols": tuple(distinct_cols),
+            "var_cols": tuple(var_cols),
             "where": where,
             "having": having,
         }
@@ -2128,6 +2256,7 @@ class SQLExecutor:
     def _rewrite_mv_having(
         self, text: str, *, sum_cols, minmax_cols, count_cols,
         approx_cols, distinct_cols, nullable_cols=frozenset(),
+        var_cols=(),
     ) -> str:
         """Rewrite aggregate-function spellings in a HAVING predicate to
         the rollup's canonical read-face column names (``COUNT(*)`` ->
@@ -2153,6 +2282,7 @@ class SQLExecutor:
             "count": {c.lower(): c for c in count_cols},
             "approx": {c.lower(): c for c in approx_cols},
             "distinct": {c.lower(): c for c in distinct_cols},
+            "var": {c.lower(): c for c in var_cols},
         }
 
         def canon(m: "re.Match") -> str:
@@ -2190,6 +2320,10 @@ class SQLExecutor:
                 return need("count", "count_{}")
             if fn == "APPROX_COUNT_DISTINCT":
                 return need("approx", "approx_distinct_{}")
+            if fn in ("STDDEV", "STDDEV_SAMP"):
+                return need("var", "stddev_{}")
+            if fn in ("VARIANCE", "VAR_SAMP"):
+                return need("var", "var_{}")
             if fn == "SUM":
                 return need("sum", "sum_{}")
             if fn == "AVG":
@@ -2249,7 +2383,7 @@ class SQLExecutor:
         ]
         referenced += list(spec["sum_cols"]) + list(spec["minmax_cols"])
         referenced += list(spec["count_cols"]) + list(spec["approx_cols"])
-        referenced += list(spec["distinct_cols"])
+        referenced += list(spec["distinct_cols"]) + list(spec["var_cols"])
         if spec["time_col"] is not None:
             referenced.append(spec["time_col"])
         missing = [c for c in referenced if c.lower() not in src_cols]
@@ -2309,6 +2443,7 @@ class SQLExecutor:
             count_cols=spec["count_cols"],
             approx_cols=spec["approx_cols"],
             distinct_cols=spec["distinct_cols"],
+            var_cols=spec["var_cols"],
             replace=is_replace,
             where=spec["where"],
             key_exprs=spec["key_exprs"],
@@ -2397,15 +2532,25 @@ class SQLExecutor:
         bind to the staged state (read-your-writes), and tables dropped in
         the txn are unregistered so reads of them fail."""
         self._bind_tables(version)
-        return self.c.spark.sql(
-            self._rewrite_meta_fns(
-                self.c._rewrite_at(
-                    self._rewrite_mv_at(
-                        self._rewrite_attached(self._rewrite_file_fns(body))
+        self._file_views = []
+        try:
+            return self.c.spark.sql(
+                self._rewrite_meta_fns(
+                    self.c._rewrite_at(
+                        self._rewrite_mv_at(
+                            self._rewrite_attached(
+                                self._rewrite_file_fns(body)
+                            )
+                        )
                     )
                 )
             )
-        )
+        finally:
+            # the plan is analyzed (views resolved) by the time spark.sql
+            # returns; dropping them here keeps the session catalog clean
+            for v in self._file_views:
+                self.c.spark.catalog.dropTempView(v)
+            self._file_views = []
 
     # -- attached catalogs (ATTACH 'path' AS name) -----------------------
     def _attach_stmt(self, path: str, name: str) -> DataFrame:
@@ -2499,36 +2644,165 @@ class SQLExecutor:
             ),
         )
 
+    _FILE_FN = re.compile(r"\b(read_parquet|read_csv_auto|read_csv)\s*\(", re.I)
+    # DuckDB csv type spellings -> Spark DDL (anything else passes through:
+    # Spark's DDL parser covers decimal(p,s), date, timestamp, ...)
+    _CSV_TYPES = {
+        "varchar": "string", "text": "string", "char": "string",
+        "integer": "int", "int4": "int", "int8": "bigint",
+        "hugeint": "decimal(38,0)", "real": "float", "float4": "float",
+        "float8": "double", "bool": "boolean",
+    }
+
     def _rewrite_file_fns(self, q: str) -> str:
         """DuckDB's file table functions — ``read_parquet('path')`` and
-        ``read_csv('path' [, header => true|false])`` / ``read_csv_auto``
-        — rewrite to temp views bound to Spark's readers (csv with schema
-        inference and a DuckDB-style header sniff, overridable with the
-        ``header`` argument), so external files are queryable
-        and ingestible SQL-first: COPY's inverse
-        (``INSERT INTO t SELECT * FROM read_parquet('dump.parquet')``).
-        The path may be a file, a directory of part files (what a
-        directory-form COPY wrote), or a glob — whatever spark.read
-        accepts."""
+        ``read_csv('path' [, header => true|false] [, delim => ','] [,
+        quote => '\"'] [, columns => {'a': 'INT', ...}])`` /
+        ``read_csv_auto`` / ``types`` as an alias of ``columns`` —
+        rewrite to temp views bound to Spark's readers (csv with schema
+        inference and a DuckDB-style header sniff unless ``columns``
+        declares the schema), so external files are queryable and
+        ingestible SQL-first: COPY's inverse. The path is a standard SQL
+        string literal ('' escapes an apostrophe, same as COPY's
+        grammar) and may be a file, a directory of part files, or a
+        glob. Calls inside string literals are left untouched; the
+        registered views are session-temporary and dropped after the
+        statement's plan is analyzed (see _query)."""
+        out, i = [], 0
+        while True:
+            m = self._search_nonliteral(self._FILE_FN, q, i)
+            if m is None:
+                out.append(q[i:])
+                return "".join(out)
+            close = self._match_paren(q, m.end() - 1)
+            view = self._bind_file_fn(
+                m.group(1).lower(), q[m.end(): close]
+            )
+            out.append(q[i: m.start()])
+            out.append(view)
+            i = close + 1
 
-        def _rw(m: "re.Match") -> str:
-            fn, path, hdr = m.group(1).lower(), m.group(2), m.group(3)
-            fmt = "parquet" if fn == "read_parquet" else "csv"
-            header = None if hdr is None else hdr.lower() == "true"
-            df = self._external_df(path, fmt, header, ",")
-            view = "__file_" + hashlib.md5(
-                f"{fn}:{path}:{hdr}".encode()
-            ).hexdigest()[:12]
-            df.createOrReplaceTempView(view)
-            return view
+    @staticmethod
+    def _search_nonliteral(pat, q: str, start: int):
+        """First match of ``pat`` at or after ``start`` that is NOT inside
+        a single-quoted SQL string literal ('' escape aware)."""
+        spans = []
+        i, n = 0, len(q)
+        while i < n:
+            if q[i] == "'":
+                j = i + 1
+                while j < n:
+                    if q[j] == "'":
+                        if j + 1 < n and q[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                spans.append((i, j))
+                i = j + 1
+            else:
+                i += 1
+        pos = start
+        while True:
+            m = pat.search(q, pos)
+            if m is None or not any(a <= m.start() <= b for a, b in spans):
+                return m
+            pos = m.end()
 
-        return re.sub(
-            r"\b(read_parquet|read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*"
-            r"(?:,\s*header\s*=>\s*(true|false)\s*)?\)",
-            _rw,
-            q,
-            flags=re.I,
+    @staticmethod
+    def _match_paren(q: str, popen: int) -> int:
+        """Index of the ')' matching the '(' at ``popen``, skipping
+        string literals."""
+        depth, i, n = 0, popen, len(q)
+        while i < n:
+            ch = q[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if q[j] == "'":
+                        if j + 1 < n and q[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                i = j + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        raise LakeSQLError("unbalanced parentheses in read_* call")
+
+    def _bind_file_fn(self, fn: str, argstext: str) -> str:
+        """Parse one read_parquet/read_csv argument list, bind the file
+        DataFrame as a temp view, and return the view name."""
+        args = _split_top(argstext) if argstext.strip() else []
+        if not args or not re.fullmatch(
+            r"'(?:[^']|'')*'", args[0].strip(), re.S
+        ):
+            raise LakeSQLError(
+                f"{fn} needs a quoted path as its first argument"
+            )
+        path = args[0].strip()[1:-1].replace("''", "'")
+        header, delim, quote, columns = None, ",", '"', None
+        for a in args[1:]:
+            mm = re.match(rf"^({_IDENT})\s*=>\s*(.+)$", a.strip(), re.S)
+            if not mm:
+                raise LakeSQLError(f"bad {fn} argument {a.strip()!r}")
+            k, v = mm.group(1).lower(), mm.group(2).strip()
+            if fn == "read_parquet":
+                raise LakeSQLError(f"read_parquet takes no {k!r} argument")
+            if k == "header":
+                if v.lower() not in ("true", "false"):
+                    raise LakeSQLError("header => true|false")
+                header = v.lower() == "true"
+            elif k in ("delim", "delimiter", "sep"):
+                delim = v.strip()[1:-1].replace("''", "'")
+            elif k == "quote":
+                quote = v.strip()[1:-1].replace("''", "'")
+            elif k in ("columns", "types"):
+                columns = self._parse_csv_columns(v)
+            else:
+                raise LakeSQLError(
+                    f"unknown {fn} argument {k!r} (header, delim, quote, "
+                    "columns/types)"
+                )
+        fmt = "parquet" if fn == "read_parquet" else "csv"
+        df = self._external_df(
+            path, fmt, header, delim, quote=quote, columns=columns
         )
+        view = "__file_" + hashlib.md5(
+            f"{fn}:{path}:{header}:{delim}:{quote}:{columns}".encode()
+        ).hexdigest()[:12]
+        df.createOrReplaceTempView(view)
+        self._file_views.append(view)
+        return view
+
+    def _parse_csv_columns(self, text: str) -> dict:
+        """``{'name': 'TYPE', ...}`` (DuckDB's read_csv columns/types
+        struct) -> ordered {name: spark_ddl_type}."""
+        t = text.strip()
+        if not (t.startswith("{") and t.endswith("}")):
+            raise LakeSQLError(
+                "columns/types expects {'name': 'TYPE', ...}"
+            )
+        out = {}
+        body = t[1:-1].strip()
+        for pair in _split_top(body) if body else []:
+            mm = re.match(
+                r"^'((?:[^']|'')*)'\s*:\s*'((?:[^']|'')*)'$", pair.strip()
+            )
+            if not mm:
+                raise LakeSQLError(f"bad columns/types entry {pair.strip()!r}")
+            name = mm.group(1).replace("''", "'")
+            typ = mm.group(2).replace("''", "'").strip().lower()
+            out[name] = self._CSV_TYPES.get(typ, typ)
+        if not out:
+            raise LakeSQLError("columns/types struct is empty")
+        return out
 
     def _rewrite_mv_at(self, q: str) -> str:
         """Time-travel reads of a MATERIALIZED VIEW go through the rollup

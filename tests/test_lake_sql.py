@@ -727,7 +727,14 @@ def test_mv_having_errors(lake):
             "GROUP BY k HAVING SUM(w) > 1"
         )
     # aggregates outside the maintainable family are refused by name
+    # (stddev graduated INTO the family in round 11 — median stays out)
     with pytest.raises(LakeSQLError, match="not maintained by this view"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT k, COUNT(*) FROM t "
+            "GROUP BY k HAVING median(v) > 1"
+        )
+    # an unmaintained STDDEV points at the SELECT list instead
+    with pytest.raises(LakeSQLError, match="add it to the SELECT"):
         lake.sql(
             "CREATE MATERIALIZED VIEW bad AS SELECT k, COUNT(*) FROM t "
             "GROUP BY k HAVING stddev(v) > 1"
@@ -2545,3 +2552,254 @@ def test_attach_cross_catalog_sql(lake, spark, tmp_path):
     with pytest.raises(LakeSQLError, match="explicit transaction"):
         lake.sql(f"ATTACH '{tgt_path}' AS p2")
     lake.sql("ROLLBACK")
+
+
+def test_mv_stddev_variance_sql(lake):
+    """Additive VAR/STDDEV maintenance: sum-of-squares state rides the
+    O(changes) signed fold exactly like SUM, and the read face derives
+    sample variance/stddev with the NULL-skipping count denominator —
+    incremental == from-scratch recompute through inserts AND deletes."""
+    import math
+
+    lake.sql("CREATE TABLE m (k VARCHAR, v DOUBLE)")
+    lake.sql(
+        "INSERT INTO m VALUES ('a', 1.0), ('a', 2.0), ('a', 4.0), "
+        "('b', 10.0), ('b', 10.0), ('c', 5.0), ('a', NULL)"
+    )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT k, COUNT(*), STDDEV(v), VARIANCE(v) FROM m GROUP BY k"
+    )
+
+    def face():
+        return {
+            r["k"]: (r["stddev_v"], r["var_v"])
+            for r in lake.sql("SELECT k, stddev_v, var_v FROM mv").collect()
+        }
+
+    def recompute():
+        return {
+            r["k"]: (r["st"], r["vr"])
+            for r in lake.sql(
+                "SELECT k, stddev(v) AS st, variance(v) AS vr "
+                "FROM m GROUP BY k"
+            ).collect()
+        }
+
+    def assert_match():
+        got, exp = face(), recompute()
+        assert set(got) == set(exp)
+        for k in exp:
+            for g, e in zip(got[k], exp[k]):
+                if e is None:
+                    assert g is None, (k, got[k], exp[k])
+                else:
+                    assert g == pytest.approx(e, rel=1e-9), (k, got[k], exp[k])
+
+    assert_match()
+    assert face()["c"] == (None, None)  # single value: VAR_SAMP is NULL
+    # incremental: inserts AND deletes fold through the additive path
+    lake.sql("INSERT INTO m VALUES ('a', 9.0), ('c', 8.0), ('d', 3.0)")
+    lake.sql("DELETE FROM m WHERE k = 'a' AND v = 2.0")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    assert_match()
+    # derived face values equal the textbook formula on the state
+    row = lake.sql(
+        "SELECT sum_v, sumsq_v, count_v, stddev_v FROM mv WHERE k = 'a'"
+    ).collect()[0]
+    n = row["count_v"]
+    exp_var = (row["sumsq_v"] - row["sum_v"] ** 2 / n) / (n - 1)
+    assert row["stddev_v"] == pytest.approx(math.sqrt(exp_var))
+    # HAVING over the derived face, both spellings
+    lake.sql(
+        "CREATE MATERIALIZED VIEW spread AS "
+        "SELECT k, COUNT(*), STDDEV(v) FROM m GROUP BY k "
+        "HAVING STDDEV(v) > 2.0"
+    )
+    exp_keys = {
+        r["k"]
+        for r in lake.sql(
+            "SELECT k FROM (SELECT k, stddev(v) AS s FROM m GROUP BY k) "
+            "WHERE s > 2.0"
+        ).collect()
+    }
+    assert {
+        r["k"] for r in lake.sql("SELECT k FROM spread").collect()
+    } == exp_keys
+    # population forms are refused with guidance
+    with pytest.raises(LakeSQLError, match="STDDEV_SAMP"):
+        lake.sql(
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT k, COUNT(*), STDDEV_POP(v) FROM m GROUP BY k"
+        )
+    # DESCRIBE lists the derived face columns
+    desc = {r["column_name"] for r in lake.sql("DESCRIBE mv").collect()}
+    assert {"var_v", "stddev_v", "sumsq_v", "count_v"} <= desc
+    # rename follow-through: state + derived spellings keep resolving
+    lake.sql("ALTER TABLE m RENAME COLUMN v TO amt")
+    lake.sql("INSERT INTO m VALUES ('b', 20.0)")
+    lake.sql("REFRESH MATERIALIZED VIEW spread")
+    assert lake.sql("SELECT k, stddev_amt FROM spread").count() >= 1
+
+
+def test_mv_retention_policy_sql(lake):
+    """CALL add_retention_policy(mv, drop_before => ts): expired buckets
+    vanish from HEAD reads (HAVING face included) in one catalog txn,
+    stay visible via AT (VERSION), and a late-arriving source row plus
+    REFRESH cannot resurrect them."""
+    lake.sql("CREATE TABLE ev (ts TIMESTAMP, v DOUBLE)")
+    lake.sql(
+        "INSERT INTO ev VALUES "
+        "(TIMESTAMP '2024-01-01 10:05:00', 1.0), "
+        "(TIMESTAMP '2024-01-01 10:45:00', 2.0), "
+        "(TIMESTAMP '2024-01-01 11:10:00', 3.0), "
+        "(TIMESTAMP '2024-01-01 12:20:00', 4.0)"
+    )
+    lake.sql(
+        "CREATE MATERIALIZED VIEW hr AS "
+        "SELECT time_bucket(INTERVAL '1 hour', ts), COUNT(*), SUM(v) "
+        "FROM ev GROUP BY bucket_start"
+    )
+
+    def buckets(q="SELECT bucket_start FROM hr"):
+        return sorted(str(r["bucket_start"]) for r in lake.sql(q).collect())
+
+    assert len(buckets()) == 3
+    v0 = lake.current_version()
+    st = lake.sql(
+        "CALL add_retention_policy(hr, drop_before => '2024-01-01 11:00:00')"
+    ).collect()[0]
+    assert st["rows"] == 1  # the 10:00 bucket row expired
+    assert buckets() == [
+        "2024-01-01 11:00:00", "2024-01-01 12:00:00",
+    ]
+    # the archive: time travel still shows the expired bucket
+    assert len(
+        buckets(f"SELECT bucket_start FROM hr AT (VERSION => {v0})")
+    ) == 3
+    # a late row in the EXPIRED hour + refresh: not resurrected, while a
+    # live-bucket row folds normally
+    lake.sql(
+        "INSERT INTO ev VALUES "
+        "(TIMESTAMP '2024-01-01 10:30:00', 9.0), "
+        "(TIMESTAMP '2024-01-01 11:30:00', 5.0)"
+    )
+    lake.sql("REFRESH MATERIALIZED VIEW hr")
+    assert buckets() == [
+        "2024-01-01 11:00:00", "2024-01-01 12:00:00",
+    ]
+    got = {
+        str(r["bucket_start"]): r["sum_v"]
+        for r in lake.sql("SELECT bucket_start, sum_v FROM hr").collect()
+    }
+    assert got["2024-01-01 11:00:00"] == 8.0  # 3.0 + 5.0
+    # the horizon may only advance
+    with pytest.raises(Exception, match="only advance"):
+        lake.sql(
+            "CALL add_retention_policy(hr, "
+            "drop_before => '2024-01-01 00:00:00')"
+        )
+    # keys-only MVs have no buckets to expire
+    lake.sql("CREATE TABLE kv (k VARCHAR, v DOUBLE)")
+    lake.sql("INSERT INTO kv VALUES ('a', 1.0)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW kmv AS "
+        "SELECT k, COUNT(*), SUM(v) FROM kv GROUP BY k"
+    )
+    with pytest.raises(Exception, match="keys-only"):
+        lake.sql(
+            "CALL add_retention_policy(kmv, drop_before => '2024-01-01')"
+        )
+    # malformed timestamps are refused before anything mutates
+    with pytest.raises(Exception, match="ISO"):
+        lake.sql(
+            "CALL add_retention_policy(hr, drop_before => 'nonsense')"
+        )
+
+
+def test_read_csv_option_breadth(lake, spark, tmp_path):
+    """read_csv named options (delim/quote/columns/types) + the same
+    overrides on COPY FROM: a mis-sniffed header or type is recoverable
+    without leaving SQL, '' path escapes match COPY's grammar, and the
+    rewrite leaves no __file_* temp views behind."""
+    # headerless, semicolon-delimited, declared types (the round trip the
+    # sniffer cannot get right alone: all-text columns)
+    f = tmp_path / "raw.csv"
+    f.write_text("ab;cd\nxy;zz\n")
+    got = lake.sql(
+        f"SELECT * FROM read_csv('{f}', delim => ';', "
+        "columns => {'a': 'VARCHAR', 'b': 'VARCHAR'}) ORDER BY a"
+    ).collect()
+    assert [(r["a"], r["b"]) for r in got] == [("ab", "cd"), ("xy", "zz")]
+    # declared numeric types override inference
+    g = tmp_path / "nums.csv"
+    g.write_text("1;2.5\n3;4.5\n")
+    got = lake.sql(
+        f"SELECT sum(i) AS si, sum(d) AS sd FROM read_csv('{g}', "
+        "delim => ';', types => {'i': 'INTEGER', 'd': 'DOUBLE'})"
+    ).collect()[0]
+    assert (got["si"], got["sd"]) == (4, 7.0)
+    # custom quote char
+    q = tmp_path / "quoted.csv"
+    q.write_text("a,b\n$hello, world$,2\n")
+    got = lake.sql(
+        f"SELECT a FROM read_csv('{q}', quote => '$')"
+    ).collect()
+    assert [r["a"] for r in got] == ["hello, world"]
+    # '' path escape parity with COPY
+    odd = tmp_path / "it's.csv"
+    odd.write_text("x\n7\n")
+    esc = str(odd).replace("'", "''")
+    assert lake.sql(
+        f"SELECT x FROM read_csv('{esc}')"
+    ).collect()[0]["x"] == 7
+    # no lingering __file_* temp views after the statements above
+    leftovers = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__file_")
+    ]
+    assert leftovers == []
+    # a read_csv spelled inside a string LITERAL is data, not a call
+    lit = lake.sql("SELECT 'read_csv(''x'')' AS s").collect()[0]["s"]
+    assert lit == "read_csv('x')"
+    # COPY FROM with the same overrides
+    lake.sql("CREATE TABLE t9 (a VARCHAR, b VARCHAR)")
+    st = lake.sql(
+        f"COPY t9 FROM '{f}' (FORMAT CSV, DELIMITER ';', HEADER false, "
+        "COLUMNS {'a': 'VARCHAR', 'b': 'VARCHAR'})"
+    ).collect()[0]
+    assert st["rows"] == 2
+    assert lake.read("t9").count() == 2
+
+
+def test_csv_copy_count_and_header_sniff(lake, spark, tmp_path):
+    """COPY TO's reported row count is quote-aware (embedded newlines in
+    string values must not inflate it), and the all-text header sniff
+    marks a first record with empty/duplicate/recurring values as DATA
+    instead of silently eating it."""
+    lake.sql("CREATE TABLE notes (id INT, body VARCHAR)")
+    lake.sql(
+        "INSERT INTO notes VALUES (1, 'line1\nline2'), (2, 'plain')"
+    )
+    c = str(tmp_path / "notes.csv")
+    st = lake.sql(f"COPY notes TO '{c}' (FORMAT CSV)").collect()[0]
+    assert st["rows"] == 2  # raw b'\n' counting reported 3
+    # sniffer counter-signals: a value recurring in its own column
+    d = tmp_path / "alltext.csv"
+    d.write_text("red,blue\ngreen,blue\nred,yellow\n")
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM read_csv('{d}')"
+    ).collect()[0]["n"] == 3  # first record kept as DATA
+    # duplicate first-row values => data
+    e = tmp_path / "dup.csv"
+    e.write_text("x,x\np,q\n")
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM read_csv('{e}')"
+    ).collect()[0]["n"] == 2
+    # a real header (unique names, none recurring) still sniffs as one
+    h = tmp_path / "hdr.csv"
+    h.write_text("name,city\nalice,paris\nbob,rome\n")
+    got = lake.sql(
+        f"SELECT name FROM read_csv('{h}') ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in got] == ["alice", "bob"]
