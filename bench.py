@@ -194,6 +194,19 @@ def tune_for_input(spark, sf_dir: str) -> None:
     # exploding-join stages, and none of the headline plans has a skewed
     # key by construction (DF caps / banding bound every join key).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Constraint propagation spends driver time deriving isNotNull/filter
+    # constraints across every operator of every plan — O(plan size), paid
+    # inside each timed run (count() re-plans), worth ~5-15 ms per query
+    # here and ~100 ms on the 97-aggregate sketch plans (measured paired:
+    # headline total 2.07 -> 2.01). Verified with a plan diff over the
+    # whole headline set: the ONLY change with it off is dropped inferred
+    # IsNotNull filters, which are redundant for these queries (inner-join
+    # keys and compared columns shed their nulls in the join/filter itself)
+    # — so this also removes dead per-row null checks from the scan hot
+    # path. A workload whose correctness-neutral IsNotNull pushdowns
+    # actually prune row groups (sparse nullable columns) should leave it
+    # on.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
 
 
 def duckdb_twin(specs, sf_dir: str) -> dict:

@@ -6,6 +6,8 @@ events documents embeddings — one parquet file per table under an sf dir.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -27,6 +29,18 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+# Scan memoization: the driver's sf dirs are immutable, so the DataFrame
+# built over a (session, sf_dir, table) triple is reusable verbatim — a
+# DataFrame is just an analyzed logical plan, holding no execution state.
+# Re-reading costs a py4j round-trip + a parquet footer/schema resolution
+# per call (~50-100 ms driver-side), which a 12-query suite pays dozens of
+# times for the same ten files. Weak-keyed on the session so a stopped
+# session's plans don't pin its JVM gateway.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown reach the parquet
     scan because the DataFrame is built directly over the file source.
@@ -35,6 +49,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rejects; we read nanos as long (legacy conf) and rebuild the timestamp.
     The data is microsecond-granular, so `DIV 1000` is lossless.
     """
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    df = per_session.get((sf_dir, name))
+    if df is None:
+        df = per_session[(sf_dir, name)] = _read_table(spark, sf_dir, name)
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # scope the legacy conf to this read: schema resolution happens at
         # read time, so restoring afterwards doesn't affect this DataFrame

@@ -120,6 +120,43 @@ def shingle_table(
     return sh.dropDuplicates(["doc_id", "s"]) if distinct else sh
 
 
+def shingle_hash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, h) deduped 64-bit word-n-gram shingle hashes, WITHOUT
+    materializing the shingle strings: xxhash64 is variadic, so the n word
+    columns feed the hash directly and the per-shingle ``concat_ws``
+    allocation (~30 B x |shingles| of garbage per scan) is skipped —
+    measured 0.235 s -> 0.183 s for the sf0.1 shingle+dedup stage. Set
+    semantics are unchanged: words contain no whitespace (they come from a
+    \\s+ split), so the (w1..wn) tuple and the space-joined string are in
+    bijection. Only for consumers that never need the shingle text (d02's
+    inverted index); d03's sketches hash md5-of-string because the DuckDB
+    oracle must compute the identical hash."""
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        docs.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+        )
+        .filter(F.size("ws") >= n)
+    )
+    pos = toks.select(
+        "doc_id", "ws",
+        F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("p"),
+    )
+    return pos.select(
+        "doc_id",
+        F.xxhash64(
+            *[F.element_at("ws", F.col("p") + j) for j in range(n)]
+        ).alias("h"),
+    ).dropDuplicates(["doc_id", "h"])
+
+
 def hashed_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -425,18 +462,16 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Work on 8-byte shingle hashes, not strings: the inverted-index
     # self-join shuffles carry (int64, int64) rows instead of ~30-byte text
     # (a 64-bit collision would perturb one count with p ~ |shingles|^2/2^65
-    # — negligible). The (doc_id, h) dedup rides the shingle table's
+    # — negligible), and the hash is computed variadically over the word
+    # columns so the shingle strings are never materialized (see
+    # shingle_hash_table). The (doc_id, h) dedup rides the shingle table's
     # existing doc_id partitioning (HashPartitioning(doc_id) satisfies the
     # (doc_id, h) clustering), so it costs no extra shuffle. Deliberately
     # NOT persisted: every consumer sits on the single h-exchange below,
     # which AQE computes once and reuses — a cache would only add a
     # materialization barrier (measured +0.5 s at sf0.1) and, at 100 TB,
     # executor storage for a table that is never re-read.
-    sh0 = (
-        shingle_table(d, distinct=False)
-        .select("doc_id", F.xxhash64("s").alias("h"))
-        .dropDuplicates(["doc_id", "h"])
-    )
+    sh0 = shingle_hash_table(d)
     # Document-frequency cap as a count-over-window keyed on h: ONE exchange
     # on h that the self-join below then consumes in place on both sides
     # (identical subtrees -> one reused shuffle, no re-exchange). The

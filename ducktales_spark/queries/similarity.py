@@ -165,8 +165,17 @@ def _topk(sims: DataFrame, k: int) -> DataFrame:
 def e01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the first N vectors as queries. The query
     set must be driver-small (it is broadcast); the candidate side streams —
-    at 100 TB this is one scan with no shuffle before the top-k."""
-    v = _vectors(spark, sf_dir)
+    at 100 TB this is one scan with no shuffle before the top-k.
+
+    The stored float32 vectors stream to the kernel UNcast: a JVM-side
+    transform(x -> double) is an interpreted higher-order function per
+    element and doubles the Arrow payload, while numpy's float32 -> float64
+    widening inside ``_np`` is exact (every float32 is representable), so
+    the double-precision score math — and the 9 dp oracle parity it
+    guarantees — is unchanged."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
     qpdf = v.filter(F.col("vec_id") < _N_QUERIES).toPandas()
     sims = cosine_scores(
         v, qpdf["vec_id"].to_numpy(), _np(qpdf["e"]), local_k=_TOP_K

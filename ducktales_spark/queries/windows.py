@@ -181,37 +181,61 @@ def x02_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     both epoch-aligned; in the sliding case each event lands in exactly two
     windows (the oracle materializes both memberships via UNION ALL).
 
-    ONE aggregation serves both kinds: the hour-aligned sliding windows ARE
-    the tumbling windows (same start/end/count/sum), so instead of a
-    union of two aggregations (two scans + two shuffles of events — and a
-    filter-over-the-agg union formulation is no better, because Catalyst
-    pushes the group-key minute() filter below the agg and the branches
-    stop being one reusable subtree), each aggregated sliding row explodes
-    into its kind labels: hour-aligned rows emit both 'tumbling' and
-    'sliding'. One scan + one shuffle total, at any SF."""
-    e = table(spark, sf_dir, "events")
-    slide = (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+    ONE aggregation, ONE shuffle, LONG group keys: each event computes its
+    30-minute half-bucket index (epoch arithmetic — a codegen long
+    expression), explodes into the two sliding windows that contain it
+    (start buckets hb and hb-1), and a single groupBy(wb) aggregates both
+    kinds at once (hour-aligned starts — even wb — ARE the tumbling
+    windows, so they emit both kind labels from O(#windows) aggregated
+    rows). vs groupBy(window(...)): same shuffle count, but the group key
+    is a long instead of a struct<timestamp,timestamp> and no per-row
+    window-struct construction. vs a two-level rollup (agg per half-bucket,
+    then combine adjacent buckets): the second shuffle's fixed stage cost
+    exceeds what halving the partial-agg input saves at every measured SF
+    (interleaved sf10-equivalent A/B: two-level 0.50 s, this 0.31 s) — the
+    partial agg collapses each task's rows to O(#buckets) before the
+    exchange either way, so the shuffle is O(#windows), flat in SF.
+
+    Remaining gap vs the DuckDB twin at sf10 (~0.31 s vs 0.11 s) is the
+    per-row JVM hash-aggregate constant, not plan shape: the same scan's
+    decode floor is 0.11 s and a constant-key aggregate over the same rows
+    already costs 0.20 s (tools/floor_sweep.py decomposition)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    e = table(spark, sf_dir, "events").select("ts", "value")
+    # events.ts has shipped as both TIMESTAMP and TIMESTAMP_NTZ across data
+    # generations — build the epoch arithmetic against a literal of the
+    # matching type so neither cast is an analysis error.
+    ntz = isinstance(e.schema["ts"].dataType, TimestampNTZType)
+    epoch = (
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+        if ntz
+        else "timestamp_seconds(0)"
+    )
+    hb = F.expr(f"timestampdiff(SECOND, {epoch}, ts) div 1800")
+    win = (
+        e.select(
+            F.explode(F.array(hb, hb - 1)).alias("wb"),
+            "value",
+        )
+        .groupBy("wb")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
-            "n_events",
-            "sum_value",
-        )
     )
-    return slide.select(
+    win_start = F.expr(f"timestampadd(SECOND, wb * 1800, {epoch})")
+    win_end = F.expr(f"timestampadd(SECOND, wb * 1800 + 3600, {epoch})")
+    return win.select(
         F.explode(
+            # epoch second 0 is hour-aligned, so even wb <=> minute == 0
             F.when(
-                F.minute("win_start") == 0,
+                F.col("wb") % 2 == 0,
                 F.array(F.lit("tumbling"), F.lit("sliding")),
             ).otherwise(F.array(F.lit("sliding")))
         ).alias("kind"),
-        "win_start",
-        "win_end",
+        win_start.alias("win_start"),
+        win_end.alias("win_end"),
         "n_events",
         "sum_value",
     )

@@ -203,15 +203,19 @@ def test_d02_d03_reuse_exchanges_without_aqe(spark, sf_dir):
 
 
 def test_x02_single_aggregation_serves_both_window_kinds(spark, sf_dir):
-    """x02: both window kinds come from ONE aggregation of the events scan
-    (kind labels explode out of the aggregated sliding rows) — a union of
-    two aggregations would scan + shuffle events twice, double I/O at
-    100 TB."""
+    """x02: both window kinds come from ONE aggregation of ONE events scan —
+    a union of two aggregations would scan + shuffle events twice, double
+    I/O at 100 TB — and exactly ONE exchange sits below the aggregate (the
+    partial agg collapses each task to O(#windows) rows first, so the
+    shuffle is flat in SF). The group key must be the long bucket index,
+    not a window struct: no per-row struct construction in the hot path."""
     df = SPECS["x02_event_windows"].fn(spark, sf_dir)
     s = plan_str(df)
     assert len(re.findall(r"FileScan parquet", s)) == 1, s[:3000]
     assert len(re.findall(r"partial_count\(1\)", s)) == 1, s[:3000]
     assert "Union" not in s
+    assert len(re.findall(r"Exchange hashpartitioning\(wb", s)) == 1, s[:3000]
+    assert "named_struct" not in s.lower(), s[:3000]
 
 
 def test_j01_fact_scan_pruned_and_customer_broadcast(spark, sf_dir):
