@@ -2539,7 +2539,9 @@ class SQLExecutor:
                     self.c._rewrite_at(
                         self._rewrite_mv_at(
                             self._rewrite_attached(
-                                self._rewrite_file_fns(body)
+                                self._rewrite_file_fns(
+                                    self._rewrite_dialect(body)
+                                )
                             )
                         )
                     )
@@ -2551,6 +2553,100 @@ class SQLExecutor:
             for v in self._file_views:
                 self.c.spark.catalog.dropTempView(v)
             self._file_views = []
+
+    # -- DuckDB dialect sugar (QUALIFY, * EXCLUDE) ------------------------
+    def _rewrite_dialect(self, q: str) -> str:
+        """DuckDB SELECT-dialect forms Spark's parser lacks, rewritten to
+        their Spark equivalents (reference queries use DuckDB's dialect —
+        see utils/ducklake_utils.py:49 run_query, which passes SQL text
+        straight to DuckDB):
+
+        * ``* EXCLUDE (a, b)`` / ``* EXCLUDE a``  ->  ``* EXCEPT (a, b)``
+          (Spark's native spelling of the same projection).
+        * top-level ``QUALIFY <pred>``  ->  the predicate is injected into
+          the select list as a lateral-aliased boolean column and filtered
+          one level up: ``SELECT * EXCEPT (__qualify) FROM (SELECT ...,
+          (<pred>) AS __qualify FROM ...) WHERE __qualify [tail]``.
+          Injection into the ORIGINAL select list (rather than wrapping the
+          whole select) is what makes both reference styles work: window
+          functions in <pred> may use FROM-scope columns the select list
+          drops, and alias references to select-list windows resolve via
+          Spark's lateral column aliases. QUALIFY inside a subquery or CTE
+          body is not rewritten (parenthesized scopes are left alone);
+          combined with SELECT DISTINCT it is rejected rather than given
+          drifting semantics (DuckDB applies DISTINCT after QUALIFY, which
+          the injection cannot reproduce).
+        """
+        from .rollup import map_sql_nonliteral
+
+        q = map_sql_nonliteral(
+            q,
+            lambda seg: re.sub(
+                r"\bEXCLUDE\s*\(", "EXCEPT (",
+                re.sub(
+                    rf"\bEXCLUDE\s+({_IDENT})\b", r"EXCEPT (\1)", seg,
+                    flags=re.I,
+                ),
+                flags=re.I,
+            ),
+        )
+        pos = _top_keyword_positions(q, "QUALIFY")
+        if not pos:
+            return q
+        if len(pos) > 1:
+            raise LakeSQLError(
+                "only one top-level QUALIFY clause is supported; wrap the "
+                "other SELECT in a subquery"
+            )
+        p = pos[0]
+        head, rest = q[:p], q[p + len("QUALIFY"):]
+        if re.match(rf"\s*SELECT\s+DISTINCT\b", head, re.I):
+            raise LakeSQLError(
+                "QUALIFY with SELECT DISTINCT is not supported; apply "
+                "DISTINCT in an outer query"
+            )
+        tail_at = len(rest)
+        for kw in ("ORDER", "LIMIT", "OFFSET"):
+            kp = _top_keyword_positions(rest, kw)
+            if kp:
+                tail_at = min(tail_at, kp[0])
+        pred, tail = rest[:tail_at].strip(), rest[tail_at:]
+        if not pred:
+            raise LakeSQLError("QUALIFY requires a predicate")
+        from_pos = _top_keyword_positions(head, "FROM")
+        if not from_pos:
+            raise LakeSQLError("QUALIFY requires a FROM clause")
+        f0 = from_pos[0]
+        # Resolve select-list aliases INSIDE the predicate textually (the
+        # DuckDB scoping rule): Spark's lateral column aliases cover plain
+        # references but are rejected inside window expressions
+        # (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW), so
+        # ``QUALIFY row_number() OVER (ORDER BY total)`` with ``sum(v) AS
+        # total`` must become ``... ORDER BY (sum(v))``. Chained aliases
+        # resolve by iterating to a fixpoint (bounded).
+        sel_pos = _top_keyword_positions(head, "SELECT")
+        aliases = {}
+        if sel_pos:  # CTE bodies are parenthesized -> main SELECT only
+            for item in _split_top(head[sel_pos[-1] + len("SELECT"):f0]):
+                m = re.search(rf"\s+AS\s+({_IDENT})\s*$", item, re.I)
+                if m:
+                    aliases[m.group(1).lower()] = item[: m.start()].strip()
+        for _ in range(3):
+            before = pred
+            for name, expr in aliases.items():
+                pred = map_sql_nonliteral(
+                    pred,
+                    lambda seg, n=name, e=expr: re.sub(
+                        rf"\b{n}\b", f"({e})", seg, flags=re.I
+                    ),
+                )
+            if pred == before:
+                break
+        inner = f"{head[:f0].rstrip()}, ({pred}) AS __qualify {head[f0:]}"
+        return (
+            f"SELECT * EXCEPT (__qualify) FROM ({inner}) __qualify_q "
+            f"WHERE __qualify {tail}"
+        )
 
     # -- attached catalogs (ATTACH 'path' AS name) -----------------------
     def _attach_stmt(self, path: str, name: str) -> DataFrame:

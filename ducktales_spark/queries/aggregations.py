@@ -142,3 +142,70 @@ def x05_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
     )
+
+
+@register_extra(
+    "x08_pivot",
+    survey_ids=("A6", "A8"),  # extension: PIVOT (DuckDB's PIVOT verb) —
+    # semantically conditional aggregation per pivoted value, which is how
+    # the oracle spells it
+    oracle="""
+    SELECT o_orderpriority,
+           sum(o_totalprice) FILTER (o_orderstatus = 'F') AS total_F,
+           sum(o_totalprice) FILTER (o_orderstatus = 'O') AS total_O,
+           sum(o_totalprice) FILTER (o_orderstatus = 'P') AS total_P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def x08_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order value by priority, one column per order status. The
+    pivoted value list is EXPLICIT (['F','O','P']) — with an explicit list
+    Spark plans a single conditional-aggregation pass (one shuffle on the
+    remaining group key, exactly the a06 shape); omitting it triggers a
+    driver-side distinct-values job first, which at 100 TB is a full extra
+    scan and an unbounded-width schema. Same restriction DuckDB's PIVOT
+    applies via its IN clause."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("total_F"),
+            F.col("O").alias("total_O"),
+            F.col("P").alias("total_P"),
+        )
+    )
+
+
+@register_extra(
+    "x09_grouping_sets",
+    survey_ids=("A8",),  # extension: explicit GROUPING SETS — the general
+    # form CUBE/ROLLUP compile into; this set {(flag),(status)} is NOT a
+    # cube or rollup of anything, so it exercises the API directly
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           sum(l_quantity)          AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def x09_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS {(l_returnflag), (l_linestatus)}: per-flag and
+    per-status totals in ONE pass over lineitem (Catalyst Expand + a single
+    hash aggregation — one scan + one shuffle instead of a UNION ALL of two
+    aggregations, which would scan twice at 100 TB)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )

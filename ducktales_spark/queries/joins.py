@@ -45,6 +45,17 @@ def j01_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleaved min-of-7: broadcast 1.05 s vs shuffle_hash 0.94 s). At
     100 TB customer scales with the fact table and broadcast is not an
     option at all. nation/region are geography-bounded -> always broadcast.
+
+    The residual sf10 gap vs the single-node twin is the 1.5 M-row hash
+    TABLE BUILD, not plan shape (r11 decomposition, min-of-6 each: orders
+    scan+agg 0.12 s; probing all 17.5 M rows against a tiny build 0.25 s;
+    the same join with the full customer build 0.84 s, of which a
+    build-only variant — one-row probe side — is 0.80 s). Every
+    alternative measured worse: shuffle_hash 0.92 s, aggregate-before-join
+    1.64 s. The build cost is the JVM HashedRelation constant both
+    strategies share; DuckDB's vectorized multithreaded build is simply
+    faster at this cardinality, while the probe side — the part that
+    scales with the fact table — is already competitive.
     """
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")

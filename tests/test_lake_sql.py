@@ -2803,3 +2803,80 @@ def test_csv_copy_count_and_header_sniff(lake, spark, tmp_path):
         f"SELECT name FROM read_csv('{h}') ORDER BY name"
     ).collect()
     assert [r["name"] for r in got] == ["alice", "bob"]
+
+
+# -- DuckDB dialect sugar: QUALIFY + * EXCLUDE -----------------------------
+
+
+@pytest.fixture()
+def qlake(lake):
+    lake.sql("CREATE TABLE s (k INT, v INT, grp STRING)")
+    lake.sql(
+        "INSERT INTO s VALUES (1,10,'a'),(2,20,'a'),(3,30,'a'),"
+        "(4,5,'b'),(5,15,'b'),(6,40,'c')"
+    )
+    return lake
+
+
+def _duck_twin():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (k INT, v INT, grp VARCHAR)")
+    con.execute(
+        "INSERT INTO s VALUES (1,10,'a'),(2,20,'a'),(3,30,'a'),"
+        "(4,5,'b'),(5,15,'b'),(6,40,'c')"
+    )
+    return con
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # alias-referenced QUALIFY (rn defined in the select list)
+        "SELECT k, v, row_number() OVER (PARTITION BY grp ORDER BY v DESC)"
+        " AS rn FROM s QUALIFY rn = 1 ORDER BY k",
+        # inline window whose PARTITION BY column is NOT projected
+        "SELECT k, v FROM s QUALIFY row_number() OVER "
+        "(PARTITION BY grp ORDER BY v DESC) = 1 ORDER BY k",
+        # trailing ORDER BY + LIMIT stay outside the rewrite
+        "SELECT k, v FROM s QUALIFY rank() OVER (ORDER BY v DESC) <= 3 "
+        "ORDER BY v DESC LIMIT 2",
+        # CTE ahead of the main select (CTE body must not be rewritten)
+        "WITH big AS (SELECT * FROM s WHERE v >= 10) SELECT k, v FROM big "
+        "QUALIFY row_number() OVER (PARTITION BY k % 2 ORDER BY v) = 1 "
+        "ORDER BY k",
+        # window in QUALIFY ordering by an AGGREGATE alias (lateral alias
+        # in a window is unsupported in Spark -> textual alias resolution)
+        "SELECT grp, sum(v) AS total FROM s GROUP BY grp QUALIFY "
+        "row_number() OVER (ORDER BY total DESC) <= 2 ORDER BY grp",
+        # QUALIFY keyword inside a string literal is data, not syntax
+        "SELECT k, grp FROM s QUALIFY row_number() OVER "
+        "(PARTITION BY grp ORDER BY k) = 1 AND grp != 'QUALIFY x' "
+        "ORDER BY k",
+        # EXCLUDE, both spellings
+        "SELECT * EXCLUDE (grp) FROM s ORDER BY k LIMIT 2",
+        "SELECT * EXCLUDE grp FROM s ORDER BY k LIMIT 2",
+    ],
+)
+def test_qualify_exclude_match_duckdb(qlake, q):
+    """QUALIFY / * EXCLUDE rewrites must produce DuckDB's rows verbatim —
+    the reference passes SQL text straight to DuckDB
+    (utils/ducklake_utils.py:49), so its users write this dialect."""
+    con = _duck_twin()
+    try:
+        assert [tuple(r) for r in qlake.sql(q).collect()] == con.execute(
+            q
+        ).fetchall(), q
+    finally:
+        con.close()
+
+
+def test_qualify_unsupported_forms_raise(qlake):
+    with pytest.raises(LakeSQLError, match="DISTINCT"):
+        qlake.sql(
+            "SELECT DISTINCT k FROM s QUALIFY row_number() "
+            "OVER (ORDER BY k) = 1"
+        )
+    with pytest.raises(LakeSQLError, match="predicate"):
+        qlake.sql("SELECT k FROM s QUALIFY")
