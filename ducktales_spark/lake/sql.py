@@ -40,7 +40,9 @@ same statement coverage so a reference user can port scripts verbatim:
   ``ALTER COLUMN c [SET DATA] TYPE t`` (widening casts only —
   README.md:50 claims type changes; old files cast at read time)
 * ``INSERT INTO t [(cols)] VALUES (...), (...)`` (demo 01:58-66) and
-  ``INSERT INTO t [(cols)] <select>`` (demos/02_time_travel/demo.py:228-235)
+  ``INSERT INTO t [(cols)] <select>`` (demos/02_time_travel/demo.py:228-235);
+  ``INSERT OR REPLACE|IGNORE INTO`` (DuckDB's ON CONFLICT shorthands,
+  upsert/skip by PRIMARY KEY via the MERGE machinery)
 * ``UPDATE t SET a = expr [, ...] [WHERE pred]`` (demo 01:96-102)
 * ``DELETE FROM t [WHERE pred]`` (demos/02_time_travel/demo.py:112) and
   ``TRUNCATE [TABLE] t`` (DuckDB's spelling of the metadata-only full
@@ -359,7 +361,7 @@ class SQLExecutor:
             # SELECT-heavy interactive txn must not pay O(loaded file
             # entries) deepcopy per read
             r"^(BEGIN|COMMIT|ROLLBACK|SELECT|WITH|SHOW|DESCRIBE|DESC"
-            r"|EXPLAIN)\b",
+            r"|EXPLAIN|SUMMARIZE)\b",
             _strip(sql),
             re.I,
         ):
@@ -394,6 +396,10 @@ class SQLExecutor:
             return self._status("ROLLBACK", 0)
         if re.match(rf"^USE\s+{_IDENT}$", q, re.I):
             return self._status("USE", 0)  # writes stay on the bound catalog
+
+        m = re.match(r"^SUMMARIZE\s+(.+)$", q, re.I | re.S)
+        if m:
+            return self._summarize_stmt(m.group(1).strip())
 
         # -- multi-catalog verbs (demos/05_catalog_portability) ----------
         m = re.match(
@@ -630,10 +636,13 @@ class SQLExecutor:
             )
 
         m = re.match(
-            rf"^INSERT\s+INTO\s+({_IDENT})\s*(.*)$", q, re.I | re.S
+            rf"^INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+({_IDENT})"
+            r"\s*(.*)$",
+            q,
+            re.I | re.S,
         )
         if m:
-            name, body = m.groups()
+            mode, name, body = m.groups()
             cols = None
             # a leading "(a, b, c)" identifier list is the column list; a
             # leading "(SELECT ..." is a parenthesized query body
@@ -667,6 +676,8 @@ class SQLExecutor:
                         for c in names
                     ]
                 )
+                if mode:
+                    return self._upsert_insert(name, df, mode)
                 # a literal VALUES plan is a LocalRelation — collect() is
                 # driver-side, so tiny inserts take insert_rows' no-Spark-job
                 # inlining fast path (sub-ms writes, README.md:243)
@@ -684,6 +695,8 @@ class SQLExecutor:
                             f"produces {len(df.columns)} columns"
                         )
                     df = df.toDF(*cols)
+                if mode:
+                    return self._upsert_insert(name, df, mode)
             n = [0]
 
             def op(tx):
@@ -2554,7 +2567,143 @@ class SQLExecutor:
                 self.c.spark.catalog.dropTempView(v)
             self._file_views = []
 
-    # -- DuckDB dialect sugar (QUALIFY, * EXCLUDE) ------------------------
+    # -- INSERT OR REPLACE / OR IGNORE (DuckDB ON CONFLICT shorthands) -----
+    def _upsert_insert(self, name: str, df: DataFrame, mode: str) -> DataFrame:
+        """``INSERT OR REPLACE INTO`` (upsert by primary key) and ``INSERT
+        OR IGNORE INTO`` (insert only non-conflicting rows) — DuckDB's ON
+        CONFLICT shorthands, lowered onto the MERGE machinery (stats-pruned
+        copy-on-write; only files containing a hit key rewrite). Like
+        DuckDB, both forms require a PRIMARY KEY on the target. A source
+        batch carrying duplicate keys raises ConstraintViolation in BOTH
+        modes — DuckDB's row-at-a-time executor lets the first duplicate
+        through under OR IGNORE, but "first" is not a deterministic notion
+        for a distributed source, and a silent arbitrary winner is worse
+        than an explicit error (same stance as MERGE's SEQUENCE BY tie
+        handling)."""
+        pk = list(self._schema_of(name).primary_key)
+        if not pk:
+            raise LakeSQLError(
+                f"INSERT OR {mode.upper()} requires a PRIMARY KEY on "
+                f"{name!r} (it resolves conflicts by key)"
+            )
+        replace = mode.lower() == "replace"
+        res: dict = {}
+
+        def op(tx):
+            res.update(
+                tx.merge(
+                    name, df, on=pk,
+                    when_matched="update" if replace else "skip",
+                )
+            )
+
+        self._run(op)
+        n = res.get("inserted", 0) + (res.get("matched", 0) if replace else 0)
+        return self._status("INSERT", n)
+
+    # -- SUMMARIZE (DuckDB's per-column profile verb) ----------------------
+    _SUMMARIZE_SCHEMA = (
+        "column_name string, column_type string, min string, max string, "
+        "approx_unique bigint, avg string, std string, q25 string, "
+        "q50 string, q75 string, count bigint, null_percentage decimal(5,2)"
+    )
+
+    def _summarize_stmt(self, target: str) -> DataFrame:
+        """``SUMMARIZE <table>`` / ``SUMMARIZE <select>`` — DuckDB's
+        per-column profile (min/max/approx_unique/avg/std/quartiles/count/
+        null%), same column layout. ONE global aggregation over one scan
+        computes every statistic for every column at once (partial aggs
+        map-side, a single-row result to the driver) — at 100 TB this is
+        exactly one pass over the data; the reshape to one-row-per-column
+        happens on the driver over #columns values. Quantiles are
+        percentile_approx and the distinct count is a HyperLogLog sketch —
+        the same approximations DuckDB's SUMMARIZE makes. min/max/avg ride
+        only on types where they are defined (DuckDB's behavior: string
+        columns profile min/max but not avg; complex types neither)."""
+        from decimal import Decimal
+
+        from pyspark.sql import functions as F, types as T
+
+        if re.fullmatch(rf"{_IDENT}(\s*\.\s*{_IDENT})?", target):
+            # bare or attached-catalog-qualified table name
+            df = self._query(f"SELECT * FROM {target}")
+        elif re.match(r"^(SELECT|WITH|FROM)\b", target, re.I):
+            df = self._query(target)
+        else:
+            raise LakeSQLError(
+                "SUMMARIZE expects a table name or a SELECT query"
+            )
+        orderable = (
+            T.NumericType, T.StringType, T.DateType, T.TimestampType,
+            T.TimestampNTZType, T.BooleanType,
+        )
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, f in enumerate(df.schema.fields):
+            c, pre = F.col(f.name), f"c{i}"
+            if isinstance(f.dataType, orderable):
+                aggs += [
+                    F.min(c).cast("string").alias(f"{pre}_min"),
+                    F.max(c).cast("string").alias(f"{pre}_max"),
+                    F.approx_count_distinct(c).alias(f"{pre}_uniq"),
+                ]
+            aggs.append(F.count(c).alias(f"{pre}_cnt"))
+            if isinstance(f.dataType, T.NumericType):
+                aggs += [
+                    F.avg(c).cast("string").alias(f"{pre}_avg"),
+                    F.stddev(c).cast("string").alias(f"{pre}_std"),
+                    *[
+                        F.percentile_approx(c, p)
+                        .cast("string")
+                        .alias(f"{pre}_q{int(p * 100)}")
+                        for p in (0.25, 0.5, 0.75)
+                    ],
+                ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        n = row["__n"]
+        out = []
+        for i, f in enumerate(df.schema.fields):
+            pre = f"c{i}"
+            cnt = row[f"{pre}_cnt"]
+            out.append(
+                (
+                    f.name,
+                    f.dataType.simpleString().upper(),
+                    row.get(f"{pre}_min"),
+                    row.get(f"{pre}_max"),
+                    row.get(f"{pre}_uniq"),
+                    row.get(f"{pre}_avg"),
+                    row.get(f"{pre}_std"),
+                    row.get(f"{pre}_q25"),
+                    row.get(f"{pre}_q50"),
+                    row.get(f"{pre}_q75"),
+                    n,
+                    (
+                        Decimal(str(round(100.0 * (n - cnt) / n, 2)))
+                        if n
+                        else None
+                    ),
+                )
+            )
+        return self.c.spark.createDataFrame(out, self._SUMMARIZE_SCHEMA)
+
+    # -- DuckDB dialect sugar (QUALIFY, * EXCLUDE, function aliases) ------
+    # DuckDB spellings whose Spark builtin is an EXACT semantic match
+    # (verified differentially; see tests). Deliberately absent:
+    # string_split (DuckDB splits on a literal, Spark's split takes a
+    # regex) and list_sort (the engines default to opposite NULL
+    # ordering) — a silent rewrite would corrupt results for some inputs.
+    _FN_ALIASES = {
+        "list_value": "array",
+        "list_contains": "array_contains",
+        "regexp_matches": "regexp_like",
+        "strlen": "length",
+        "array_length": "array_size",
+        "unnest": "explode",
+    }
+    _FN_ALIAS_RE = re.compile(
+        r"\b(" + "|".join(_FN_ALIASES) + r")\s*\(", re.I
+    )
+
     def _rewrite_dialect(self, q: str) -> str:
         """DuckDB SELECT-dialect forms Spark's parser lacks, rewritten to
         their Spark equivalents (reference queries use DuckDB's dialect —
@@ -2563,6 +2712,11 @@ class SQLExecutor:
 
         * ``* EXCLUDE (a, b)`` / ``* EXCLUDE a``  ->  ``* EXCEPT (a, b)``
           (Spark's native spelling of the same projection).
+        * function aliases (``_FN_ALIASES``): DuckDB names rewritten to
+          the Spark builtin with identical semantics — only call
+          positions (``name(``) match, so columns sharing a name are
+          untouched. ``GROUP BY ALL``, ``ORDER BY ALL`` and FROM-first
+          selects need no rewrite: Spark parses them natively.
         * top-level ``QUALIFY <pred>``  ->  the predicate is injected into
           the select list as a lateral-aliased boolean column and filtered
           one level up: ``SELECT * EXCEPT (__qualify) FROM (SELECT ...,
@@ -2579,17 +2733,16 @@ class SQLExecutor:
         """
         from .rollup import map_sql_nonliteral
 
-        q = map_sql_nonliteral(
-            q,
-            lambda seg: re.sub(
-                r"\bEXCLUDE\s*\(", "EXCEPT (",
-                re.sub(
-                    rf"\bEXCLUDE\s+({_IDENT})\b", r"EXCEPT (\1)", seg,
-                    flags=re.I,
-                ),
-                flags=re.I,
-            ),
-        )
+        def _sugar(seg: str) -> str:
+            seg = self._FN_ALIAS_RE.sub(
+                lambda m: self._FN_ALIASES[m.group(1).lower()] + "(", seg
+            )
+            seg = re.sub(
+                rf"\bEXCLUDE\s+({_IDENT})\b", r"EXCEPT (\1)", seg, flags=re.I
+            )
+            return re.sub(r"\bEXCLUDE\s*\(", "EXCEPT (", seg, flags=re.I)
+
+        q = map_sql_nonliteral(q, _sugar)
         pos = _top_keyword_positions(q, "QUALIFY")
         if not pos:
             return q

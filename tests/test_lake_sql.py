@@ -2880,3 +2880,102 @@ def test_qualify_unsupported_forms_raise(qlake):
         )
     with pytest.raises(LakeSQLError, match="predicate"):
         qlake.sql("SELECT k FROM s QUALIFY")
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT list_value(1,2,3) AS l",
+        "SELECT list_contains(list_value(1,2), 2) AS c",
+        "SELECT regexp_matches(grp, '^[ab]$') AS m FROM s ORDER BY k",
+        "SELECT strlen(grp) AS n FROM s ORDER BY k",
+        "SELECT array_length(list_value(k, v)) AS n FROM s ORDER BY k",
+        # GROUP BY ALL / ORDER BY ALL / FROM-first parse natively in Spark;
+        # pin that the lake face passes them through unmangled
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY ALL "
+        "ORDER BY ALL",
+        "FROM s SELECT k, v ORDER BY k LIMIT 2",
+    ],
+)
+def test_duckdb_function_aliases_match(qlake, q):
+    """Function-name dialect: each _FN_ALIASES rewrite must be value-exact
+    vs DuckDB running the original spelling."""
+    con = _duck_twin()
+    try:
+        assert [tuple(r) for r in qlake.sql(q).collect()] == con.execute(
+            q
+        ).fetchall(), q
+    finally:
+        con.close()
+
+
+def test_unnest_rewrites_to_explode(qlake):
+    got = qlake.sql(
+        "SELECT unnest(list_value(1,2,3)) AS u"
+    ).collect()
+    assert [r["u"] for r in got] == [1, 2, 3]
+
+
+def test_alias_rewrite_spares_literals_and_columns(qlake):
+    # a string literal containing an alias spelling is data
+    got = qlake.sql("SELECT 'strlen(x)' AS lit FROM s LIMIT 1").collect()
+    assert got[0]["lit"] == "strlen(x)"
+
+
+def test_summarize_table_and_query(lake):
+    """SUMMARIZE (DuckDB's profile verb): same column layout, one pass."""
+    lake.sql("CREATE TABLE prof (k INT, v DOUBLE, g STRING)")
+    lake.sql("INSERT INTO prof VALUES (1,10.5,'a'),(2,NULL,'b'),(3,30.1,NULL)")
+    rows = {r["column_name"]: r for r in lake.sql("SUMMARIZE prof").collect()}
+    assert list(rows) == ["k", "v", "g"]
+    k = rows["k"]
+    assert (k["min"], k["max"], k["approx_unique"], k["count"]) == (
+        "1", "3", 3, 3
+    )
+    assert float(k["avg"]) == 2.0 and float(k["null_percentage"]) == 0.0
+    v = rows["v"]
+    assert float(v["null_percentage"]) == 33.33 and v["count"] == 3
+    g = rows["g"]  # strings: min/max profiled, no numeric moments
+    assert (g["min"], g["max"], g["avg"], g["q50"]) == ("a", "b", None, None)
+    # query form + column subset
+    sub = lake.sql("SUMMARIZE SELECT k FROM prof WHERE k >= 2").collect()
+    assert len(sub) == 1 and sub[0]["min"] == "2"
+    with pytest.raises(LakeSQLError, match="SUMMARIZE"):
+        lake.sql("SUMMARIZE 123 BAD")
+
+
+def test_insert_or_replace_and_ignore(lake):
+    """DuckDB's INSERT OR REPLACE / OR IGNORE: conflict resolution by
+    PRIMARY KEY, lowered onto MERGE (CoW rewrites only hit files)."""
+    lake.sql("CREATE TABLE t (k INT PRIMARY KEY, v INT)")
+    lake.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    lake.sql("INSERT OR REPLACE INTO t VALUES (2, 99), (3, 30)")
+    assert [tuple(r) for r in lake.sql(
+        "SELECT * FROM t ORDER BY k").collect()] == [(1, 10), (2, 99), (3, 30)]
+    lake.sql("INSERT OR IGNORE INTO t VALUES (3, 777), (4, 40)")
+    assert [tuple(r) for r in lake.sql(
+        "SELECT * FROM t ORDER BY k").collect()] == [
+        (1, 10), (2, 99), (3, 30), (4, 40)]
+    # select-body form upserts too
+    lake.sql("CREATE TABLE src (k INT, v INT)")
+    lake.sql("INSERT INTO src VALUES (4, 444), (5, 50)")
+    lake.sql("INSERT OR REPLACE INTO t SELECT * FROM src")
+    assert [tuple(r) for r in lake.sql(
+        "SELECT * FROM t WHERE k >= 4 ORDER BY k").collect()] == [
+        (4, 444), (5, 50)]
+    # every upsert is one snapshot: history intact
+    assert lake.sql(
+        "SELECT count(*) AS n FROM t AT (VERSION => 2)"
+    ).collect()[0]["n"] == 2
+
+
+def test_insert_or_replace_errors(lake):
+    from ducktales_spark.lake.catalog import ConstraintViolation
+
+    lake.sql("CREATE TABLE t (k INT PRIMARY KEY, v INT)")
+    lake.sql("CREATE TABLE nopk (k INT, v INT)")
+    # in-batch duplicate keys: explicit error, never an arbitrary winner
+    with pytest.raises(ConstraintViolation):
+        lake.sql("INSERT OR REPLACE INTO t VALUES (7, 1), (7, 2)")
+    with pytest.raises(LakeSQLError, match="PRIMARY KEY"):
+        lake.sql("INSERT OR REPLACE INTO nopk VALUES (1, 1)")
