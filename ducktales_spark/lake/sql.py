@@ -616,6 +616,50 @@ class SQLExecutor:
         )
         if m:  # demos/03_schema_evolution/demo.py:112,124
             return self._describe(m.group(1))
+        m = re.match(
+            r"^(?:DESCRIBE|DESC)\s+((?:SELECT|WITH|FROM)\b.*)$",
+            q,
+            re.I | re.S,
+        )
+        if m:
+            # DESCRIBE <query> (DuckDB): the query's resolved schema as
+            # rows — analysis only, nothing executes
+            df = self._query(m.group(1))
+            return self.c.spark.createDataFrame(
+                [
+                    (
+                        f.name,
+                        f.dataType.simpleString().upper(),
+                        "YES" if f.nullable else "NO",
+                        None,
+                        None,
+                        None,
+                    )
+                    for f in df.schema.fields
+                ],
+                "column_name string, column_type string, null string, "
+                "key string, default string, extra string",
+            )
+        m = re.match(
+            rf"^PRAGMA\s+table_info\s*\(\s*'?({_IDENT})'?\s*\)$", q, re.I
+        )
+        if m:  # DuckDB/SQLite spelling of DESCRIBE
+            return self._describe(m.group(1))
+        if re.match(r"^PRAGMA\s+show_tables$", q, re.I):
+            return self._execute_stmt("SHOW TABLES")
+        m = re.match(rf"^CHECKPOINT(?:\s+({_IDENT}))?$", q, re.I)
+        if m:
+            # DuckDB's CHECKPOINT flushes buffered WAL state to storage;
+            # the lake analogue is flushing catalog-inlined rows into
+            # parquet files (README.md:243 inlining). One table, or all.
+            names = [m.group(1)] if m.group(1) else list(self.c.tables())
+
+            def op(tx):
+                for t in names:
+                    tx.flush_inlined(t)
+
+            self._run(op)
+            return self._status("CHECKPOINT", len(names))
         if re.match(r"^SHOW\s+TABLES$", q, re.I):
             from .rollup import _meta_name
 

@@ -2979,3 +2979,24 @@ def test_insert_or_replace_errors(lake):
         lake.sql("INSERT OR REPLACE INTO t VALUES (7, 1), (7, 2)")
     with pytest.raises(LakeSQLError, match="PRIMARY KEY"):
         lake.sql("INSERT OR REPLACE INTO nopk VALUES (1, 1)")
+
+
+def test_pragma_checkpoint_describe_query(lake):
+    """DuckDB's PRAGMA table_info / show_tables, CHECKPOINT (flush inlined
+    rows to parquet -- the lake analogue of the WAL flush), and
+    DESCRIBE <query> (analysis-only schema of a SELECT)."""
+    lake.sql("CREATE TABLE t (k INT PRIMARY KEY, v DOUBLE)")
+    lake.sql("INSERT INTO t VALUES (1, 1.5)")  # below fixture threshold
+    assert [tuple(r)[:2] for r in lake.sql("PRAGMA table_info(t)").collect()] == [
+        ("k", "INT"), ("v", "DOUBLE")]
+    assert [r["name"] for r in lake.sql("PRAGMA show_tables").collect()] == ["t"]
+    d = lake.sql("DESCRIBE SELECT k + 1 AS kk, 'x' AS s FROM t").collect()
+    assert [(r["column_name"], r["column_type"]) for r in d] == [
+        ("kk", "INT"), ("s", "STRING")]
+    # CHECKPOINT materializes the inlined row as a parquet file
+    lake.sql("CHECKPOINT")
+    assert lake.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 1
+    # and the row survives another checkpoint of a named table
+    lake.sql("CHECKPOINT t")
+    assert [tuple(r) for r in lake.sql("SELECT * FROM t").collect()] == [
+        (1, 1.5)]
