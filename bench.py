@@ -29,8 +29,8 @@ if REPO not in sys.path:
 # DuckDB twin so the comparison stays symmetric: at least _MIN_REPS
 # measurements, then keep going until the per-query min hasn't improved by
 # more than _STABLE_TOL for _STABLE_FOR consecutive reps (cap _MAX_REPS).
-_MIN_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "10"))
-_MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "24"))
+_MIN_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "12"))
+_MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "32"))
 _STABLE_FOR = 4
 _STABLE_TOL = 0.02
 
