@@ -132,6 +132,15 @@ def main() -> None:
         sum(v for k, v in timings.items() if k in twin), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Host-state context: identical code has measured 1.45x-2.3x across
+    # runs of this suite purely from external load/CPU-steal shifts (a
+    # uniform ~20% move of EVERY query, both engines, on an idle loadavg).
+    # Recording the 1/5/15-min loadavg at emit time lets a reader judge
+    # whether a given artifact was a calm-host or noisy-host sample.
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
     print(
         json.dumps(
             {
@@ -147,6 +156,7 @@ def main() -> None:
                     round(matched / twin["total"], 2) if twin.get("total") else None
                 ),
                 "lake_ops": lake_ops(spark, sf_dir),
+                "loadavg": loadavg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
