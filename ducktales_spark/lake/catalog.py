@@ -649,8 +649,15 @@ class LakeCatalog:
         # snapshot and double-count). Restamp at the target's HEAD: the
         # exported rollup state reflects the exported source state by
         # construction.
-        names = set(other.tables())
-        v_head = other.current_version()
+        other.restamp_rollup_metas()
+
+    def restamp_rollup_metas(self) -> None:
+        """Rewrite every well-formed rollup meta companion's
+        ``last_version`` to THIS catalog's HEAD — the post-migration fixup
+        export_to and SQL ``IMPORT DATABASE`` share (imported stamps carry
+        source-catalog version numbers, meaningless here)."""
+        names = set(self.tables())
+        v_head = self.current_version()
         for name in names:
             if not name.endswith("__rollup_meta") or name[: -len("__rollup_meta")] not in names:
                 continue
@@ -663,15 +670,15 @@ class LakeCatalog:
             # driver during export.
             from .rollup import META_REQUIRED_COLS
 
-            meta_df = other.read(name)
+            meta_df = self.read(name)
             if not META_REQUIRED_COLS <= set(meta_df.columns):
                 continue
-            if other.count(name) != 1:  # metadata-only, no scan
+            if self.count(name) != 1:  # metadata-only, no scan
                 continue
             rows = [r.asDict() for r in meta_df.collect()]
             for r in rows:
                 r["last_version"] = v_head
-            with other.transaction() as tx:
+            with self.transaction() as tx:
                 tx.delete(name)
                 tx.insert_rows(name, rows)
 

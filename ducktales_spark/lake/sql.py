@@ -420,6 +420,21 @@ class SQLExecutor:
         if m:
             return self._copy_database_stmt(m.group(1), m.group(2))
         m = re.match(
+            r"^EXPORT\s+DATABASE\s+'((?:[^']|'')*)'\s*"
+            r"(?:\(\s*FORMAT\s+(\w+)\s*\))?$",
+            q,
+            re.I,
+        )
+        if m:
+            return self._export_database(
+                m.group(1).replace("''", "'"), (m.group(2) or "PARQUET")
+            )
+        m = re.match(
+            r"^IMPORT\s+DATABASE\s+'((?:[^']|'')*)'$", q, re.I
+        )
+        if m:
+            return self._import_database(m.group(1).replace("''", "'"))
+        m = re.match(
             rf"^(INSERT\s+INTO|UPDATE|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?"
             rf"|MERGE\s+INTO)\s+({_IDENT})\s*\.\s*{_IDENT}\b",
             q,
@@ -2610,6 +2625,120 @@ class SQLExecutor:
             for v in self._file_views:
                 self.c.spark.catalog.dropTempView(v)
             self._file_views = []
+
+    # -- EXPORT / IMPORT DATABASE (DuckDB's file-based portability pair) ---
+    def _sql_literal(self, v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    def _export_database(self, path: str, fmt: str) -> DataFrame:
+        """``EXPORT DATABASE '<dir>' [(FORMAT PARQUET)]`` — DuckDB's
+        file-based portability verb: ``schema.sql`` (CREATE TABLE with
+        NOT NULL / DEFAULT / PRIMARY KEY / PARTITION BY, then CREATE VIEW),
+        ``load.sql`` (one COPY ... FROM per table), and one parquet file
+        per table. Data is the RAW table state (``catalog.read``, not the
+        MV read face), so rollup state + meta companions round-trip and
+        the pair is a live materialized view again after IMPORT. Only
+        FORMAT PARQUET: CSV cannot represent the binary sketch state or
+        array columns losslessly, and a lossy export verb is worse than
+        none."""
+        import os as _os
+
+        if fmt.upper() != "PARQUET":
+            raise LakeSQLError(
+                "EXPORT DATABASE supports (FORMAT PARQUET) only: CSV "
+                "cannot round-trip binary/array columns losslessly"
+            )
+        self._no_txn("EXPORT DATABASE")
+        _os.makedirs(path, exist_ok=True)
+        schema_lines, load_lines = [], []
+        tables = self.c.tables()
+        from .schema import value_from_json
+
+        for t in tables:
+            sch = self._schema_of(t)
+            parts = []
+            for f in sch.fields:
+                d = f"{f.name} {f.type.upper()}"
+                if not f.nullable and f.name not in sch.primary_key:
+                    d += " NOT NULL"
+                if isinstance(f.default, dict) and "$expr" in f.default:
+                    d += f" DEFAULT {f.default['$expr']}"
+                elif f.default is not None:
+                    d += (
+                        " DEFAULT "
+                        + self._sql_literal(value_from_json(f.default))
+                    )
+                parts.append(d)
+            if sch.primary_key:
+                parts.append(
+                    "PRIMARY KEY (" + ", ".join(sch.primary_key) + ")"
+                )
+            stmt = f"CREATE TABLE {t} (" + ", ".join(parts) + ")"
+            if sch.partition_by:
+                stmt += " PARTITION BY (" + ", ".join(sch.partition_by) + ")"
+            schema_lines.append(stmt + ";")
+            esc = path.replace("'", "''")
+            load_lines.append(f"COPY {t} FROM '{esc}/{t}.parquet';")
+            self._write_single_parquet(
+                self.c.read(t), _os.path.join(path, f"{t}.parquet")
+            )
+        for vname, vsql in self.c.views().items():
+            schema_lines.append(f"CREATE VIEW {vname} AS {vsql};")
+        with open(_os.path.join(path, "schema.sql"), "w") as fh:
+            fh.write("\n".join(schema_lines) + "\n")
+        with open(_os.path.join(path, "load.sql"), "w") as fh:
+            fh.write("\n".join(load_lines) + "\n")
+        return self._status("EXPORT DATABASE", len(tables))
+
+    def _import_database(self, path: str) -> DataFrame:
+        """``IMPORT DATABASE '<dir>'`` — executes the exported
+        ``schema.sql`` then ``load.sql`` (one statement per line, the
+        shape _export_database writes), then restamps any rollup meta
+        companions at this catalog's HEAD (source-version stamps are
+        meaningless here — same rule as catalog.export_to, so a later
+        REFRESH diffs from the right base instead of double-counting)."""
+        import os as _os
+
+        self._no_txn("IMPORT DATABASE")
+        n = 0
+        for script in ("schema.sql", "load.sql"):
+            p = _os.path.join(path, script)
+            if not _os.path.exists(p):
+                raise LakeSQLError(
+                    f"IMPORT DATABASE: missing {script} under {path!r}"
+                )
+            with open(p) as fh:
+                for stmt in fh.read().split(";\n"):
+                    if stmt.strip():
+                        self.execute(stmt.strip().rstrip(";"))
+                        n += 1
+        self.c.restamp_rollup_metas()
+        return self._status("IMPORT DATABASE", n)
+
+    def _write_single_parquet(self, df: DataFrame, target: str) -> None:
+        """One parquet FILE at ``target`` (atomic temp-dir + move), the
+        COPY TO single-file pattern."""
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        parent = _os.path.dirname(_os.path.abspath(target)) or "."
+        tmp = _os.path.join(parent, f".__exp_tmp_{_uuid.uuid4().hex[:12]}")
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            parts = sorted(_glob.glob(_os.path.join(tmp, "part-*")))
+            if len(parts) != 1:
+                raise LakeSQLError(
+                    f"single-file export produced {len(parts)} parts"
+                )
+            _shutil.move(parts[0], target)
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
 
     # -- INSERT OR REPLACE / OR IGNORE (DuckDB ON CONFLICT shorthands) -----
     def _upsert_insert(self, name: str, df: DataFrame, mode: str) -> DataFrame:

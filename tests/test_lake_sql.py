@@ -3000,3 +3000,57 @@ def test_pragma_checkpoint_describe_query(lake):
     lake.sql("CHECKPOINT t")
     assert [tuple(r) for r in lake.sql("SELECT * FROM t").collect()] == [
         (1, 1.5)]
+
+
+def test_export_import_database_round_trip(lake, spark, tmp_path):
+    """EXPORT DATABASE '<dir>' -> schema.sql + load.sql + one parquet per
+    table; IMPORT DATABASE rebuilds tables (PK / NOT NULL / DEFAULT /
+    PARTITION BY), views, and LIVE materialized views (meta restamped at
+    the importing catalog's HEAD so REFRESH folds from the right base)."""
+    from ducktales_spark.lake import LakeCatalog
+
+    lake.sql(
+        "CREATE TABLE t (k INT PRIMARY KEY, v DOUBLE NOT NULL, "
+        "g STRING DEFAULT 'x')"
+    )
+    lake.sql("INSERT INTO t VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    lake.sql("CREATE TABLE part_t (a INT, b INT) PARTITION BY (a)")
+    lake.sql("INSERT INTO part_t VALUES (1, 10), (2, 20)")
+    lake.sql("CREATE VIEW big AS SELECT * FROM t WHERE v > 2")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT g, COUNT(*) AS n_rows, SUM(v) AS sum_v FROM t GROUP BY g"
+    )
+    exp = str(tmp_path / "exported")
+    lake.sql(f"EXPORT DATABASE '{exp}'")
+    schema_sql = (tmp_path / "exported" / "schema.sql").read_text()
+    assert "PRIMARY KEY (k)" in schema_sql
+    assert "DEFAULT 'x'" in schema_sql
+    assert "PARTITION BY (a)" in schema_sql
+    assert "CREATE VIEW big" in schema_sql
+
+    dst = LakeCatalog(str(tmp_path / "dst"), spark, inline_threshold=4)
+    dst.sql(f"IMPORT DATABASE '{exp}'")
+    assert [tuple(r) for r in dst.sql("SELECT * FROM t ORDER BY k").collect()] == [
+        (1, 1.5, "a"), (2, 2.5, "b")]
+    assert [tuple(r) for r in dst.sql("SELECT * FROM big").collect()] == [
+        (2, 2.5, "b")]
+    # the MV pair is ALIVE: refresh after import folds new rows correctly
+    dst.sql("INSERT INTO t VALUES (3, 9.0, 'a')")
+    dst.sql("REFRESH MATERIALIZED VIEW mv")
+    assert [tuple(r) for r in dst.sql(
+        "SELECT g, n_rows, sum_v FROM mv ORDER BY g").collect()] == [
+        ("a", 2, 10.5), ("b", 1, 2.5)]
+    # DEFAULT and PK survive the trip
+    dst.sql("INSERT INTO t (k, v) VALUES (4, 4.0)")
+    assert dst.sql("SELECT g FROM t WHERE k = 4").collect()[0]["g"] == "x"
+    from ducktales_spark.lake.catalog import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        dst.sql("INSERT INTO t VALUES (4, 1.0, 'dup')")
+
+
+def test_export_database_csv_rejected(lake):
+    lake.sql("CREATE TABLE t (k INT)")
+    with pytest.raises(LakeSQLError, match="PARQUET"):
+        lake.sql("EXPORT DATABASE '/tmp/nope' (FORMAT CSV)")
