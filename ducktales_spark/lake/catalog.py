@@ -141,6 +141,18 @@ class LakeCatalog:
         os.makedirs(self.root, exist_ok=True)
         self.inline_threshold = inline_threshold
         self._sql_exec = None  # lazily-created SQL statement executor
+        # Versioned-read memoization (the data.py scan-memo pattern): a
+        # (table, resolved snapshot) pair's file list — and therefore its
+        # DataFrame, which is just an analyzed plan — is immutable by
+        # construction (files added later carry added_snapshot > v; files
+        # removed later carry removed_snapshot > v, still matching the
+        # as-of predicate). HEAD reads participate too: they resolve to a
+        # concrete version first, so any later write changes the key and
+        # can never serve stale plans. Bounded LRU; cleared by the two
+        # paths that physically delete files (expire_snapshots, gc).
+        from collections import OrderedDict
+
+        self._read_cache: "OrderedDict" = OrderedDict()
         # "any snapshot" probe, not snapshot 0: expire_snapshots may have
         # retired the early history, and re-seeding id 0 would make expired
         # versions readable again (as silently-wrong empty states)
@@ -305,6 +317,11 @@ class LakeCatalog:
         parquet row-group pruning — and the predicate is then applied to the
         surviving rows, so results are always exact."""
         v = self._resolve_version(version, timestamp)
+        if where is None:
+            hit = self._read_cache.get((name, v))
+            if hit is not None:
+                self._read_cache.move_to_end((name, v))
+                return hit
         table_id, _ = self._table_at(name, v)
         schemas = self._schemas_at(table_id, v)
         current = schemas[max(schemas)]
@@ -341,7 +358,11 @@ class LakeCatalog:
             return self._build_df(files, inlined, schemas, current).filter(
                 F.expr(where)
             )
-        return self._build_df(files, inlined, schemas, current)
+        df = self._build_df(files, inlined, schemas, current)
+        self._read_cache[(name, v)] = df
+        if len(self._read_cache) > 64:
+            self._read_cache.popitem(last=False)
+        return df
 
     def count(self, name: str, version=None) -> int:
         """Metadata-only COUNT(*) (SURVEY.md §4 'metadata queries very
@@ -651,15 +672,22 @@ class LakeCatalog:
         # construction.
         other.restamp_rollup_metas()
 
-    def restamp_rollup_metas(self) -> None:
-        """Rewrite every well-formed rollup meta companion's
-        ``last_version`` to THIS catalog's HEAD — the post-migration fixup
-        export_to and SQL ``IMPORT DATABASE`` share (imported stamps carry
-        source-catalog version numbers, meaningless here)."""
-        names = set(self.tables())
+    def restamp_rollup_metas(self, only=None) -> None:
+        """Rewrite well-formed rollup meta companions' ``last_version`` to
+        THIS catalog's HEAD — the post-migration fixup export_to and SQL
+        ``IMPORT DATABASE`` share (imported stamps carry source-catalog
+        version numbers, meaningless here). ``only`` (a set of table
+        names) restricts the restamp to metas belonging to that set: an
+        IMPORT into a catalog that already holds unrelated live MVs must
+        not advance THEIR stamps past unfolded base-table deltas (that
+        would make a later REFRESH silently skip those rows)."""
+        all_names = set(self.tables())
+        names = all_names if only is None else all_names & set(only)
         v_head = self.current_version()
         for name in names:
-            if not name.endswith("__rollup_meta") or name[: -len("__rollup_meta")] not in names:
+            # sibling check is against ALL tables: the MV table itself may
+            # sit outside a narrowed `only` set and the meta is still real
+            if not name.endswith("__rollup_meta") or name[: -len("__rollup_meta")] not in all_names:
                 continue
             # Guard like _mv_overlay: a user table that merely NAMES like
             # rollup meta (X__rollup_meta with a sibling X) must not get its
@@ -783,6 +811,7 @@ class LakeCatalog:
                 ),
                 (cutoff,),
             ).rowcount
+        self._read_cache.clear()  # expired versions' plans point at doomed files
         removed_bytes = 0
         for path, nbytes in doomed:
             try:
@@ -808,6 +837,7 @@ class LakeCatalog:
         the writer publishes its lake_data_file rows."""
         import time as _time
 
+        self._read_cache.clear()  # plans must not outlive unreferenced files
         cutoff = _time.time() - min_age_seconds
         referenced = {
             r[0] for r in self.ms.q("SELECT path FROM lake_data_file")

@@ -321,8 +321,11 @@ class SQLExecutor:
         self._mv_cols = {}
         # ATTACH'd secondary catalogs: lowercased name -> LakeCatalog.
         # Session-scoped like DuckDB's ATTACH; read via qualified
-        # name.table references, migrated via COPY FROM DATABASE.
+        # name.table references, written via qualified-target DML
+        # (_attached_write), migrated via COPY FROM DATABASE.
         self._attached = {}
+        # lazily-built delegate executors for attached-catalog writes
+        self._att_sql = {}
         # read_parquet/read_csv temp views registered while rewriting the
         # CURRENT statement — dropped right after its plan is analyzed
         # (_query), so file views never accumulate in the session catalog
@@ -435,17 +438,17 @@ class SQLExecutor:
         if m:
             return self._import_database(m.group(1).replace("''", "'"))
         m = re.match(
-            rf"^(INSERT\s+INTO|UPDATE|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?"
-            rf"|MERGE\s+INTO)\s+({_IDENT})\s*\.\s*{_IDENT}\b",
+            rf"^(INSERT(?:\s+OR\s+(?:REPLACE|IGNORE))?\s+INTO|UPDATE"
+            rf"|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?|MERGE\s+INTO"
+            rf"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE(?:\s+IF\s+NOT\s+EXISTS)?"
+            rf"|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|ALTER\s+TABLE)\s+"
+            rf"({_IDENT})\s*\.\s*({_IDENT})\b(.*)$",
             q,
-            re.I,
+            re.I | re.S,
         )
         if m and m.group(2).lower() in self._attached:
-            raise LakeSQLError(
-                f"cannot write to attached catalog {m.group(2)!r}: "
-                "attached catalogs are readable (qualified SELECT) and "
-                "migratable (COPY FROM DATABASE a TO b); writes go "
-                "through the bound catalog"
+            return self._attached_write(
+                m.group(1), m.group(2), m.group(3), m.group(4)
             )
 
         m = re.match(
@@ -2635,24 +2638,43 @@ class SQLExecutor:
         return str(v)
 
     def _export_database(self, path: str, fmt: str) -> DataFrame:
-        """``EXPORT DATABASE '<dir>' [(FORMAT PARQUET)]`` — DuckDB's
+        """``EXPORT DATABASE '<dir>' [(FORMAT PARQUET|CSV)]`` — DuckDB's
         file-based portability verb: ``schema.sql`` (CREATE TABLE with
         NOT NULL / DEFAULT / PRIMARY KEY / PARTITION BY, then CREATE VIEW),
-        ``load.sql`` (one COPY ... FROM per table), and one parquet file
-        per table. Data is the RAW table state (``catalog.read``, not the
-        MV read face), so rollup state + meta companions round-trip and
-        the pair is a live materialized view again after IMPORT. Only
-        FORMAT PARQUET: CSV cannot represent the binary sketch state or
-        array columns losslessly, and a lossy export verb is worse than
-        none."""
+        ``load.sql`` (one COPY ... FROM per table), and one data file per
+        table. Data is the RAW table state (``catalog.read``, not the MV
+        read face), so rollup state + meta companions round-trip and the
+        pair is a live materialized view again after IMPORT. FORMAT CSV
+        (DuckDB's default EXPORT format) is accepted for databases whose
+        tables are all CSV-representable; a table carrying binary sketch
+        state (``hll_*`` MV companions) or nested array/map/struct
+        columns fails with a pointed error naming it — those types do
+        not round-trip CSV losslessly, use PARQUET."""
         import os as _os
 
-        if fmt.upper() != "PARQUET":
+        fmt = fmt.upper()
+        if fmt not in ("PARQUET", "CSV"):
             raise LakeSQLError(
-                "EXPORT DATABASE supports (FORMAT PARQUET) only: CSV "
-                "cannot round-trip binary/array columns losslessly"
+                f"EXPORT DATABASE format {fmt!r} not supported "
+                "(PARQUET or CSV)"
             )
         self._no_txn("EXPORT DATABASE")
+        if fmt == "CSV":
+            for t in self.c.tables():
+                bad = [
+                    f"{f.name} {f.type}"
+                    for f in self._schema_of(t).fields
+                    if re.match(
+                        r"^(binary|array|map|struct)", f.type.lower()
+                    )
+                ]
+                if bad:
+                    raise LakeSQLError(
+                        f"EXPORT DATABASE (FORMAT CSV): table {t!r} "
+                        f"column(s) {bad} cannot round-trip CSV "
+                        "losslessly (binary sketch / nested state) — "
+                        "use (FORMAT PARQUET)"
+                    )
         _os.makedirs(path, exist_ok=True)
         schema_lines, load_lines = [], []
         tables = self.c.tables()
@@ -2682,10 +2704,23 @@ class SQLExecutor:
                 stmt += " PARTITION BY (" + ", ".join(sch.partition_by) + ")"
             schema_lines.append(stmt + ";")
             esc = path.replace("'", "''")
-            load_lines.append(f"COPY {t} FROM '{esc}/{t}.parquet';")
-            self._write_single_parquet(
-                self.c.read(t), _os.path.join(path, f"{t}.parquet")
-            )
+            if fmt == "CSV":
+                load_lines.append(
+                    f"COPY {t} FROM '{esc}/{t}.csv' "
+                    "(FORMAT CSV, HEADER true);"
+                )
+                self._write_single_file(
+                    self.c.read(t),
+                    _os.path.join(path, f"{t}.csv"),
+                    "csv",
+                )
+            else:
+                load_lines.append(f"COPY {t} FROM '{esc}/{t}.parquet';")
+                self._write_single_file(
+                    self.c.read(t),
+                    _os.path.join(path, f"{t}.parquet"),
+                    "parquet",
+                )
         for vname, vsql in self.c.views().items():
             schema_lines.append(f"CREATE VIEW {vname} AS {vsql};")
         with open(_os.path.join(path, "schema.sql"), "w") as fh:
@@ -2694,17 +2729,54 @@ class SQLExecutor:
             fh.write("\n".join(load_lines) + "\n")
         return self._status("EXPORT DATABASE", len(tables))
 
+    @staticmethod
+    def _split_script(text: str):
+        """Split an export script into statements on ``;`` OUTSIDE string
+        literals (``''`` is the escape). A view definition containing a
+        semicolon in a literal — or spanning multiple lines — survives
+        intact, which a plain ``split(';\\n')`` would break."""
+        stmts, cur, in_str = [], [], False
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if in_str:
+                cur.append(ch)
+                if ch == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        cur.append("'")
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+                cur.append(ch)
+            elif ch == ";":
+                s = "".join(cur).strip()
+                if s:
+                    stmts.append(s)
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        s = "".join(cur).strip()
+        if s:
+            stmts.append(s)
+        return stmts
+
     def _import_database(self, path: str) -> DataFrame:
         """``IMPORT DATABASE '<dir>'`` — executes the exported
-        ``schema.sql`` then ``load.sql`` (one statement per line, the
-        shape _export_database writes), then restamps any rollup meta
-        companions at this catalog's HEAD (source-version stamps are
-        meaningless here — same rule as catalog.export_to, so a later
-        REFRESH diffs from the right base instead of double-counting)."""
+        ``schema.sql`` then ``load.sql`` (quote-aware statement split,
+        the shape _export_database writes), then restamps ONLY the
+        rollup meta companions this import created at this catalog's
+        HEAD (source-version stamps are meaningless here — same rule as
+        catalog.export_to). Pre-existing MVs in the destination keep
+        their stamps: advancing them would skip their unfolded base
+        deltas on the next REFRESH."""
         import os as _os
 
         self._no_txn("IMPORT DATABASE")
         n = 0
+        created: set = set()
         for script in ("schema.sql", "load.sql"):
             p = _os.path.join(path, script)
             if not _os.path.exists(p):
@@ -2712,16 +2784,25 @@ class SQLExecutor:
                     f"IMPORT DATABASE: missing {script} under {path!r}"
                 )
             with open(p) as fh:
-                for stmt in fh.read().split(";\n"):
-                    if stmt.strip():
-                        self.execute(stmt.strip().rstrip(";"))
-                        n += 1
-        self.c.restamp_rollup_metas()
+                for stmt in self._split_script(fh.read()):
+                    m = re.match(
+                        r"CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)",
+                        stmt,
+                        re.I,
+                    )
+                    if m:
+                        created.add(m.group(1))
+                    self.execute(stmt)
+                    n += 1
+        self.c.restamp_rollup_metas(only=created)
         return self._status("IMPORT DATABASE", n)
 
-    def _write_single_parquet(self, df: DataFrame, target: str) -> None:
-        """One parquet FILE at ``target`` (atomic temp-dir + move), the
-        COPY TO single-file pattern."""
+    def _write_single_file(
+        self, df: DataFrame, target: str, fmt: str = "parquet"
+    ) -> None:
+        """One parquet/csv FILE at ``target`` (atomic temp-dir + move),
+        the COPY TO single-file pattern. CSV is written with a header so
+        the IMPORT side aligns columns by name."""
         import glob as _glob
         import os as _os
         import shutil as _shutil
@@ -2730,7 +2811,11 @@ class SQLExecutor:
         parent = _os.path.dirname(_os.path.abspath(target)) or "."
         tmp = _os.path.join(parent, f".__exp_tmp_{_uuid.uuid4().hex[:12]}")
         try:
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            w = df.coalesce(1).write.mode("overwrite")
+            if fmt == "csv":
+                w.option("header", True).csv(tmp)
+            else:
+                w.parquet(tmp)
             parts = sorted(_glob.glob(_os.path.join(tmp, "part-*")))
             if len(parts) != 1:
                 raise LakeSQLError(
@@ -2910,10 +2995,18 @@ class SQLExecutor:
             seg = self._FN_ALIAS_RE.sub(
                 lambda m: self._FN_ALIASES[m.group(1).lower()] + "(", seg
             )
+            # anchored to the star form (`* EXCLUDE` / `t.* EXCLUDE`):
+            # a bare identifier named `exclude` elsewhere must not be
+            # mangled into EXCEPT (...)
             seg = re.sub(
-                rf"\bEXCLUDE\s+({_IDENT})\b", r"EXCEPT (\1)", seg, flags=re.I
+                rf"(\*\s*)EXCLUDE\s+({_IDENT})\b",
+                r"\1EXCEPT (\2)",
+                seg,
+                flags=re.I,
             )
-            return re.sub(r"\bEXCLUDE\s*\(", "EXCEPT (", seg, flags=re.I)
+            return re.sub(
+                r"(\*\s*)EXCLUDE\s*\(", r"\1EXCEPT (", seg, flags=re.I
+            )
 
         q = map_sql_nonliteral(q, _sugar)
         pos = _top_keyword_positions(q, "QUALIFY")
@@ -2957,13 +3050,23 @@ class SQLExecutor:
                 m = re.search(rf"\s+AS\s+({_IDENT})\s*$", item, re.I)
                 if m:
                     aliases[m.group(1).lower()] = item[: m.start()].strip()
+        # Token-boundary-aware substitution: no match after `.` (a
+        # qualified column `t.total` names the FROM column, not the
+        # alias), no match at call positions (`sum(` when the alias is
+        # `sum`), and the replacement goes through a CALLABLE so a
+        # backslash in the aliased expression (regexp_extract(s, '\d+'))
+        # is inserted verbatim instead of raising re.error / being read
+        # as a group reference.
         for _ in range(3):
             before = pred
             for name, expr in aliases.items():
+                pat = re.compile(
+                    rf"(?<![\w.`]){re.escape(name)}\b(?!\s*\()", re.I
+                )
                 pred = map_sql_nonliteral(
                     pred,
-                    lambda seg, n=name, e=expr: re.sub(
-                        rf"\b{n}\b", f"({e})", seg, flags=re.I
+                    lambda seg, p=pat, e=expr: p.sub(
+                        lambda m: "(" + e + ")", seg
                     ),
                 )
             if pred == before:
@@ -2998,7 +3101,91 @@ class SQLExecutor:
         self._no_txn("DETACH")
         if self._attached.pop(name.lower(), None) is None:
             raise LakeSQLError(f"no attached catalog named {name!r}")
+        self._att_sql.pop(name.lower(), None)
         return self._status("DETACH", 0)
+
+    def _attached_write(
+        self, verb: str, cat: str, tbl: str, rest: str
+    ) -> DataFrame:
+        """Qualified-target DML/DDL into an ATTACH'd catalog — the
+        reference's migration demo creates tables in and inserts into the
+        attached prod catalog (demos/05_catalog_portability/demo.py:
+        199-280). Statements whose whole scope is the attached catalog
+        (VALUES inserts, UPDATE/DELETE/TRUNCATE, column-def CREATE, DROP,
+        ALTER) delegate to a per-catalog sub-executor with the qualifier
+        stripped; SELECT-sourced INSERT and CTAS evaluate the source in
+        THIS executor's scope (main tables + qualified attached reads)
+        and write the result through the attached catalog's transaction —
+        that is what makes cross-catalog ``CREATE TABLE prod.t AS SELECT
+        ... FROM main_table`` work in both directions. Writes autocommit
+        in the attached catalog and are refused inside an open main
+        transaction (one write target per transaction, DuckDB's
+        cross-database rule)."""
+        self._no_txn(f"write to attached catalog {cat!r}")
+        key = cat.lower()
+        dex = self._att_sql.get(key)
+        if dex is None:
+            dex = self._att_sql[key] = SQLExecutor(self._attached[key])
+        vu = re.sub(r"\s+", " ", verb.upper())
+        if vu.startswith("MERGE"):
+            raise LakeSQLError(
+                "MERGE INTO an attached catalog is not supported; run it "
+                "on a connection bound to that catalog"
+            )
+        if vu.startswith("INSERT"):
+            body, cols = rest, None
+            mm = re.match(r"^\s*\(([^)]*)\)\s*(.*)$", body, re.S)
+            if mm and all(
+                re.fullmatch(_IDENT, c.strip())
+                for c in mm.group(1).split(",")
+            ):
+                cols = [c.strip() for c in mm.group(1).split(",")]
+                body = mm.group(2)
+            if re.match(r"^\s*VALUES\b", body, re.I):
+                # self-contained: the sub-executor handles typing,
+                # inlining fast path, and OR REPLACE/IGNORE identically
+                return dex.execute(f"{verb} {tbl}{rest}")
+            df = self._query(body)  # MAIN scope: cross-catalog source
+            if cols is not None:
+                if len(cols) != len(df.columns):
+                    raise LakeSQLError(
+                        f"column list has {len(cols)} names, query "
+                        f"produces {len(df.columns)} columns"
+                    )
+                df = df.toDF(*cols)
+            mmode = re.match(r"^INSERT OR (REPLACE|IGNORE)\b", vu)
+            if mmode:
+                return dex._upsert_insert(tbl, df, mmode.group(1))
+            n = [0]
+            dex._run(lambda tx: n.__setitem__(0, tx.insert(tbl, df)))
+            return self._status("INSERT", n[0])
+        if vu.startswith("CREATE"):
+            mm = re.match(
+                r"^\s*(?:PARTITION\s+BY\s*\(([^()]+)\)\s*)?AS\s+(.*)$",
+                rest,
+                re.I | re.S,
+            )
+            if mm:  # CTAS with a main-scope source query
+                pby, body = mm.groups()
+                partition_by = (
+                    [c.strip() for c in pby.split(",")] if pby else ()
+                )
+                df = self._query(body)
+                replace = "OR REPLACE" in vu
+                n = [0]
+
+                def op(tx):
+                    st = tx._state(tbl, must_exist=False)
+                    if replace and st is not None and not st.dropped:
+                        tx.drop_table(tbl)
+                    n[0] = tx.ctas(tbl, df, partition_by=partition_by)
+
+                dex._run(op)
+                return self._status("CREATE TABLE AS", n[0])
+            return dex.execute(f"{verb} {tbl}{rest}")  # column-def form
+        # UPDATE / DELETE / TRUNCATE / DROP / ALTER: scope is the
+        # attached table alone — delegate with the qualifier stripped
+        return dex.execute(f"{verb} {tbl}{rest}")
 
     def _copy_database_stmt(self, src: str, dst: str) -> DataFrame:
         """``COPY FROM DATABASE a TO b`` — DuckDB's whole-catalog

@@ -1591,3 +1591,39 @@ def test_merge_auto_schema_case_insensitive_detection(lake, spark):
         pass  # the case-sensitive alignment may refuse the spelling
     cols = [f.name for f in lake.read("t").schema.fields]
     assert sorted(c.lower() for c in cols) == ["id", "v"], cols
+
+
+def test_versioned_read_memoization(lake, spark, tmp_path):
+    """read() memoizes (table, resolved version) -> DataFrame: a repeat
+    read of the same version returns the cached plan, a write at HEAD
+    moves the resolved version (new key, fresh plan, new rows visible),
+    and historical reads are byte-identical to a fresh catalog bind
+    reading the same version — a write invalidates nothing historical."""
+    _inventory(lake)
+    v1 = lake.current_version()
+
+    df_a = lake.read("inventory")          # HEAD == v1
+    df_b = lake.read("inventory", version=v1)
+    assert df_a is df_b                     # cache hit, same plan object
+    rows_v1 = sorted(tuple(r) for r in df_a.collect())
+
+    with lake.transaction() as tx:          # HEAD moves past v1
+        tx.insert_rows(
+            "inventory",
+            [{"id": 9, "product": "Hub", "quantity": 1, "price": 5.00}],
+        )
+    df_head = lake.read("inventory")
+    assert df_head is not df_a              # new resolved version, new key
+    assert df_head.count() == len(rows_v1) + 1
+
+    # historical version still serves the pre-write state, and matches a
+    # FRESH bind (no executor/session cache involved) row for row
+    assert sorted(tuple(r) for r in lake.read("inventory", version=v1).collect()) == rows_v1
+    fresh = LakeCatalog(str(tmp_path / "lake"), spark, inline_threshold=8)
+    assert sorted(
+        tuple(r) for r in fresh.read("inventory", version=v1).collect()
+    ) == rows_v1
+
+    # where= reads bypass the cache (pruned file lists are per-predicate)
+    got = lake.read("inventory", where="id = 2").collect()
+    assert [r["id"] for r in got] == [2]

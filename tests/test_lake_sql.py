@@ -2516,9 +2516,18 @@ def test_attach_cross_catalog_sql(lake, spark, tmp_path):
     # above), and a non-table suffix passes through untouched
     with pytest.raises(Exception):
         lake.sql("SELECT * FROM dev.nope").collect()
-    # attached catalogs are read-only through this executor
-    with pytest.raises(LakeSQLError, match="attached catalog"):
-        lake.sql("INSERT INTO dev.prices VALUES (9, 9.0)")
+    # attached catalogs are WRITABLE via qualified-target DML (r12):
+    # the insert autocommits in dev and is visible to dev's own bind
+    lake.sql("INSERT INTO dev.prices VALUES (9, 9.0)")
+    assert dev.read("prices").filter("sku = 9").count() == 1
+    lake.sql("DELETE FROM dev.prices WHERE sku = 9")
+    assert dev.read("prices").filter("sku = 9").count() == 0
+    # MERGE INTO an attached catalog stays refused, with a pointed error
+    with pytest.raises(LakeSQLError, match="MERGE INTO an attached"):
+        lake.sql(
+            "MERGE INTO dev.prices t USING sales s ON t.sku = s.sku "
+            "WHEN MATCHED THEN UPDATE SET price = 0"
+        )
     # an attached MV reads through its rollup face (avg_ derivation)
     dev.sql(
         "CREATE MATERIALIZED VIEW psum AS SELECT sku, COUNT(*), "
@@ -2537,7 +2546,7 @@ def test_attach_cross_catalog_sql(lake, spark, tmp_path):
         tuple(r) for r in lake.sql("SELECT * FROM prod.prices").collect()
     ) == sorted(tuple(r) for r in dev.read("prices").collect())
 
-    # errors: double attach, unknown detach, writes stay refused
+    # errors: double attach, unknown detach
     with pytest.raises(LakeSQLError, match="already attached"):
         lake.sql(f"ATTACH '{tgt_path}' AS prod")
     lake.sql("DETACH prod")
@@ -2552,6 +2561,88 @@ def test_attach_cross_catalog_sql(lake, spark, tmp_path):
     with pytest.raises(LakeSQLError, match="explicit transaction"):
         lake.sql(f"ATTACH '{tgt_path}' AS p2")
     lake.sql("ROLLBACK")
+
+
+def test_attached_catalog_writes(lake, spark, tmp_path):
+    """Writable ATTACH'd catalogs (r12): the reference's migration demo
+    creates tables IN the attached prod catalog and inserts into them
+    (demos/05_catalog_portability/demo.py:199-280). CTAS works across
+    catalogs in BOTH directions, every write mints a snapshot in the
+    catalog that was written (not the one holding the connection), and a
+    fresh bind of the attached path reads back identical state."""
+    dev_path, prod_path = str(tmp_path / "dev"), str(tmp_path / "prod")
+    dev = LakeCatalog(dev_path, spark)
+    prod = LakeCatalog(prod_path, spark)
+    dev.sql("CREATE TABLE src (k INT, v DOUBLE)")
+    dev.sql("INSERT INTO src VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+
+    lake.sql("CREATE TABLE local_t (k INT, name VARCHAR)")
+    lake.sql("INSERT INTO local_t VALUES (1, 'a'), (2, 'b')")
+    lake.sql(f"ATTACH '{dev_path}' AS dev")
+    lake.sql(f"ATTACH '{prod_path}' AS prod")
+
+    # direction 1: main-scope source -> attached target (cross-catalog
+    # join between the bound catalog and ANOTHER attached catalog)
+    v0_prod, v0_main = prod.current_version(), lake.current_version()
+    lake.sql(
+        "CREATE TABLE prod.joined AS SELECT l.k, l.name, d.v "
+        "FROM local_t l JOIN dev.src d ON l.k = d.k"
+    )
+    assert prod.current_version() > v0_prod  # snapshot minted in prod
+    assert lake.current_version() == v0_main  # ...not in the bound catalog
+    got = sorted(
+        tuple(r) for r in prod.read("joined").collect()
+    )
+    assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+
+    # direction 2: attached source -> BOUND catalog target (plain CTAS,
+    # qualified read) and attached -> attached
+    lake.sql(
+        "CREATE TABLE pulled AS SELECT k, v FROM dev.src WHERE k <= 2"
+    )
+    assert lake.count("pulled") == 2
+    lake.sql("CREATE TABLE prod.copy2 AS SELECT * FROM dev.src")
+    assert prod.count("copy2") == 3
+
+    # column-def CREATE + typed INSERT, UPDATE, DELETE in the attached
+    # catalog; snapshot log advances there per statement
+    n0 = len(prod.snapshots())
+    lake.sql("CREATE TABLE prod.notes (id INT, note VARCHAR)")
+    lake.sql("INSERT INTO prod.notes VALUES (1, 'x'), (2, 'y')")
+    lake.sql("UPDATE prod.notes SET note = 'z' WHERE id = 2")
+    lake.sql("DELETE FROM prod.notes WHERE id = 1")
+    assert len(prod.snapshots()) == n0 + 4
+    assert [tuple(r) for r in prod.read("notes").collect()] == [(2, "z")]
+
+    # INSERT OR REPLACE via qualified name (the r11 ADVICE regression:
+    # it used to fall through to a confusing Spark parse error)
+    lake.sql("CREATE TABLE prod.pk (id INT, v VARCHAR, PRIMARY KEY (id))")
+    lake.sql("INSERT INTO prod.pk VALUES (1, 'a')")
+    lake.sql("INSERT OR REPLACE INTO prod.pk VALUES (1, 'b')")
+    lake.sql("INSERT OR IGNORE INTO prod.pk VALUES (1, 'c')")
+    assert [tuple(r) for r in prod.read("pk").collect()] == [(1, "b")]
+
+    # INSERT ... SELECT with a main-scope source and column list
+    lake.sql(
+        "INSERT INTO prod.notes (id, note) "
+        "SELECT k, name FROM local_t WHERE k = 1"
+    )
+    assert prod.count("notes") == 2
+
+    # refused inside an open main transaction (one write target per txn)
+    lake.sql("BEGIN")
+    with pytest.raises(LakeSQLError, match="explicit transaction"):
+        lake.sql("INSERT INTO prod.notes VALUES (9, 'q')")
+    lake.sql("ROLLBACK")
+
+    # fresh bind of the attached path reads back identical state
+    lake.sql("DETACH prod")
+    fresh = LakeCatalog(prod_path, spark)
+    assert sorted(fresh.tables()) == sorted(prod.tables())
+    for t in ("joined", "copy2", "notes", "pk"):
+        assert sorted(
+            tuple(r) for r in fresh.read(t).collect()
+        ) == sorted(tuple(r) for r in prod.read(t).collect())
 
 
 def test_mv_stddev_variance_sql(lake):
@@ -2857,6 +2948,24 @@ def _duck_twin():
         # EXCLUDE, both spellings
         "SELECT * EXCLUDE (grp) FROM s ORDER BY k LIMIT 2",
         "SELECT * EXCLUDE grp FROM s ORDER BY k LIMIT 2",
+        # adversarial alias resolution (r12): alias `g` is a PREFIX of
+        # column `grp` — the token-boundary rewrite must leave grp alone
+        "SELECT grp, sum(v) AS g FROM s GROUP BY grp "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY g) = 1 "
+        "ORDER BY grp",
+        # alias EQUAL to a window function name: `rank()` is a call, not
+        # an alias reference — substitution must skip call positions
+        "SELECT k, v, k + 100 AS rank FROM s "
+        "QUALIFY rank() OVER (ORDER BY v DESC) <= 3 ORDER BY k",
+        # qualified `s.v` names the FROM column even when an alias `v`
+        # shadows it — no substitution after a dot
+        "SELECT k, concat(grp, 'x') AS v FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY s.v ORDER BY k) = 1 "
+        "ORDER BY k",
+        # `exclude` as an ordinary identifier (alias) must not be
+        # mangled into EXCEPT — the rewrite is anchored to `* EXCLUDE`
+        "SELECT v AS exclude, k FROM s ORDER BY exclude LIMIT 2",
+        "SELECT t.* EXCLUDE (grp) FROM s t ORDER BY k LIMIT 2",
     ],
 )
 def test_qualify_exclude_match_duckdb(qlake, q):
@@ -2870,6 +2979,25 @@ def test_qualify_exclude_match_duckdb(qlake, q):
         ).fetchall(), q
     finally:
         con.close()
+
+
+def test_qualify_alias_with_backslash_expr(qlake):
+    """The alias substitution's replacement is a CALLABLE: an aliased
+    expression containing a backslash (regexp literal) or a \\1-style
+    sequence must be inserted verbatim — the old string replacement
+    raised re.error('bad escape') or misread it as a group reference."""
+    got = qlake.sql(
+        "SELECT k, regexp_extract(grp, '[a-z]\\\\d*', 0) AS ex FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY ex ORDER BY k) = 1 "
+        "ORDER BY k"
+    ).collect()
+    assert [r["k"] for r in got] == [1, 4, 6]  # first row per grp
+    got2 = qlake.sql(
+        "SELECT k, concat(grp, '\\\\1') AS tag FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY tag ORDER BY k) = 1 "
+        "ORDER BY k"
+    ).collect()
+    assert [r["k"] for r in got2] == [1, 4, 6]
 
 
 def test_qualify_unsupported_forms_raise(qlake):
@@ -3050,7 +3178,102 @@ def test_export_import_database_round_trip(lake, spark, tmp_path):
         dst.sql("INSERT INTO t VALUES (4, 1.0, 'dup')")
 
 
-def test_export_database_csv_rejected(lake):
-    lake.sql("CREATE TABLE t (k INT)")
-    with pytest.raises(LakeSQLError, match="PARQUET"):
-        lake.sql("EXPORT DATABASE '/tmp/nope' (FORMAT CSV)")
+def test_import_database_restamps_only_imported_mvs(lake, spark, tmp_path):
+    """IMPORT DATABASE restamps ONLY the rollup metas it created — a
+    pre-existing MV in the destination with unfolded base-table deltas
+    must keep its stamp, so a later REFRESH still folds those rows
+    (advancing it to HEAD would skip them silently, forever)."""
+    from ducktales_spark.lake import LakeCatalog
+
+    # source database to import: one plain table
+    src = LakeCatalog(str(tmp_path / "src"), spark, inline_threshold=4)
+    src.sql("CREATE TABLE imported_t (x INT)")
+    src.sql("INSERT INTO imported_t VALUES (1), (2)")
+    exp = str(tmp_path / "exp")
+    src.sql(f"EXPORT DATABASE '{exp}'")
+
+    # destination already holds a live MV with UNFOLDED deltas
+    lake.sql("CREATE TABLE base (g VARCHAR, v DOUBLE)")
+    lake.sql("INSERT INTO base VALUES ('a', 1.0)")
+    lake.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT g, COUNT(*) AS n_rows, SUM(v) AS sum_v FROM base GROUP BY g"
+    )
+    lake.sql("INSERT INTO base VALUES ('a', 2.0), ('b', 5.0)")  # unfolded
+
+    lake.sql(f"IMPORT DATABASE '{exp}'")
+    lake.sql("REFRESH MATERIALIZED VIEW mv")
+    got = sorted(
+        tuple(r)
+        for r in lake.sql("SELECT g, n_rows, sum_v FROM mv").collect()
+    )
+    assert got == [("a", 2, 3.0), ("b", 1, 5.0)]
+    assert lake.count("imported_t") == 2
+
+
+def test_export_import_view_with_semicolon_literal(lake, spark, tmp_path):
+    """The import script splitter is quote-aware: a view whose SQL holds
+    a ';' (and a newline) inside a string literal round-trips intact —
+    the old split(';\\n') broke the statement mid-literal."""
+    from ducktales_spark.lake import LakeCatalog
+
+    lake.sql("CREATE TABLE t (k INT, s VARCHAR)")
+    lake.sql("INSERT INTO t VALUES (1, 'x'), (2, 'a;\nb')")
+    lake.sql("CREATE VIEW vsemi AS SELECT k, concat(s, ';\nend') AS tagged FROM t")
+    exp = str(tmp_path / "semiexp")
+    lake.sql(f"EXPORT DATABASE '{exp}'")
+    dst = LakeCatalog(str(tmp_path / "semidst"), spark, inline_threshold=4)
+    dst.sql(f"IMPORT DATABASE '{exp}'")
+    got = sorted(
+        tuple(r) for r in dst.sql("SELECT * FROM vsemi").collect()
+    )
+    want = sorted(
+        tuple(r) for r in lake.sql("SELECT * FROM vsemi").collect()
+    )
+    assert got == want
+
+
+def test_export_database_csv_round_trip(lake, spark, tmp_path):
+    """EXPORT DATABASE (FORMAT CSV) — DuckDB's default EXPORT format —
+    round-trips a plain-table database (typed columns incl. DATE and
+    TIMESTAMP survive via the CREATE TABLE types in schema.sql); a
+    database holding binary sketch state (an MV's hll_* companion) still
+    fails with a pointed error naming the offending table."""
+    from ducktales_spark.lake import LakeCatalog
+
+    lake.sql(
+        "CREATE TABLE t (k INT PRIMARY KEY, v DOUBLE NOT NULL, "
+        "name VARCHAR, d DATE, ts TIMESTAMP)"
+    )
+    lake.sql(
+        "INSERT INTO t VALUES "
+        "(1, 1.5, 'a,b', DATE '2024-02-29', TIMESTAMP '2024-01-02 03:04:05'), "
+        "(2, 2.5, NULL, DATE '2025-01-01', TIMESTAMP '2025-06-07 08:09:10')"
+    )
+    lake.sql("CREATE VIEW big AS SELECT * FROM t WHERE v > 2")
+    exp = str(tmp_path / "csvexp")
+    lake.sql(f"EXPORT DATABASE '{exp}' (FORMAT CSV)")
+    assert (tmp_path / "csvexp" / "t.csv").exists()
+    load_sql = (tmp_path / "csvexp" / "load.sql").read_text()
+    assert "FORMAT CSV" in load_sql and "HEADER true" in load_sql
+
+    dst = LakeCatalog(str(tmp_path / "csvdst"), spark, inline_threshold=4)
+    dst.sql(f"IMPORT DATABASE '{exp}'")
+    got = [tuple(r) for r in dst.sql("SELECT * FROM t ORDER BY k").collect()]
+    want = [tuple(r) for r in lake.sql("SELECT * FROM t ORDER BY k").collect()]
+    assert got == want
+    assert dst.sql("SELECT * FROM big").count() == 1
+
+    # an APPROX_COUNT_DISTINCT MV mints binary hll_* sketch state ->
+    # CSV refused, error names the sketch-bearing table; PARQUET works
+    lake.sql(
+        "CREATE MATERIALIZED VIEW dmv AS SELECT name, "
+        "APPROX_COUNT_DISTINCT(k) AS approx_distinct_k FROM t GROUP BY name"
+    )
+    with pytest.raises(LakeSQLError, match="dmv"):
+        lake.sql(f"EXPORT DATABASE '{tmp_path / 'csvexp2'}' (FORMAT CSV)")
+    lake.sql(f"EXPORT DATABASE '{tmp_path / 'pqexp'}' (FORMAT PARQUET)")
+
+    # unknown format still rejected in-band
+    with pytest.raises(LakeSQLError, match="not supported"):
+        lake.sql("EXPORT DATABASE '/tmp/nope' (FORMAT JSON)")
