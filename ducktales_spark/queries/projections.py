@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ducktales_spark.data import table
-from ducktales_spark.registry import register
+from ducktales_spark.registry import register, register_extra
 
 
 @register(
@@ -111,7 +111,54 @@ def p05_like_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The body both x10_qualify_buckets (Spark, via the lake SQL face's dialect
+# rewriter) and its oracle (DuckDB, which speaks QUALIFY natively) execute —
+# ONE text, differing only in the table source, so the sweep checks the
+# rewrite machinery itself, not a hand-matched re-implementation.
+_X10_SQL = """
+WITH filtered AS (
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice > 250000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS size_bucket
+    FROM {src}
+    WHERE o_orderkey % 7 = 0
+)
+SELECT size_bucket, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY size_bucket
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+FROM filtered
+QUALIFY rn <= 3
+ORDER BY size_bucket, rn
+"""
+
+
 @register(
+    "x10_qualify_buckets",
+    survey_ids=("P9", "P10", "F11", "W1", "O1", "O3"),
+    oracle=_X10_SQL.format(src="orders"),
+)
+def x10_qualify_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-dialect QUALIFY top-k per CASE bucket, executed through the
+    lake SQL face's dialect rewriter (QUALIFY -> injected lateral window
+    predicate; sql.py _rewrite_dialect) — the r11 dialect surface in the
+    driver sweep. Covers modulo predicate (P9/F11), searched CASE (P10),
+    and window top-k (W1) in the same statement the reference's users
+    would write verbatim. The plan is the w02 shape: one pushed scan, one
+    window shuffle on size_bucket, the Spark-native top-k-per-group."""
+    import tempfile
+
+    from ducktales_spark.lake import connect
+
+    lake = connect(
+        "lake:" + tempfile.mkdtemp(prefix="ducktales_x10_"), spark
+    )
+    return lake.sql(
+        _X10_SQL.format(src=f"read_parquet('{sf_dir}/orders.parquet')")
+    )
+
+
+@register_extra(
     "p09_mod_case",
     survey_ids=("P9", "P10", "F11", "A1", "A8"),
     oracle="""
