@@ -156,6 +156,19 @@ def main() -> None:
                     round(matched / twin["total"], 2) if twin.get("total") else None
                 ),
                 "lake_ops": lake_ops(spark, sf_dir),
+                # the non-stock session configs tune_for_input applied —
+                # echoed so every artifact records exactly what it ran
+                # under (see README's bench section for the measured
+                # justification of each)
+                "session_configs": {
+                    k: spark.conf.get(k)
+                    for k in (
+                        "spark.sql.shuffle.partitions",
+                        "spark.sql.files.maxPartitionBytes",
+                        "spark.sql.adaptive.enabled",
+                        "spark.sql.constraintPropagation.enabled",
+                    )
+                },
                 "loadavg": loadavg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
@@ -179,7 +192,15 @@ def tune_for_input(spark, sf_dir: str) -> None:
             total += sz
             largest = max(largest, sz)
     cores = spark.sparkContext.defaultParallelism
-    parts = max(8, min(cores, total // (4 << 20) or 1))
+    # ~12 MB of raw input per shuffle partition (was 4 MB): per-task
+    # scheduling costs ~2-4 ms on this host, so a ~100 MB input at 25
+    # partitions pays more in task dispatch than in work — measured
+    # sf0.1 min-of-6 with 25 -> 8 partitions: d02 1.20 -> 0.58 s, d01
+    # 0.21 -> 0.09 s, a09 0.28 -> 0.19 s, j01 0.22 -> 0.12 s, q1 0.22 ->
+    # 0.11 s; no query measured slower. Large inputs still clamp to all
+    # cores (sf10 stays at 32), where per-partition bytes — not task
+    # count — is the binding constraint.
+    parts = max(8, min(cores, total // (12 << 20) or 1))
     # two scan waves per core, not one: with a single wave only the LARGEST
     # table fills the cluster — every smaller fact table scans at a
     # fraction of the cores (orders at sf10: 6 tasks on 32 cores). Measured

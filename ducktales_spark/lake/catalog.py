@@ -103,12 +103,16 @@ class TableState:
     removed_inlined_ids: list = _dcfield(default_factory=list)
     changes: set = _dcfield(default_factory=set)  # change-kind markers
     # Fine-grained conflict metadata (Delta-style WriteSerializable): one
-    # entry per MERGE this txn ran on the table, {"conjuncts": [(col, op,
-    # val), ...]} describing the key range the merge read. Commit uses it
-    # to let two MERGEs on DISJOINT key ranges both commit without retry.
-    # Any non-merge mutation (or a whole-table merge leg) sets
-    # coarse_write, falling back to table-level first-committer-wins.
-    merge_reads: list = _dcfield(default_factory=list)
+    # entry per row-level mutation this txn ran on the table —
+    # {"conjuncts": [(col, op, val), ...]} describing the region it READ:
+    # a MERGE's source key range, or a predicate UPDATE/DELETE's WHERE
+    # conjuncts (None = unparseable predicate = whole table, still sound,
+    # just coarse). Commit uses it to let two mutations on DISJOINT
+    # regions both commit without retry. Any mutation without a
+    # recordable read set (schema change, whole-table write, a WHEN NOT
+    # MATCHED BY SOURCE leg) sets coarse_write, falling back to
+    # table-level first-committer-wins.
+    read_ranges: list = _dcfield(default_factory=list)
     coarse_write: bool = False
 
     @property
@@ -1751,7 +1755,7 @@ class Transaction:
 
         n = self._rewrite(st, where, xform)
         st.changes.add("tables_updated")
-        st.coarse_write = True
+        self._record_row_read(st, where)
         return n
 
     def delete(self, name: str, where: Optional[str] = None) -> int:
@@ -1777,8 +1781,25 @@ class Transaction:
                 deleting=True,
             )
         st.changes.add("tables_deleted_from")
-        st.coarse_write = True
+        self._record_row_read(st, where)
         return n
+
+    def _record_row_read(self, st: TableState, where: Optional[str]) -> None:
+        """Record a predicate UPDATE/DELETE's read region for fine-grained
+        commit-time conflict resolution (the MERGE read-range mechanism):
+        the statement read exactly the rows matching ``where`` plus the
+        full content of the candidate files it rewrote — and every
+        rewritten candidate matches the WHERE conjuncts by construction
+        (_rewrite selects candidates with the same file_may_match), so
+        the conjunct region covers both. A concurrent snapshot commutes
+        iff none of its added/removed files may hold rows in this region.
+        ``where=None`` (whole-table) and unparseable predicates stay
+        sound: None conjuncts make file_may_match return True for every
+        file, degrading to table-level first-committer-wins."""
+        if where is None:
+            st.coarse_write = True
+        else:
+            st.read_ranges.append({"conjuncts": parse_conjuncts(where)})
 
     def merge(
         self,
@@ -2167,7 +2188,7 @@ class Transaction:
             if bsc:
                 st.coarse_write = True
             else:
-                st.merge_reads.append({"conjuncts": list(conjuncts)})
+                st.read_ranges.append({"conjuncts": list(conjuncts)})
             target = self.c._build_df(candidates, touched_inlined, st.schemas, sch)
             # One action answers dup-key check + matched + unmatched: src keys
             # left-join per-key target counts, then a global aggregate.
@@ -2679,7 +2700,7 @@ class Transaction:
         st.changes.add("tables_compacted")
         st.coarse_write = True
 
-    def _merge_read_conflict(self, t, st: TableState, sid: int) -> bool:
+    def _read_range_conflict(self, t, st: TableState, sid: int) -> bool:
         """Does concurrent snapshot ``sid`` intersect any of this txn's
         recorded MERGE read ranges on ``st``? Sound via file min/max
         stats: a file ADDED by sid may hold rows my merge would have
@@ -2710,7 +2731,7 @@ class Transaction:
         return any(
             file_may_match(cs, mr["conjuncts"], sch)
             for (cs,) in rows
-            for mr in st.merge_reads
+            for mr in st.read_ranges
         )
 
     # -- commit / rollback ----------------------------------------------
@@ -2753,23 +2774,25 @@ class Transaction:
                     for nm in sorted(touched & others):
                         # Delta-style fine-grained resolution: when BOTH
                         # sides' changes to this table are row-level and
-                        # ours came only through MERGE (recorded key-range
-                        # read sets), disjoint key ranges commute — both
-                        # commit, no retry. Anything else (schema change,
-                        # drop/create, non-merge write, whole-table merge
-                        # leg) stays table-level first-committer-wins.
+                        # ours came only through mutations with recorded
+                        # read sets (MERGE key ranges, predicate UPDATE/
+                        # DELETE WHERE conjuncts), disjoint regions
+                        # commute — both commit, no retry. Anything else
+                        # (schema change, drop/create, whole-table write,
+                        # plain INSERT) stays table-level
+                        # first-committer-wins.
                         st = self._states.get(nm)
                         conc = {mk for mk, names in ch.items() if nm in names}
                         fine = (
                             st is not None
-                            and st.merge_reads
+                            and st.read_ranges
                             and not st.coarse_write
                             and not st.created
                             and not st.dropped
                             and st.changes <= row_markers
                             and conc <= row_markers
                         )
-                        if not fine or self._merge_read_conflict(t, st, sid):
+                        if not fine or self._read_range_conflict(t, st, sid):
                             raise ConflictError(
                                 f"snapshot {sid} already modified {nm!r}"
                             )
@@ -2992,6 +3015,21 @@ def _coerce_read(v, t: str):
 
 
 def _project(df: DataFrame, stored: TableSchema, current: TableSchema) -> DataFrame:
+    # identity projection (no evolution between the file's schema and the
+    # read schema) — skip the per-column cast/alias select outright: the
+    # column ops cost ~45 ms of py4j per read, which the no-evolution
+    # common case (every fresh table, every bench versioned read) was
+    # paying for nothing
+    if stored is current or (
+        len(stored.fields) == len(current.fields)
+        and all(
+            sf.field_id == cf.field_id
+            and sf.name == cf.name
+            and sf.type == cf.type
+            for sf, cf in zip(stored.fields, current.fields)
+        )
+    ):
+        return df
     by_id = {f.field_id: f for f in stored.fields}
     cols = []
     for f in current.fields:

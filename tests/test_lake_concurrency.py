@@ -205,14 +205,21 @@ def test_disjoint_merges_commit_without_retry(spark, tmp_path):
     tx6.update("t", {"v": "v + 10"}, "id = 0")
     v6 = tx6.commit()
     assert tx5.commit() == v6 + 1  # update touched only the low file
-    # ... but a second-committing NON-merge write has no recorded read
-    # set, so it stays table-level first-committer-wins
+    # ... and since r12 the reverse also fine-resolves: a second-committing
+    # predicate UPDATE records its WHERE conjuncts as a read range, so it
+    # commutes with a disjoint concurrent merge
     tx5b, tx6b = lake.transaction(), lake.transaction()
     tx5b.merge("t", src(103, 105, 8), ["id"])
     tx6b.update("t", {"v": "v + 10"}, "id = 0")
-    tx5b.commit()
+    v5b = tx5b.commit()
+    assert tx6b.commit() == v5b + 1
+    # a second-committing plain INSERT still has no read set: table-level
+    tx5c, tx6c = lake.transaction(), lake.transaction()
+    tx5c.merge("t", src(103, 105, 9), ["id"])
+    tx6c.insert("t", src(500, 502, 0))
+    tx5c.commit()
     with pytest.raises(ConflictError):
-        tx6b.commit()
+        tx6c.commit()
 
     # and a whole-table merge leg (NOT MATCHED BY SOURCE) does too
     tx7, tx8 = lake.transaction(), lake.transaction()
@@ -227,3 +234,69 @@ def test_disjoint_merges_commit_without_retry(spark, tmp_path):
     tx7.commit()
     with pytest.raises(ConflictError):
         tx8.commit()
+
+
+def test_disjoint_updates_deletes_commit_without_retry(spark, tmp_path):
+    """Fine-grained UPDATE/DELETE conflicts (r12): two predicate writes on
+    DISJOINT key ranges both commit without retry — the second validates
+    its WHERE-conjunct read region against the first's added/removed file
+    stats — while overlapping ranges, unparseable predicates, and
+    whole-table writes stay table-level first-committer-wins."""
+    lake = LakeCatalog(str(tmp_path / "lk"), spark, inline_threshold=0)
+    # key-clustered files so a low-range CoW rewrite never spans the high
+    # range (same layout rationale as the merge test above)
+    lake.ctas(
+        "t",
+        spark.createDataFrame(
+            [(i, 0) for i in range(10)], "id int, v int"
+        ).coalesce(1),
+    )
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(i, 0) for i in range(100, 110)], "id int, v int"
+        ).coalesce(1),
+    )
+
+    # disjoint UPDATE vs UPDATE: both commit, no retry
+    tx1, tx2 = lake.transaction(), lake.transaction()
+    tx1.update("t", {"v": "1"}, "id >= 3 AND id <= 6")
+    tx2.update("t", {"v": "2"}, "id >= 103 AND id <= 106")
+    v1 = tx1.commit()
+    assert tx2.commit() == v1 + 1
+    got = {r["id"]: r["v"] for r in lake.read("t").collect()}
+    assert all(got[i] == 1 for i in range(3, 7))
+    assert all(got[i] == 2 for i in range(103, 107))
+
+    # disjoint UPDATE vs DELETE: both commit
+    tx3, tx4 = lake.transaction(), lake.transaction()
+    tx3.delete("t", "id = 0")
+    tx4.update("t", {"v": "7"}, "id = 109")
+    v3 = tx3.commit()
+    assert tx4.commit() == v3 + 1
+    assert 0 not in {r["id"] for r in lake.read("t").collect()}
+
+    # overlapping predicates: second committer conflicts
+    tx5, tx6 = lake.transaction(), lake.transaction()
+    tx5.update("t", {"v": "5"}, "id >= 3 AND id <= 8")
+    tx6.delete("t", "id = 5")
+    tx5.commit()
+    with pytest.raises(ConflictError):
+        tx6.commit()
+
+    # unparseable predicate (modulo): sound degradation to table-level —
+    # conflicts even though the actual rows are disjoint
+    tx7, tx8 = lake.transaction(), lake.transaction()
+    tx7.update("t", {"v": "6"}, "id = 103")
+    tx8.update("t", {"v": "8"}, "id % 2 = 0 AND id < 10")
+    tx7.commit()
+    with pytest.raises(ConflictError):
+        tx8.commit()
+
+    # whole-table delete: coarse, conflicts with any concurrent write
+    tx9, tx10 = lake.transaction(), lake.transaction()
+    tx9.update("t", {"v": "9"}, "id = 104")
+    tx10.delete("t", None)
+    tx9.commit()
+    with pytest.raises(ConflictError):
+        tx10.commit()
