@@ -326,6 +326,8 @@ class SQLExecutor:
         self._attached = {}
         # lazily-built delegate executors for attached-catalog writes
         self._att_sql = {}
+        # `USE <attached>` default-catalog selection (None = bound catalog)
+        self._use = None
         # read_parquet/read_csv temp views registered while rewriting the
         # CURRENT statement — dropped right after its plan is analyzed
         # (_query), so file views never accumulate in the session catalog
@@ -380,6 +382,25 @@ class SQLExecutor:
     def _execute_stmt(self, sql: str, version=None) -> DataFrame:
         q = _strip(sql)
 
+        # `USE <attached>` in effect: every statement except the
+        # catalog-management verbs delegates wholesale to the default
+        # catalog's sub-executor — unqualified names, DML/DDL, and
+        # BEGIN/COMMIT all operate there, DuckDB's default-catalog
+        # semantics. USE/ATTACH/DETACH stay here (the sub-executor has
+        # no attach list).
+        if self._use is not None and not re.match(
+            r"^(USE|ATTACH|DETACH)\b", q, re.I
+        ):
+            if self._use not in self._attached:  # DETACH'd underneath
+                self._use = None
+            else:
+                dex = self._att_sql.get(self._use)
+                if dex is None:
+                    dex = self._att_sql[self._use] = SQLExecutor(
+                        self._attached[self._use]
+                    )
+                return dex.execute(sql, version)
+
         if re.match(r"^BEGIN(\s+TRANSACTION)?$", q, re.I):
             if self._tx is not None:
                 raise LakeSQLError("transaction already open")
@@ -397,8 +418,23 @@ class SQLExecutor:
             tx, self._tx = self._tx, None
             tx.rollback()
             return self._status("ROLLBACK", 0)
-        if re.match(rf"^USE\s+{_IDENT}$", q, re.I):
-            return self._status("USE", 0)  # writes stay on the bound catalog
+        m = re.match(rf"^USE\s+({_IDENT})$", q, re.I)
+        if m:
+            # DuckDB's default-catalog switch, the reference migration
+            # flow's spelling (demos/05_catalog_portability/demo.py:200,
+            # 212 `USE dev` / `USE prod`): an ATTACH'd name becomes the
+            # default for subsequent unqualified statements (each
+            # delegated wholesale to that catalog's sub-executor,
+            # including its own BEGIN/COMMIT state); any other name —
+            # the bound catalog under whatever alias the user mounted it
+            # — resets to the bound catalog.
+            key = m.group(1).lower()
+            if key in self._attached:
+                self._no_txn("USE <attached catalog>")
+                self._use = key
+            else:
+                self._use = None
+            return self._status("USE", 0)
 
         m = re.match(r"^SUMMARIZE\s+(.+)$", q, re.I | re.S)
         if m:
@@ -3102,6 +3138,8 @@ class SQLExecutor:
         if self._attached.pop(name.lower(), None) is None:
             raise LakeSQLError(f"no attached catalog named {name!r}")
         self._att_sql.pop(name.lower(), None)
+        if self._use == name.lower():
+            self._use = None  # default falls back to the bound catalog
         return self._status("DETACH", 0)
 
     def _attached_write(

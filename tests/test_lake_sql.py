@@ -2645,6 +2645,47 @@ def test_attached_catalog_writes(lake, spark, tmp_path):
         ) == sorted(tuple(r) for r in prod.read(t).collect())
 
 
+def test_use_attached_default_catalog(lake, spark, tmp_path):
+    """``USE <attached>`` makes an attached catalog the DEFAULT for
+    unqualified statements — the reference migration flow's spelling
+    (demos/05_catalog_portability/demo.py:200,212: USE dev / USE prod,
+    then plain CREATE TABLE / INSERT / SELECT). BEGIN/COMMIT route to
+    the default catalog too; USE of any non-attached name (the bound
+    catalog's alias) switches back; DETACH of the in-use catalog falls
+    back to the bound catalog."""
+    prod_path = str(tmp_path / "produse")
+    prod = LakeCatalog(prod_path, spark)
+    lake.sql("CREATE TABLE local_only (x INT)")
+    lake.sql(f"ATTACH '{prod_path}' AS prod")
+
+    lake.sql("USE prod")
+    # the reference flow: recreate schema + insert + view, all unqualified
+    lake.sql("CREATE TABLE products (id INT PRIMARY KEY, name VARCHAR)")
+    lake.sql("INSERT INTO products VALUES (1, 'Laptop'), (2, 'Mouse')")
+    lake.sql(
+        "CREATE VIEW product_names AS SELECT name FROM products"
+    )
+    assert [r["name"] for r in lake.sql(
+        "SELECT name FROM product_names ORDER BY name").collect()
+    ] == ["Laptop", "Mouse"]
+    # unqualified reads resolve in prod, not the bound catalog
+    with pytest.raises(Exception):
+        lake.sql("SELECT * FROM local_only").collect()
+    # transactions route to prod
+    lake.sql("BEGIN")
+    lake.sql("INSERT INTO products VALUES (3, 'Keyboard')")
+    lake.sql("ROLLBACK")
+    assert prod.count("products") == 2
+    # writes landed in prod's own catalog (fresh bind agrees)
+    assert sorted(LakeCatalog(prod_path, spark).tables()) == ["products"]
+
+    lake.sql("USE lake")  # any non-attached name = back to bound
+    assert lake.sql("SELECT count(*) AS n FROM local_only").collect()[0]["n"] == 0
+    lake.sql("USE prod")
+    lake.sql("DETACH prod")  # in-use catalog detached -> bound default
+    assert lake.sql("SELECT count(*) AS n FROM local_only").collect()[0]["n"] == 0
+
+
 def test_mv_stddev_variance_sql(lake):
     """Additive VAR/STDDEV maintenance: sum-of-squares state rides the
     O(changes) signed fold exactly like SUM, and the read face derives
