@@ -328,6 +328,8 @@ class SQLExecutor:
         self._att_sql = {}
         # `USE <attached>` default-catalog selection (None = bound catalog)
         self._use = None
+        # names attached with (READ_ONLY): writes into them raise
+        self._att_readonly = set()
         # read_parquet/read_csv temp views registered while rewriting the
         # CURRENT statement — dropped right after its plan is analyzed
         # (_query), so file views never accumulate in the session catalog
@@ -394,6 +396,20 @@ class SQLExecutor:
             if self._use not in self._attached:  # DETACH'd underneath
                 self._use = None
             else:
+                if self._use in self._att_readonly and (
+                    re.match(
+                        r"^(INSERT|UPDATE|DELETE|TRUNCATE|MERGE|CREATE"
+                        r"|DROP|ALTER|IMPORT|CHECKPOINT|CALL)\b",
+                        q,
+                        re.I,
+                    )
+                    or re.match(
+                        rf"^COPY\s+{_IDENT}\s+FROM\b", q, re.I
+                    )
+                ):
+                    raise LakeSQLError(
+                        f"catalog {self._use!r} is attached READ_ONLY"
+                    )
                 dex = self._att_sql.get(self._use)
                 if dex is None:
                     dex = self._att_sql[self._use] = SQLExecutor(
@@ -442,11 +458,16 @@ class SQLExecutor:
 
         # -- multi-catalog verbs (demos/05_catalog_portability) ----------
         m = re.match(
-            rf"^ATTACH\s+'((?:[^']|'')*)'\s+AS\s+({_IDENT})$", q, re.I
+            rf"^ATTACH\s+'((?:[^']|'')*)'\s+AS\s+({_IDENT})"
+            r"\s*(?:\(\s*(READ_ONLY)\s*\))?$",
+            q,
+            re.I,
         )
         if m:
             return self._attach_stmt(
-                m.group(1).replace("''", "'"), m.group(2)
+                m.group(1).replace("''", "'"),
+                m.group(2),
+                read_only=bool(m.group(3)),
             )
         m = re.match(rf"^DETACH\s+({_IDENT})$", q, re.I)
         if m:
@@ -3114,13 +3135,19 @@ class SQLExecutor:
         )
 
     # -- attached catalogs (ATTACH 'path' AS name) -----------------------
-    def _attach_stmt(self, path: str, name: str) -> DataFrame:
-        """``ATTACH '<path>' AS <name>`` — bind a SECOND lake catalog for
-        qualified reads, the reference's side-by-side dev/prod migration
-        flow (utils/ducklake_utils.py:27 ``ATTACH 'ducklake:...' AS``;
+    def _attach_stmt(
+        self, path: str, name: str, read_only: bool = False
+    ) -> DataFrame:
+        """``ATTACH '<path>' AS <name> [(READ_ONLY)]`` — bind a SECOND
+        lake catalog for qualified reads and writes, the reference's
+        side-by-side dev/prod migration flow (utils/ducklake_utils.py:27
+        ``ATTACH 'ducklake:...' AS``;
         demos/05_catalog_portability/demo.py:194-299). Session-scoped,
-        like a DuckDB connection's attach list. The ``ducklake:`` /
-        ``lake:`` URL prefixes are accepted and stripped."""
+        like a DuckDB connection's attach list. ``(READ_ONLY)`` is
+        DuckDB's flag: qualified writes and ``USE``-defaulted statements
+        against the catalog raise instead of mutating it. The
+        ``ducklake:`` / ``lake:`` URL prefixes are accepted and
+        stripped."""
         self._no_txn("ATTACH")
         key = name.lower()
         if key in self._attached:
@@ -3131,6 +3158,8 @@ class SQLExecutor:
         from .catalog import LakeCatalog
 
         self._attached[key] = LakeCatalog(path, self.c.spark)
+        if read_only:
+            self._att_readonly.add(key)
         return self._status("ATTACH", 0)
 
     def _detach_stmt(self, name: str) -> DataFrame:
@@ -3138,6 +3167,7 @@ class SQLExecutor:
         if self._attached.pop(name.lower(), None) is None:
             raise LakeSQLError(f"no attached catalog named {name!r}")
         self._att_sql.pop(name.lower(), None)
+        self._att_readonly.discard(name.lower())
         if self._use == name.lower():
             self._use = None  # default falls back to the bound catalog
         return self._status("DETACH", 0)
@@ -3161,6 +3191,10 @@ class SQLExecutor:
         cross-database rule)."""
         self._no_txn(f"write to attached catalog {cat!r}")
         key = cat.lower()
+        if key in self._att_readonly:
+            raise LakeSQLError(
+                f"catalog {cat!r} is attached READ_ONLY"
+            )
         dex = self._att_sql.get(key)
         if dex is None:
             dex = self._att_sql[key] = SQLExecutor(self._attached[key])

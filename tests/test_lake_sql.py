@@ -2645,6 +2645,28 @@ def test_attached_catalog_writes(lake, spark, tmp_path):
         ) == sorted(tuple(r) for r in prod.read(t).collect())
 
 
+def test_attach_read_only(lake, spark, tmp_path):
+    """``ATTACH ... (READ_ONLY)`` — DuckDB's flag: qualified reads work,
+    qualified writes and USE-defaulted writes raise, and reads through
+    USE still work."""
+    ro_path = str(tmp_path / "ro")
+    ro = LakeCatalog(ro_path, spark)
+    ro.sql("CREATE TABLE t (x INT)")
+    ro.sql("INSERT INTO t VALUES (1), (2)")
+    lake.sql(f"ATTACH '{ro_path}' AS ro (READ_ONLY)")
+    assert lake.sql("SELECT count(*) AS n FROM ro.t").collect()[0]["n"] == 2
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("INSERT INTO ro.t VALUES (3)")
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("CREATE TABLE ro.t2 AS SELECT * FROM ro.t")
+    lake.sql("USE ro")
+    assert lake.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 2
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("DELETE FROM t")
+    lake.sql("USE main")
+    assert ro.count("t") == 2  # nothing leaked through
+
+
 def test_use_attached_default_catalog(lake, spark, tmp_path):
     """``USE <attached>`` makes an attached catalog the DEFAULT for
     unqualified statements — the reference migration flow's spelling
