@@ -600,3 +600,53 @@ def r02_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     mism = out.filter("approx_distinct_value != distinct_value").count()
     assert mism == 0, f"{mism} buckets: HLL estimate != exact distinct"
     return out.drop("approx_distinct_value")
+
+
+@register_extra(
+    "l20_attached_migration",
+    oracle="""
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(count(*) AS BIGINT)  AS n_rows
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT 'zz-manual', 'MIGRATED', 2
+        ORDER BY nation""",
+    survey_ids=("S1", "D15"),  # r12 extension: writable ATTACH + USE flow
+)
+def l20_attached_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dev->prod migration flow end to end on the r12
+    surface (demos/05_catalog_portability/demo.py:194-299): ATTACH a
+    second catalog, CTAS INTO it with a cross-catalog source (main-scope
+    join), switch the default catalog with USE, run unqualified DDL +
+    INSERT + CREATE VIEW there (the demo's exact statement shapes), and
+    read the result back through a FRESH bind of the attached path so
+    the assertion covers durable state, not session caches."""
+    dev = _fresh_lake(spark)
+    dev.ctas("nation_l", table(spark, sf_dir, "nation"))
+    dev.ctas("region_l", table(spark, sf_dir, "region"))
+    prod_dir = tempfile.mkdtemp(prefix="ducktales_l20_prod_")
+    from ducktales_spark.lake import connect
+
+    connect("lake:" + prod_dir, spark)  # initialize the target catalog
+    dev.sql(f"ATTACH '{prod_dir}' AS prod")
+    # cross-catalog CTAS: source resolves in dev, write lands in prod
+    dev.sql(
+        "CREATE TABLE prod.nation_by_region AS "
+        "SELECT n.n_name AS nation, r.r_name AS region, "
+        "CAST(count(*) AS BIGINT) AS n_rows "
+        "FROM nation_l n JOIN region_l r "
+        "ON n.n_regionkey = r.r_regionkey GROUP BY 1, 2"
+    )
+    dev.sql("USE prod")  # the demo's default-catalog switch
+    dev.sql(
+        "CREATE TABLE audit (nation VARCHAR, region VARCHAR, n_rows BIGINT)"
+    )
+    dev.sql("INSERT INTO audit VALUES ('zz-manual', 'MIGRATED', 2)")
+    dev.sql(
+        "CREATE VIEW migrated AS "
+        "SELECT * FROM nation_by_region UNION ALL SELECT * FROM audit"
+    )
+    dev.sql("USE main")
+    fresh = connect("lake:" + prod_dir, spark)  # durable-state read-back
+    return fresh.sql("SELECT * FROM migrated ORDER BY nation")
