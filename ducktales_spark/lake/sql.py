@@ -3292,22 +3292,27 @@ class SQLExecutor:
         read face (same shape+count guard as the main overlay). Qualified
         names only rewrite when the prefix IS an attached catalog AND the
         suffix IS one of its tables, so ordinary ``alias.column``
-        references never match."""
+        references never match. A trailing ``AT (VERSION|TIMESTAMP => v)``
+        clause time-travels the ATTACHED catalog's history (r12) — it is
+        consumed here so the later main-catalog AT rewrite never sees
+        it."""
         if not self._attached:
             return q
         from .rollup import META_REQUIRED_COLS, _meta_name, read_rollup
 
-        def _rw(m: "re.Match") -> str:
-            cat, tbl = m.group(1), m.group(2)
+        def _bind(cat: str, tbl: str, version=None):
+            """-> view name, or None when (cat, tbl) isn't an attached
+            table (the caller leaves the original text alone)."""
             ac = self._attached.get(cat.lower())
             if ac is None:
-                return m.group(0)
+                return None
             ts = set(ac.tables())
             if tbl not in ts:
-                return m.group(0)
-            view = f"__att_{cat.lower()}__{tbl}"
-            df = ac.read(tbl)
-            if _meta_name(tbl) in ts:
+                return None
+            suffix = "" if version is None else f"__at_v{version}"
+            view = f"__att_{cat.lower()}__{tbl}{suffix}"
+            df = ac.read(tbl, version=version)
+            if version is None and _meta_name(tbl) in ts:
                 meta_df = ac.read(_meta_name(tbl))
                 if META_REQUIRED_COLS <= set(meta_df.columns) and (
                     ac.count(_meta_name(tbl)) == 1
@@ -3316,8 +3321,37 @@ class SQLExecutor:
             df.createOrReplaceTempView(view)
             return view
 
+        def _rw_at(m: "re.Match") -> str:
+            cat, tbl, kind, val = (
+                m.group(1), m.group(2), m.group(3), m.group(4),
+            )
+            ac = self._attached.get(cat.lower())
+            if ac is None:
+                return m.group(0)
+            if kind.upper() == "VERSION":
+                version = int(val)
+            else:
+                version = ac._resolve_version(
+                    timestamp=val.strip().strip("'\"")
+                )
+            return _bind(cat, tbl, version) or m.group(0)
+
+        def _rw(m: "re.Match") -> str:
+            return _bind(m.group(1), m.group(2)) or m.group(0)
+
         from .rollup import map_sql_nonliteral
 
+        # pass 1, FULL text (the catalog._rewrite_at convention): the AT
+        # payload may hold a string literal (TIMESTAMP => '...'), which
+        # the nonliteral segmentation below would split mid-clause
+        q = re.sub(
+            rf"\b({_IDENT})\s*\.\s*({_IDENT})\s+AT\s*"
+            rf"\(\s*(VERSION|TIMESTAMP)\s*=>\s*([^)]+)\)",
+            _rw_at,
+            q,
+            flags=re.I,
+        )
+        # pass 2, literal-aware: plain qualified reads
         return map_sql_nonliteral(
             q,
             lambda seg: re.sub(

@@ -2645,6 +2645,38 @@ def test_attached_catalog_writes(lake, spark, tmp_path):
         ) == sorted(tuple(r) for r in prod.read(t).collect())
 
 
+def test_attached_time_travel_read(lake, spark, tmp_path):
+    """``SELECT ... FROM <attached>.<table> AT (VERSION => v)`` reads the
+    ATTACHED catalog's history (and TIMESTAMP => resolves against its
+    snapshot log) — the qualified spelling of T1/T2 over ATTACH."""
+    dev_path = str(tmp_path / "devtt")
+    dev = LakeCatalog(dev_path, spark)
+    dev.sql("CREATE TABLE t (x INT)")
+    dev.sql("INSERT INTO t VALUES (1)")
+    v1 = dev.current_version()
+    ts1 = [s for s in dev.snapshots() if s["snapshot_id"] == v1][0][
+        "snapshot_time"
+    ]
+    dev.sql("INSERT INTO t VALUES (2), (3)")
+
+    lake.sql(f"ATTACH '{dev_path}' AS dev")
+    assert lake.sql("SELECT count(*) AS n FROM dev.t").collect()[0]["n"] == 3
+    got = lake.sql(
+        f"SELECT x FROM dev.t AT (VERSION => {v1})"
+    ).collect()
+    assert [r["x"] for r in got] == [1]
+    got = lake.sql(
+        f"SELECT count(*) AS n FROM dev.t AT (TIMESTAMP => '{ts1.isoformat()}')"
+    ).collect()
+    assert got[0]["n"] == 1
+    # a join mixing current and historical attached reads
+    both = lake.sql(
+        f"SELECT a.x FROM dev.t a LEFT ANTI JOIN "
+        f"dev.t AT (VERSION => {v1}) b ON a.x = b.x ORDER BY a.x"
+    ).collect()
+    assert [r["x"] for r in both] == [2, 3]
+
+
 def test_attach_read_only(lake, spark, tmp_path):
     """``ATTACH ... (READ_ONLY)`` — DuckDB's flag: qualified reads work,
     qualified writes and USE-defaulted writes raise, and reads through
