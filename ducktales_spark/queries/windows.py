@@ -215,10 +215,15 @@ def x02_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg collapses each task's rows to O(#buckets) before the
     exchange either way, so the shuffle is O(#windows), flat in SF.
 
-    Remaining gap vs the DuckDB twin at sf10 (~0.31 s vs 0.11 s) is the
-    per-row JVM hash-aggregate constant, not plan shape: the same scan's
-    decode floor is 0.11 s and a constant-key aggregate over the same rows
-    already costs 0.20 s (tools/floor_sweep.py decomposition)."""
+    Remaining gap vs the DuckDB twin at sf10 (r12: 0.52-0.59 s vs a twin
+    band of 0.09-0.16 s — the twin itself measured 1.25 s in r11 on the
+    same data, so treat single twin samples skeptically) is the per-row
+    JVM hash-aggregate constant, not plan shape: the same scan's decode
+    floor is 0.13 s and ONE tumbling-window aggregate over the same rows
+    already costs 0.30 s (r12 interleaved min-of-7) — this query does the
+    tumbling + two-bucket sliding work in 0.59 s, i.e. sublinear in the
+    three aggregate memberships, exactly what the single-shuffle
+    epoch-bucket plan is for."""
     from pyspark.sql.types import TimestampNTZType
 
     e = table(spark, sf_dir, "events").select("ts", "value")
