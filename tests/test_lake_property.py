@@ -152,3 +152,81 @@ def test_random_dml_matches_model(spark, prop_tmp, ops, seed, clustered):
             for r in lake.read("t", version=base + i).collect()
         }
         assert got == history[i], f"version {base + i}"
+
+
+# -- pure-driver property tests (no Spark session needed) ------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            # statement head: identifier-ish text, no quotes/semicolons
+            st.text(
+                alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ_ ()0123456789,",
+                min_size=1,
+                max_size=30,
+            ).filter(lambda s: s.strip()),
+            # zero or more embedded string literals with ADVERSARIAL
+            # content: semicolons, newlines, doubled-quote escapes
+            st.lists(
+                st.text(
+                    alphabet="ab;\n'x-",
+                    max_size=12,
+                ),
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_script_roundtrip(parts):
+    """_split_script is the exact inverse of joining statements with ';'
+    for any statement set whose literals use SQL '' escaping — semicolons
+    and newlines INSIDE literals never split, every real boundary does."""
+    from ducktales_spark.lake.sql import SQLExecutor
+
+    stmts = []
+    for head, lits in parts:
+        s = head.strip()
+        for lit in lits:
+            s += " '" + lit.replace("'", "''") + "'"
+        stmts.append(s)
+    script = ";\n".join(stmts) + ";"
+    got = SQLExecutor._split_script(script)
+    # joining is whitespace-normalizing at the boundary only: compare
+    # stripped statements
+    assert got == [s.strip() for s in stmts]
+
+
+@given(
+    st.text(
+        alphabet="abcdefg_ .*,;'()=<>0123456789EXCLUDE",
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_exclude_rewrite_only_after_star(q):
+    """The * EXCLUDE -> * EXCEPT rewrite never fires except immediately
+    after a star: any EXCLUDE token not preceded by '*' survives
+    verbatim (the r12 regression class: a bare identifier or alias named
+    'exclude' being mangled into EXCEPT)."""
+    import re
+
+    from ducktales_spark.lake.rollup import map_sql_nonliteral
+
+    def _sugar(seg):
+        seg = re.sub(
+            r"(\*\s*)EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)\b",
+            r"\1EXCEPT (\2)",
+            seg,
+            flags=re.I,
+        )
+        return re.sub(r"(\*\s*)EXCLUDE\s*\(", r"\1EXCEPT (", seg, flags=re.I)
+
+    out = map_sql_nonliteral(q, _sugar)
+    # every EXCEPT the rewrite introduced must trace back to a star form
+    for m in re.finditer(r"EXCEPT \(", out):
+        pre = out[: m.start()].rstrip()
+        assert pre.endswith("*") or "EXCEPT (" in q, (q, out)
