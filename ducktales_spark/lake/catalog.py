@@ -140,7 +140,18 @@ class LakeCatalog:
         if data_dir is None:
             if location.startswith(("postgresql://", "postgres://")):
                 raise LakeError("data_dir is required for a PostgreSQL catalog")
-            data_dir = os.path.join(location, "files")
+            if location.startswith("sqlite:"):
+                # explicit catalog FILE: data files live beside it
+                from .metastore import sqlite_url_path
+
+                data_dir = os.path.join(
+                    os.path.dirname(os.path.abspath(
+                        sqlite_url_path(location)
+                    )),
+                    "files",
+                )
+            else:
+                data_dir = os.path.join(location, "files")
         self.root = data_dir
         os.makedirs(self.root, exist_ok=True)
         self.inline_threshold = inline_threshold

@@ -356,5 +356,27 @@ def open_metastore(location: str) -> Metastore:
         return PostgresMetastore(location)
     if location.startswith("mysql://"):
         return MySQLMetastore(location)
+    if location.startswith("sqlite:"):
+        # the reference's edge-deployment spelling
+        # (demos/05_catalog_portability/demo.py:298
+        # `ducklake:sqlite:///path/to/catalog.db`): an explicit catalog
+        # FILE rather than a directory
+        path = sqlite_url_path(location)
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        return Metastore(path)
     os.makedirs(location, exist_ok=True)
     return Metastore(os.path.join(location, "catalog.db"))
+
+
+def sqlite_url_path(location: str) -> str:
+    """``sqlite:///x/y.db`` -> ``/x/y.db`` (SQLAlchemy-style: three
+    slashes then an absolute or relative path; ``sqlite:x.db`` and
+    ``sqlite://x.db`` tolerated as the same file)."""
+    path = location[len("sqlite:"):]
+    if path.startswith("///"):
+        path = path[2:]
+    elif path.startswith("//"):
+        path = path[2:]
+    return path

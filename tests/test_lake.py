@@ -1593,6 +1593,24 @@ def test_merge_auto_schema_case_insensitive_detection(lake, spark):
     assert sorted(c.lower() for c in cols) == ["id", "v"], cols
 
 
+def test_sqlite_url_connection_string(spark, tmp_path):
+    """``sqlite:///path/to/catalog.db`` — the reference's edge-deployment
+    connection string (demos/05_catalog_portability/demo.py:298) — names
+    the catalog FILE explicitly; data files land in a files/ dir beside
+    it, and a fresh bind through the same URL reads everything back."""
+    db = tmp_path / "edge" / "catalog.db"
+    url = f"sqlite:///{db}"
+    from ducktales_spark.lake import connect
+
+    lk = connect(f"lake:{url}", spark)
+    lk.sql("CREATE TABLE t (x INT)")
+    lk.sql("INSERT INTO t VALUES (1), (2)")
+    assert db.exists()
+    assert (tmp_path / "edge" / "files").exists()
+    fresh = connect(url, spark)
+    assert sorted(r["x"] for r in fresh.read("t").collect()) == [1, 2]
+
+
 def test_versioned_read_memoization(lake, spark, tmp_path):
     """read() memoizes (table, resolved version) -> DataFrame: a repeat
     read of the same version returns the cached plan, a write at HEAD
