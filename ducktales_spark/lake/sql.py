@@ -391,7 +391,7 @@ class SQLExecutor:
         # semantics. USE/ATTACH/DETACH stay here (the sub-executor has
         # no attach list).
         if self._use is not None and not re.match(
-            r"^(USE|ATTACH|DETACH)\b", q, re.I
+            r"^(USE|ATTACH|DETACH|SHOW\s+DATABASES)\b", q, re.I
         ):
             if self._use not in self._attached:  # DETACH'd underneath
                 self._use = None
@@ -735,6 +735,17 @@ class SQLExecutor:
 
             self._run(op)
             return self._status("CHECKPOINT", len(names))
+        if re.match(r"^SHOW\s+DATABASES$", q, re.I):
+            # DuckDB's attach-list introspection: the bound catalog
+            # (spelled 'main', its USE-reset alias) plus every ATTACH'd
+            # name, with the read-only flag and the current default
+            rows = [("main", False, self._use is None)] + [
+                (n, n in self._att_readonly, n == self._use)
+                for n in sorted(self._attached)
+            ]
+            return self.c.spark.createDataFrame(
+                rows, "name string, read_only boolean, is_default boolean"
+            )
         if re.match(r"^SHOW\s+TABLES$", q, re.I):
             from .rollup import _meta_name
 

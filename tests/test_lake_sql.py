@@ -2645,6 +2645,31 @@ def test_attached_catalog_writes(lake, spark, tmp_path):
         ) == sorted(tuple(r) for r in prod.read(t).collect())
 
 
+def test_show_databases(lake, spark, tmp_path):
+    """SHOW DATABASES lists the bound catalog plus every attachment with
+    its read-only flag and the current USE default — and reflects the
+    MAIN attach list even while a USE default is active."""
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    LakeCatalog(a_path, spark)
+    LakeCatalog(b_path, spark)
+    lake.sql(f"ATTACH '{a_path}' AS a")
+    lake.sql(f"ATTACH '{b_path}' AS b (READ_ONLY)")
+    got = {
+        r["name"]: (r["read_only"], r["is_default"])
+        for r in lake.sql("SHOW DATABASES").collect()
+    }
+    assert got == {
+        "main": (False, True), "a": (False, False), "b": (True, False)
+    }
+    lake.sql("USE a")
+    got = {
+        r["name"]: r["is_default"]
+        for r in lake.sql("SHOW DATABASES").collect()
+    }
+    assert got == {"main": False, "a": True, "b": False}
+    lake.sql("USE main")
+
+
 def test_attached_time_travel_read(lake, spark, tmp_path):
     """``SELECT ... FROM <attached>.<table> AT (VERSION => v)`` reads the
     ATTACHED catalog's history (and TIMESTAMP => resolves against its
