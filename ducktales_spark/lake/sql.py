@@ -410,12 +410,9 @@ class SQLExecutor:
                     raise LakeSQLError(
                         f"catalog {self._use!r} is attached READ_ONLY"
                     )
-                dex = self._att_sql.get(self._use)
-                if dex is None:
-                    dex = self._att_sql[self._use] = SQLExecutor(
-                        self._attached[self._use]
-                    )
-                return dex.execute(sql, version)
+                return self._att_executor(self._use).execute(
+                    sql, version
+                )
 
         if re.match(r"^BEGIN(\s+TRANSACTION)?$", q, re.I):
             if self._tx is not None:
@@ -684,13 +681,17 @@ class SQLExecutor:
             return self._status("ALTER TABLE", 0)
 
         # optionally catalog-qualified (exploration/ducklake_analysis.sh:194
-        # `DESCRIBE lake.sales_data`) — single attached catalog, so the
-        # qualifier is accepted and ignored
+        # `DESCRIBE lake.sales_data`): a qualifier naming an ATTACH'd
+        # catalog describes THAT catalog's table (r12); any other
+        # qualifier is the bound catalog's own alias and is ignored
         m = re.match(
-            rf"^(?:DESCRIBE|DESC)\s+(?:{_IDENT}\.)?({_IDENT})$", q, re.I
+            rf"^(?:DESCRIBE|DESC)\s+(?:({_IDENT})\.)?({_IDENT})$", q, re.I
         )
         if m:  # demos/03_schema_evolution/demo.py:112,124
-            return self._describe(m.group(1))
+            cat, name = m.groups()
+            if cat and cat.lower() in self._attached:
+                return self._att_executor(cat)._describe(name)
+            return self._describe(name)
         m = re.match(
             r"^(?:DESCRIBE|DESC)\s+((?:SELECT|WITH|FROM)\b.*)$",
             q,
@@ -716,10 +717,16 @@ class SQLExecutor:
                 "key string, default string, extra string",
             )
         m = re.match(
-            rf"^PRAGMA\s+table_info\s*\(\s*'?({_IDENT})'?\s*\)$", q, re.I
+            rf"^PRAGMA\s+table_info\s*\(\s*'?(?:({_IDENT})\.)?({_IDENT})'?"
+            r"\s*\)$",
+            q,
+            re.I,
         )
-        if m:  # DuckDB/SQLite spelling of DESCRIBE
-            return self._describe(m.group(1))
+        if m:  # DuckDB/SQLite spelling of DESCRIBE; qualifier as above
+            cat, name = m.groups()
+            if cat and cat.lower() in self._attached:
+                return self._att_executor(cat)._describe(name)
+            return self._describe(name)
         if re.match(r"^PRAGMA\s+show_tables$", q, re.I):
             return self._execute_stmt("SHOW TABLES")
         m = re.match(rf"^CHECKPOINT(?:\s+({_IDENT}))?$", q, re.I)
@@ -3146,6 +3153,14 @@ class SQLExecutor:
         )
 
     # -- attached catalogs (ATTACH 'path' AS name) -----------------------
+    def _att_executor(self, cat: str) -> "SQLExecutor":
+        """The lazily-built per-attached-catalog delegate executor."""
+        key = cat.lower()
+        dex = self._att_sql.get(key)
+        if dex is None:
+            dex = self._att_sql[key] = SQLExecutor(self._attached[key])
+        return dex
+
     def _attach_stmt(
         self, path: str, name: str, read_only: bool = False
     ) -> DataFrame:
@@ -3206,9 +3221,7 @@ class SQLExecutor:
             raise LakeSQLError(
                 f"catalog {cat!r} is attached READ_ONLY"
             )
-        dex = self._att_sql.get(key)
-        if dex is None:
-            dex = self._att_sql[key] = SQLExecutor(self._attached[key])
+        dex = self._att_executor(cat)
         vu = re.sub(r"\s+", " ", verb.upper())
         if vu.startswith("MERGE"):
             raise LakeSQLError(

@@ -2645,6 +2645,30 @@ def test_attached_catalog_writes(lake, spark, tmp_path):
         ) == sorted(tuple(r) for r in prod.read(t).collect())
 
 
+def test_describe_qualified_attached(lake, spark, tmp_path):
+    """DESCRIBE <attached>.<table> and PRAGMA table_info(<attached>.<t>)
+    describe the ATTACHED catalog's table; a qualifier that isn't an
+    attached name still falls back to the bound catalog (the single-
+    catalog alias form the reference's analysis script uses)."""
+    dev_path = str(tmp_path / "devdesc")
+    dev = LakeCatalog(dev_path, spark)
+    dev.sql("CREATE TABLE remote_t (x INT, s VARCHAR)")
+    lake.sql("CREATE TABLE local_t (a DOUBLE)")
+    lake.sql(f"ATTACH '{dev_path}' AS dev")
+    cols = [r["column_name"] for r in lake.sql("DESCRIBE dev.remote_t").collect()]
+    assert cols == ["x", "s"]
+    cols = [
+        r["column_name"]
+        for r in lake.sql("PRAGMA table_info(dev.remote_t)").collect()
+    ]
+    assert cols == ["x", "s"]
+    # non-attached qualifier = the bound catalog's own alias
+    cols = [r["column_name"] for r in lake.sql("DESCRIBE lake.local_t").collect()]
+    assert cols == ["a"]
+    with pytest.raises(LakeSQLError, match="no such table"):
+        lake.sql("DESCRIBE dev.nope")
+
+
 def test_show_databases(lake, spark, tmp_path):
     """SHOW DATABASES lists the bound catalog plus every attachment with
     its read-only flag and the current USE default — and reflects the
