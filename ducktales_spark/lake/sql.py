@@ -3602,15 +3602,27 @@ class SQLExecutor:
         materialized from the catalog DB (driver-side metadata, no scan)."""
         spark = self.c.spark
 
-        if re.search(r"\bducklake_snapshots\s*\(", q, re.I):
-            self.c.snapshots_df().createOrReplaceTempView("__lake_snapshots")
-            q = re.sub(
-                r"\bducklake_snapshots\s*\([^)]*\)",
-                "__lake_snapshots",
-                q,
-                flags=re.I,
-            )
-        if re.search(r"\bducklake_table_info\s*\(", q, re.I):
+        def _cat_for(dbarg: str):
+            """The db argument of the reference's metadata functions
+            (``ducklake_snapshots('lake')``): an ATTACH'd alias resolves
+            to that catalog (r12); anything else — including the bound
+            catalog's own mount alias — is the bound catalog."""
+            key = dbarg.strip().strip("'\"").lower()
+            got = self._attached.get(key)
+            return (got, key) if got is not None else (self.c, "main")
+
+        def _snaps(m: "re.Match") -> str:
+            cat, key = _cat_for(m.group(1))
+            view = f"__lake_snapshots_{key}"
+            cat.snapshots_df().createOrReplaceTempView(view)
+            return view
+
+        q = re.sub(
+            r"\bducklake_snapshots\s*\(([^)]*)\)", _snaps, q, flags=re.I
+        )
+
+        def _tinfo(m: "re.Match") -> str:
+            cat, key = _cat_for(m.group(1))
             rows = [
                 (
                     t["table_name"],
@@ -3619,25 +3631,26 @@ class SQLExecutor:
                     t["file_bytes"],
                     t["inlined_rows"],
                 )
-                for t in self.c.table_info()
+                for t in cat.table_info()
             ]
+            view = f"__lake_table_info_{key}"
             spark.createDataFrame(
                 rows,
                 "table_name string, file_count bigint, row_count bigint, "
                 "file_bytes bigint, inlined_rows bigint",
-            ).createOrReplaceTempView("__lake_table_info")
-            q = re.sub(
-                r"\bducklake_table_info\s*\([^)]*\)",
-                "__lake_table_info",
-                q,
-                flags=re.I,
-            )
+            ).createOrReplaceTempView(view)
+            return view
+
+        q = re.sub(
+            r"\bducklake_table_info\s*\(([^)]*)\)", _tinfo, q, flags=re.I
+        )
 
         def _changes(m: "re.Match") -> str:
             args = [a.strip().strip("'\"") for a in m.group(1).split(",")]
+            cat, key = _cat_for(args[0] if len(args) > 3 else "")
             tname, v1, v2 = args[-3], int(args[-2]), int(args[-1])
-            view = f"__lake_changes_{tname}_{v1}_{v2}"
-            self.c.table_changes(tname, v1, v2).createOrReplaceTempView(view)
+            view = f"__lake_changes_{key}_{tname}_{v1}_{v2}"
+            cat.table_changes(tname, v1, v2).createOrReplaceTempView(view)
             return view
 
         q = re.sub(

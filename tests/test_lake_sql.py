@@ -2645,6 +2645,41 @@ def test_attached_catalog_writes(lake, spark, tmp_path):
         ) == sorted(tuple(r) for r in prod.read(t).collect())
 
 
+def test_metadata_fns_attached_catalog(lake, spark, tmp_path):
+    """The reference's metadata table functions take the catalog alias as
+    their db argument (utils/ducklake_utils.py:58-78): an ATTACH'd alias
+    now resolves to THAT catalog's snapshot log / table_info /
+    table_changes; any other alias keeps meaning the bound catalog."""
+    dev_path = str(tmp_path / "devmeta")
+    dev = LakeCatalog(dev_path, spark, inline_threshold=0)
+    dev.sql("CREATE TABLE t (x INT)")
+    dev.sql("INSERT INTO t VALUES (1), (2)")
+    lake.sql("CREATE TABLE local_t (a INT)")
+    lake.sql(f"ATTACH '{dev_path}' AS dev")
+
+    n_dev = lake.sql(
+        "SELECT count(*) AS n FROM ducklake_snapshots('dev')"
+    ).collect()[0]["n"]
+    n_main = lake.sql(
+        "SELECT count(*) AS n FROM ducklake_snapshots('lake')"
+    ).collect()[0]["n"]
+    assert n_dev == len(dev.snapshots())
+    assert n_main == len(lake.snapshots())
+    assert n_dev != n_main  # different histories, proved distinct
+
+    ti = {
+        r["table_name"]: r["row_count"]
+        for r in lake.sql("SELECT * FROM ducklake_table_info('dev')").collect()
+    }
+    assert ti == {"t": 2}
+    ch = lake.sql(
+        "SELECT * FROM ducklake_table_changes('dev', 'main', 't', 1, 2)"
+    ).collect()
+    assert sorted((r["x"], r["change_type"]) for r in ch) == [
+        (1, "insert"), (2, "insert")
+    ]
+
+
 def test_describe_qualified_attached(lake, spark, tmp_path):
     """DESCRIBE <attached>.<table> and PRAGMA table_info(<attached>.<t>)
     describe the ATTACHED catalog's table; a qualifier that isn't an
