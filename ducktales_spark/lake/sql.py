@@ -388,10 +388,14 @@ class SQLExecutor:
         # catalog-management verbs delegates wholesale to the default
         # catalog's sub-executor — unqualified names, DML/DDL, and
         # BEGIN/COMMIT all operate there, DuckDB's default-catalog
-        # semantics. USE/ATTACH/DETACH stay here (the sub-executor has
-        # no attach list).
+        # semantics. USE/ATTACH/DETACH stay here; COPY FROM DATABASE
+        # too — its operands name catalogs from the attach list, which
+        # only this executor owns (the delegate would see neither side).
         if self._use is not None and not re.match(
-            r"^(USE|ATTACH|DETACH|SHOW\s+DATABASES)\b", q, re.I
+            r"^(USE|ATTACH|DETACH|SHOW\s+DATABASES"
+            r"|COPY\s+FROM\s+DATABASE)\b",
+            q,
+            re.I,
         ):
             if self._use not in self._attached:  # DETACH'd underneath
                 self._use = None
@@ -399,7 +403,7 @@ class SQLExecutor:
                 if self._use in self._att_readonly and (
                     re.match(
                         r"^(INSERT|UPDATE|DELETE|TRUNCATE|MERGE|CREATE"
-                        r"|DROP|ALTER|IMPORT|CHECKPOINT|CALL)\b",
+                        r"|DROP|ALTER|IMPORT|CHECKPOINT|CALL|REFRESH)\b",
                         q,
                         re.I,
                     )
@@ -2780,9 +2784,21 @@ class SQLExecutor:
             schema_lines.append(stmt + ";")
             esc = path.replace("'", "''")
             if fmt == "CSV":
+                # declare the table's column types in the COPY options —
+                # loading by schema, not inference: '007' in a VARCHAR
+                # column must round-trip as '007', not as inferred INT 7
+                # cast back to '7' (DuckDB and the parquet path both load
+                # by the table schema)
+                cols_struct = ", ".join(
+                    "'{}': '{}'".format(
+                        f.name.replace("'", "''"),
+                        f.type.upper().replace("'", "''"),
+                    )
+                    for f in sch.fields
+                )
                 load_lines.append(
                     f"COPY {t} FROM '{esc}/{t}.csv' "
-                    "(FORMAT CSV, HEADER true);"
+                    f"(FORMAT CSV, HEADER true, COLUMNS {{{cols_struct}}});"
                 )
                 self._write_single_file(
                     self.c.read(t),
@@ -3302,6 +3318,10 @@ class SQLExecutor:
                 )
             return got
 
+        if dst.lower() in self._att_readonly:
+            # same contract as qualified DML / USE-delegated writes:
+            # export_to creates tables, inserts rows, and restamps metas
+            raise LakeSQLError(f"catalog {dst!r} is attached READ_ONLY")
         src_c, dst_c = _cat(src), _cat(dst)
         if src_c is dst_c:
             raise LakeSQLError("COPY FROM DATABASE: source == target")

@@ -2769,18 +2769,34 @@ def test_attach_read_only(lake, spark, tmp_path):
     ro = LakeCatalog(ro_path, spark)
     ro.sql("CREATE TABLE t (x INT)")
     ro.sql("INSERT INTO t VALUES (1), (2)")
+    ro.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT count(*) AS n_rows FROM t"
+    )
+    mv_stamp = ro.current_version()
     lake.sql(f"ATTACH '{ro_path}' AS ro (READ_ONLY)")
     assert lake.sql("SELECT count(*) AS n FROM ro.t").collect()[0]["n"] == 2
     with pytest.raises(LakeSQLError, match="READ_ONLY"):
         lake.sql("INSERT INTO ro.t VALUES (3)")
     with pytest.raises(LakeSQLError, match="READ_ONLY"):
         lake.sql("CREATE TABLE ro.t2 AS SELECT * FROM ro.t")
+    # whole-catalog migration INTO a READ_ONLY attachment is a write too
+    lake.sql("CREATE TABLE src_t (y INT)")
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("COPY FROM DATABASE main TO ro")
     lake.sql("USE ro")
     assert lake.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 2
     with pytest.raises(LakeSQLError, match="READ_ONLY"):
         lake.sql("DELETE FROM t")
+    # REFRESH mutates (MV rewrite + meta restamp): blocked under USE too
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("REFRESH MATERIALIZED VIEW mv")
+    # COPY FROM DATABASE under USE resolves against the MAIN attach
+    # list (the delegate has no attach list) — and still enforces the flag
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("COPY FROM DATABASE main TO ro")
     lake.sql("USE main")
     assert ro.count("t") == 2  # nothing leaked through
+    assert ro.current_version() == mv_stamp  # no REFRESH snapshot landed
 
 
 def test_use_attached_default_catalog(lake, spark, tmp_path):
@@ -3427,7 +3443,8 @@ def test_export_database_csv_round_trip(lake, spark, tmp_path):
     lake.sql(
         "INSERT INTO t VALUES "
         "(1, 1.5, 'a,b', DATE '2024-02-29', TIMESTAMP '2024-01-02 03:04:05'), "
-        "(2, 2.5, NULL, DATE '2025-01-01', TIMESTAMP '2025-06-07 08:09:10')"
+        "(2, 2.5, NULL, DATE '2025-01-01', TIMESTAMP '2025-06-07 08:09:10'), "
+        "(3, 3.5, '007', DATE '2025-02-02', TIMESTAMP '2025-02-02 00:00:00')"
     )
     lake.sql("CREATE VIEW big AS SELECT * FROM t WHERE v > 2")
     exp = str(tmp_path / "csvexp")
@@ -3435,13 +3452,18 @@ def test_export_database_csv_round_trip(lake, spark, tmp_path):
     assert (tmp_path / "csvexp" / "t.csv").exists()
     load_sql = (tmp_path / "csvexp" / "load.sql").read_text()
     assert "FORMAT CSV" in load_sql and "HEADER true" in load_sql
+    # load.sql declares the table's column types: the import must read BY
+    # SCHEMA, never by inference — else VARCHAR '007' comes back as the
+    # inferred INT 7 cast to '7' (DuckDB and the parquet path load by type)
+    assert "COLUMNS {" in load_sql and "'name': 'STRING'" in load_sql
 
     dst = LakeCatalog(str(tmp_path / "csvdst"), spark, inline_threshold=4)
     dst.sql(f"IMPORT DATABASE '{exp}'")
     got = [tuple(r) for r in dst.sql("SELECT * FROM t ORDER BY k").collect()]
     want = [tuple(r) for r in lake.sql("SELECT * FROM t ORDER BY k").collect()]
     assert got == want
-    assert dst.sql("SELECT * FROM big").count() == 1
+    assert got[2][2] == "007"  # numeric-looking VARCHAR survives verbatim
+    assert dst.sql("SELECT * FROM big").count() == 2
 
     # an APPROX_COUNT_DISTINCT MV mints binary hll_* sketch state ->
     # CSV refused, error names the sketch-bearing table; PARQUET works
