@@ -138,8 +138,15 @@ class LakeCatalog:
         self.spark = spark
         self.ms: Metastore = open_metastore(location)
         if data_dir is None:
-            if location.startswith(("postgresql://", "postgres://")):
-                raise LakeError("data_dir is required for a PostgreSQL catalog")
+            if location.startswith(
+                ("postgresql://", "postgres://", "mysql://")
+            ):
+                # a DB-backed catalog has no filesystem location to derive
+                # a data directory from (SQL spelling: DATA_PATH option)
+                raise LakeError(
+                    "data_dir is required for a database-backed catalog "
+                    "(in SQL: ATTACH '...' AS name (DATA_PATH '/dir'))"
+                )
             if location.startswith("sqlite:"):
                 # explicit catalog FILE: data files live beside it
                 from .metastore import sqlite_url_path
@@ -642,8 +649,13 @@ class LakeCatalog:
     def _rewrite_at(self, query: str) -> str:
         """Rewrite ``t AT (VERSION|TIMESTAMP => x)`` clauses to registered
         versioned temp views (SURVEY.md §4 'snapshot-scoped scan binding' —
-        no Catalyst parser extension needed)."""
+        no Catalyst parser extension needed). A clause must START outside
+        a string literal: ``SELECT 't AT (VERSION => 1)'`` is data. The
+        clause's own payload may hold a literal (TIMESTAMP => '...'),
+        which is consumed as part of the match."""
         import re as _re
+
+        from .sql import SQLExecutor
 
         def _rewrite(m: "_re.Match") -> str:
             tname, kind, val = m.group(1), m.group(2).upper(), m.group(3)
@@ -659,13 +671,20 @@ class LakeCatalog:
             df.createOrReplaceTempView(view)
             return view
 
-        return _re.sub(
+        pat = _re.compile(
             r"\b([A-Za-z_][A-Za-z0-9_]*)\s+AT\s*\(\s*(VERSION|TIMESTAMP)"
             r"\s*=>\s*([^)]+)\)",
-            _rewrite,
-            query,
-            flags=_re.I,
+            _re.I,
         )
+        out, i = [], 0
+        while True:
+            m = SQLExecutor._search_nonliteral(pat, query, i)
+            if m is None:
+                out.append(query[i:])
+                return "".join(out)
+            out.append(query[i: m.start()])
+            out.append(_rewrite(m))
+            i = m.end()
 
     def export_to(self, other: "LakeCatalog") -> None:
         """Catalog migration (D15, demos/05_catalog_portability/demo.py:199-280):

@@ -446,6 +446,22 @@ class SQLExecutor:
             # the bound catalog under whatever alias the user mounted it
             # — resets to the bound catalog.
             key = m.group(1).lower()
+            if key != self._use:
+                # switching away while the CURRENT default's sub-executor
+                # holds an open transaction would leave it dangling (a
+                # later USE back could land it; a DETACH would silently
+                # discard its staged writes) — refuse, like the main-txn
+                # guard on entering USE
+                cur = (
+                    self._att_sql.get(self._use)
+                    if self._use is not None
+                    else None
+                )
+                if cur is not None and cur._tx is not None:
+                    raise LakeSQLError(
+                        f"catalog {self._use!r} has an open transaction: "
+                        "COMMIT or ROLLBACK it before USE"
+                    )
             if key in self._attached:
                 self._no_txn("USE <attached catalog>")
                 self._use = key
@@ -460,15 +476,32 @@ class SQLExecutor:
         # -- multi-catalog verbs (demos/05_catalog_portability) ----------
         m = re.match(
             rf"^ATTACH\s+'((?:[^']|'')*)'\s+AS\s+({_IDENT})"
-            r"\s*(?:\(\s*(READ_ONLY)\s*\))?$",
+            r"\s*(?:\((.*)\))?$",
             q,
-            re.I,
+            re.I | re.S,
         )
         if m:
+            read_only, data_path = False, None
+            for item in _split_top(m.group(3)) if m.group(3) else []:
+                mm = re.fullmatch(r"READ_ONLY", item, re.I)
+                if mm:
+                    read_only = True
+                    continue
+                mm = re.fullmatch(
+                    r"DATA_PATH\s+'((?:[^']|'')*)'", item, re.I
+                )
+                if mm:
+                    data_path = mm.group(1).replace("''", "'")
+                    continue
+                raise LakeSQLError(
+                    f"unknown ATTACH option {item!r} "
+                    "(READ_ONLY, DATA_PATH '<dir>')"
+                )
             return self._attach_stmt(
                 m.group(1).replace("''", "'"),
                 m.group(2),
-                read_only=bool(m.group(3)),
+                read_only=read_only,
+                data_path=data_path,
             )
         m = re.match(rf"^DETACH\s+({_IDENT})$", q, re.I)
         if m:
@@ -507,6 +540,14 @@ class SQLExecutor:
         if m and m.group(2).lower() in self._attached:
             return self._attached_write(
                 m.group(1), m.group(2), m.group(3), m.group(4)
+            )
+        if m and m.group(2).lower() == "main":
+            # `main` names the bound catalog (the COPY FROM DATABASE
+            # convention): a qualified write into it is the unqualified
+            # statement — symmetric with the attach-list sharing that
+            # lets sub-executors write `INSERT INTO main.t ...`
+            return self.execute(
+                f"{m.group(1)} {m.group(3)}{m.group(4)}", version
             )
 
         m = re.match(
@@ -3170,24 +3211,53 @@ class SQLExecutor:
 
     # -- attached catalogs (ATTACH 'path' AS name) -----------------------
     def _att_executor(self, cat: str) -> "SQLExecutor":
-        """The lazily-built per-attached-catalog delegate executor."""
+        """The lazily-built per-attached-catalog delegate executor.
+
+        The delegate sees the SAME attach list as this executor (minus
+        itself, plus ``main`` for the bound catalog), refreshed on every
+        delegation so ATTACH/DETACH changes propagate: under ``USE prod``,
+        ``SELECT ... FROM dev.t`` and ``INSERT INTO main.t ...`` keep
+        resolving — DuckDB's attach list stays usable regardless of the
+        default catalog."""
         key = cat.lower()
         dex = self._att_sql.get(key)
         if dex is None:
             dex = self._att_sql[key] = SQLExecutor(self._attached[key])
+        shared = {k: v for k, v in self._attached.items() if k != key}
+        shared["main"] = self.c
+        dex._attached = shared
+        dex._att_readonly = {
+            k for k in self._att_readonly if k != key
+        }
+        # drop delegate sub-executors whose name was re-bound to a
+        # different catalog (DETACH + ATTACH same alias, new path)
+        dex._att_sql = {
+            k: v
+            for k, v in dex._att_sql.items()
+            if shared.get(k) is v.c
+        }
         return dex
 
     def _attach_stmt(
-        self, path: str, name: str, read_only: bool = False
+        self,
+        path: str,
+        name: str,
+        read_only: bool = False,
+        data_path: Optional[str] = None,
     ) -> DataFrame:
-        """``ATTACH '<path>' AS <name> [(READ_ONLY)]`` — bind a SECOND
-        lake catalog for qualified reads and writes, the reference's
-        side-by-side dev/prod migration flow (utils/ducklake_utils.py:27
-        ``ATTACH 'ducklake:...' AS``;
+        """``ATTACH '<path>' AS <name> [(READ_ONLY | DATA_PATH '<dir>',
+        ...)]`` — bind a SECOND lake catalog for qualified reads and
+        writes, the reference's side-by-side dev/prod migration flow
+        (utils/ducklake_utils.py:27 ``ATTACH 'ducklake:...' AS``;
         demos/05_catalog_portability/demo.py:194-299). Session-scoped,
         like a DuckDB connection's attach list. ``(READ_ONLY)`` is
         DuckDB's flag: qualified writes and ``USE``-defaulted statements
-        against the catalog raise instead of mutating it. The
+        against the catalog raise instead of mutating it. ``DATA_PATH``
+        is DuckLake's option naming the data-file directory — required
+        for DB-backed catalogs (``ducklake:postgresql://host/db``,
+        ``ducklake:mysql://host/db``, the reference's connection-string
+        table README.md:227-236), optional for directory/sqlite catalogs
+        where a default derives from the catalog location. The
         ``ducklake:`` / ``lake:`` URL prefixes are accepted and
         stripped."""
         self._no_txn("ATTACH")
@@ -3197,15 +3267,27 @@ class SQLExecutor:
         for pref in ("ducklake:", "lake:"):
             if path.startswith(pref):
                 path = path[len(pref):]
-        from .catalog import LakeCatalog
+        from .catalog import LakeCatalog, LakeError
 
-        self._attached[key] = LakeCatalog(path, self.c.spark)
+        try:
+            self._attached[key] = LakeCatalog(
+                path, self.c.spark, data_dir=data_path
+            )
+        except LakeError as e:
+            raise LakeSQLError(str(e)) from e
         if read_only:
             self._att_readonly.add(key)
         return self._status("ATTACH", 0)
 
     def _detach_stmt(self, name: str) -> DataFrame:
         self._no_txn("DETACH")
+        dex = self._att_sql.get(name.lower())
+        if dex is not None and dex._tx is not None:
+            # detaching would silently discard the staged writes
+            raise LakeSQLError(
+                f"catalog {name!r} has an open transaction: COMMIT or "
+                "ROLLBACK it before DETACH"
+            )
         if self._attached.pop(name.lower(), None) is None:
             raise LakeSQLError(f"no attached catalog named {name!r}")
         self._att_sql.pop(name.lower(), None)
@@ -3346,8 +3428,14 @@ class SQLExecutor:
 
         def _bind(cat: str, tbl: str, version=None):
             """-> view name, or None when (cat, tbl) isn't an attached
-            table (the caller leaves the original text alone)."""
+            table (the caller leaves the original text alone). ``main``
+            resolves to the bound catalog unless shadowed by a real
+            attachment — so qualified reads keep working from delegate
+            executors and `SELECT ... FROM main.t` means the same thing
+            everywhere."""
             ac = self._attached.get(cat.lower())
+            if ac is None and cat.lower() == "main":
+                ac = self.c
             if ac is None:
                 return None
             ts = set(ac.tables())
@@ -3370,6 +3458,8 @@ class SQLExecutor:
                 m.group(1), m.group(2), m.group(3), m.group(4),
             )
             ac = self._attached.get(cat.lower())
+            if ac is None and cat.lower() == "main":
+                ac = self.c
             if ac is None:
                 return m.group(0)
             if kind.upper() == "VERSION":
@@ -3385,16 +3475,27 @@ class SQLExecutor:
 
         from .rollup import map_sql_nonliteral
 
-        # pass 1, FULL text (the catalog._rewrite_at convention): the AT
-        # payload may hold a string literal (TIMESTAMP => '...'), which
-        # the nonliteral segmentation below would split mid-clause
-        q = re.sub(
+        # pass 1: qualified AT clauses. The match must START outside a
+        # string literal (a literal containing '<att>.<t> AT (...)' is
+        # data, not a clause — _search_nonliteral guards that), but the
+        # AT payload itself may HOLD a literal (TIMESTAMP => '...'),
+        # which the nonliteral segmentation of pass 2 would split
+        # mid-clause — hence the manual scan instead of map_sql_nonliteral
+        at_pat = re.compile(
             rf"\b({_IDENT})\s*\.\s*({_IDENT})\s+AT\s*"
             rf"\(\s*(VERSION|TIMESTAMP)\s*=>\s*([^)]+)\)",
-            _rw_at,
-            q,
-            flags=re.I,
+            re.I,
         )
+        out, i = [], 0
+        while True:
+            m = self._search_nonliteral(at_pat, q, i)
+            if m is None:
+                out.append(q[i:])
+                break
+            out.append(q[i: m.start()])
+            out.append(_rw_at(m))
+            i = m.end()
+        q = "".join(out)
         # pass 2, literal-aware: plain qualified reads
         return map_sql_nonliteral(
             q,
@@ -3586,12 +3687,21 @@ class SQLExecutor:
             )
             return view
 
-        return re.sub(
+        # literal-aware, like catalog._rewrite_at: a clause inside a
+        # string literal is data; a real clause's payload may hold one
+        pat = re.compile(
             rf"\b({_IDENT})\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>\s*([^)]+)\)",
-            _rw,
-            q,
-            flags=re.I,
+            re.I,
         )
+        out, i = [], 0
+        while True:
+            m = self._search_nonliteral(pat, q, i)
+            if m is None:
+                out.append(q[i:])
+                return "".join(out)
+            out.append(q[i: m.start()])
+            out.append(_rw(m))
+            i = m.end()
 
     def _bind_tables(self, version=None) -> None:
         """Register every table as a temp view for Catalyst resolution —

@@ -1645,3 +1645,104 @@ def test_versioned_read_memoization(lake, spark, tmp_path):
     # where= reads bypass the cache (pruned file lists are per-predicate)
     got = lake.read("inventory", where="id = 2").collect()
     assert [r["id"] for r in got] == [2]
+
+
+def test_sql_attach_postgres_catalog_end_to_end(spark, tmp_path, pg_dsn):
+    """The SQL face of the reference's connection-string table
+    (README.md:227-236; demos/05_catalog_portability/demo.py:294-299):
+    ``ATTACH 'ducklake:postgresql://host/db' AS prod (DATA_PATH '...')``
+    against a LIVE PostgreSQL catalog, running the dev->prod migration
+    flow through qualified writes and USE, then reading back through a
+    FRESH bind. Without DATA_PATH the error names the SQL option."""
+    from ducktales_spark.lake.sql import LakeSQLError
+
+    main = LakeCatalog(str(tmp_path / "main"), spark)
+    name = f"att_products_{os.getpid()}"
+    main.sql(f"CREATE TABLE {name} (id INT PRIMARY KEY, nm VARCHAR)")
+    main.sql(f"INSERT INTO {name} VALUES (1, 'Laptop'), (2, 'Mouse')")
+    dp = str(tmp_path / "pg_prod_files")
+
+    with pytest.raises(LakeSQLError, match="DATA_PATH"):
+        main.sql(f"ATTACH 'ducklake:{pg_dsn}' AS prod")
+    main.sql(f"ATTACH 'ducklake:{pg_dsn}' AS prod (DATA_PATH '{dp}')")
+    try:
+        # migration flow: cross-catalog CTAS + qualified insert + USE read
+        main.sql(f"CREATE TABLE prod.{name} AS SELECT * FROM {name}")
+        main.sql(f"INSERT INTO prod.{name} VALUES (3, 'Keyboard')")
+        main.sql("USE prod")
+        assert main.sql(
+            f"SELECT count(*) AS n FROM {name}"
+        ).collect()[0]["n"] == 3
+        main.sql("USE main")
+        main.sql("DETACH prod")
+
+        # READ_ONLY composes with DATA_PATH (order-free option list)
+        main.sql(
+            f"ATTACH 'ducklake:{pg_dsn}' AS prodro "
+            f"(READ_ONLY, DATA_PATH '{dp}')"
+        )
+        assert main.sql(
+            f"SELECT count(*) AS n FROM prodro.{name}"
+        ).collect()[0]["n"] == 3
+        with pytest.raises(LakeSQLError, match="READ_ONLY"):
+            main.sql(f"INSERT INTO prodro.{name} VALUES (4, 'x')")
+        main.sql("DETACH prodro")
+
+        # fresh bind, no session state: the rows are really in PG
+        fresh = LakeCatalog(pg_dsn, spark, data_dir=dp)
+        assert fresh.count(name) == 3
+    finally:
+        try:
+            LakeCatalog(pg_dsn, spark, data_dir=dp).sql(
+                f"DROP TABLE {name}"
+            )
+        except Exception:
+            pass
+
+
+def test_sql_attach_sqlite_and_mysql_urls(spark, tmp_path, monkeypatch):
+    """ATTACH option grammar across the remaining connection strings:
+    ``sqlite:///file`` honors an explicit DATA_PATH (edge deployment,
+    demo.py:298), ``mysql://`` requires one (driven through the DBAPI
+    fake), and unknown options are refused in-band."""
+    import sys
+
+    from ducktales_spark.lake.sql import LakeSQLError
+
+    main = LakeCatalog(str(tmp_path / "m2"), spark)
+    cat = tmp_path / "edge" / "catalog.db"
+    dp = str(tmp_path / "edge_files")
+    main.sql(f"ATTACH 'ducklake:sqlite:///{cat}' AS edge (DATA_PATH '{dp}')")
+    main.sql("CREATE TABLE edge.t (x INT)")
+    # above the inline threshold, so a real parquet file must land at dp
+    main.sql(
+        "INSERT INTO edge.t VALUES "
+        + ", ".join(f"({i})" for i in range(100))
+    )
+    assert main.sql("SELECT count(*) AS n FROM edge.t").collect()[0]["n"] == 100
+    import glob
+
+    # the data files landed under the DECLARED data path
+    assert glob.glob(os.path.join(dp, "**", "*.parquet"), recursive=True)
+    main.sql("DETACH edge")
+    # fresh bind through the same URL + data path sees the rows
+    fresh = LakeCatalog(f"sqlite:///{cat}", spark, data_dir=dp)
+    assert fresh.count("t") == 100
+
+    from tests import fake_mysql
+
+    fake_mysql.BASE_DIR = str(tmp_path)
+    monkeypatch.setitem(sys.modules, "pymysql", fake_mysql)
+    with pytest.raises(LakeSQLError, match="DATA_PATH"):
+        main.sql("ATTACH 'ducklake:mysql://u@localhost/lakedb' AS my")
+    main.sql(
+        f"ATTACH 'ducklake:mysql://u@localhost/lakedb' AS my "
+        f"(DATA_PATH '{tmp_path / 'my_files'}')"
+    )
+    main.sql("CREATE TABLE my.t (x INT)")
+    main.sql("INSERT INTO my.t VALUES (7)")
+    assert main.sql("SELECT sum(x) AS s FROM my.t").collect()[0]["s"] == 7
+    main.sql("DETACH my")
+
+    with pytest.raises(LakeSQLError, match="unknown ATTACH option"):
+        main.sql(f"ATTACH '{tmp_path / 'zz'}' AS zz (BOGUS)")

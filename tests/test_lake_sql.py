@@ -2840,6 +2840,99 @@ def test_use_attached_default_catalog(lake, spark, tmp_path):
     assert lake.sql("SELECT count(*) AS n FROM local_only").collect()[0]["n"] == 0
 
 
+def test_use_detach_open_txn_guards(lake, spark, tmp_path):
+    """``USE`` away from — and ``DETACH`` of — a catalog whose delegate
+    executor holds an open transaction is refused: silently dangling (or
+    discarding) staged writes is the failure mode; COMMIT/ROLLBACK first."""
+    p = str(tmp_path / "txguard")
+    prod = LakeCatalog(p, spark)
+    prod.sql("CREATE TABLE t (x INT)")
+    lake.sql(f"ATTACH '{p}' AS prod")
+    lake.sql("USE prod")
+    lake.sql("BEGIN")
+    lake.sql("INSERT INTO t VALUES (1)")
+    with pytest.raises(LakeSQLError, match="open transaction"):
+        lake.sql("USE main")
+    with pytest.raises(LakeSQLError, match="open transaction"):
+        lake.sql("USE prod2")  # any switch away, attached or not
+    lake.sql("USE prod")  # no-op re-USE of the current default is fine
+    with pytest.raises(LakeSQLError, match="open transaction"):
+        lake.sql("DETACH prod")
+    lake.sql("COMMIT")
+    lake.sql("USE main")
+    assert prod.count("t") == 1  # the txn landed, nothing dangled
+    # DETACH with a COMMITTED delegate txn is fine
+    lake.sql("DETACH prod")
+
+
+def test_attach_list_shared_under_use(lake, spark, tmp_path):
+    """The attach list stays usable while USE is active (DuckDB): under
+    ``USE prod``, qualified reads/writes against OTHER attachments and
+    against ``main`` (the bound catalog) resolve — including cross-catalog
+    CTAS sources — instead of erroring in the delegate executor."""
+    dev_p, prod_p = str(tmp_path / "dev"), str(tmp_path / "prod")
+    dev, prod = LakeCatalog(dev_p, spark), LakeCatalog(prod_p, spark)
+    dev.sql("CREATE TABLE dt (x INT)")
+    dev.sql("INSERT INTO dt VALUES (10), (20)")
+    lake.sql("CREATE TABLE mt (x INT)")
+    lake.sql("INSERT INTO mt VALUES (1)")
+    lake.sql(f"ATTACH '{dev_p}' AS dev")
+    lake.sql(f"ATTACH '{prod_p}' AS prod")
+
+    lake.sql("USE prod")
+    # qualified read of a sibling attachment and of main
+    assert lake.sql("SELECT count(*) AS n FROM dev.dt").collect()[0]["n"] == 2
+    assert lake.sql("SELECT count(*) AS n FROM main.mt").collect()[0]["n"] == 1
+    # CTAS in the USE'd catalog from a sibling attachment's table
+    lake.sql("CREATE TABLE pt AS SELECT x * 2 AS x FROM dev.dt")
+    assert prod.count("pt") == 2
+    # qualified write into main while prod is the default
+    lake.sql("INSERT INTO main.mt VALUES (2)")
+    lake.sql("USE main")
+    assert lake.sql(
+        "SELECT sum(x) AS s FROM mt"
+    ).collect()[0]["s"] == 3
+    # main. qualifier also resolves with no USE active
+    assert lake.sql("SELECT count(*) AS n FROM main.mt").collect()[0]["n"] == 2
+    lake.sql("INSERT INTO main.mt VALUES (3)")
+    assert lake.sql("SELECT count(*) AS n FROM mt").collect()[0]["n"] == 3
+    lake.sql("DETACH dev")
+    lake.sql("DETACH prod")
+
+
+def test_attached_at_clause_inside_literal_untouched(lake, spark, tmp_path):
+    """A string LITERAL containing '<att>.<t> AT (VERSION => n)' is data:
+    the attached AT-rewrite must not substitute inside it (the payload of
+    a REAL AT clause may itself hold a literal, which still rewrites)."""
+    p = str(tmp_path / "attlit")
+    dev = LakeCatalog(p, spark)
+    dev.sql("CREATE TABLE t (x INT)")
+    dev.sql("INSERT INTO t VALUES (1)")
+    ts1 = dev.snapshots()[-1]["snapshot_time"]
+    dev.sql("INSERT INTO t VALUES (2)")
+    lake.sql(f"ATTACH '{p}' AS dev")
+    row = lake.sql(
+        "SELECT 'dev.t AT (VERSION => 1)' AS lit, count(*) AS n FROM dev.t"
+    ).collect()[0]
+    assert row["lit"] == "dev.t AT (VERSION => 1)"
+    assert row["n"] == 2
+    # a real AT clause whose payload holds a literal still time-travels
+    got = lake.sql(
+        f"SELECT count(*) AS n FROM dev.t AT (TIMESTAMP => '{ts1.isoformat()}')"
+    ).collect()[0]["n"]
+    assert got == 1
+    lake.sql("DETACH dev")
+    # the MAIN catalog's AT rewrite is literal-aware too (version 99
+    # doesn't exist — a rewrite inside the literal would raise)
+    lake.sql("CREATE TABLE littab (x INT)")
+    lake.sql("INSERT INTO littab VALUES (5)")
+    row = lake.sql(
+        "SELECT 'littab AT (VERSION => 99)' AS lit, count(*) AS n "
+        "FROM littab"
+    ).collect()[0]
+    assert row["lit"] == "littab AT (VERSION => 99)" and row["n"] == 1
+
+
 def test_mv_stddev_variance_sql(lake):
     """Additive VAR/STDDEV maintenance: sum-of-squares state rides the
     O(changes) signed fold exactly like SUM, and the read face derives
