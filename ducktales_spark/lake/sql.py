@@ -530,25 +530,29 @@ class SQLExecutor:
             return self._import_database(m.group(1).replace("''", "'"))
         m = re.match(
             rf"^(INSERT(?:\s+OR\s+(?:REPLACE|IGNORE))?\s+INTO|UPDATE"
-            rf"|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?|MERGE\s+INTO"
+            rf"|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?"
             rf"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE(?:\s+IF\s+NOT\s+EXISTS)?"
             rf"|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|ALTER\s+TABLE)\s+"
             rf"({_IDENT})\s*\.\s*({_IDENT})\b(.*)$",
             q,
             re.I | re.S,
         )
-        if m and m.group(2).lower() in self._attached:
-            return self._attached_write(
-                m.group(1), m.group(2), m.group(3), m.group(4)
-            )
-        if m and m.group(2).lower() == "main":
-            # `main` names the bound catalog (the COPY FROM DATABASE
-            # convention): a qualified write into it is the unqualified
-            # statement — symmetric with the attach-list sharing that
-            # lets sub-executors write `INSERT INTO main.t ...`
-            return self.execute(
-                f"{m.group(1)} {m.group(3)}{m.group(4)}", version
-            )
+        if m:
+            qcat = m.group(2).lower()
+            target_c = self._attached.get(qcat)
+            if target_c is self.c or (target_c is None and qcat == "main"):
+                # the qualifier names THIS executor's own catalog —
+                # `main` in the top-level executor (the COPY FROM
+                # DATABASE convention), or a delegate's own alias under
+                # USE. Strip it: the unqualified statement has the exact
+                # semantics, including open-transaction staging.
+                return self.execute(
+                    f"{m.group(1)} {m.group(3)}{m.group(4)}", version
+                )
+            if target_c is not None:
+                return self._attached_write(
+                    m.group(1), m.group(2), m.group(3), m.group(4)
+                )
 
         m = re.match(
             rf"^CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+({_IDENT})"
@@ -947,9 +951,22 @@ class SQLExecutor:
             r"^MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\b", q, re.I
         )
         if m:
-            return self._merge_stmt(
-                "MERGE INTO" + q[m.end() :], evolve=bool(m.group(1))
+            evolve, rest = bool(m.group(1)), q[m.end():]
+            mm = re.match(
+                rf"^\s+({_IDENT})\s*\.\s*({_IDENT})\b(.*)$", rest, re.S
             )
+            if mm:
+                qcat = mm.group(1).lower()
+                target_c = self._attached.get(qcat)
+                if target_c is self.c or (
+                    target_c is None and qcat == "main"
+                ):
+                    rest = " " + mm.group(2) + mm.group(3)
+                elif target_c is not None:
+                    return self._attached_merge(
+                        mm.group(1), mm.group(2), mm.group(3), evolve
+                    )
+            return self._merge_stmt("MERGE INTO" + rest, evolve=evolve)
 
         m = re.match(rf"^CALL\s+({_IDENT})\s*\((.*)\)$", q, re.I | re.S)
         if m:
@@ -1027,6 +1044,32 @@ class SQLExecutor:
     )
 
     # -- MERGE INTO (SQL face of Transaction.merge) ----------------------
+    @staticmethod
+    def _scan_merge_source(rest: str):
+        """The USING payload: ``(subquery) ...`` or ``table ...`` ->
+        (src_sql, src_name, tail) with exactly one of the first two set."""
+        rest = rest.lstrip()
+        if rest.startswith("("):
+            depth, in_str, end = 0, False, None
+            for i, ch in enumerate(rest):
+                if ch == "'":
+                    in_str = not in_str
+                elif not in_str:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            end = i
+                            break
+            if end is None:
+                raise LakeSQLError("unbalanced parens in MERGE USING")
+            return rest[1:end], None, rest[end + 1 :]
+        mm = re.match(rf"^({_IDENT})", rest)
+        if not mm:
+            raise LakeSQLError("bad MERGE USING clause")
+        return None, mm.group(1), rest[mm.end() :]
+
     def _merge_stmt(self, q: str, evolve: bool = False) -> DataFrame:
         """``MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a] USING
         (<query>|table) [AS b] ON <equi-cond>
@@ -1064,30 +1107,7 @@ class SQLExecutor:
         target, t_alias, rest = m.group(1), m.group(2), m.group(3)
         if not self._table_exists(target):
             raise LakeSQLError(f"no such table: {target!r}")
-        rest = rest.lstrip()
-        src_name = None
-        if rest.startswith("("):
-            depth, in_str, end = 0, False, None
-            for i, ch in enumerate(rest):
-                if ch == "'":
-                    in_str = not in_str
-                elif not in_str:
-                    if ch == "(":
-                        depth += 1
-                    elif ch == ")":
-                        depth -= 1
-                        if depth == 0:
-                            end = i
-                            break
-            if end is None:
-                raise LakeSQLError("unbalanced parens in MERGE USING")
-            src_sql, rest = rest[1:end], rest[end + 1 :]
-        else:
-            mm = re.match(rf"^({_IDENT})", rest)
-            if not mm:
-                raise LakeSQLError("bad MERGE USING clause")
-            src_name, src_sql = mm.group(1), None
-            rest = rest[mm.end() :]
+        src_sql, src_name, rest = self._scan_merge_source(rest)
         mm = re.match(rf"^\s*(?:AS\s+)?(?!ON\b)({_IDENT})", rest, re.I)
         s_alias = None
         if mm:
@@ -3223,7 +3243,11 @@ class SQLExecutor:
         dex = self._att_sql.get(key)
         if dex is None:
             dex = self._att_sql[key] = SQLExecutor(self._attached[key])
-        shared = {k: v for k, v in self._attached.items() if k != key}
+        # the delegate's OWN alias stays in the list: self-qualified
+        # statements (`USE prod; INSERT INTO prod.t ...`) resolve via the
+        # is-self identity check in the dispatch, which strips the
+        # qualifier instead of spawning a second executor
+        shared = dict(self._attached)
         shared["main"] = self.c
         dex._attached = shared
         dex._att_readonly = {
@@ -3321,11 +3345,6 @@ class SQLExecutor:
             )
         dex = self._att_executor(cat)
         vu = re.sub(r"\s+", " ", verb.upper())
-        if vu.startswith("MERGE"):
-            raise LakeSQLError(
-                "MERGE INTO an attached catalog is not supported; run it "
-                "on a connection bound to that catalog"
-            )
         if vu.startswith("INSERT"):
             body, cols = rest, None
             mm = re.match(r"^\s*\(([^)]*)\)\s*(.*)$", body, re.S)
@@ -3380,6 +3399,57 @@ class SQLExecutor:
         # UPDATE / DELETE / TRUNCATE / DROP / ALTER: scope is the
         # attached table alone — delegate with the qualifier stripped
         return dex.execute(f"{verb} {tbl}{rest}")
+
+    def _attached_merge(
+        self, cat: str, tbl: str, rest: str, evolve: bool
+    ) -> DataFrame:
+        """``MERGE [WITH SCHEMA EVOLUTION] INTO <att>.<t> USING ...`` —
+        the last qualified write verb (r12 refused it). Same split as
+        _attached_write's INSERT/CTAS: the USING payload evaluates in
+        THIS executor's scope (main tables + qualified attached reads),
+        lands as a temp view, and the delegate executor runs the MERGE
+        against it through the attached catalog's transaction — cross-
+        catalog upserts (``MERGE INTO prod.t USING dev_changes ...``)
+        work in both directions."""
+        import uuid as _uuid
+
+        self._no_txn(f"write to attached catalog {cat!r}")
+        if cat.lower() in self._att_readonly:
+            raise LakeSQLError(
+                f"catalog {cat!r} is attached READ_ONLY"
+            )
+        dex = self._att_executor(cat)
+        m = re.match(
+            rf"^(\s+(?:AS\s+)?(?!USING\b){_IDENT})?\s+USING\s+(.*)$",
+            rest,
+            re.I | re.S,
+        )
+        if not m:
+            raise LakeSQLError("bad MERGE INTO syntax")
+        t_alias_txt = m.group(1) or ""
+        src_sql, src_name, tail = self._scan_merge_source(m.group(2))
+        df = self._query(  # MAIN scope: cross-catalog source
+            src_sql if src_sql is not None else f"SELECT * FROM {src_name}"
+        )
+        view = f"__merge_src_{_uuid.uuid4().hex[:12]}"
+        # keep the original alias; an unaliased table source keeps its
+        # name as the alias so qualified references still resolve
+        mm = re.match(rf"^\s*(?:AS\s+)?(?!ON\b)({_IDENT})", tail, re.I)
+        if mm:
+            alias_txt, tail = f" AS {mm.group(1)}", tail[mm.end():]
+        elif src_name is not None:
+            alias_txt = f" AS {src_name}"
+        else:
+            alias_txt = ""
+        df.createOrReplaceTempView(view)
+        try:
+            return dex._merge_stmt(
+                f"MERGE INTO {tbl}{t_alias_txt} USING {view}{alias_txt}"
+                f"{tail}",
+                evolve=evolve,
+            )
+        finally:
+            self.c.spark.catalog.dropTempView(view)
 
     def _copy_database_stmt(self, src: str, dst: str) -> DataFrame:
         """``COPY FROM DATABASE a TO b`` — DuckDB's whole-catalog
@@ -3438,6 +3508,11 @@ class SQLExecutor:
                 ac = self.c
             if ac is None:
                 return None
+            if ac is self.c and version is None:
+                # self-qualification: the executor's own bind already
+                # registered this table (txn-staged state included) —
+                # the unqualified name IS the right view
+                return tbl if self._table_exists(tbl) else None
             ts = set(ac.tables())
             if tbl not in ts:
                 return None

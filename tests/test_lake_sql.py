@@ -2522,12 +2522,16 @@ def test_attach_cross_catalog_sql(lake, spark, tmp_path):
     assert dev.read("prices").filter("sku = 9").count() == 1
     lake.sql("DELETE FROM dev.prices WHERE sku = 9")
     assert dev.read("prices").filter("sku = 9").count() == 0
-    # MERGE INTO an attached catalog stays refused, with a pointed error
-    with pytest.raises(LakeSQLError, match="MERGE INTO an attached"):
-        lake.sql(
-            "MERGE INTO dev.prices t USING sales s ON t.sku = s.sku "
-            "WHEN MATCHED THEN UPDATE SET price = 0"
-        )
+    # MERGE INTO an attached catalog (r13): main-scope source, target
+    # transaction in dev — the last qualified write verb
+    lake.sql(
+        "MERGE INTO dev.prices t USING "
+        "(SELECT sku, SUM(qty) AS qty FROM sales GROUP BY sku) s "
+        "ON t.sku = s.sku WHEN MATCHED THEN UPDATE SET price = 0"
+    )
+    assert dev.read("prices").filter("price = 0").count() == 2
+    lake.sql("UPDATE dev.prices SET price = 9.5 WHERE sku = 1")
+    lake.sql("UPDATE dev.prices SET price = 20.0 WHERE sku = 2")
     # an attached MV reads through its rollup face (avg_ derivation)
     dev.sql(
         "CREATE MATERIALIZED VIEW psum AS SELECT sku, COUNT(*), "
@@ -2838,6 +2842,66 @@ def test_use_attached_default_catalog(lake, spark, tmp_path):
     lake.sql("USE prod")
     lake.sql("DETACH prod")  # in-use catalog detached -> bound default
     assert lake.sql("SELECT count(*) AS n FROM local_only").collect()[0]["n"] == 0
+
+
+def test_attached_merge_full_surface(lake, spark, tmp_path):
+    """MERGE INTO <att>.<t>: tri-clause upsert with a main-scope source,
+    read back on a FRESH bind; WITH SCHEMA EVOLUTION adds the source's
+    new column in the attached catalog; READ_ONLY refuses; under USE the
+    self-qualified spelling works too."""
+    p = str(tmp_path / "mprod")
+    prod = LakeCatalog(p, spark, inline_threshold=4)
+    prod.sql("CREATE TABLE inv (id INT PRIMARY KEY, qty INT)")
+    prod.sql("INSERT INTO inv VALUES (1, 10), (2, 20)")
+    lake.sql("CREATE TABLE changes (id INT, qty INT)")
+    lake.sql("INSERT INTO changes VALUES (2, 99), (3, 30)")
+    lake.sql(f"ATTACH '{p}' AS prod")
+
+    # subquery source evaluated in MAIN scope; update + insert legs
+    lake.sql(
+        "MERGE INTO prod.inv t USING (SELECT * FROM changes) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    fresh = LakeCatalog(p, spark)  # fresh bind, no session state
+    got = sorted(tuple(r) for r in fresh.read("inv").collect())
+    assert got == [(1, 10), (2, 99), (3, 30)]
+
+    # WITH SCHEMA EVOLUTION: the source's extra column lands in prod
+    lake.sql("CREATE TABLE changes2 (id INT, qty INT, note VARCHAR)")
+    lake.sql("INSERT INTO changes2 VALUES (1, 11, 'restock')")
+    lake.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO prod.inv t USING changes2 s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty, note = s.note"
+    )
+    row = [
+        r for r in LakeCatalog(p, spark).read("inv").collect()
+        if r["id"] == 1
+    ][0]
+    assert (row["qty"], row["note"]) == (11, "restock")
+
+    # self-qualified under USE
+    lake.sql("USE prod")
+    lake.sql(
+        "MERGE INTO prod.inv t USING (SELECT 2 AS id, 0 AS qty) s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET qty = s.qty"
+    )
+    assert lake.sql(
+        "SELECT qty FROM inv WHERE id = 2"
+    ).collect()[0]["qty"] == 0
+    lake.sql("USE main")
+    lake.sql("DETACH prod")
+
+    # READ_ONLY refusal
+    lake.sql(f"ATTACH '{p}' AS prodro (READ_ONLY)")
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql(
+            "MERGE INTO prodro.inv t USING changes s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+    lake.sql("DETACH prodro")
 
 
 def test_use_detach_open_txn_guards(lake, spark, tmp_path):
