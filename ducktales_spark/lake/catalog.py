@@ -175,6 +175,10 @@ class LakeCatalog:
         from collections import OrderedDict
 
         self._read_cache: "OrderedDict" = OrderedDict()
+        # retention horizon (MIN snapshot_id) observed at the last cache
+        # validation — a cross-process expire_snapshots raises it, which
+        # is the signal to evict entries below the new horizon (see read)
+        self._cache_horizon = 0
         # "any snapshot" probe, not snapshot 0: expire_snapshots may have
         # retired the early history, and re-seeding id 0 would make expired
         # versions readable again (as silently-wrong empty states)
@@ -341,6 +345,24 @@ class LakeCatalog:
         v = self._resolve_version(version, timestamp)
         if where is None:
             hit = self._read_cache.get((name, v))
+            if hit is not None:
+                # cross-process guard: ANOTHER session's expire_snapshots
+                # deletes files under plans cached here (only the local
+                # cache is cleared there). Its observable footprint is the
+                # retention horizon — MIN(snapshot_id) rises past every
+                # expired version. Entries at/above the horizon reference
+                # only files the expire left alone (removed_snapshot >
+                # cutoff or NULL), so they stay valid; entries below it
+                # are dropped. One ms-scale metastore probe per hit.
+                row = self.ms.one("SELECT MIN(snapshot_id) FROM lake_snapshot")
+                horizon = row[0] if row and row[0] is not None else 0
+                if horizon != self._cache_horizon:
+                    self._cache_horizon = horizon
+                    for k in [
+                        k for k in self._read_cache if k[1] < horizon
+                    ]:
+                        del self._read_cache[k]
+                    hit = self._read_cache.get((name, v))
             if hit is not None:
                 self._read_cache.move_to_end((name, v))
                 return hit

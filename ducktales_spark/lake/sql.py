@@ -778,12 +778,48 @@ class SQLExecutor:
             return self._describe(name)
         if re.match(r"^PRAGMA\s+show_tables$", q, re.I):
             return self._execute_stmt("SHOW TABLES")
-        m = re.match(rf"^CHECKPOINT(?:\s+({_IDENT}))?$", q, re.I)
+        m = re.match(
+            rf"^CHECKPOINT(?:\s+({_IDENT})(?:\s*\.\s*({_IDENT}))?)?$",
+            q,
+            re.I,
+        )
         if m:
             # DuckDB's CHECKPOINT flushes buffered WAL state to storage;
             # the lake analogue is flushing catalog-inlined rows into
-            # parquet files (README.md:243 inlining). One table, or all.
-            names = [m.group(1)] if m.group(1) else list(self.c.tables())
+            # parquet files (README.md:243 inlining). One table, all
+            # tables, one attached table (`CHECKPOINT att.t`), or a whole
+            # attached catalog (`CHECKPOINT att` — DuckDB's database
+            # argument; a LOCAL table of the same name wins the tie).
+            first, tbl = m.group(1), m.group(2)
+
+            def _delegate(cat: str, stmt: str) -> DataFrame:
+                if cat.lower() in self._att_readonly:
+                    raise LakeSQLError(
+                        f"catalog {cat!r} is attached READ_ONLY"
+                    )
+                return self._att_executor(cat).execute(stmt)
+
+            if tbl is not None:
+                key = (first or "").lower()
+                target_c = self._attached.get(key)
+                if target_c is self.c or (
+                    target_c is None and key == "main"
+                ):
+                    first, tbl = tbl, None  # self-qualified: local form
+                elif target_c is None:
+                    raise LakeSQLError(
+                        f"no attached catalog named {first!r}"
+                    )
+                else:
+                    return _delegate(first, f"CHECKPOINT {tbl}")
+            if (
+                tbl is None
+                and first
+                and not self._table_exists(first)
+                and first.lower() in self._attached
+            ):
+                return _delegate(first, "CHECKPOINT")
+            names = [first] if first else list(self.c.tables())
 
             def op(tx):
                 for t in names:

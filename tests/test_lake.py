@@ -1746,3 +1746,42 @@ def test_sql_attach_sqlite_and_mysql_urls(spark, tmp_path, monkeypatch):
 
     with pytest.raises(LakeSQLError, match="unknown ATTACH option"):
         main.sql(f"ATTACH '{tmp_path / 'zz'}' AS zz (BOGUS)")
+
+
+def test_read_memo_cross_session_invalidation(spark, tmp_path):
+    """Two sessions, one catalog: session B expiring history must not
+    leave session A's versioned-read memo serving plans over deleted
+    files. A's cache validates against the retention horizon
+    (MIN snapshot_id) on every hit: entries below the horizon are
+    evicted (their re-read errors cleanly at version resolution), and
+    entries at/above it keep serving — expire only deletes files no
+    retained version references."""
+    path = str(tmp_path / "shared")
+    a = LakeCatalog(path, spark, inline_threshold=0)
+    a.sql("CREATE TABLE t (x INT)")
+    a.sql("INSERT INTO t VALUES (1)")
+    v1 = a.current_version()
+    a.sql("INSERT INTO t VALUES (2)")
+    a.sql("INSERT INTO t VALUES (3)")
+    head = a.current_version()
+
+    # A memoizes both a historical and the HEAD read
+    assert a.read("t", version=v1).count() == 1
+    assert a.read("t").count() == 3
+    assert ("t", v1) in a._read_cache and ("t", head) in a._read_cache
+
+    # session B — a separate instance, nothing shared in memory
+    b = LakeCatalog(path, spark)
+    res = b.expire_snapshots(keep_last=1)
+    assert res["snapshots_expired"] > 0
+
+    # A's next v1 read errors cleanly (expired), never FileNotFound
+    with pytest.raises(LakeError, match="unknown snapshot"):
+        a.read("t", version=v1)
+    # the HEAD hit triggered horizon validation is still to come: force
+    # a cache-path read and check the stale entry was evicted while the
+    # live one survives AND still executes
+    assert a.read("t").count() == 3
+    assert ("t", v1) not in a._read_cache
+    assert ("t", head) in a._read_cache
+    assert a.read("t", version=head).count() == 3

@@ -3635,3 +3635,104 @@ def test_export_database_csv_round_trip(lake, spark, tmp_path):
     # unknown format still rejected in-band
     with pytest.raises(LakeSQLError, match="not supported"):
         lake.sql("EXPORT DATABASE '/tmp/nope' (FORMAT JSON)")
+
+
+@pytest.mark.parametrize("verb", ["summarize", "describe", "checkpoint", "export"])
+def test_session_verb_matrix(lake, spark, tmp_path, verb):
+    """The r12 session-verb matrix, pinned (VERDICT r12 task 8): each of
+    SUMMARIZE / DESCRIBE / CHECKPOINT / EXPORT DATABASE run (a) qualified
+    against an attachment, (b) under ``USE <attached>``, and (c) against a
+    READ_ONLY attachment — reads succeed everywhere, writes refuse on (c)."""
+    import os as _os
+
+    p = str(tmp_path / "att")
+    att = LakeCatalog(p, spark, inline_threshold=64)
+    att.sql("CREATE TABLE t (x INT, s VARCHAR)")
+    att.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")  # inlined (thr 64)
+    lake.sql("CREATE TABLE localt (y INT)")
+    lake.sql(f"ATTACH '{p}' AS att")
+    lake.sql(f"ATTACH '{p}' AS ro (READ_ONLY)")
+
+    if verb == "summarize":
+        # (a) qualified
+        rows = lake.sql("SUMMARIZE att.t").collect()
+        assert {r["column_name"] for r in rows} == {"x", "s"}
+        # (b) under USE
+        lake.sql("USE att")
+        assert len(lake.sql("SUMMARIZE t").collect()) == 2
+        lake.sql("USE main")
+        # (c) READ_ONLY: profiling is a read — allowed, both spellings
+        assert len(lake.sql("SUMMARIZE ro.t").collect()) == 2
+        lake.sql("USE ro")
+        assert len(lake.sql("SUMMARIZE t").collect()) == 2
+        lake.sql("USE main")
+    elif verb == "describe":
+        cols = [r["column_name"] for r in lake.sql("DESCRIBE att.t").collect()]
+        assert cols == ["x", "s"]
+        lake.sql("USE att")
+        assert [r["column_name"] for r in lake.sql("DESCRIBE t").collect()] == ["x", "s"]
+        lake.sql("USE main")
+        assert [r["column_name"] for r in lake.sql("DESCRIBE ro.t").collect()] == ["x", "s"]
+    elif verb == "checkpoint":
+        import glob as _glob
+
+        def files():
+            return _glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True)
+
+        assert not files()  # rows are inlined so far
+        # (a) qualified single table
+        lake.sql("CHECKPOINT att.t")
+        assert files()  # flushed to parquet at the attachment's data dir
+        att.sql("INSERT INTO t VALUES (3, 'c')")
+        n0 = len(files())
+        # (b) under USE — whole-catalog flush
+        lake.sql("USE att")
+        lake.sql("CHECKPOINT")
+        lake.sql("USE main")
+        assert len(files()) > n0
+        # whole-attached-catalog spelling
+        att.sql("INSERT INTO t VALUES (4, 'd')")
+        n1 = len(files())
+        lake.sql("CHECKPOINT att")
+        assert len(files()) > n1
+        # (c) READ_ONLY refuses every spelling
+        with pytest.raises(LakeSQLError, match="READ_ONLY"):
+            lake.sql("CHECKPOINT ro.t")
+        with pytest.raises(LakeSQLError, match="READ_ONLY"):
+            lake.sql("CHECKPOINT ro")
+        lake.sql("USE ro")
+        with pytest.raises(LakeSQLError, match="READ_ONLY"):
+            lake.sql("CHECKPOINT")
+        lake.sql("USE main")
+        # unknown catalog is pointed
+        with pytest.raises(LakeSQLError, match="no attached catalog"):
+            lake.sql("CHECKPOINT nope.t")
+    else:  # export
+        # (b) EXPORT DATABASE under USE exports the USE'd catalog
+        exp = str(tmp_path / "exp_use")
+        lake.sql("USE att")
+        lake.sql(f"EXPORT DATABASE '{exp}'")
+        lake.sql("USE main")
+        schema_sql = open(_os.path.join(exp, "schema.sql")).read()
+        assert "CREATE TABLE t " in schema_sql  # att's table, not localt
+        assert "localt" not in schema_sql
+        # (c) exporting a READ_ONLY catalog is a read — allowed
+        exp2 = str(tmp_path / "exp_ro")
+        lake.sql("USE ro")
+        lake.sql(f"EXPORT DATABASE '{exp2}'")
+        lake.sql("USE main")
+        assert _os.path.exists(_os.path.join(exp2, "load.sql"))
+        # ...but IMPORT into it is refused
+        lake.sql("USE ro")
+        with pytest.raises(LakeSQLError, match="READ_ONLY"):
+            lake.sql(f"IMPORT DATABASE '{exp}'")
+        lake.sql("USE main")
+        # COPY FROM DATABASE under USE resolves via the main attach list:
+        # writable target works, the r13 positive case
+        dst_p = str(tmp_path / "mig")
+        LakeCatalog(dst_p, spark)
+        lake.sql(f"ATTACH '{dst_p}' AS mig")
+        lake.sql("USE att")
+        lake.sql("COPY FROM DATABASE att TO mig")
+        lake.sql("USE main")
+        assert LakeCatalog(dst_p, spark).count("t") == 2
