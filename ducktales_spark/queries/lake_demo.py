@@ -602,7 +602,10 @@ def r02_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("approx_distinct_value")
 
 
-@register_extra(
+@register(  # promoted to the driver sweep in round 13 (VERDICT r12 task
+    # 3): the r12 attach surface gets a hash-checked CORRECTNESS row. U1
+    # re-homes here — the durable read-back IS a UNION ALL view
+    # (u01_setops keeps its pytest differential in the EXTRA tier).
     "l20_attached_migration",
     oracle="""
         SELECT n.n_name AS nation, r.r_name AS region,
@@ -612,7 +615,7 @@ def r02_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'zz-manual', 'MIGRATED', 2
         ORDER BY nation""",
-    survey_ids=("S1", "D15"),  # r12 extension: writable ATTACH + USE flow
+    survey_ids=("S1", "D15", "U1"),
 )
 def l20_attached_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's dev->prod migration flow end to end on the r12

@@ -12,10 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ducktales_spark.data import table
-from ducktales_spark.registry import register
+from ducktales_spark.registry import register_extra
 
 
-@register(
+@register_extra(  # rotated to EXTRA in round 13: U1 rides
+    # l20_attached_migration's UNION ALL read-back (and P4 rides
+    # p03/i01/l18), freeing the driver slot for the r12 attach surface;
+    # the full DuckDB differential stays in pytest
     "u01_setops",
     survey_ids=("U1", "P4"),
     oracle="""
