@@ -342,27 +342,43 @@ class LakeCatalog:
         DataFrame is constructed — like Delta data skipping, a layer above
         parquet row-group pruning — and the predicate is then applied to the
         surviving rows, so results are always exact."""
-        v = self._resolve_version(version, timestamp)
+        # Version resolution carries the cross-process guard for free:
+        # ANOTHER session's expire_snapshots deletes files under plans
+        # cached here (only the local cache is cleared there). Its
+        # observable footprint is the retention horizon — MIN(snapshot_id)
+        # rises past every expired version — which the SAME metastore
+        # query that resolves/validates the version also returns, so the
+        # guard costs zero extra round trips (a PG/MySQL metastore pays
+        # one network hop per read either way). Entries at/above the
+        # horizon reference only files the expire left alone
+        # (removed_snapshot > cutoff or NULL), so they stay valid;
+        # entries below it are dropped — and are unreachable anyway,
+        # because resolving an expired version raises right here.
+        horizon = None
+        if version is not None and timestamp is not None:
+            raise LakeError("pass version OR timestamp, not both")
+        if timestamp is not None:
+            v = self._resolve_version(None, timestamp)
+        elif version is None:
+            row = self.ms.one(
+                "SELECT MAX(snapshot_id), MIN(snapshot_id) FROM lake_snapshot"
+            )
+            v, horizon = row[0], row[1]
+        else:
+            row = self.ms.one(
+                "SELECT MAX(CASE WHEN snapshot_id = ? THEN snapshot_id END), "
+                "MIN(snapshot_id) FROM lake_snapshot",
+                (version,),
+            )
+            if row is None or row[0] is None:
+                raise LakeError(f"unknown snapshot version {version}")
+            v, horizon = version, row[1]
         if where is None:
+            if horizon is not None and horizon != self._cache_horizon:
+                self._cache_horizon = horizon
+                for k in [k for k in self._read_cache if k[1] < horizon]:
+                    del self._read_cache[k]
             hit = self._read_cache.get((name, v))
-            if hit is not None:
-                # cross-process guard: ANOTHER session's expire_snapshots
-                # deletes files under plans cached here (only the local
-                # cache is cleared there). Its observable footprint is the
-                # retention horizon — MIN(snapshot_id) rises past every
-                # expired version. Entries at/above the horizon reference
-                # only files the expire left alone (removed_snapshot >
-                # cutoff or NULL), so they stay valid; entries below it
-                # are dropped. One ms-scale metastore probe per hit.
-                row = self.ms.one("SELECT MIN(snapshot_id) FROM lake_snapshot")
-                horizon = row[0] if row and row[0] is not None else 0
-                if horizon != self._cache_horizon:
-                    self._cache_horizon = horizon
-                    for k in [
-                        k for k in self._read_cache if k[1] < horizon
-                    ]:
-                        del self._read_cache[k]
-                    hit = self._read_cache.get((name, v))
             if hit is not None:
                 self._read_cache.move_to_end((name, v))
                 return hit

@@ -411,9 +411,27 @@ class SQLExecutor:
                         rf"^COPY\s+{_IDENT}\s+FROM\b", q, re.I
                     )
                 ):
-                    raise LakeSQLError(
-                        f"catalog {self._use!r} is attached READ_ONLY"
+                    # a QUALIFIED write naming a DIFFERENT catalog is not
+                    # a write into the read-only default — let it
+                    # delegate; the delegate's own dispatch enforces the
+                    # actual target's read-only flag. Self-qualified
+                    # (and unqualifiable verbs like IMPORT/REFRESH/CALL)
+                    # stay refused here.
+                    mq = re.match(
+                        rf"^(?:INSERT(?:\s+OR\s+\w+)?\s+INTO|UPDATE"
+                        rf"|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?"
+                        rf"|MERGE(?:\s+WITH\s+SCHEMA\s+EVOLUTION)?\s+INTO"
+                        rf"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE"
+                        rf"(?:\s+IF\s+NOT\s+EXISTS)?"
+                        rf"|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|ALTER\s+TABLE"
+                        rf"|CHECKPOINT)\s+({_IDENT})\s*\.",
+                        q,
+                        re.I,
                     )
+                    if mq is None or mq.group(1).lower() == self._use:
+                        raise LakeSQLError(
+                            f"catalog {self._use!r} is attached READ_ONLY"
+                        )
                 return self._att_executor(self._use).execute(
                     sql, version
                 )
@@ -819,6 +837,13 @@ class SQLExecutor:
                 and first.lower() in self._attached
             ):
                 return _delegate(first, "CHECKPOINT")
+            if (
+                tbl is None
+                and first
+                and first.lower() == "main"
+                and not self._table_exists(first)
+            ):
+                first = None  # CHECKPOINT main = the bound catalog, whole
             names = [first] if first else list(self.c.tables())
 
             def op(tx):
@@ -1082,8 +1107,9 @@ class SQLExecutor:
     # -- MERGE INTO (SQL face of Transaction.merge) ----------------------
     @staticmethod
     def _scan_merge_source(rest: str):
-        """The USING payload: ``(subquery) ...`` or ``table ...`` ->
-        (src_sql, src_name, tail) with exactly one of the first two set."""
+        """The USING payload: ``(subquery) ...`` or a table name —
+        optionally catalog-qualified (``dev.changes``) -> (src_sql,
+        src_name, tail) with exactly one of the first two set."""
         rest = rest.lstrip()
         if rest.startswith("("):
             depth, in_str, end = 0, False, None
@@ -1101,7 +1127,7 @@ class SQLExecutor:
             if end is None:
                 raise LakeSQLError("unbalanced parens in MERGE USING")
             return rest[1:end], None, rest[end + 1 :]
-        mm = re.match(rf"^({_IDENT})", rest)
+        mm = re.match(rf"^({_IDENT}(?:\s*\.\s*{_IDENT})?)", rest)
         if not mm:
             raise LakeSQLError("bad MERGE USING clause")
         return None, mm.group(1), rest[mm.end() :]
@@ -1177,7 +1203,11 @@ class SQLExecutor:
         t_cols = {f.name.lower(): f.name for f in sch.fields}
         s_cols = {c.lower(): c for c in src_df.columns}
         t_al = (t_alias or target).lower()
-        s_al = (s_alias or src_name or "").lower()
+        # a catalog-qualified source's implicit alias is the bare table
+        # name (standard SQL: USING dev.changes ... ON changes.id = ...)
+        s_al = (
+            s_alias or (src_name or "").rsplit(".", 1)[-1].strip()
+        ).lower()
         if s_al == t_al:
             raise LakeSQLError(
                 "MERGE target and source need distinct aliases"
@@ -3284,7 +3314,11 @@ class SQLExecutor:
         # is-self identity check in the dispatch, which strips the
         # qualifier instead of spawning a second executor
         shared = dict(self._attached)
-        shared["main"] = self.c
+        # setdefault, not assignment: in a DELEGATE executor the inherited
+        # 'main' already names the top-level bound catalog — rebinding it
+        # to this (USE'd) catalog would make main.* mean different things
+        # at different delegation depths
+        shared.setdefault("main", self.c)
         dex._attached = shared
         dex._att_readonly = {
             k for k in self._att_readonly if k != key
@@ -3474,7 +3508,7 @@ class SQLExecutor:
         if mm:
             alias_txt, tail = f" AS {mm.group(1)}", tail[mm.end():]
         elif src_name is not None:
-            alias_txt = f" AS {src_name}"
+            alias_txt = f" AS {src_name.rsplit('.', 1)[-1].strip()}"
         else:
             alias_txt = ""
         df.createOrReplaceTempView(view)
@@ -3510,6 +3544,16 @@ class SQLExecutor:
             # same contract as qualified DML / USE-delegated writes:
             # export_to creates tables, inserts rows, and restamps metas
             raise LakeSQLError(f"catalog {dst!r} is attached READ_ONLY")
+        for side in (src, dst):
+            dex = self._att_sql.get(side.lower())
+            if dex is not None and dex._tx is not None:
+                # migrating into (or out of) a catalog whose USE'd
+                # delegate holds staged writes would interleave with —
+                # or conflict against — that open transaction
+                raise LakeSQLError(
+                    f"catalog {side!r} has an open transaction: COMMIT "
+                    "or ROLLBACK it before COPY FROM DATABASE"
+                )
         src_c, dst_c = _cat(src), _cat(dst)
         if src_c is dst_c:
             raise LakeSQLError("COPY FROM DATABASE: source == target")
@@ -3678,7 +3722,11 @@ class SQLExecutor:
             m = pat.search(q, pos)
             if m is None or not any(a <= m.start() <= b for a, b in spans):
                 return m
-            pos = m.end()
+            # resume just past the rejected match's START, not its end: a
+            # greedy in-literal match can swallow text beyond the literal
+            # that contains a REAL match (e.g. "'t AT (VERSION => ' || c,
+            # u AT (VERSION => 1)")
+            pos = m.start() + 1
 
     @staticmethod
     def _match_paren(q: str, popen: int) -> int:

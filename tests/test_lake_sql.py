@@ -3736,3 +3736,75 @@ def test_session_verb_matrix(lake, spark, tmp_path, verb):
         lake.sql("COPY FROM DATABASE att TO mig")
         lake.sql("USE main")
         assert LakeCatalog(dst_p, spark).count("t") == 2
+
+
+def test_review_r13_regressions(lake, spark, tmp_path):
+    """Round-13 review findings, pinned: (1) under USE of a READ_ONLY
+    catalog, a qualified write into a DIFFERENT writable catalog
+    delegates instead of being refused with the wrong catalog named;
+    (2) COPY FROM DATABASE refuses while an involved catalog's delegate
+    holds an open transaction; (3) MERGE USING <att>.<tbl> parses, with
+    the bare table name as the implicit alias; (4) CHECKPOINT main
+    flushes the bound catalog like bare CHECKPOINT; (5) a greedy
+    in-literal AT match must not swallow a REAL clause after the
+    literal closes."""
+    ro_p, dev_p = str(tmp_path / "ro"), str(tmp_path / "dev")
+    ro, dev = LakeCatalog(ro_p, spark), LakeCatalog(dev_p, spark)
+    ro.sql("CREATE TABLE t (x INT)")
+    dev.sql("CREATE TABLE t (x INT)")
+    dev.sql("CREATE TABLE changes (id INT, q INT)")
+    dev.sql("INSERT INTO changes VALUES (1, 5), (2, 7)")
+    lake.sql(f"ATTACH '{ro_p}' AS ro (READ_ONLY)")
+    lake.sql(f"ATTACH '{dev_p}' AS dev")
+
+    # (1) write THROUGH a read-only default into a writable sibling
+    lake.sql("USE ro")
+    lake.sql("INSERT INTO dev.t VALUES (1)")
+    assert dev.count("t") == 1
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("INSERT INTO ro.t VALUES (1)")  # self-qualified: refused
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("INSERT INTO t VALUES (1)")  # unqualified: refused
+    lake.sql("USE main")
+
+    # (2) COPY FROM DATABASE vs an open delegate transaction
+    lake.sql("USE dev")
+    lake.sql("BEGIN")
+    lake.sql("INSERT INTO t VALUES (9)")
+    with pytest.raises(LakeSQLError, match="open transaction"):
+        lake.sql("COPY FROM DATABASE main TO dev")
+    lake.sql("ROLLBACK")
+    lake.sql("USE main")
+
+    # (3) catalog-qualified MERGE source
+    lake.sql("CREATE TABLE inv (id INT, q INT)")
+    lake.sql("INSERT INTO inv VALUES (1, 0)")
+    lake.sql(
+        "MERGE INTO inv USING dev.changes ON inv.id = changes.id "
+        "WHEN MATCHED THEN UPDATE SET q = changes.q "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted(tuple(r) for r in lake.sql("SELECT * FROM inv").collect())
+    assert got == [(1, 5), (2, 7)]
+    # ... and as the source of an attached-target merge
+    lake.sql(
+        "MERGE INTO dev.t tt USING dev.changes ON tt.x = changes.id "
+        "WHEN NOT MATCHED THEN INSERT (x) VALUES (changes.id)"
+    )
+    assert dev.count("t") == 2  # id=1 matched existing x=1, id=2 inserted
+
+    # (4) CHECKPOINT main == bare CHECKPOINT (no 'main' table exists)
+    st = lake.sql("CHECKPOINT main").collect()[0]
+    assert st["op"] == "CHECKPOINT" and st["rows"] >= 1
+
+    # (5) greedy in-literal match + real clause after the literal
+    lake.sql("INSERT INTO inv VALUES (3, 1)")
+    v_now = lake.current_version()
+    lake.sql("INSERT INTO inv VALUES (4, 1)")
+    row = lake.sql(
+        f"SELECT 'inv AT (VERSION => ' AS lit, count(*) AS n "
+        f"FROM inv AT (VERSION => {v_now})"
+    ).collect()[0]
+    assert row["lit"] == "inv AT (VERSION => " and row["n"] == 3
+    lake.sql("DETACH ro")
+    lake.sql("DETACH dev")
