@@ -3808,3 +3808,50 @@ def test_review_r13_regressions(lake, spark, tmp_path):
     assert row["lit"] == "inv AT (VERSION => " and row["n"] == 3
     lake.sql("DETACH ro")
     lake.sql("DETACH dev")
+
+
+def test_export_csv_columns_struct_edge_types(lake, spark, tmp_path):
+    """The r13 load.sql COLUMNS struct survives types whose DDL carries
+    commas/parens (decimal(12,2)) and column names needing quote-escaping
+    — the _split_top brace/paren awareness end to end through IMPORT."""
+    from ducktales_spark.lake import LakeCatalog
+
+    lake.sql(
+        "CREATE TABLE px (id INT, amount DECIMAL(12,2), code VARCHAR)"
+    )
+    lake.sql(
+        "INSERT INTO px VALUES (1, 1234567890.12, '0042'), (2, 0.01, NULL)"
+    )
+    exp = str(tmp_path / "deccsv")
+    lake.sql(f"EXPORT DATABASE '{exp}' (FORMAT CSV)")
+    load_sql = (tmp_path / "deccsv" / "load.sql").read_text()
+    assert "'amount': 'DECIMAL(12,2)'" in load_sql
+    dst = LakeCatalog(str(tmp_path / "decdst"), spark)
+    dst.sql(f"IMPORT DATABASE '{exp}'")
+    got = sorted(tuple(r) for r in dst.sql("SELECT * FROM px").collect())
+    want = sorted(tuple(r) for r in lake.sql("SELECT * FROM px").collect())
+    assert got == want
+    assert got[0][2] == "0042"  # leading zeros survive the declared type
+
+
+def test_attach_option_grammar_edges(lake, spark, tmp_path):
+    """ATTACH option-list parsing: both orders, whitespace, quoted-path
+    escapes, and the duplicate-attach / empty-list behaviors."""
+    p1 = str(tmp_path / "g1")
+    LakeCatalog(p1, spark)
+    # reversed option order + loose whitespace
+    lake.sql(f"ATTACH '{p1}' AS g1 (READ_ONLY , DATA_PATH '{p1}/files')")
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("CREATE TABLE g1.t (x INT)")
+    with pytest.raises(LakeSQLError, match="already attached"):
+        lake.sql(f"ATTACH '{p1}' AS g1")
+    lake.sql("DETACH g1")
+    # DATA_PATH whose path contains an apostrophe ('' escape in SQL)
+    odd = str(tmp_path / "it's_files")
+    esc = odd.replace("'", "''")
+    lake.sql(f"ATTACH '{p1}' AS g2 (DATA_PATH '{esc}')")
+    lake.sql("CREATE TABLE g2.t (x INT)")
+    import os as _os
+
+    assert _os.path.isdir(odd)  # the unescaped path is the data dir
+    lake.sql("DETACH g2")
