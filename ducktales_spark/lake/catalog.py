@@ -281,9 +281,35 @@ class LakeCatalog:
     def current_version(self) -> int:
         return self.ms.one("SELECT MAX(snapshot_id) FROM lake_snapshot")[0]
 
-    def _resolve_version(self, version=None, timestamp=None) -> int:
+    def _resolve_version(
+        self, version=None, timestamp=None, with_horizon: bool = False
+    ):
+        """-> resolved snapshot id; with ``with_horizon`` -> (id, horizon)
+        where horizon is MIN(snapshot_id) — the retention floor a
+        cross-process expire_snapshots raises — fetched by the SAME
+        metastore query that resolves/validates the version, so the
+        read-path cache guard costs zero extra round trips. The timestamp
+        path returns horizon None (expired snapshots' rows are deleted,
+        so a timestamp can never resolve to one — no guard needed)."""
         if version is not None and timestamp is not None:
             raise LakeError("pass version OR timestamp, not both")
+        if with_horizon and timestamp is None:
+            if version is None:
+                row = self.ms.one(
+                    "SELECT MAX(snapshot_id), MIN(snapshot_id) "
+                    "FROM lake_snapshot"
+                )
+                return row[0], row[1]
+            row = self.ms.one(
+                "SELECT MAX(CASE WHEN snapshot_id = ? THEN snapshot_id "
+                "END), MIN(snapshot_id) FROM lake_snapshot",
+                (version,),
+            )
+            if row is None or row[0] is None:
+                raise LakeError(f"unknown snapshot version {version}")
+            return version, row[1]
+        if with_horizon:
+            return self._resolve_version(None, timestamp), None
         if timestamp is not None:  # AT (TIMESTAMP => ts) — T2
             if isinstance(timestamp, _dt.datetime):
                 timestamp = _iso(timestamp)
@@ -342,37 +368,18 @@ class LakeCatalog:
         DataFrame is constructed — like Delta data skipping, a layer above
         parquet row-group pruning — and the predicate is then applied to the
         surviving rows, so results are always exact."""
-        # Version resolution carries the cross-process guard for free:
-        # ANOTHER session's expire_snapshots deletes files under plans
-        # cached here (only the local cache is cleared there). Its
-        # observable footprint is the retention horizon — MIN(snapshot_id)
-        # rises past every expired version — which the SAME metastore
-        # query that resolves/validates the version also returns, so the
-        # guard costs zero extra round trips (a PG/MySQL metastore pays
-        # one network hop per read either way). Entries at/above the
-        # horizon reference only files the expire left alone
-        # (removed_snapshot > cutoff or NULL), so they stay valid;
-        # entries below it are dropped — and are unreachable anyway,
-        # because resolving an expired version raises right here.
-        horizon = None
-        if version is not None and timestamp is not None:
-            raise LakeError("pass version OR timestamp, not both")
-        if timestamp is not None:
-            v = self._resolve_version(None, timestamp)
-        elif version is None:
-            row = self.ms.one(
-                "SELECT MAX(snapshot_id), MIN(snapshot_id) FROM lake_snapshot"
-            )
-            v, horizon = row[0], row[1]
-        else:
-            row = self.ms.one(
-                "SELECT MAX(CASE WHEN snapshot_id = ? THEN snapshot_id END), "
-                "MIN(snapshot_id) FROM lake_snapshot",
-                (version,),
-            )
-            if row is None or row[0] is None:
-                raise LakeError(f"unknown snapshot version {version}")
-            v, horizon = version, row[1]
+        # Version resolution carries the cross-process cache guard for
+        # free: ANOTHER session's expire_snapshots deletes files under
+        # plans cached here (only the local cache is cleared there). Its
+        # observable footprint is the retention horizon, which the same
+        # resolving query returns. Entries at/above the horizon reference
+        # only files the expire left alone (removed_snapshot > cutoff or
+        # NULL), so they stay valid; entries below it are dropped — and
+        # are unreachable anyway, because resolving an expired version
+        # raises inside _resolve_version.
+        v, horizon = self._resolve_version(
+            version, timestamp, with_horizon=True
+        )
         if where is None:
             if horizon is not None and horizon != self._cache_horizon:
                 self._cache_horizon = horizon

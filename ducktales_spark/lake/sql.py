@@ -92,6 +92,18 @@ class LakeSQLError(Exception):
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
+# The qualified-write verb grammar, shared by the dispatch that routes
+# `<verb> <cat>.<tbl>` into attached catalogs and the USE-READ_ONLY
+# bypass that lets writes aimed at OTHER catalogs delegate — one
+# alternation so the two can never drift (MERGE and CHECKPOINT dispatch
+# separately but join the bypass pattern below).
+_QWRITE_VERBS = (
+    r"INSERT(?:\s+OR\s+(?:REPLACE|IGNORE))?\s+INTO|UPDATE"
+    r"|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?"
+    r"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE(?:\s+IF\s+NOT\s+EXISTS)?"
+    r"|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|ALTER\s+TABLE"
+)
+
 # reference (DuckDB) type -> Spark DDL type string (SURVEY.md §1.2)
 _TYPE_MAP = {
     "integer": "int",
@@ -418,16 +430,28 @@ class SQLExecutor:
                     # (and unqualifiable verbs like IMPORT/REFRESH/CALL)
                     # stay refused here.
                     mq = re.match(
-                        rf"^(?:INSERT(?:\s+OR\s+\w+)?\s+INTO|UPDATE"
-                        rf"|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?"
+                        rf"^(?:{_QWRITE_VERBS}"
                         rf"|MERGE(?:\s+WITH\s+SCHEMA\s+EVOLUTION)?\s+INTO"
-                        rf"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE"
-                        rf"(?:\s+IF\s+NOT\s+EXISTS)?"
-                        rf"|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|ALTER\s+TABLE"
                         rf"|CHECKPOINT)\s+({_IDENT})\s*\.",
                         q,
                         re.I,
                     )
+                    if mq is None:
+                        # dotless whole-catalog CHECKPOINT of a SIBLING
+                        # attachment also delegates — but only when the
+                        # name is not a table in the read-only default
+                        # (the delegate resolves that tie to the table)
+                        mc = re.match(
+                            rf"^CHECKPOINT\s+({_IDENT})$", q, re.I
+                        )
+                        if (
+                            mc is not None
+                            and mc.group(1).lower() in self._attached
+                            and not self._att_executor(
+                                self._use
+                            )._table_exists(mc.group(1))
+                        ):
+                            mq = mc
                     if mq is None or mq.group(1).lower() == self._use:
                         raise LakeSQLError(
                             f"catalog {self._use!r} is attached READ_ONLY"
@@ -547,10 +571,7 @@ class SQLExecutor:
         if m:
             return self._import_database(m.group(1).replace("''", "'"))
         m = re.match(
-            rf"^(INSERT(?:\s+OR\s+(?:REPLACE|IGNORE))?\s+INTO|UPDATE"
-            rf"|DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?"
-            rf"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE(?:\s+IF\s+NOT\s+EXISTS)?"
-            rf"|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|ALTER\s+TABLE)\s+"
+            rf"^({_QWRITE_VERBS})\s+"
             rf"({_IDENT})\s*\.\s*({_IDENT})\b(.*)$",
             q,
             re.I | re.S,
@@ -3356,6 +3377,15 @@ class SQLExecutor:
         stripped."""
         self._no_txn("ATTACH")
         key = name.lower()
+        if key == "main":
+            # 'main' names the BOUND catalog everywhere (qualified
+            # reads/writes, COPY FROM DATABASE, delegate attach lists) —
+            # letting an attachment shadow it would make the same
+            # spelling target two different catalogs depending on verb
+            raise LakeSQLError(
+                "'main' is reserved for the bound catalog; "
+                "pick another alias"
+            )
         if key in self._attached:
             raise LakeSQLError(f"catalog {name!r} is already attached")
         for pref in ("ducklake:", "lake:"):

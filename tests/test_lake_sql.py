@@ -3765,7 +3765,17 @@ def test_review_r13_regressions(lake, spark, tmp_path):
         lake.sql("INSERT INTO ro.t VALUES (1)")  # self-qualified: refused
     with pytest.raises(LakeSQLError, match="READ_ONLY"):
         lake.sql("INSERT INTO t VALUES (1)")  # unqualified: refused
+    # whole-catalog CHECKPOINT of the writable sibling delegates too
+    # (dotless form), while bare/self CHECKPOINT stays refused
+    lake.sql("CHECKPOINT dev")
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("CHECKPOINT")
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("CHECKPOINT ro")
     lake.sql("USE main")
+    # 'main' is reserved: an attachment must not shadow the bound catalog
+    with pytest.raises(LakeSQLError, match="reserved"):
+        lake.sql(f"ATTACH '{dev_p}' AS main")
 
     # (2) COPY FROM DATABASE vs an open delegate transaction
     lake.sql("USE dev")
