@@ -56,9 +56,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized first-level agg map 0.458 s (worse). The constant is flat
     in SF and splits across executors — the same accepted decomposition
     as a09 (aggregations.py), bounded by the compute-heavy queries on
-    this corpus running 16-40x FASTER than the twin at sf10 (d03 9.9 s
-    vs a 159-398 s twin band across rounds; the 398 s r13 sample is a
-    loaded-host outlier, disclosed in README)."""
+    this corpus running 16-40x FASTER than the twin at sf10 (d03 8.8 s
+    vs a 159-398 s twin band across rounds; the committed r13 artifact
+    pairs 8.8 s vs 172 s = 20x)."""
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
