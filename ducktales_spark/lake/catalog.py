@@ -120,6 +120,60 @@ class TableState:
         return self.schemas[self.schema_version]
 
 
+def _zvalue(df: DataFrame, cols: list, schema: TableSchema):
+    """Interleaved-bit z-value Column over ``cols`` — all built-in JVM
+    expressions (codegen), no Python. Each column is bucketed into
+    ``b = min(16, 62 // k)`` bits: range-normalized against its min/max
+    (ONE bounded agg job, 2k scalars to the driver) for
+    numeric/date/timestamp columns, or the top bits of xxhash64 for
+    string/binary/boolean (equality clustering only — a hash has no
+    range order). NULLs land in bucket 0. Bit j of every column
+    interleaves at position ``j*k + i``, the classic Morton order."""
+    k = len(cols)
+    b = min(16, max(1, 62 // k))
+    types = {f.name: f.type.lower() for f in schema.fields}
+
+    def _num(c: str):
+        if types[c].startswith(("date", "timestamp")):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
+    hashy = tuple(("string", "binary", "boolean"))
+    mmcols = [c for c in cols if not types[c].startswith(hashy)]
+    mm = {}
+    if mmcols:
+        aggs = []
+        for c in mmcols:
+            aggs.append(F.min(_num(c)).alias(f"__mn_{c}"))
+            aggs.append(F.max(_num(c)).alias(f"__mx_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        mm = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in mmcols}
+    buckets = []
+    for c in cols:
+        if types[c].startswith(hashy):
+            bc = F.shiftrightunsigned(F.xxhash64(F.col(c)), 64 - b)
+        else:
+            mn, mx = mm[c]
+            if mn is None or mx is None or float(mx) == float(mn):
+                bc = F.lit(0).cast("long")
+            else:
+                bc = F.floor(
+                    (_num(c) - F.lit(float(mn)))
+                    / F.lit(float(mx) - float(mn))
+                    * F.lit((1 << b) - 1)
+                ).cast("long")
+        buckets.append(F.coalesce(bc.cast("long"), F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for j in range(b):
+        for i, bc in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bc, j).bitwiseAND(F.lit(1)), j * k + i
+                )
+            )
+    return z
+
+
 class LakeCatalog:
     """A lakehouse catalog at a directory (SQLite metadata) or PostgreSQL DSN.
 
@@ -274,6 +328,10 @@ class LakeCatalog:
     def compact(self, name, target_file_bytes: int = 128 << 20):
         with self.transaction() as tx:
             tx.compact(name, target_file_bytes)
+
+    def optimize(self, name, zorder_by, target_file_bytes: int = 128 << 20):
+        with self.transaction() as tx:
+            tx.optimize(name, zorder_by, target_file_bytes)
 
     # ------------------------------------------------------------------
     # version resolution + reads (time travel: T1/T2, SURVEY.md §2.10)
@@ -2773,6 +2831,64 @@ class Transaction:
         # already clustered/sized above; don't re-shuffle in the write path
         st.files.extend(self._write_staged(st, df, cluster=False))
         st.changes.add("tables_compacted")
+        st.coarse_write = True
+
+    def optimize(
+        self,
+        name: str,
+        zorder_by,
+        target_file_bytes: int = 128 << 20,
+    ) -> None:
+        """Multi-column clustering rewrite — the Delta ``OPTIMIZE ...
+        ZORDER BY`` / Iceberg ``rewrite_data_files(sort_order)`` analog
+        (beyond the reference surface, like expire_snapshots: a 100 TB
+        deployment needs it for multi-dimensional data skipping). The
+        whole table is rewritten ordered by the interleaved-bit z-value
+        of the given columns, so every output file covers a narrow
+        min/max interval on EVERY z column at once and the stats-pruning
+        layer (read(where=...), UPDATE/DELETE candidate selection,
+        MERGE key pruning) skips most files for point/range predicates
+        on any of them — a single-column sort only achieves that for its
+        leading column. Numeric/date/timestamp columns interleave their
+        value range (min/max from one bounded agg); string columns
+        interleave a hash, which clusters equality lookups but not
+        ranges (documented trade-off, same as Delta's hash fallback).
+        Copy-on-write through the normal staged-commit path: time travel
+        to pre-optimize versions is unaffected, and the rewrite is
+        all-or-nothing on commit."""
+        cols = (
+            [c.strip() for c in zorder_by.split(",")]
+            if isinstance(zorder_by, str)
+            else list(zorder_by)
+        )
+        if not cols:
+            raise LakeError("optimize requires at least one zorder column")
+        st = self._state(name)
+        for c in cols:
+            if c not in {f.name for f in st.schema.fields}:
+                raise LakeError(f"unknown zorder column {c!r}")
+        if not st.files and not st.inlined:
+            return
+        df = self.c._build_df(st.files, st.inlined, st.schemas, st.schema)
+        total = sum(fe.file_bytes for fe in st.files)
+        nparts = max(1, -(-total // target_file_bytes))
+        z = _zvalue(df, cols, st.schema)
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(int(nparts), F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        for fe in st.files:
+            if not fe.staged:
+                st.removed_file_ids.append(fe.file_id)
+        st.files.clear()
+        for ie in st.inlined:
+            if not ie.staged:
+                st.removed_inlined_ids.append(ie.row_id)
+        st.inlined.clear()
+        st.files.extend(self._write_staged(st, df, cluster=False))
+        st.changes.add("tables_optimized")
         st.coarse_write = True
 
     def _read_range_conflict(self, t, st: TableState, sid: int) -> bool:

@@ -2046,6 +2046,20 @@ class SQLExecutor:
                 args.append(_val(tfb))
             self.c.compact(*args[:2])
             return self._status("CALL compact", 0)
+        if f == "optimize":
+            # Delta's OPTIMIZE ... ZORDER BY as a maintenance verb:
+            # CALL optimize('t', zorder_by => 'a,b'
+            #               [, target_file_bytes => n])
+            if len(pos) != 1 or "zorder_by" not in named:
+                raise LakeSQLError(
+                    "optimize(table, zorder_by => 'col[,col...]' "
+                    "[, target_file_bytes => n])"
+                )
+            kw = {"zorder_by": _val(named["zorder_by"])}
+            if "target_file_bytes" in named:
+                kw["target_file_bytes"] = _val(named["target_file_bytes"])
+            self.c.optimize(_val(pos[0]), **kw)
+            return self._status("CALL optimize", 0)
         if f == "flush_inlined":
             if len(pos) != 1:
                 raise LakeSQLError("flush_inlined(table)")

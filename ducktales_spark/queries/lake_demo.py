@@ -653,3 +653,46 @@ def l20_attached_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev.sql("USE main")
     fresh = connect("lake:" + prod_dir, spark)  # durable-state read-back
     return fresh.sql("SELECT * FROM migrated ORDER BY nation")
+
+
+@register_extra(
+    "l21_optimize_zorder",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_partkey BETWEEN 100 AND 199 AND l_suppkey BETWEEN 10 AND 19
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
+    survey_ids=(),  # extension: OPTIMIZE ZORDER maintenance verb (M2+)
+)
+def l21_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CALL optimize(t, zorder_by => ...)`` — the Delta OPTIMIZE ZORDER
+    / Iceberg rewrite_data_files(sort_order) analog (beyond the reference
+    surface; see Transaction.optimize). The face proves the rewrite is
+    semantically a no-op under a two-dimensional predicate — the exact
+    query shape whose FILES the z-order exists to prune — by answering
+    through the optimized table and hash-matching DuckDB on the raw
+    parquet. The pruning effect itself is pinned quantitatively in
+    tests/test_lake.py::test_optimize_zorder_clustering (point predicates
+    on either z column skip >= half the files)."""
+    from pyspark.sql import functions as F
+
+    lake = _fresh_lake(spark)
+    lake.ctas(
+        "li_z",
+        table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"
+        ),
+    )
+    lake.sql(
+        "CALL optimize('li_z', zorder_by => 'l_partkey,l_suppkey', "
+        "target_file_bytes => 262144)"
+    )
+    return lake.sql(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(l_quantity) AS DOUBLE) AS sum_qty FROM li_z "
+        "WHERE l_partkey BETWEEN 100 AND 199 "
+        "AND l_suppkey BETWEEN 10 AND 19 "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )

@@ -1785,3 +1785,73 @@ def test_read_memo_cross_session_invalidation(spark, tmp_path):
     assert ("t", v1) not in a._read_cache
     assert ("t", head) in a._read_cache
     assert a.read("t", version=head).count() == 3
+
+
+def test_optimize_zorder_clustering(spark, tmp_path):
+    """Transaction.optimize / CALL optimize: the z-order rewrite makes
+    file min/max stats tight on EVERY clustered column — point
+    predicates on either column prune most files afterwards (before the
+    rewrite every file may match, both columns being uniform in every
+    file) — while the row set, later reads, and pre-optimize time travel
+    are unchanged."""
+    from ducktales_spark.lake.stats import file_may_match, parse_conjuncts
+
+    lake = LakeCatalog(str(tmp_path / "zl"), spark, inline_threshold=0)
+    df = (
+        spark.range(40000)
+        .select(
+            (F.col("id") * 2654435761 % 1000).alias("a"),
+            (F.col("id") * 40503 % 997).alias("b"),
+            F.col("id").alias("pk"),
+        )
+        .repartition(8)
+    )
+    lake.ctas("zt", df)
+    v_pre = lake.current_version()
+    want = sorted(tuple(r) for r in lake.read("zt").collect())
+
+    def prune_counts(pred):
+        v = lake.current_version()
+        tid, _ = lake._table_at("zt", v)
+        schemas = lake._schemas_at(tid, v)
+        cur = schemas[max(schemas)]
+        rows = lake.ms.q(
+            "SELECT col_stats FROM lake_data_file WHERE table_id=? AND "
+            "added_snapshot<=? AND (removed_snapshot IS NULL OR "
+            "removed_snapshot>?)",
+            (tid, v, v),
+        )
+        cj = parse_conjuncts(pred)
+        return sum(1 for (cs,) in rows if file_may_match(cs, cj, cur)), len(rows)
+
+    m_a0, n0 = prune_counts("a = 5")
+    m_b0, _ = prune_counts("b = 5")
+    assert n0 >= 4 and m_a0 == n0 and m_b0 == n0  # unclustered: no skipping
+
+    # SQL maintenance verb, small target so the rewrite yields many files
+    lake.sql("CALL optimize('zt', zorder_by => 'a,b', target_file_bytes => 16384)")
+    got = sorted(tuple(r) for r in lake.read("zt").collect())
+    assert got == want  # pure rewrite
+    m_a1, n1 = prune_counts("a = 5")
+    m_b1, _ = prune_counts("b = 5")
+    assert n1 >= 4
+    assert m_a1 <= n1 // 2 and m_b1 <= n1 // 2  # both dimensions skip
+    # pre-optimize snapshot still serves (copy-on-write, files retained)
+    assert lake.read("zt", version=v_pre).count() == 40000
+    # predicate reads agree with the unpruned answer
+    assert lake.read("zt", where="a = 5").count() == lake.sql(
+        "SELECT count(*) AS n FROM zt WHERE a = 5"
+    ).collect()[0]["n"]
+
+    # string columns take the hash path: equality clustering, rows intact
+    lake.sql("ALTER TABLE zt ADD COLUMN s VARCHAR DEFAULT 'x'")
+    lake.optimize("zt", ["b", "s"], target_file_bytes=65536)
+    assert lake.count("zt") == 40000
+
+    # pointed argument errors
+    with pytest.raises(LakeError, match="unknown zorder column"):
+        lake.optimize("zt", "nope")
+    from ducktales_spark.lake.sql import LakeSQLError
+
+    with pytest.raises(LakeSQLError, match="zorder_by"):
+        lake.sql("CALL optimize('zt')")
