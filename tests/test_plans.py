@@ -344,3 +344,30 @@ def test_mv_read_face_stays_metadata_cheap(spark, tmp_path):
     df = lake.sql("SELECT k, n_rows, sum_v, avg_v FROM mk")
     p = plan_str(df)
     assert "Join" not in p and "Exchange" not in p, p
+
+
+def test_zvalue_expression_stays_jvm_side(spark, sf_dir):
+    """The OPTIMIZE ZORDER rewrite's Morton-value column is pure codegen
+    JVM expressions: no Python evaluation node may appear in its plan
+    (the rewrite runs over the WHOLE table — a per-row Python hop there
+    would be the classic 100 TB scale-killer), and the clustering write
+    shape is one range exchange."""
+    from ducktales_spark.lake.catalog import _zvalue
+    from ducktales_spark.lake.schema import Field, TableSchema
+
+    df = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_returnflag"
+    )
+    sch = TableSchema(
+        fields=(
+            Field(1, "l_partkey", "bigint", True, None),
+            Field(2, "l_suppkey", "bigint", True, None),
+            Field(3, "l_shipdate", "timestamp", True, None),
+            Field(4, "l_returnflag", "string", True, None),
+        ),
+    )
+    z = _zvalue(df, ["l_partkey", "l_suppkey", "l_shipdate", "l_returnflag"], sch)
+    clustered = df.withColumn("__z", z).repartitionByRange(8, F.col("__z"))
+    s = plan_str(clustered)
+    assert "Python" not in s and "BatchEval" not in s, s[:1500]
+    assert len(re.findall(r"\bExchange rangepartitioning", s)) == 1, s[:1500]
