@@ -138,7 +138,7 @@ def _zvalue(df: DataFrame, cols: list, schema: TableSchema):
             return F.col(c).cast("timestamp").cast("double")
         return F.col(c).cast("double")
 
-    hashy = tuple(("string", "binary", "boolean"))
+    hashy = ("string", "binary", "boolean", "array", "map", "struct")
     mmcols = [c for c in cols if not types[c].startswith(hashy)]
     mm = {}
     if mmcols:
@@ -2855,7 +2855,9 @@ class Transaction:
         ranges (documented trade-off, same as Delta's hash fallback).
         Copy-on-write through the normal staged-commit path: time travel
         to pre-optimize versions is unaffected, and the rewrite is
-        all-or-nothing on commit."""
+        all-or-nothing on commit. The spec is NOT persisted: compact()
+        re-clusters on partition_by only, so re-run optimize after a
+        compaction when z-clustering should persist."""
         cols = (
             [c.strip() for c in zorder_by.split(",")]
             if isinstance(zorder_by, str)
