@@ -2875,10 +2875,20 @@ class Transaction:
         total = sum(fe.file_bytes for fe in st.files)
         nparts = max(1, -(-total // target_file_bytes))
         z = _zvalue(df, cols, st.schema)
+        # a table with a declared clustering keeps it: z-order applies
+        # WITHIN the partition_by ranges (Delta's ZORDER-within-partition
+        # semantic), so partition-column file pruning is preserved and
+        # the z columns gain tight stats inside each range
+        lead = [
+            F.col(c)
+            for c in st.schema.partition_by
+            if c not in cols
+        ]
+        keys = [*lead, F.col("__z")]
         df = (
             df.withColumn("__z", z)
-            .repartitionByRange(int(nparts), F.col("__z"))
-            .sortWithinPartitions("__z")
+            .repartitionByRange(int(nparts), *keys)
+            .sortWithinPartitions(*keys)
             .drop("__z")
         )
         for fe in st.files:

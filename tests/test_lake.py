@@ -1855,3 +1855,44 @@ def test_optimize_zorder_clustering(spark, tmp_path):
 
     with pytest.raises(LakeSQLError, match="zorder_by"):
         lake.sql("CALL optimize('zt')")
+
+    # a PARTITION BY table keeps its declared clustering: z-order applies
+    # within partition ranges, so partition-column pruning survives
+    pl = LakeCatalog(str(tmp_path / "pz"), spark, inline_threshold=0)
+    pl.sql(
+        "CREATE TABLE pt (p INT, a INT, b INT) PARTITION BY (p)"
+    )
+    pl.insert(
+        "pt",
+        spark.range(60000).select(
+            (F.col("id") % 4).cast("int").alias("p"),
+            (F.col("id") * 2654435761 % 500).cast("int").alias("a"),
+            (F.col("id") * 40503 % 499).cast("int").alias("b"),
+        ),
+    )
+    pl.sql("CALL optimize('pt', zorder_by => 'a,b', target_file_bytes => 8192)")
+
+    def pt_prune(pred):
+        v = pl.current_version()
+        tid, _ = pl._table_at("pt", v)
+        schemas = pl._schemas_at(tid, v)
+        rows = pl.ms.q(
+            "SELECT col_stats FROM lake_data_file WHERE table_id=? AND "
+            "added_snapshot<=? AND (removed_snapshot IS NULL OR "
+            "removed_snapshot>?)",
+            (tid, v, v),
+        )
+        cj = parse_conjuncts(pred)
+        cur = schemas[max(schemas)]
+        return (
+            sum(1 for (cs,) in rows if file_may_match(cs, cj, cur)),
+            len(rows),
+        )
+
+    mp, np_ = pt_prune("p = 2")
+    assert np_ >= 4 and mp <= -(-np_ // 3)  # partition pruning survives
+    # with ~3 z-files per partition the split depth is ~1.6 bits, which
+    # lands on the MSB dimension first — that dimension must skip files
+    mb, _ = pt_prune("b = 400")
+    assert mb < np_
+    assert pl.count("pt") == 60000
