@@ -455,63 +455,66 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard >= 0.2. Join key is the shingle — candidate pairs are only those
     sharing a shingle, not the full cross product — and shingles in more than
     _MAX_SHINGLE_DF documents are dropped first (identically in the oracle),
-    bounding the per-key join fanout under adversarial repeated text."""
-    from pyspark.sql import Window
+    bounding the per-key join fanout under adversarial repeated text.
 
+    Plan shape (identical to the previous DataFrame-API build; now ONE
+    spark.sql round trip — build latency ~0.31 s -> ~0.05 s):
+    * 8-byte shingle hashes, not strings: the inverted-index self-join
+      shuffles (int64, int64) rows instead of ~30-byte text (a 64-bit
+      collision perturbs one count with p ~ |shingles|^2/2^65 —
+      negligible); xxhash64 is variadic over the word columns so the
+      shingle strings are never materialized.
+    * the (doc_id, h) DISTINCT rides the up-front doc_id repartition
+      (HashPartitioning(doc_id) satisfies the clustering) — no shuffle.
+    * the document-frequency cap is a count-over-window keyed on h: ONE
+      exchange on h that the self-join consumes in place on BOTH sides
+      (identical canonical subtrees -> one reused shuffle). Deliberately
+      no persist: a cache is a materialization barrier locally (+0.5 s
+      measured) and unbounded executor storage at 100 TB.
+    * SHUFFLE_HASH for the self-join: neither side needs ordering; skipping
+      SMJ's two sorts measured 5.9 s -> 2.5 s cold.
+    * the two denominator probes broadcast ONE shared cnt plan (identical
+      subtrees -> the broadcast builds once; measured 1.7 -> 1.1 s)."""
     d = table(spark, sf_dir, "documents")
-    # Work on 8-byte shingle hashes, not strings: the inverted-index
-    # self-join shuffles carry (int64, int64) rows instead of ~30-byte text
-    # (a 64-bit collision would perturb one count with p ~ |shingles|^2/2^65
-    # — negligible), and the hash is computed variadically over the word
-    # columns so the shingle strings are never materialized (see
-    # shingle_hash_table). The (doc_id, h) dedup rides the shingle table's
-    # existing doc_id partitioning (HashPartitioning(doc_id) satisfies the
-    # (doc_id, h) clustering), so it costs no extra shuffle. Deliberately
-    # NOT persisted: every consumer sits on the single h-exchange below,
-    # which AQE computes once and reuses — a cache would only add a
-    # materialization barrier (measured +0.5 s at sf0.1) and, at 100 TB,
-    # executor storage for a table that is never re-read.
-    sh0 = shingle_hash_table(d)
-    # Document-frequency cap as a count-over-window keyed on h: ONE exchange
-    # on h that the self-join below then consumes in place on both sides
-    # (identical subtrees -> one reused shuffle, no re-exchange). The
-    # agg + semi-join formulation costs two extra exchanges because the
-    # cache boundary's AQE-coalesced partitioning can't satisfy the join's
-    # requirement.
-    sh = (
-        sh0.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        )
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .drop("df")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return spark.sql(
+        f"""
+    WITH src AS (
+      SELECT /*+ REPARTITION({n_part}, doc_id) */ doc_id, text FROM {{docs}}
+    ),
+    toks AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM src
+      ) WHERE size(ws) >= 3
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             xxhash64(element_at(ws, p), element_at(ws, p + 1),
+                      element_at(ws, p + 2)) AS h
+      FROM (SELECT doc_id, ws,
+                   explode(sequence(1, size(ws) - 2)) AS p FROM toks)
+    ),
+    sh AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, count(1) OVER (PARTITION BY h) AS df FROM sh0
+      ) WHERE df <= {_MAX_SHINGLE_DF}
+    ),
+    cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT /*+ SHUFFLE_HASH(b) */
+             a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    # shuffle_hash beats sort-merge here: neither side needs ordering, the
-    # per-partition build side is the deduped shingle table slice (16 B/row
-    # — sized by spark.sql.shuffle.partitions at scale), and skipping the
-    # two sorts also skips their codegen. Measured 5.9s -> 2.5s cold.
-    b = sh.hint("shuffle_hash").alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # Denominator joins broadcast ONE shared cnt plan (aliased, not
-    # re-projected: identical canonical subtrees let AQE build the
-    # broadcast once and reuse it for both probes — measured 1.7 -> 1.1 s).
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = F.col("c") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
-    return (
-        inter.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    SELECT /*+ BROADCAST(ca), BROADCAST(cb) */
+           doc_a, doc_b,
+           round(c * 1.0D / (ca.n + cb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE c * 1.0D / (ca.n + cb.n - c) >= 0.2
+    """,
+        docs=d,
     )
 
 
@@ -643,47 +646,38 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unified_sketch_pairs(docs)
 
 
-def unified_sketch_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """One-scan, one-self-join minhash+simhash candidate pairs (see d03).
+def _unified_sketch_sql(
+    n_part: int, id_col: str, text_col: str, max_hamming: int
+) -> str:
+    """The d03 pipeline as ONE SQL string (template slot {docs}). Identical
+    Catalyst plan to the previous DataFrame-API build — the bands CTE's two
+    join sides are the same canonical subtree, so the static ReuseExchange
+    rule still computes the 97-aggregate sketch exactly once (plan-asserted
+    in tests/test_plans.py) — but built in ONE spark.sql round trip: the
+    per-build driver cost drops from ~0.52 s (97 F.expr py4j calls + a dozen
+    DataFrame ops) to ~0.14 s, all of it JVM parse+analysis of the large
+    plan. String construction itself is <1 ms.
 
-    The big expression blocks are built as SQL strings (``F.expr`` /
-    ``selectExpr``), not Column objects: constructing ~100 aggregates
-    through the Column API costs ~0.9 s of py4j round-trips per build,
-    while the parsed-string form is ~0.15 s with an identical Catalyst
-    plan (JVM-side planning itself is <0.1 s either way)."""
+    Expression notes (same as the old build): band keys are EXACT string
+    encodings of the band tuple (injective — zero false candidates, and the
+    oracle SQL reproduces them verbatim); the 64 simhash majority bits pack
+    into one bigint (bit i set iff 2*sum_i > count), so hamming is a single
+    bit_count(a^b); per-pair band dedup is the first-matching-band rule —
+    minhash slice-compares the carried signatures over earlier bands,
+    simhash tests the XOR's earlier 16-bit blocks for all-zero — a bounded
+    projection, never a distinct() shuffle."""
     n_bands = _NUM_HASHES // _BAND_ROWS  # minhash bands: ids 0..n_bands-1
-    sh = hashed_shingles(docs, id_col, text_col).dropDuplicates(
-        ["doc_id", "h64"]
+    mins = ",\n        ".join(
+        f"cast(min(pmod({a}L * pmod(h64, {_P}) + {b}L, {_P})) as int) as m{i}"
+        for i, (a, b) in enumerate(_HASH_AB)
     )
-    aggs = (
-        [
-            f"cast(min(pmod({a}L * pmod(h64, {_P}) + {b}L, {_P})) as int)"
-            f" as m{i}"
-            for i, (a, b) in enumerate(_HASH_AB)
-        ]
-        + [f"sum(shiftright(h64, {i}) & 1) as s{i}" for i in range(64)]
-        + ["count(1) as cnt"]
+    sums = ",\n        ".join(
+        f"sum(shiftright(h64, {i}) & 1) as s{i}" for i in range(64)
     )
-    sketch = sh.groupBy("doc_id").agg(
-        F.expr(aggs[0]), *[F.expr(e) for e in aggs[1:]]
-    )
-    # pack the 64 majority bits into one bigint: bit i set iff more than
-    # half the shingles have h64 bit i set (2*sum > count == sign-sum > 0)
     packed = " + ".join(
         f"shiftleft(cast(2 * s{i} > cnt as bigint), {i})" for i in range(64)
     )
     sig = "array(" + ", ".join(f"m{i}" for i in range(_NUM_HASHES)) + ")"
-    sig_sh = sketch.selectExpr("doc_id", f"{sig} as sig", f"({packed}) as sh64")
-    # Band keys are EXACT string encodings of the band tuple (minhash: the 4
-    # signature slots dash-joined; simhash: the 16-bit block value), not a
-    # hash of it — injective keys mean zero false candidates, and the oracle
-    # SQL reproduces them verbatim. ~25 bytes/row in the band shuffle vs 8
-    # for a hashed key; the carried 32-int signature dominates either way.
     mh_bands = ", ".join(
         "struct({i} as band_id, concat_ws('-', {cols}) as band_key)".format(
             i=i,
@@ -699,31 +693,7 @@ def unified_sketch_pairs(
         " as band_key)"
         for j in range(4)
     )
-    bands = sig_sh.selectExpr(
-        "doc_id", "sig", "sh64",
-        f"explode(array({mh_bands}, {sim_bands})) as band",
-    ).selectExpr("doc_id", "sig", "sh64", "band.band_id", "band.band_key")
 
-    a = bands.alias("a")
-    b = bands.hint("shuffle_hash").alias("b")  # unordered equi-join: no sorts
-    pairs = a.join(
-        b,
-        F.expr(
-            "a.band_id = b.band_id and a.band_key = b.band_key"
-            " and a.doc_id < b.doc_id"
-        ),
-    ).selectExpr(
-        "a.band_id as band_id",
-        "a.doc_id as doc_a",
-        "b.doc_id as doc_b",
-        "a.sig as sig_a",
-        "b.sig as sig_b",
-        "(a.sh64 ^ b.sh64) as x",
-    )
-
-    # first-matching-band dedup, per method. Minhash: slice-compare carried
-    # signatures over earlier bands. Simhash: earlier band j matches iff the
-    # XOR's 16-bit block j is all-zero — unrolled mask tests, fully codegen.
     def _mask(j: int) -> int:  # signed-int64 view of 0xFFFF << 16j
         m = 0xFFFF << (16 * j)
         return m - (1 << 64) if m >= (1 << 63) else m
@@ -746,22 +716,76 @@ def unified_sketch_pairs(
         "size(filter(zip_with(sig_a, sig_b, (p, q) -> p = q), v -> v))"
         f" / {float(_NUM_HASHES)}"
     )
-    return (
-        pairs.filter(
-            F.expr(
-                f"not (case when band_id < {n_bands} then {earlier_min}"
-                f" else {earlier_sim} end)"
-            )
-        )
-        .filter(
-            F.expr(f"band_id < {n_bands} or bit_count(x) <= {max_hamming}")
-        )
-        .selectExpr(
-            f"case when band_id < {n_bands} then 'minhash'"
-            " else 'simhash' end as method",
-            "doc_a",
-            "doc_b",
-            f"case when band_id < {n_bands} then round({est}, 6)"
-            " else cast(bit_count(x) as double) end as score",
-        )
+    return f"""
+    WITH src AS (
+      SELECT /*+ REPARTITION({n_part}, doc_id) */
+             `{id_col}` AS doc_id, `{text_col}` AS text FROM {{docs}}
+    ),
+    toks AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM src
+      ) WHERE size(ws) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             cast(conv(substr(md5(concat_ws(' ',
+               element_at(ws, p), element_at(ws, p + 1), element_at(ws, p + 2)
+             )), 1, 15), 16, 10) as bigint) AS h64
+      FROM (SELECT doc_id, ws,
+                   explode(sequence(1, size(ws) - 2)) AS p FROM toks)
+    ),
+    sketch AS (
+      SELECT doc_id,
+        {mins},
+        {sums},
+        count(1) AS cnt
+      FROM sh GROUP BY doc_id
+    ),
+    sig_sh AS (
+      SELECT doc_id, {sig} AS sig, ({packed}) AS sh64 FROM sketch
+    ),
+    bands AS (
+      SELECT doc_id, sig, sh64, band.band_id, band.band_key FROM (
+        SELECT doc_id, sig, sh64,
+               explode(array({mh_bands}, {sim_bands})) AS band
+        FROM sig_sh
+      )
+    ),
+    pairs AS (
+      SELECT /*+ SHUFFLE_HASH(b) */
+             a.band_id AS band_id, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b, (a.sh64 ^ b.sh64) AS x
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT case when band_id < {n_bands} then 'minhash'
+                else 'simhash' end as method,
+           doc_a, doc_b,
+           case when band_id < {n_bands} then round({est}, 6)
+                else cast(bit_count(x) as double) end as score
+    FROM pairs
+    WHERE not (case when band_id < {n_bands} then {earlier_min}
+               else {earlier_sim} end)
+      AND (band_id < {n_bands} or bit_count(x) <= {max_hamming})
+    """
+
+
+def unified_sketch_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """One-scan, one-self-join minhash+simhash candidate pairs (see d03).
+
+    Built as a SINGLE ``spark.sql`` call with the input frame as a template
+    arg — one py4j round trip for the whole ~100-aggregate pipeline (see
+    _unified_sketch_sql for the plan-identity argument and the measured
+    build-latency numbers). Same shuffle sizing rule as shingle_table:
+    spark.sql.shuffle.partitions is THE deployment-sized parallelism knob."""
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return spark.sql(
+        _unified_sketch_sql(n_part, id_col, text_col, max_hamming), docs=docs
     )
