@@ -305,6 +305,10 @@ class LakeCatalog:
         with self.transaction() as tx:
             tx.set_partition_by(name, cols)
 
+    def set_zorder_by(self, name, cols):
+        with self.transaction() as tx:
+            tx.set_zorder_by(name, cols)
+
     def alter_column_type(self, name, col, new_type):
         with self.transaction() as tx:
             tx.alter_column_type(name, col, new_type)
@@ -329,7 +333,7 @@ class LakeCatalog:
         with self.transaction() as tx:
             tx.compact(name, target_file_bytes)
 
-    def optimize(self, name, zorder_by, target_file_bytes: int = 128 << 20):
+    def optimize(self, name, zorder_by=None, target_file_bytes: int = 128 << 20):
         with self.transaction() as tx:
             tx.optimize(name, zorder_by, target_file_bytes)
 
@@ -1203,6 +1207,21 @@ class Transaction:
         except KeyError as e:
             raise LakeError(
                 f"unknown partition column for table {name!r}: {e.args[0]}"
+            ) from None
+
+    def set_zorder_by(self, name, cols) -> None:
+        """Persist (or with empty ``cols`` RESET) the z-order spec —
+        metadata-only, like set_partition_by: no rewrite here. optimize()
+        applies the clustering; compact() and later optimize() calls
+        re-apply it, so routine maintenance never silently destroys the
+        clustering a full-table rewrite paid for (Delta persists its
+        cluster spec the same way)."""
+        st = self._state(name)
+        try:
+            self._evolve(st, st.schema.set_zorder_by(cols), "tables_altered")
+        except KeyError as e:
+            raise LakeError(
+                f"unknown z-order column for table {name!r}: {e.args[0]}"
             ) from None
 
     def set_not_null(self, name, col) -> None:
@@ -2804,22 +2823,44 @@ class Transaction:
         st.changes.add("tables_compacted")
         st.coarse_write = True
 
-    def compact(self, name: str, target_file_bytes: int = 128 << 20) -> None:
-        """M2: rewrite the table into ~target-sized files (+ flush inlined).
-        ``coalesce`` avoids a shuffle when reducing file count."""
-        st = self._state(name)
-        total = sum(fe.file_bytes for fe in st.files)
-        if not st.files and not st.inlined:
-            return
-        nparts = max(1, -(-total // target_file_bytes))
-        df = self.c._build_df(st.files, st.inlined, st.schemas, st.schema)
-        pcols = st.schema.partition_by
-        if pcols:
-            # re-cluster on the partition columns (coalesce would interleave
-            # value ranges across files and destroy skipping selectivity)
-            df = df.repartitionByRange(int(nparts), *[F.col(c) for c in pcols])
-        else:
-            df = df.coalesce(int(nparts))
+    def _zcluster(self, st: TableState, df: DataFrame, cols, nparts: int):
+        """Range-repartition + sort ``df`` on (non-z partition columns,
+        z-value of ``cols``) — the clustering shape optimize() establishes
+        and compact() must re-apply. A table with a declared partition_by
+        keeps it: z-order applies WITHIN the partition ranges (Delta's
+        ZORDER-within-partition semantic), so partition-column file
+        pruning is preserved and the z columns gain tight stats inside
+        each range. Boundary caveat: range-exchange boundaries come from
+        reservoir sampling, so at most ONE file per internal output-
+        partition boundary may straddle two partition values (the sample
+        error lands the cut a few hundred rows off the exact group edge).
+        At scale — thousands of files per partition — the straddle share
+        is ~0; making it exact would cost a second full shuffle (rank
+        window) or a directory-partitioned write layout, neither worth it
+        for a maintenance verb."""
+        z = _zvalue(df, list(cols), st.schema)
+        lead = [
+            F.col(c)
+            for c in st.schema.partition_by
+            if c not in cols
+        ]
+        keys = [*lead, F.col("__z")]
+        return (
+            df.withColumn("__z", z)
+            .repartitionByRange(int(nparts), *keys)
+            .sortWithinPartitions(*keys)
+            .drop("__z")
+        )
+
+    def _replace_files(self, st: TableState, df: DataFrame, change: str) -> None:
+        """Swap the table's whole file/inlined set for the rewrite ``df``
+        (compact/optimize tail): record removals for committed entries,
+        write the new staged files, then physically delete staged parquet
+        that just fell out of the plan — those files were never published,
+        and leaving them on disk orphans them until gc (r13 ADVICE). The
+        deletes happen AFTER the write executes (the rewrite's scan reads
+        the old files)."""
+        staged_paths = [fe.path for fe in st.files if fe.staged]
         for fe in st.files:
             if not fe.staged:
                 st.removed_file_ids.append(fe.file_id)
@@ -2828,15 +2869,45 @@ class Transaction:
             if not ie.staged:
                 st.removed_inlined_ids.append(ie.row_id)
         st.inlined.clear()
-        # already clustered/sized above; don't re-shuffle in the write path
+        # already clustered/sized by the caller; don't re-shuffle in the
+        # write path
         st.files.extend(self._write_staged(st, df, cluster=False))
-        st.changes.add("tables_compacted")
+        for p in staged_paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        st.changes.add(change)
         st.coarse_write = True
+
+    def compact(self, name: str, target_file_bytes: int = 128 << 20) -> None:
+        """M2: rewrite the table into ~target-sized files (+ flush inlined).
+        A persisted z-order spec (optimize / SET ZORDER BY) is RE-APPLIED —
+        compaction must not silently destroy clustering a full-table
+        rewrite paid for; otherwise partition_by re-clusters (coalesce
+        would interleave value ranges across files and destroy skipping
+        selectivity), and an unclustered table just coalesces — no
+        shuffle when only reducing file count."""
+        st = self._state(name)
+        total = sum(fe.file_bytes for fe in st.files)
+        if not st.files and not st.inlined:
+            return
+        nparts = max(1, -(-total // target_file_bytes))
+        df = self.c._build_df(st.files, st.inlined, st.schemas, st.schema)
+        if st.schema.zorder_by:
+            df = self._zcluster(st, df, st.schema.zorder_by, nparts)
+        elif st.schema.partition_by:
+            df = df.repartitionByRange(
+                int(nparts), *[F.col(c) for c in st.schema.partition_by]
+            )
+        else:
+            df = df.coalesce(int(nparts))
+        self._replace_files(st, df, "tables_compacted")
 
     def optimize(
         self,
         name: str,
-        zorder_by,
+        zorder_by=None,
         target_file_bytes: int = 128 << 20,
     ) -> None:
         """Multi-column clustering rewrite — the Delta ``OPTIMIZE ...
@@ -2855,53 +2926,42 @@ class Transaction:
         ranges (documented trade-off, same as Delta's hash fallback).
         Copy-on-write through the normal staged-commit path: time travel
         to pre-optimize versions is unaffected, and the rewrite is
-        all-or-nothing on commit. The spec is NOT persisted: compact()
-        re-clusters on partition_by only, so re-run optimize after a
-        compaction when z-clustering should persist."""
-        cols = (
-            [c.strip() for c in zorder_by.split(",")]
-            if isinstance(zorder_by, str)
-            else list(zorder_by)
-        )
-        if not cols:
-            raise LakeError("optimize requires at least one zorder column")
+        all-or-nothing on commit.
+
+        The spec PERSISTS: explicit ``zorder_by`` columns are recorded in
+        the table schema (one metadata-only evolution, same machinery as
+        SET PARTITIONED BY) so compact() and later bare ``optimize(name)``
+        calls re-apply them; ``optimize(name)`` with no columns re-clusters
+        on the persisted spec. ALTER TABLE ... SET/RESET ZORDER BY edits
+        the spec without rewriting."""
         st = self._state(name)
-        for c in cols:
-            if c not in {f.name for f in st.schema.fields}:
-                raise LakeError(f"unknown zorder column {c!r}")
+        if zorder_by is None:
+            cols = list(st.schema.zorder_by)
+            if not cols:
+                raise LakeError(
+                    f"table {name!r} has no persisted z-order spec; pass "
+                    "zorder_by columns (or ALTER TABLE ... SET ZORDER BY)"
+                )
+        else:
+            cols = (
+                [c.strip() for c in zorder_by.split(",")]
+                if isinstance(zorder_by, str)
+                else list(zorder_by)
+            )
+            if not cols:
+                raise LakeError("optimize requires at least one zorder column")
+            for c in cols:
+                if c not in {f.name for f in st.schema.fields}:
+                    raise LakeError(f"unknown zorder column {c!r}")
+            if tuple(cols) != st.schema.zorder_by:
+                self.set_zorder_by(name, cols)
         if not st.files and not st.inlined:
             return
         df = self.c._build_df(st.files, st.inlined, st.schemas, st.schema)
         total = sum(fe.file_bytes for fe in st.files)
         nparts = max(1, -(-total // target_file_bytes))
-        z = _zvalue(df, cols, st.schema)
-        # a table with a declared clustering keeps it: z-order applies
-        # WITHIN the partition_by ranges (Delta's ZORDER-within-partition
-        # semantic), so partition-column file pruning is preserved and
-        # the z columns gain tight stats inside each range
-        lead = [
-            F.col(c)
-            for c in st.schema.partition_by
-            if c not in cols
-        ]
-        keys = [*lead, F.col("__z")]
-        df = (
-            df.withColumn("__z", z)
-            .repartitionByRange(int(nparts), *keys)
-            .sortWithinPartitions(*keys)
-            .drop("__z")
-        )
-        for fe in st.files:
-            if not fe.staged:
-                st.removed_file_ids.append(fe.file_id)
-        st.files.clear()
-        for ie in st.inlined:
-            if not ie.staged:
-                st.removed_inlined_ids.append(ie.row_id)
-        st.inlined.clear()
-        st.files.extend(self._write_staged(st, df, cluster=False))
-        st.changes.add("tables_optimized")
-        st.coarse_write = True
+        df = self._zcluster(st, df, cols, nparts)
+        self._replace_files(st, df, "tables_optimized")
 
     def _read_range_conflict(self, t, st: TableState, sid: int) -> bool:
         """Does concurrent snapshot ``sid`` intersect any of this txn's

@@ -53,6 +53,12 @@ class TableSchema:
     # stats-based file skipping (stats.py) act as partition pruning — the
     # 100 TB analog of hive partitioning without encoding values in paths.
     partition_by: tuple = ()
+    # Z-order spec (Delta's clustered-table analog): recorded by
+    # optimize(..., zorder_by) / ALTER TABLE ... SET ZORDER BY so that
+    # compact() and every later optimize() RE-APPLY the multi-dimensional
+    # clustering instead of silently destroying it — an optimize is a
+    # full-table rewrite; its effect must survive routine maintenance.
+    zorder_by: tuple = ()
 
     # -- conversions ------------------------------------------------------
     def to_struct(self) -> StructType:
@@ -86,6 +92,7 @@ class TableSchema:
                 ],
                 "primary_key": list(self.primary_key),
                 "partition_by": list(self.partition_by),
+                "zorder_by": list(self.zorder_by),
             }
         )
 
@@ -99,6 +106,7 @@ class TableSchema:
             ),
             tuple(d.get("primary_key", ())),
             tuple(d.get("partition_by", ())),
+            tuple(d.get("zorder_by", ())),
         )
 
     # -- helpers ----------------------------------------------------------
@@ -128,7 +136,10 @@ class TableSchema:
             field_id if field_id is not None else self.max_field_id() + 1,
             name, type_, True, default,
         )
-        return TableSchema(self.fields + (nf,), self.primary_key, self.partition_by)
+        return TableSchema(
+            self.fields + (nf,), self.primary_key, self.partition_by,
+            self.zorder_by,
+        )
 
     def drop_column(self, name: str) -> "TableSchema":
         self.field_by_name(name)
@@ -136,10 +147,16 @@ class TableSchema:
             raise ValueError(f"cannot drop primary-key column {name!r}")
         if name in self.partition_by:
             raise ValueError(f"cannot drop partitioning column {name!r}")
+        if name in self.zorder_by:
+            raise ValueError(
+                f"cannot drop z-order column {name!r} "
+                "(ALTER TABLE ... RESET ZORDER BY first)"
+            )
         return TableSchema(
             tuple(f for f in self.fields if f.name != name),
             self.primary_key,
             self.partition_by,
+            self.zorder_by,
         )
 
     def rename_column(self, old: str, new: str) -> "TableSchema":
@@ -151,6 +168,7 @@ class TableSchema:
             tuple(nf if g.field_id == f.field_id else g for g in self.fields),
             tuple(new if c == old else c for c in self.primary_key),
             tuple(new if c == old else c for c in self.partition_by),
+            tuple(new if c == old else c for c in self.zorder_by),
         )
 
     def set_partition_by(self, cols) -> "TableSchema":
@@ -162,7 +180,18 @@ class TableSchema:
         cols = tuple(cols)
         for c in cols:
             self.field_by_name(c)  # KeyError -> unknown column
-        return TableSchema(self.fields, self.primary_key, cols)
+        return TableSchema(self.fields, self.primary_key, cols, self.zorder_by)
+
+    def set_zorder_by(self, cols) -> "TableSchema":
+        """Persisted z-order spec (Delta records its clustering columns the
+        same way): metadata-only — no rewrite happens here; optimize()
+        applies the clustering and compact() re-applies it so maintenance
+        never silently destroys paid-for clustering. Empty ``cols`` =
+        RESET ZORDER BY."""
+        cols = tuple(cols)
+        for c in cols:
+            self.field_by_name(c)  # KeyError -> unknown column
+        return TableSchema(self.fields, self.primary_key, self.partition_by, cols)
 
     def set_not_null(self, name: str) -> "TableSchema":
         f = self.field_by_name(name)
@@ -171,6 +200,7 @@ class TableSchema:
             tuple(nf if g.field_id == f.field_id else g for g in self.fields),
             self.primary_key,
             self.partition_by,
+            self.zorder_by,
         )
 
     def alter_column_type(
@@ -200,6 +230,7 @@ class TableSchema:
             tuple(nf if g.field_id == f.field_id else g for g in self.fields),
             self.primary_key,
             self.partition_by,
+            self.zorder_by,
         )
 
 

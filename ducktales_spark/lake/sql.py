@@ -753,6 +753,28 @@ class SQLExecutor:
         if m:
             self._run(lambda tx: tx.set_partition_by(m.group(1), ()))
             return self._status("ALTER TABLE", 0)
+        # SET/RESET ZORDER BY — metadata-only spec edit (see
+        # Transaction.set_zorder_by); CALL optimize applies it, compact()
+        # re-applies it
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+SET\s+ZORDER\s+BY\s*"
+            rf"\(([^()]*)\)\s*$",
+            q,
+            re.I,
+        )
+        if m:
+            t = m.group(1)
+            cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+            self._run(lambda tx: tx.set_zorder_by(t, cols))
+            return self._status("ALTER TABLE", 0)
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_IDENT})\s+RESET\s+ZORDER\s+BY$",
+            q,
+            re.I,
+        )
+        if m:
+            self._run(lambda tx: tx.set_zorder_by(m.group(1), ()))
+            return self._status("ALTER TABLE", 0)
         # ALTER COLUMN c TYPE T / SET DATA TYPE T (widening casts only —
         # the reference's "change data types" claim, README.md:50)
         m = re.match(
@@ -2048,14 +2070,19 @@ class SQLExecutor:
             return self._status("CALL compact", 0)
         if f == "optimize":
             # Delta's OPTIMIZE ... ZORDER BY as a maintenance verb:
-            # CALL optimize('t', zorder_by => 'a,b'
+            # CALL optimize('t' [, zorder_by => 'a,b']
             #               [, target_file_bytes => n])
-            if len(pos) != 1 or "zorder_by" not in named:
+            # zorder_by omitted = re-cluster on the table's PERSISTED spec
+            # (optimize records explicit columns in the schema, so compact
+            # and later bare optimize calls keep the clustering)
+            if len(pos) != 1:
                 raise LakeSQLError(
-                    "optimize(table, zorder_by => 'col[,col...]' "
+                    "optimize(table [, zorder_by => 'col[,col...]'] "
                     "[, target_file_bytes => n])"
                 )
-            kw = {"zorder_by": _val(named["zorder_by"])}
+            kw = {}
+            if "zorder_by" in named:
+                kw["zorder_by"] = _val(named["zorder_by"])
             if "target_file_bytes" in named:
                 kw["target_file_bytes"] = _val(named["target_file_bytes"])
             self.c.optimize(_val(pos[0]), **kw)
