@@ -558,7 +558,11 @@ def r01_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE user_id % 5 != 2
         GROUP BY 1, 2
         HAVING count(*) >= 2""",
-    survey_ids=(),  # extension: MV COUNT(col)/COUNT(DISTINCT) maintenance
+    # A2: exact COUNT(DISTINCT) — maintained INCREMENTALLY here (the MV
+    # tier's distinct-state fold), which subsumes the one-shot a02 form
+    # (now an EXTRA-tier differential, rotated r14 to free a driver slot
+    # for l21_optimize_zorder)
+    survey_ids=("A2",),
 )
 def r02_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-8 MV aggregate surface end to end, SQL-first: CREATE
@@ -655,7 +659,10 @@ def l20_attached_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.sql("SELECT * FROM migrated ORDER BY nation")
 
 
-@register_extra(
+@register(
+    # promoted to the driver sweep in round 14 (displacing a02, whose A2
+    # rides r02): the headline beyond-reference maintenance verb should be
+    # driver-hash-checked, not only pytest-parity-checked
     "l21_optimize_zorder",
     oracle="""
         SELECT l_returnflag,
