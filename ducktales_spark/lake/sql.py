@@ -444,14 +444,37 @@ class SQLExecutor:
                         mc = re.match(
                             rf"^CHECKPOINT\s+({_IDENT})$", q, re.I
                         )
+                        # 'main' (the bound catalog) is reserved and never
+                        # in the attach list, but the bound catalog is
+                        # writable — CHECKPOINT main must delegate exactly
+                        # like CHECKPOINT main.t / INSERT INTO main.t do
+                        # (r13 ADVICE: it was refused here)
                         if (
                             mc is not None
-                            and mc.group(1).lower() in self._attached
+                            and (
+                                mc.group(1).lower() in self._attached
+                                or mc.group(1).lower() == "main"
+                            )
                             and not self._att_executor(
                                 self._use
                             )._table_exists(mc.group(1))
                         ):
                             mq = mc
+                    if mq is None:
+                        # a CALL whose target is qualified away from the
+                        # read-only default (CALL compact(dev.t) / CALL
+                        # expire_snapshots(catalog => 'dev')) delegates
+                        # too — the delegate's CALL routing enforces the
+                        # actual target's read-only flag
+                        mcall = re.match(
+                            rf"^CALL\s+{_IDENT}\s*\(\s*'?({_IDENT})\s*\.",
+                            q,
+                            re.I,
+                        ) or re.search(
+                            rf"\bcatalog\s*=>\s*'({_IDENT})'", q, re.I
+                        )
+                        if mcall is not None:
+                            mq = mcall
                     if mq is None or mq.group(1).lower() == self._use:
                         raise LakeSQLError(
                             f"catalog {self._use!r} is attached READ_ONLY"
@@ -2038,6 +2061,49 @@ class SQLExecutor:
                     raise LakeSQLError(f"bad CALL argument {tok!r}")
 
         _df_arg = self._rows_arg
+
+        def _qual(tok):
+            """``att.t`` (bare or quoted) -> (catalog_key, table);
+            (None, None) when the token is undotted."""
+            t = tok.strip()
+            if t.startswith("'") and t.endswith("'"):
+                t = t[1:-1].replace("''", "'")
+            mm = re.fullmatch(rf"({_IDENT})\s*\.\s*({_IDENT})", t)
+            return (mm.group(1).lower(), mm.group(2)) if mm else (None, None)
+
+        def _route(cat: str, args: list) -> DataFrame:
+            """Re-issue this CALL against catalog ``cat``'s own engine —
+            the _attached_write dispatch pattern: self/'main'-qualified
+            strips the qualifier, READ_ONLY targets are refused, unknown
+            names error. SQL-first maintenance of an attached catalog no
+            longer needs USE round trips (r13 verdict task 4)."""
+            stmt = f"CALL {f}({', '.join(args)})"
+            target_c = self._attached.get(cat)
+            if target_c is self.c or (target_c is None and cat == "main"):
+                return self.execute(stmt)
+            if target_c is None:
+                raise LakeSQLError(f"no attached catalog named {cat!r}")
+            if cat in self._att_readonly:
+                raise LakeSQLError(f"catalog {cat!r} is attached READ_ONLY")
+            return self._att_executor(cat).execute(stmt)
+
+        # table-level maintenance verbs accept a qualified <att>.<t> target
+        if f in ("compact", "optimize", "flush_inlined") and pos:
+            cat, qtbl = _qual(pos[0])
+            if cat is not None:
+                esc = qtbl.replace("'", "''")
+                return _route(
+                    cat,
+                    [f"'{esc}'"]
+                    + pos[1:]
+                    + [f"{k} => {v}" for k, v in named.items()],
+                )
+        # catalog-level verbs take the target as catalog => 'att'
+        if f in ("expire_snapshots", "gc") and "catalog" in named:
+            cat = str(_val(named.pop("catalog"))).lower()
+            return _route(
+                cat, pos + [f"{k} => {v}" for k, v in named.items()]
+            )
 
         if f == "expire_snapshots":
             kw = {}

@@ -3637,12 +3637,15 @@ def test_export_database_csv_round_trip(lake, spark, tmp_path):
         lake.sql("EXPORT DATABASE '/tmp/nope' (FORMAT JSON)")
 
 
-@pytest.mark.parametrize("verb", ["summarize", "describe", "checkpoint", "export"])
+@pytest.mark.parametrize(
+    "verb", ["summarize", "describe", "checkpoint", "export", "call"]
+)
 def test_session_verb_matrix(lake, spark, tmp_path, verb):
-    """The r12 session-verb matrix, pinned (VERDICT r12 task 8): each of
-    SUMMARIZE / DESCRIBE / CHECKPOINT / EXPORT DATABASE run (a) qualified
-    against an attachment, (b) under ``USE <attached>``, and (c) against a
-    READ_ONLY attachment — reads succeed everywhere, writes refuse on (c)."""
+    """The r12 session-verb matrix, pinned (VERDICT r12 task 8; CALL rows
+    added r14 per task 4): each of SUMMARIZE / DESCRIBE / CHECKPOINT /
+    EXPORT DATABASE / CALL run (a) qualified against an attachment, (b)
+    under ``USE <attached>``, and (c) against a READ_ONLY attachment —
+    reads succeed everywhere, writes refuse on (c)."""
     import os as _os
 
     p = str(tmp_path / "att")
@@ -3707,6 +3710,54 @@ def test_session_verb_matrix(lake, spark, tmp_path, verb):
         # unknown catalog is pointed
         with pytest.raises(LakeSQLError, match="no attached catalog"):
             lake.sql("CHECKPOINT nope.t")
+        # dotless CHECKPOINT main under READ_ONLY USE flushes the BOUND
+        # catalog — it is writable; refusing it was the r13 ADVICE wart
+        lake.sql("USE ro")
+        lake.sql("CHECKPOINT main")
+        with pytest.raises(LakeSQLError, match="READ_ONLY"):
+            lake.sql("CHECKPOINT")  # the USE'd catalog itself stays refused
+        lake.sql("USE main")
+    elif verb == "call":
+        import glob as _glob
+
+        def files():
+            return _glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True)
+
+        # (a) qualified table-level verbs route to the attachment's engine
+        assert not files()  # t's rows are inlined so far
+        lake.sql("CALL flush_inlined(att.t)")
+        assert files()
+        lake.sql("CALL compact('att.t')")  # quoted spelling too
+        lake.sql("CALL optimize(att.t, zorder_by => 'x')")
+        assert lake.sql("SELECT count(*) AS n FROM att.t").collect()[0]["n"] == 2
+        # catalog-level verb targets via catalog =>
+        r = lake.sql(
+            "CALL expire_snapshots(catalog => 'att', keep_last => 1)"
+        ).collect()[0]
+        assert r["snapshots_expired"] > 0
+        # (b) under USE: unqualified operates on the USE'd catalog,
+        # main-qualified routes back to the bound catalog
+        lake.sql("INSERT INTO localt VALUES (1)")
+        lake.sql("USE att")
+        lake.sql("CALL compact(t)")
+        lake.sql("CALL compact(main.localt)")
+        lake.sql("USE main")
+        # (c) READ_ONLY refuses in every spelling that targets it...
+        with pytest.raises(LakeSQLError, match="READ_ONLY"):
+            lake.sql("CALL compact(ro.t)")
+        with pytest.raises(LakeSQLError, match="READ_ONLY"):
+            lake.sql("CALL expire_snapshots(catalog => 'ro', keep_last => 1)")
+        lake.sql("USE ro")
+        with pytest.raises(LakeSQLError, match="READ_ONLY"):
+            lake.sql("CALL compact(t)")
+        # ...but a qualified target naming a DIFFERENT catalog delegates:
+        # the actual target's flag decides
+        lake.sql("CALL compact(att.t)")
+        lake.sql("CALL compact(main.localt)")
+        lake.sql("USE main")
+        # unknown catalog is pointed
+        with pytest.raises(LakeSQLError, match="no attached catalog"):
+            lake.sql("CALL compact(nope.t)")
     else:  # export
         # (b) EXPORT DATABASE under USE exports the USE'd catalog
         exp = str(tmp_path / "exp_use")
