@@ -124,11 +124,20 @@ def _zvalue(df: DataFrame, cols: list, schema: TableSchema):
     """Interleaved-bit z-value Column over ``cols`` — all built-in JVM
     expressions (codegen), no Python. Each column is bucketed into
     ``b = min(16, 62 // k)`` bits: range-normalized against its min/max
-    (ONE bounded agg job, 2k scalars to the driver) for
-    numeric/date/timestamp columns, or the top bits of xxhash64 for
-    string/binary/boolean (equality clustering only — a hash has no
-    range order). NULLs land in bucket 0. Bit j of every column
-    interleaves at position ``j*k + i``, the classic Morton order."""
+    (ONE bounded agg job, 2k scalars to the driver) for numeric/date/
+    timestamp columns AND for strings — a string keys on its first 7
+    UTF-8 bytes packed big-endian into a long (Delta's truncated-prefix
+    approach: UTF-8 byte order equals code-point order, so the packed
+    long is range-ordered exactly like the parquet min/max stats the
+    pruner compares), NUL-padded so short strings sort before their
+    extensions. Point AND range predicates on a string z column both
+    prune; the degenerate case is a column whose values share a >= 7-byte
+    common prefix, where every row lands in one bucket (the min/max
+    normalization absorbs SHORTER shared prefixes). binary/boolean/
+    array/map/struct take the top bits of xxhash64 (equality clustering
+    only — a hash has no range order). NULLs land in bucket 0. Bit j of
+    every column interleaves at position ``j*k + i``, the classic Morton
+    order."""
     k = len(cols)
     b = min(16, max(1, 62 // k))
     types = {f.name: f.type.lower() for f in schema.fields}
@@ -136,9 +145,17 @@ def _zvalue(df: DataFrame, cols: list, schema: TableSchema):
     def _num(c: str):
         if types[c].startswith(("date", "timestamp")):
             return F.col(c).cast("timestamp").cast("double")
+        if types[c].startswith(("string", "varchar", "char")):
+            # first 7 bytes big-endian as a 56-bit long (sign-safe),
+            # NUL-padded: numeric order == UTF-8 byte order == the
+            # lexicographic order of the stats pruner
+            return F.expr(
+                f"cast(conv(hex(substring(encode(rpad(`{c}`, 7, char(0)),"
+                " 'utf-8'), 1, 7)), 16, 10) as bigint)"
+            ).cast("double")
         return F.col(c).cast("double")
 
-    hashy = ("string", "binary", "boolean", "array", "map", "struct")
+    hashy = ("binary", "boolean", "array", "map", "struct")
     mmcols = [c for c in cols if not types[c].startswith(hashy)]
     mm = {}
     if mmcols:
@@ -2922,8 +2939,10 @@ class Transaction:
         on any of them — a single-column sort only achieves that for its
         leading column. Numeric/date/timestamp columns interleave their
         value range (min/max from one bounded agg); string columns
-        interleave a hash, which clusters equality lookups but not
-        ranges (documented trade-off, same as Delta's hash fallback).
+        interleave their first-7-UTF-8-bytes prefix long (range-ordered
+        like the stats the pruner compares — see _zvalue; Delta's
+        truncated-prefix approach), so string point AND range predicates
+        both prune.
         Copy-on-write through the normal staged-commit path: time travel
         to pre-optimize versions is unaffected, and the rewrite is
         all-or-nothing on commit.

@@ -1843,7 +1843,7 @@ def test_optimize_zorder_clustering(spark, tmp_path):
         "SELECT count(*) AS n FROM zt WHERE a = 5"
     ).collect()[0]["n"]
 
-    # string columns take the hash path: equality clustering, rows intact
+    # string columns take the byte-prefix range path (r14): rows intact
     lake.sql("ALTER TABLE zt ADD COLUMN s VARCHAR DEFAULT 'x'")
     lake.optimize("zt", ["b", "s"], target_file_bytes=65536)
     assert lake.count("zt") == 40000
@@ -1978,6 +1978,61 @@ def test_zorder_spec_persists_across_compact(spark, tmp_path):
     m_b4, n4 = prune_counts("b = 5")
     assert n4 >= 4 and m_b4 <= n4 // 2
     assert sorted(tuple(r) for r in lake.read("zt").collect()) == want
+
+
+def test_zorder_string_column_range_clustering(spark, tmp_path):
+    """r14: a string z column keys on its first-7-UTF-8-bytes prefix long
+    (Delta's truncated-prefix approach) instead of a hash, so the rewrite
+    range-clusters it — BOTH a point predicate and a RANGE predicate on
+    the string column skip at least half the files (the hash path pruned
+    nothing for ranges). Numeric co-column keeps pruning too."""
+    from ducktales_spark.lake.stats import file_may_match, parse_conjuncts
+
+    lake = LakeCatalog(str(tmp_path / "zs"), spark, inline_threshold=0)
+    lake.ctas(
+        "st",
+        spark.range(40000).select(
+            F.concat(
+                F.lit("k"),
+                F.lpad((F.col("id") * 2654435761 % 900).cast("string"), 3, "0"),
+            ).alias("s"),
+            (F.col("id") * 40503 % 997).alias("b"),
+            F.col("id").alias("pk"),
+        ).repartition(8),
+    )
+    want = sorted(tuple(r) for r in lake.read("st").collect())
+    lake.sql("CALL optimize('st', zorder_by => 's,b', target_file_bytes => 16384)")
+    assert sorted(tuple(r) for r in lake.read("st").collect()) == want
+
+    def prune(pred):
+        v = lake.current_version()
+        tid, _ = lake._table_at("st", v)
+        schemas = lake._schemas_at(tid, v)
+        cur = schemas[max(schemas)]
+        rows = lake.ms.q(
+            "SELECT col_stats FROM lake_data_file WHERE table_id=? AND "
+            "added_snapshot<=? AND (removed_snapshot IS NULL OR "
+            "removed_snapshot>?)",
+            (tid, v, v),
+        )
+        cj = parse_conjuncts(pred)
+        assert cj is not None, pred
+        return sum(1 for (cs,) in rows if file_may_match(cs, cj, cur)), len(rows)
+
+    m_eq, n = prune("s = 'k450'")
+    m_rng, _ = prune("s >= 'k100' AND s <= 'k199'")
+    m_b, _ = prune("b = 5")
+    assert n >= 4
+    assert m_eq <= n // 2, (m_eq, n)
+    assert m_rng <= n // 2, (m_rng, n)  # the range case the hash path lost
+    assert m_b <= n // 2, (m_b, n)
+    # predicate read agrees with the full answer
+    assert (
+        lake.read("st", where="s >= 'k100' AND s <= 'k199'").count()
+        == lake.sql(
+            "SELECT count(*) AS c FROM st WHERE s >= 'k100' AND s <= 'k199'"
+        ).collect()[0]["c"]
+    )
 
 
 def test_compact_deletes_superseded_staged_files(spark, tmp_path):
