@@ -126,11 +126,15 @@ def main() -> None:
     loads["spark_pass1"] = _load1()
     spark_pass(spark, specs, sf_dir, timings)
     # bracketing passes (see the dual-pass note above): twin again with the
-    # JVM idle, then Spark again — per-engine min across passes
-    loads["twin_pass2"] = _load1()
-    duckdb_twin(specs, sf_dir, into=twin)
-    loads["spark_pass2"] = _load1()
-    spark_pass(spark, specs, sf_dir, timings)
+    # JVM idle, then Spark again — per-engine min across passes.
+    # SPARK_GRAFT_BENCH_PASSES=1 opts out for the long manual SF runs
+    # (sf10's twin alone is minutes per pass); the driver's per-round sf0.1
+    # artifact always uses the full dual-pass protocol.
+    if int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")) >= 2:
+        loads["twin_pass2"] = _load1()
+        duckdb_twin(specs, sf_dir, into=twin)
+        loads["spark_pass2"] = _load1()
+        spark_pass(spark, specs, sf_dir, timings)
     twin["total"] = round(sum(v for k, v in twin.items() if k != "total"), 3)
 
     matched = round(
@@ -150,13 +154,19 @@ def main() -> None:
         loadavg = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         loadavg = None
-    pass_loads = [v for v in loads.values() if v is not None]
-    load_warning = bool(pass_loads and max(pass_loads) > _LOAD_WARN)
+    # The gate keys on the PRE-RUN loadavg only (captured before any bench
+    # work): mid-run samples are dominated by our OWN 32-thread passes
+    # (both engines saturate the host by design), so they cannot
+    # distinguish external contention. The per-pass values are still
+    # recorded for context — a mid-run spike far above the self-load
+    # plateau is visible to a reader.
+    pre = loads.get("twin_pass1")
+    load_warning = bool(pre is not None and pre > _LOAD_WARN)
     if load_warning:
         print(
-            f"WARNING: loadavg exceeded {_LOAD_WARN} during a timed pass "
-            f"({loads}); treat this sample as noise, do not commit it as a "
-            "headline artifact",
+            f"WARNING: pre-run loadavg {pre} exceeds {_LOAD_WARN}; the host "
+            "is externally loaded — treat this sample as noise, do not "
+            "commit it as a headline artifact",
             file=sys.stderr,
         )
     print(
