@@ -125,6 +125,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     loads["spark_pass1"] = _load1()
     spark_pass(spark, specs, sf_dir, timings)
+    # per-pass totals are recorded alongside the merged mins so a reader
+    # can see which pass won and how much the bracketing changed the number
+    pass_totals = {
+        "twin": [twin["total"]],
+        "spark": [round(sum(timings.values()), 3)],
+    }
     # bracketing passes (see the dual-pass note above): twin again with the
     # JVM idle, then Spark again — per-engine min across passes.
     # SPARK_GRAFT_BENCH_PASSES=1 opts out for the long manual SF runs
@@ -132,9 +138,16 @@ def main() -> None:
     # artifact always uses the full dual-pass protocol.
     if int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")) >= 2:
         loads["twin_pass2"] = _load1()
-        duckdb_twin(specs, sf_dir, into=twin)
+        twin2 = duckdb_twin(specs, sf_dir)
+        pass_totals["twin"].append(twin2["total"])
+        for k, v in twin2.items():
+            twin[k] = min(twin[k], v) if k in twin else v
         loads["spark_pass2"] = _load1()
-        spark_pass(spark, specs, sf_dir, timings)
+        sp2: dict[str, float] = {}
+        spark_pass(spark, specs, sf_dir, sp2)
+        pass_totals["spark"].append(round(sum(sp2.values()), 3))
+        for k, v in sp2.items():
+            timings[k] = min(timings[k], v) if k in timings else v
     twin["total"] = round(sum(v for k, v in twin.items() if k != "total"), 3)
 
     matched = round(
@@ -199,6 +212,7 @@ def main() -> None:
                 },
                 "loadavg": loadavg,
                 "loadavg_passes": loads,
+                "pass_totals": pass_totals,
                 "load_warning": load_warning,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
@@ -305,13 +319,13 @@ def tune_for_input(spark, sf_dir: str) -> None:
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
 
 
-def duckdb_twin(specs, sf_dir: str, into: dict | None = None) -> dict:
+def duckdb_twin(specs, sf_dir: str) -> dict:
     """Time each headline query's own oracle SQL in DuckDB on the same
     parquet (min of N, symmetric with the Spark side) — the per-round
     yardstick for the 'within 2x of a single-node engine' gate. Every
     headline query has an oracle now (d03's sketch pipeline included), so
-    the twin covers the full matched set. Pass ``into`` to merge per-query
-    mins into an earlier pass's results (dual-pass protocol, see main)."""
+    the twin covers the full matched set. main() runs this twice (dual-
+    pass protocol) and merges per-query mins itself."""
     import duckdb
 
     con = duckdb.connect()
@@ -322,7 +336,7 @@ def duckdb_twin(specs, sf_dir: str, into: dict | None = None) -> dict:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    out: dict[str, float] = into if into is not None else {}
+    out: dict[str, float] = {}
     for name in HEADLINE:
         sql = specs[name].oracle
         if not sql:
@@ -341,10 +355,7 @@ def duckdb_twin(specs, sf_dir: str, into: dict | None = None) -> dict:
             else:
                 stable += 1
             best = dt if best is None else min(best, dt)
-        if name in out:
-            out[name] = min(out[name], round(best, 3))
-        else:
-            out[name] = round(best, 3)
+        out[name] = round(best, 3)
     out["total"] = round(
         sum(v for k, v in out.items() if k != "total"), 3
     )
