@@ -1691,7 +1691,27 @@ class Transaction:
         if cluster and pcols and all(c in df.columns for c in pcols):
             df = df.repartitionByRange(*[F.col(c) for c in pcols])
         stagedir = os.path.join(st.data_dir, f"stage-{uuid.uuid4().hex[:12]}")
-        df.write.mode("overwrite").parquet(stagedir)
+        w = df.write.mode("overwrite")
+        # Parquet-native BLOOM FILTERS on the point-lookup columns: primary
+        # key (the MERGE/CDC key path — candidate files are chosen by
+        # min/max stats, then the SCAN's pushed equality/IN filters consult
+        # the bloom to skip whole row groups inside large files) and the
+        # z-order columns (clustered for ranges; the bloom adds exact
+        # membership for point probes). Row-group-level skipping inside a
+        # file is the tier the catalog's file-level min/max pruning cannot
+        # provide; at 128 MB files the bloom is bounded to <= 1 MiB per
+        # column chunk (parquet-mr's cap, set explicitly), < 1% overhead.
+        sch = st.schemas[st.schema_version]
+        bloom_cols = [
+            c
+            for c in dict.fromkeys((*sch.primary_key, *sch.zorder_by))
+            if c in df.columns
+        ]
+        if bloom_cols:
+            w = w.option("parquet.bloom.filter.max.bytes", str(1 << 20))
+            for c in bloom_cols:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w.parquet(stagedir)
         self._staged_dirs.append(stagedir)
         sch = st.schemas[st.schema_version]
         entries = []

@@ -2060,3 +2060,44 @@ def test_compact_deletes_superseded_staged_files(spark, tmp_path):
         for p in _glob.glob(str(tmp_path / "og" / "**" / "*.parquet"), recursive=True)
     }
     assert on_disk <= referenced, on_disk - referenced
+
+
+def test_pk_writes_carry_parquet_bloom_filters(spark, tmp_path):
+    """r14: data files of a PRIMARY KEY table embed parquet-native bloom
+    filters on the key column (and z-order columns), the row-group-level
+    point-lookup tier the catalog's file-level min/max pruning cannot
+    provide. pyarrow 16 doesn't expose bloom metadata, so the presence
+    check is the written bloom's size footprint: the same rows written
+    through a PK-less table come out measurably smaller. Reads (incl. the
+    MERGE key path) stay correct."""
+    import os
+
+    lake = LakeCatalog(str(tmp_path / "bl"), spark, inline_threshold=0)
+    rows = spark.range(100000).select(
+        F.col("id").alias("pk"), (F.col("id") % 100).alias("v")
+    ).coalesce(1)
+    lake.sql("CREATE TABLE t (pk BIGINT PRIMARY KEY, v BIGINT)")
+    lake.insert("t", rows)
+    lake.sql("CREATE TABLE nopk (pk BIGINT, v BIGINT)")
+    lake.insert("nopk", rows)
+
+    def table_bytes(name):
+        v = lake.current_version()
+        tid, _ = lake._table_at(name, v)
+        return sum(
+            b for (b,) in lake.ms.q(
+                "SELECT file_bytes FROM lake_data_file WHERE table_id=? "
+                "AND removed_snapshot IS NULL", (tid,)
+            )
+        )
+
+    with_bloom, without = table_bytes("t"), table_bytes("nopk")
+    assert with_bloom > without * 1.05, (with_bloom, without)
+    # point lookup + MERGE through the bloom-bearing files: correct
+    assert lake.sql("SELECT v FROM t WHERE pk = 4321").collect()[0]["v"] == 21
+    lake.sql(
+        "MERGE INTO t USING (SELECT 4321 AS pk, 7 AS v) s ON t.pk = s.pk "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    assert lake.sql("SELECT v FROM t WHERE pk = 4321").collect()[0]["v"] == 7
+    assert lake.count("t") == 100000
