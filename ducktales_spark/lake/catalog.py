@@ -2914,6 +2914,19 @@ class Transaction:
                 os.remove(p)
             except OSError:
                 pass
+        # the superseded stage dirs are parquet-free now (every staged file
+        # of this table was just replaced) — remove them from disk and from
+        # the staged-dir list too, or repeated compact/optimize inside one
+        # transaction accumulates empty stage-*/_SUCCESS dirs under
+        # data_dir (r14 ADVICE). The glob guard keeps any dir that still
+        # holds referenced parquet (defensive; dirs are per-write-call).
+        for d in {os.path.dirname(p) for p in staged_paths}:
+            if not _glob.glob(os.path.join(d, "*.parquet")):
+                shutil.rmtree(d, ignore_errors=True)
+                try:
+                    self._staged_dirs.remove(d)
+                except ValueError:
+                    pass
         st.changes.add(change)
         st.coarse_write = True
 

@@ -470,9 +470,18 @@ class SQLExecutor:
                             rf"^CALL\s+{_IDENT}\s*\(\s*'?({_IDENT})\s*\.",
                             q,
                             re.I,
-                        ) or re.search(
-                            rf"\bcatalog\s*=>\s*'({_IDENT})'", q, re.I
                         )
+                        if mcall is None and re.match(
+                            r"^CALL\b", q, re.I
+                        ):
+                            # catalog => 'x' routing exists only on CALL
+                            # verbs; scanning other statements would let a
+                            # write whose STRING LITERALS contain that
+                            # token sequence delegate instead of being
+                            # refused here (r14 ADVICE)
+                            mcall = re.search(
+                                rf"\bcatalog\s*=>\s*'({_IDENT})'", q, re.I
+                            )
                         if mcall is not None:
                             mq = mcall
                     if mq is None or mq.group(1).lower() == self._use:
@@ -2064,12 +2073,23 @@ class SQLExecutor:
 
         def _qual(tok):
             """``att.t`` (bare or quoted) -> (catalog_key, table);
-            (None, None) when the token is undotted."""
+            (None, None) when the token is undotted. A QUOTED dotted token
+            only splits when its prefix names an attached catalog (or
+            'main'): ``CALL compact('a.b')`` on a table literally named
+            ``a.b`` is a table lookup, not a routing error (r14 ADVICE —
+            bare ``att.t`` is unambiguous SQL qualification and always
+            splits)."""
             t = tok.strip()
-            if t.startswith("'") and t.endswith("'"):
+            quoted = t.startswith("'") and t.endswith("'")
+            if quoted:
                 t = t[1:-1].replace("''", "'")
             mm = re.fullmatch(rf"({_IDENT})\s*\.\s*({_IDENT})", t)
-            return (mm.group(1).lower(), mm.group(2)) if mm else (None, None)
+            if mm is None:
+                return (None, None)
+            cat = mm.group(1).lower()
+            if quoted and cat != "main" and cat not in self._attached:
+                return (None, None)
+            return (cat, mm.group(2))
 
         def _route(cat: str, args: list) -> DataFrame:
             """Re-issue this CALL against catalog ``cat``'s own engine —

@@ -2050,6 +2050,7 @@ def test_compact_deletes_superseded_staged_files(spark, tmp_path):
         tx.insert("t", spark.range(5000).select(F.col("id").cast("int").alias("x")))
         tx.insert("t", spark.range(5000, 9000).select(F.col("id").cast("int").alias("x")))
         tx.compact("t")
+        tx.compact("t")  # repeated maintenance inside ONE txn (r14 ADVICE)
     assert lake.count("t") == 9000
     referenced = {
         os.path.abspath(p)
@@ -2060,6 +2061,13 @@ def test_compact_deletes_superseded_staged_files(spark, tmp_path):
         for p in _glob.glob(str(tmp_path / "og" / "**" / "*.parquet"), recursive=True)
     }
     assert on_disk <= referenced, on_disk - referenced
+    # r14 ADVICE: the superseded stage DIRS are gone too — repeated
+    # compact/optimize in one txn must not accumulate empty
+    # stage-*/_SUCCESS directories under data_dir
+    for d in _glob.glob(
+        str(tmp_path / "og" / "**" / "stage-*"), recursive=True
+    ):
+        assert _glob.glob(os.path.join(d, "*.parquet")), f"empty stage dir {d}"
 
 
 def test_pk_writes_carry_parquet_bloom_filters(spark, tmp_path):

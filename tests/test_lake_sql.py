@@ -3916,3 +3916,48 @@ def test_attach_option_grammar_edges(lake, spark, tmp_path):
 
     assert _os.path.isdir(odd)  # the unescaped path is the data dir
     lake.sql("DETACH g2")
+
+
+def test_review_r14_advice_regressions(lake, spark, tmp_path):
+    """Round-14 review findings, pinned: (1) the READ_ONLY-USE guard's
+    ``catalog =>`` fallback only applies to CALL statements — a WRITE
+    under a READ_ONLY USE whose string literal happens to contain
+    ``catalog => 'x'`` is refused locally, not delegated; (2) a QUOTED
+    CALL argument containing a dot is only split as <att>.<t> when the
+    prefix names an attached catalog — a table literally named 'a.b'
+    stays a table lookup (the r13 behavior)."""
+    att_p = str(tmp_path / "att14")
+    att = LakeCatalog(att_p, spark)
+    att.sql("CREATE TABLE t (x INT, s VARCHAR)")
+    att.sql("INSERT INTO t VALUES (1, 'a')")
+    lake.sql(f"ATTACH '{att_p}' AS ro (READ_ONLY)")
+
+    # (1) in-literal catalog=>'att' in a write must NOT reach the
+    # CALL-only delegation fallback: local READ_ONLY refusal, no rows
+    lake.sql("USE ro")
+    with pytest.raises(LakeSQLError, match="'ro' is attached READ_ONLY"):
+        lake.sql("INSERT INTO t VALUES (9, 'catalog => ''att''')")
+    # the genuine CALL spelling still delegates by target flag (refused
+    # here because the target IS the read-only catalog — pointed error)
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("CALL compact(t)")
+    lake.sql("USE main")
+    assert lake.sql("SELECT count(*) AS n FROM ro.t").collect()[0]["n"] == 1
+
+    # (2) quoted dotted CALL argument: no catalog named 'a' attached ->
+    # plain table name (the Python API permits dotted names)
+    lake.ctas("a.b", spark.range(3).selectExpr("CAST(id AS INT) AS x"))
+    lake.sql("CALL compact('a.b')")  # must not error 'no attached catalog'
+    lake.sql("CALL flush_inlined('a.b')")
+    assert lake.count("a.b") == 3
+    # ...but once a catalog named 'a' IS attached, the quoted spelling
+    # routes like the bare one (quoted vs bare parity for real catalogs)
+    a_p = str(tmp_path / "cat_a")
+    a_cat = LakeCatalog(a_p, spark)
+    a_cat.sql("CREATE TABLE b (x INT)")
+    a_cat.sql("INSERT INTO b VALUES (1), (2)")
+    lake.sql(f"ATTACH '{a_p}' AS a")
+    lake.sql("CALL compact('a.b')")   # routes to catalog a, table b
+    lake.sql("CALL compact(a.b)")
+    lake.sql("DETACH a")
+    lake.sql("DETACH ro")
