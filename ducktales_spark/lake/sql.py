@@ -414,8 +414,12 @@ class SQLExecutor:
             else:
                 if self._use in self._att_readonly and (
                     re.match(
+                        # CALL is a write verb EXCEPT probe_vector_index,
+                        # the one pure-read procedure — it delegates like
+                        # SUMMARIZE/DESCRIBE instead of being refused
                         r"^(INSERT|UPDATE|DELETE|TRUNCATE|MERGE|CREATE"
-                        r"|DROP|ALTER|IMPORT|CHECKPOINT|CALL|REFRESH)\b",
+                        r"|DROP|ALTER|IMPORT|CHECKPOINT"
+                        r"|CALL(?!\s+probe_vector_index\b)|REFRESH)\b",
                         q,
                         re.I,
                     )
@@ -2091,19 +2095,22 @@ class SQLExecutor:
                 return (None, None)
             return (cat, mm.group(2))
 
-        def _route(cat: str, args: list) -> DataFrame:
+        def _route(
+            cat: str, args: list, allow_readonly: bool = False
+        ) -> DataFrame:
             """Re-issue this CALL against catalog ``cat``'s own engine —
             the _attached_write dispatch pattern: self/'main'-qualified
-            strips the qualifier, READ_ONLY targets are refused, unknown
-            names error. SQL-first maintenance of an attached catalog no
-            longer needs USE round trips (r13 verdict task 4)."""
+            strips the qualifier, READ_ONLY targets are refused (unless
+            the verb is a pure read — probe), unknown names error.
+            SQL-first maintenance of an attached catalog no longer needs
+            USE round trips (r13 verdict task 4)."""
             stmt = f"CALL {f}({', '.join(args)})"
             target_c = self._attached.get(cat)
             if target_c is self.c or (target_c is None and cat == "main"):
                 return self.execute(stmt)
             if target_c is None:
                 raise LakeSQLError(f"no attached catalog named {cat!r}")
-            if cat in self._att_readonly:
+            if cat in self._att_readonly and not allow_readonly:
                 raise LakeSQLError(f"catalog {cat!r} is attached READ_ONLY")
             return self._att_executor(cat).execute(stmt)
 
@@ -2208,6 +2215,32 @@ class SQLExecutor:
             "build_vector_index", "extend_vector_index",
             "remove_vectors", "probe_vector_index",
         ):
+            # qualified routing, like the table/catalog maintenance verbs
+            # (r14 verdict task 3): CALL build_vector_index('att.idx', ...)
+            # or ... catalog => 'att' re-issues against the attachment's
+            # own engine, where the source/ids/queries operand resolves in
+            # THAT catalog. probe is a pure read — allowed against
+            # READ_ONLY attachments; the three mutating verbs are refused
+            # there like compact/optimize.
+            ro_ok = f == "probe_vector_index"
+            if "catalog" in named:
+                cat = str(_val(named.pop("catalog"))).lower()
+                return _route(
+                    cat,
+                    pos + [f"{k} => {v}" for k, v in named.items()],
+                    allow_readonly=ro_ok,
+                )
+            if pos:
+                cat, qidx = _qual(pos[0])
+                if cat is not None:
+                    esc = qidx.replace("'", "''")
+                    return _route(
+                        cat,
+                        [f"'{esc}'"]
+                        + pos[1:]
+                        + [f"{k} => {v}" for k, v in named.items()],
+                        allow_readonly=ro_ok,
+                    )
             # X15 lifecycle as SQL verbs — same engines as the Python API
             # (ducktales_spark/vector_index.py); probe returns its result
             # set like a table function

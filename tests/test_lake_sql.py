@@ -3961,3 +3961,104 @@ def test_review_r14_advice_regressions(lake, spark, tmp_path):
     lake.sql("CALL compact(a.b)")
     lake.sql("DETACH a")
     lake.sql("DETACH ro")
+
+
+def test_vector_index_call_qualified_routing(lake, spark, tmp_path):
+    """r14 verdict task 3: the vector-index lifecycle verbs accept the
+    same qualified routing as the table/catalog maintenance verbs —
+    (a) ``CALL build_vector_index('att.idx', ...)`` / ``catalog => 'att'``
+    re-issue against the attachment's engine (operands resolve THERE),
+    (b) under ``USE att`` unqualified verbs hit the USE'd catalog and
+    ``main.``-qualified ones route back, (c) READ_ONLY refuses the three
+    mutating verbs but allows probe — a pure read, like SUMMARIZE."""
+    import numpy as np
+
+    p = str(tmp_path / "vatt")
+    att = LakeCatalog(p, spark)
+    rng = np.random.default_rng(7)
+    att.ctas(
+        "vecs",
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.normal(size=4)])
+             for i in range(80)],
+            "vec_id bigint, e array<double>",
+        ),
+    )
+    lake.sql(f"ATTACH '{p}' AS att")
+    lake.sql(f"ATTACH '{p}' AS ro (READ_ONLY)")
+
+    # (a) qualified build: quoted and catalog=> spellings; source table
+    # resolves in the attachment (no 'vecs' exists in the bound catalog)
+    r = lake.sql(
+        "CALL build_vector_index('att.idx', vecs, n_centroids => 4)"
+    ).first()
+    assert r["rows"] == 4 and "idx" in att.tables()
+    pr = lake.sql(
+        "CALL probe_vector_index(att.idx, "
+        "(SELECT vec_id, e FROM vecs WHERE vec_id < 2), k => 3)"
+    ).collect()
+    assert len(pr) == 6
+    lake.sql(
+        "CALL extend_vector_index('idx', "
+        "(SELECT vec_id + 500 AS vec_id, e FROM vecs WHERE vec_id < 5), "
+        "catalog => 'att')"
+    )
+    assert att.count("idx") == 85
+    r = lake.sql(
+        "CALL remove_vectors('idx', (SELECT vec_id FROM vecs WHERE "
+        "vec_id >= 500), catalog => 'att')"
+    ).first()
+    assert r["rows"] == 0  # subquery resolves in att: no vec_id >= 500
+    r = lake.sql(
+        "CALL remove_vectors('att.idx', "
+        "(SELECT vec_id + 500 AS vec_id FROM vecs WHERE vec_id < 5))"
+    ).first()
+    assert r["rows"] == 5 and att.count("idx") == 80
+
+    # (b) under USE: unqualified operates on the USE'd catalog;
+    # main-qualified routes back to the bound catalog
+    lake.ctas(
+        "mvecs",
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.normal(size=4)])
+             for i in range(40)],
+            "vec_id bigint, e array<double>",
+        ),
+    )
+    lake.sql("USE att")
+    assert len(lake.sql(
+        "CALL probe_vector_index('idx', "
+        "(SELECT vec_id, e FROM vecs WHERE vec_id = 3), k => 2)"
+    ).collect()) == 2
+    lake.sql("CALL build_vector_index(main.midx, mvecs, n_centroids => 2)")
+    lake.sql("USE main")
+    assert "midx" in lake.tables() and "midx" not in att.tables()
+
+    # (c) READ_ONLY: mutating verbs refused in both spellings...
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("CALL build_vector_index('ro.i2', vecs, n_centroids => 2)")
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql(
+            "CALL extend_vector_index('idx', vecs, catalog => 'ro')"
+        )
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("CALL remove_vectors(ro.idx, (SELECT vec_id FROM vecs))")
+    # ...probe is a read: allowed qualified AND under USE ro
+    assert len(lake.sql(
+        "CALL probe_vector_index('ro.idx', "
+        "(SELECT vec_id, e FROM vecs WHERE vec_id = 4), k => 2)"
+    ).collect()) == 2
+    lake.sql("USE ro")
+    assert len(lake.sql(
+        "CALL probe_vector_index('idx', "
+        "(SELECT vec_id, e FROM vecs WHERE vec_id = 4), k => 2)"
+    ).collect()) == 2
+    with pytest.raises(LakeSQLError, match="READ_ONLY"):
+        lake.sql("CALL build_vector_index('i3', vecs, n_centroids => 2)")
+    lake.sql("USE main")
+
+    # unknown catalog is a pointed error
+    with pytest.raises(LakeSQLError, match="no attached catalog"):
+        lake.sql("CALL probe_vector_index(nope.idx, (SELECT 1), k => 1)")
+    lake.sql("DETACH att")
+    lake.sql("DETACH ro")
