@@ -52,6 +52,14 @@ HEADLINE = [
 
 _LOAD_WARN = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "4.0"))
 
+# The calibrated sf0.1 ratio band from the committed corrected-harness
+# samples (see README's bench section for the five runs behind it) —
+# echoed into every sf0.1 artifact so a reader of a load-flagged (or
+# simply lucky) single sample sees the disclosed range next to the noisy
+# point estimate instead of quoting the point alone. Re-measure and
+# update when the harness or the engine changes materially.
+_DISCLOSED_BAND_SF01 = [1.62, 1.81]
+
 
 def _load1() -> float | None:
     try:
@@ -201,6 +209,11 @@ def main() -> None:
                 "ratio_vs_twin": (
                     round(matched / twin["total"], 2) if twin.get("total") else None
                 ),
+                # calibrated range from the committed samples at this SF
+                # (sf0.1 only) — read a flagged/lucky point against this
+                "disclosed_band": (
+                    _DISCLOSED_BAND_SF01 if sf == "0.1" else None
+                ),
                 "lake_ops": lake_ops(spark, sf_dir),
                 # the non-stock session configs tune_for_input applied —
                 # echoed so every artifact records exactly what it ran
@@ -233,9 +246,24 @@ def _prepared_exec(df):
     re-executing an already-executed object skips every computed shuffle
     stage (map outputs live with the RDD graph; measured d03 0.037 s
     same-object vs 0.67 s fresh at sf0.1) — and Spark has no cross-plan
-    exchange cache, so fresh objects never share stage outputs."""
+    exchange cache, so fresh objects never share stage outputs.
+
+    The prepare phase must launch ZERO Spark jobs, asserted via the
+    DAGScheduler's total-job counter: today that holds because AQE is off
+    for this suite, but executedPlan() on an AQE plan MATERIALIZES query
+    stages — if AQE were ever re-enabled here, the 'prepared' window
+    would silently include execution and the metric would be gamed
+    (r14 verdict watch item). The assert makes that regression loud."""
+    sc = df.sparkSession.sparkContext
+    jobs0 = sc._jsc.sc().dagScheduler().numTotalJobs()
     cagg = df.groupBy().count()
     cagg._jdf.queryExecution().executedPlan()
+    jobs1 = sc._jsc.sc().dagScheduler().numTotalJobs()
+    assert jobs1 == jobs0, (
+        f"prepare phase launched {jobs1 - jobs0} Spark job(s): planning "
+        "is executing work (AQE re-enabled for the bench?) — the timed "
+        "window no longer measures what the metric claims"
+    )
     return cagg
 
 
