@@ -479,7 +479,9 @@ def c06_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
-@register_extra(
+@register(
+    # r15 rotation: promoted from EXTRA to the driver sweep (never driver-
+    # hashed before); t01_token_count moved to EXTRA to keep the 50 slots
     "t07_repetition",
     survey_ids=(),  # extension: repetition audit (dup lines / bigram mode)
     oracle=r"""

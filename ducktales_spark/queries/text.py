@@ -29,7 +29,11 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-@register(
+@register_extra(
+    # r15 rotation: t01 -> EXTRA (its DuckDB differential stays pytest-
+    # enforced), t07_repetition takes the driver slot — the standing
+    # policy of cycling never-driver-hashed oracles through the sweep.
+    # t01's text family stays driver-swept via t02/t05/t06.
     "t01_token_count",
     survey_ids=(),  # extension: token counting (whitespace + BPE-ish regex)
     oracle=rf"""
