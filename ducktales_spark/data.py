@@ -41,6 +41,38 @@ _SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def plan_memo(fn):
+    """Analyzed-plan cache for PURE-READ query builders, the level above
+    _SCAN_CACHE: a builder whose output depends only on (session, sf_dir)
+    returns an immutable analyzed logical plan over immutable files, so
+    steady-state re-issues can reuse it verbatim — a DataFrame holds no
+    execution state, and every operation layered on top (the bench's
+    count(), a user's further transforms) creates a fresh Dataset with
+    its own QueryExecution, so nothing about execution or shuffle stages
+    is shared. What this removes is the pure rebuild waste: py4j
+    round-trips + Catalyst ANALYSIS of a large tree on every re-issue
+    (d03's ~500-operator sketch plan measured ~0.14 s construction +
+    ~0.38 s analysis first-build; both ~0 from cache). Optimization and
+    physical planning of whatever is layered on top still run per issue.
+    Shuffle-partition/conf changes still apply to cached plans: those are
+    read at the NEW Dataset's physical-planning time, not at analysis.
+
+    Only for builders that read sf_dir parquet directly — lake-backed
+    queries build fresh temp catalogs per call and must NOT memoize."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        per_session = _SCAN_CACHE.setdefault(spark, {})
+        key = ("__plan__", fn.__module__, fn.__qualname__, sf_dir)
+        df = per_session.get(key)
+        if df is None:
+            df = per_session[key] = fn(spark, sf_dir)
+        return df
+
+    return wrapped
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown reach the parquet
     scan because the DataFrame is built directly over the file source.

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducktales_spark.data import table
+from ducktales_spark.data import plan_memo, table
 from ducktales_spark.registry import register, register_extra
 
 
@@ -86,6 +86,7 @@ def a06_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag, l_linestatus, ship_year
     """,
 )
+@plan_memo
 def a09_groupby_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key GROUP BY incl. computed key (reference: demos/05_catalog_portability/demo.py:162).
 

@@ -28,7 +28,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducktales_spark.data import table
+from ducktales_spark.data import plan_memo, table
 from ducktales_spark.registry import register
 
 # --- deterministic minhash family -----------------------------------------
@@ -396,6 +396,7 @@ def _simhash_pairs_from_sums(sums: DataFrame, max_hamming: int = 3) -> DataFrame
     ORDER BY keeper_doc_id
     """,
 )
+@plan_memo
 def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content, keep min doc_id per group.
     One shuffle keyed on the 128-bit content hash — uniform keys, no skew,
@@ -450,6 +451,7 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
 )
+@plan_memo
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity via shingle inverted index; pairs with
     jaccard >= 0.2. Join key is the shingle — candidate pairs are only those
@@ -615,6 +617,7 @@ def _d03_oracle_sql() -> str:
     survey_ids=(),  # extension: MinHash+LSH + SimHash near-dup candidates
     oracle=_d03_oracle_sql(),
 )
+@plan_memo
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH and SimHash candidate near-dup pairs on documents, as
     labeled (method, doc_a, doc_b, score) rows — score is the estimated

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducktales_spark.data import table
+from ducktales_spark.data import plan_memo, table
 from ducktales_spark.registry import register
 
 _CUTOFF = "1998-09-02 00:00:00"
@@ -41,6 +41,7 @@ _CUTOFF = "1998-09-02 00:00:00"
     ORDER BY l_returnflag, l_linestatus
     """,
 )
+@plan_memo
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report: grouped sums/averages with a date filter.
 

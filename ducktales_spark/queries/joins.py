@@ -15,7 +15,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducktales_spark.data import table
+from ducktales_spark.data import plan_memo, table
 from ducktales_spark.registry import register, register_extra
 
 
@@ -34,6 +34,7 @@ from ducktales_spark.registry import register, register_extra
     ORDER BY region_name
     """,
 )
+@plan_memo
 def j01_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join chain fact->dims (reference: demos/02_time_travel/demo.py:288).
 
@@ -97,6 +98,7 @@ def j01_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_custkey
     """,
 )
+@plan_memo
 def j02_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT JOIN + COALESCE(SUM,0) — the reference's product_inventory view
     (reference: demos/05_catalog_portability/demo.py:150-164)."""

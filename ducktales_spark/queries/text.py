@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ducktales_spark.data import table
+from ducktales_spark.data import plan_memo, table
 from ducktales_spark.registry import register, register_extra
 
 # Tiny deterministic english stopword list for the n-gram language heuristic.
@@ -87,6 +87,7 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE length(text) >= 20
     """,
 )
+@plan_memo
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality features (length, alphabetic ratio, words-per-doc,
     chars-per-word — the length/punct family) + the stopword-ratio language

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ducktales_spark.data import table
+from ducktales_spark.data import plan_memo, table
 from ducktales_spark.registry import register, register_extra
 
 
@@ -68,6 +68,7 @@ def w01_row_number_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_mktsegment, rn
     """,
 )
+@plan_memo
 def w02_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k rows per group via partitioned row_number (extension).
 
@@ -142,6 +143,7 @@ def w03_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
+@plan_memo
 def o01_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column ORDER BY ... DESC LIMIT n -> TakeOrderedAndProject
     (reference: demos/02_time_travel/demo.py:132-137,
@@ -193,6 +195,7 @@ def o01_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY kind, win_start
     """,
 )
+@plan_memo
 def x02_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling (1h) + sliding (1h / 30min) event-time windows over the
     events table — the batch shape of the Structured-Streaming windowed aggs

@@ -12,9 +12,19 @@ import pytest
 from pyspark.sql import DataFrame, functions as F
 
 from ducktales_spark.data import table
-from ducktales_spark.registry import load_all
+from ducktales_spark.registry import load_all, load_extra
 
-SPECS = load_all()
+SPECS = {**load_extra(), **load_all()}
+
+
+def build(name: str, spark, sf_dir) -> DataFrame:
+    """A COLD plan for ``name``: bypass the plan_memo cache (data.plan_memo)
+    so the plan reflects the CURRENT session conf. A memoized DataFrame's
+    QueryExecution is computed once (standard Spark Dataset behavior), so
+    asserting plan shape on it after toggling AQE/broadcast confs would
+    read a stale plan."""
+    fn = SPECS[name].fn
+    return getattr(fn, "__wrapped__", fn)(spark, sf_dir)
 
 
 def plan_str(df: DataFrame) -> str:
@@ -52,7 +62,7 @@ def test_column_pruning(spark, sf_dir):
 def test_j01_broadcasts_dimensions(spark, sf_dir):
     """J1: the revenue join must broadcast the small dimension sides —
     a shuffle join on nation/region at 100 TB would be a plan bug."""
-    s = plan_str(SPECS["j01_inner_join_revenue_by_region"].fn(spark, sf_dir))
+    s = plan_str(build("j01_inner_join_revenue_by_region", spark, sf_dir))
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s or "lineitem" in s  # dims never SMJ
 
@@ -60,16 +70,16 @@ def test_j01_broadcasts_dimensions(spark, sf_dir):
 def test_q1_partial_aggregation(spark, sf_dir):
     """A8: groupBy must plan partial (map-side) + final hash aggregation —
     one shuffle of pre-aggregated groups, not raw rows."""
-    s = plan_str(SPECS["q1_pricing_summary"].fn(spark, sf_dir))
+    s = plan_str(build("q1_pricing_summary", spark, sf_dir))
     assert len(re.findall(r"HashAggregate", s)) >= 2
-    assert n_exchanges(SPECS["q1_pricing_summary"].fn(spark, sf_dir)) <= 2
+    assert n_exchanges(build("q1_pricing_summary", spark, sf_dir)) <= 2
 
 
 def test_q1_whole_stage_codegen(spark, sf_dir):
     """The flagship scan-agg pipeline must run inside WholeStageCodegen.
     (AQE only materializes codegen stage markers in the FINAL plan, so
     execute first.)"""
-    df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+    df = build("q1_pricing_summary", spark, sf_dir)
     df.collect()
     # codegen'd operators carry the "*(stage_id)" marker in the final plan
     assert re.search(r"\*\(\d+\) HashAggregate", plan_str(df))
@@ -85,7 +95,7 @@ def test_no_python_udf_in_jvm_queries(spark, sf_dir):
         "d02_ngram_jaccard", "d03_minhash_lsh", "t01_token_count",
         "t02_quality_score", "x02_event_windows",
     ]:
-        s = plan_str(SPECS[name].fn(spark, sf_dir))
+        s = plan_str(build(name, spark, sf_dir))
         assert "EvalPython" not in s, f"{name} fell off the JVM path"
 
 
@@ -109,7 +119,7 @@ def test_shingle_dedup_reuses_partitioning(spark, sf_dir):
 def test_sort_limit_fuses_to_take_ordered(spark, sf_dir):
     """O4: ORDER BY ... LIMIT must fuse to TakeOrderedAndProject — a global
     sort for a top-k would be a scale bug."""
-    s = plan_str(SPECS["o01_sort_limit_topk"].fn(spark, sf_dir))
+    s = plan_str(build("o01_sort_limit_topk", spark, sf_dir))
     assert "TakeOrderedAndProject" in s
 
 
@@ -147,7 +157,7 @@ def test_d02_no_cache_barriers_single_selfjoin_exchange(spark, sf_dir):
     re-exchanges), no sort-merge join, and a bounded exchange count — the
     self-join consumes the DF-cap window's h-exchange in place."""
     spark.catalog.clearCache()
-    df = SPECS["d02_ngram_jaccard"].fn(spark, sf_dir)
+    df = build("d02_ngram_jaccard", spark, sf_dir)
     s = plan_str(df)
     assert "InMemoryRelation" not in s
     assert "SortMergeJoin" not in s
@@ -160,7 +170,7 @@ def test_d03_no_persist_no_python(spark, sf_dir):
     """d03 (minhash+simhash union): pure JVM expressions, no cache
     barriers; both sketches' bands feed ONE self-join."""
     spark.catalog.clearCache()
-    df = SPECS["d03_minhash_lsh"].fn(spark, sf_dir)
+    df = build("d03_minhash_lsh", spark, sf_dir)
     s = plan_str(df)
     assert "InMemoryRelation" not in s
     assert "EvalPython" not in s
@@ -172,7 +182,7 @@ def test_d03_single_join_reuses_sketch(spark, sf_dir):
     sketch computes ONCE. Two joins (one per sketch) would recompute the
     whole sketch per method; a missing ReusedExchange doubles it too."""
     spark.catalog.clearCache()
-    df = SPECS["d03_minhash_lsh"].fn(spark, sf_dir)
+    df = build("d03_minhash_lsh", spark, sf_dir)
     df.collect()  # AQE finalizes reuse only in the executed plan
     final = plan_str(df).split("== Initial Plan ==")[0]
     assert len(re.findall(r"ShuffledHashJoin", final)) == 1, final[:3000]
@@ -195,7 +205,7 @@ def test_d02_d03_reuse_exchanges_without_aqe(spark, sf_dir):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for q, min_reused in (("d03_minhash_lsh", 1), ("d02_ngram_jaccard", 2)):
-            df = SPECS[q].fn(spark, sf_dir)
+            df = build(q, spark, sf_dir)
             s = plan_str(df)
             assert s.count("ReusedExchange") >= min_reused, (q, s[:3000])
     finally:
@@ -209,7 +219,7 @@ def test_x02_single_aggregation_serves_both_window_kinds(spark, sf_dir):
     partial agg collapses each task to O(#windows) rows first, so the
     shuffle is flat in SF). The group key must be the long bucket index,
     not a window struct: no per-row struct construction in the hot path."""
-    df = SPECS["x02_event_windows"].fn(spark, sf_dir)
+    df = build("x02_event_windows", spark, sf_dir)
     s = plan_str(df)
     assert len(re.findall(r"FileScan parquet", s)) == 1, s[:3000]
     assert len(re.findall(r"partial_count\(1\)", s)) == 1, s[:3000]
@@ -224,7 +234,7 @@ def test_j01_fact_scan_pruned_and_customer_broadcast(spark, sf_dir):
     broadcast — the fact side never shuffles. (At a 100 TB SF customer
     outgrows the threshold and AQE flips that one join to shuffle, which
     is the right plan there.)"""
-    df = SPECS["j01_inner_join_revenue_by_region"].fn(spark, sf_dir)
+    df = build("j01_inner_join_revenue_by_region", spark, sf_dir)
     s = formatted(df)
     m = re.search(r"ReadSchema: struct<([^>]*)>", s)
     assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
@@ -239,7 +249,7 @@ def test_t05_chunk_redact_zero_shuffle_zero_python(spark, sf_dir):
     """t05 (redact -> chunk): both stages must stay codegen projections —
     no Exchange (a shuffle in a per-document projection would be a plan
     bug) and no Python eval anywhere."""
-    df = SPECS["t05_chunk_redact"].fn(spark, sf_dir)
+    df = build("t05_chunk_redact", spark, sf_dir)
     s = plan_str(df)
     assert n_exchanges(df) == 0, s[:3000]
     assert "EvalPython" not in s
@@ -251,7 +261,7 @@ def test_c02_mix_corpus_zero_corpus_shuffle(spark, sf_dir):
     projection — the corpus side reaches the output with ZERO exchanges
     of its own (the only exchange allowed is the broadcast of the tiny
     weights literal)."""
-    df = SPECS["c02_mix_corpus"].fn(spark, sf_dir)
+    df = build("c02_mix_corpus", spark, sf_dir)
     s = plan_str(df)
     assert "BroadcastHashJoin" in s, s[:3000]
     assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
@@ -264,7 +274,7 @@ def test_c01_decontaminate_single_corpus_exchange(spark, sf_dir):
     doc_id exchange which the hit-count groupBy rides — so the whole
     operator costs a single corpus shuffle regardless of benchmark size."""
     spark.catalog.clearCache()
-    df = SPECS["c01_decontaminate"].fn(spark, sf_dir)
+    df = build("c01_decontaminate", spark, sf_dir)
     s = plan_str(df)
     assert "BroadcastHashJoin" in s, s[:3000]
     # the hit-count agg rides the shingle pipeline's doc_id distribution:
