@@ -41,8 +41,6 @@ from typing import Mapping, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ducktales_spark.queries.dedup import shingle_table
-
 # Same md5-derived 60-bit hash the dedup sketches use: both Spark and
 # DuckDB compute it identically (DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT),
 # so every operator here is expressible as differential-test SQL.
@@ -107,13 +105,24 @@ def benchmark_ngrams(
 ) -> DataFrame:
     """Distinct hashed word n-grams of an eval benchmark: one column ``h``.
 
-    Hashes are 60-bit md5-derived ints (8 bytes each in the broadcast); the
-    distinct() collapses cross-document repeats before the broadcast so the
-    driver ships each n-gram once.
+    Hashes are variadic xxhash64 over the n word columns (8 bytes each in
+    the broadcast, no n-gram string materialization, no md5 — the same
+    hash-not-text trade d02's inverted index makes: the decon join only
+    needs equality, a 64-bit collision flips one doc's hit count with
+    p ~ |grams|^2/2^65, and the corpus side computes the identical hash
+    in ``decontaminate``; r15 interleaved A/B, sf0.1 min-of-7, value-parity
+    true: c01 0.309 -> 0.257 s — the md5 + 13-word concat was ~17% of the
+    query). The distinct()
+    collapses cross-document repeats before the broadcast so the driver
+    ships each n-gram once.
     """
+    from ducktales_spark.queries.dedup import shingle_hash_table
+
     return (
-        shingle_table(bench, id_col=id_col, text_col=text_col, n=n, distinct=False)
-        .select(_h64("s").alias("h"))
+        shingle_hash_table(
+            bench, id_col=id_col, text_col=text_col, n=n, distinct=False
+        )
+        .select("h")
         .distinct()
     )
 
@@ -173,9 +182,14 @@ def decontaminate(
     never contaminated.
     """
     def exact_counts():
-        corpus = shingle_table(
-            docs, id_col=id_col, text_col=text_col, n=n, distinct=True
-        ).select("doc_id", _h64("s").alias("h"))
+        # variadic xxhash64 over the n word columns, matching
+        # benchmark_ngrams — no n-gram string, no md5 (see its docstring
+        # for the measured win and the collision argument)
+        from ducktales_spark.queries.dedup import shingle_hash_table
+
+        corpus = shingle_hash_table(
+            docs, id_col=id_col, text_col=text_col, n=n
+        )
         return (
             corpus.join(
                 _bench_side(
@@ -207,6 +221,10 @@ def decontaminate(
         # outer join of the two per-doc count tables — each side keeps its
         # own one-corpus-exchange plan; the join key is the tiny hit set.
         fz = fuzzy_counts().withColumnRenamed("n_hits", "n_hits_fuzzy")
+        # The full-outer join of the two count tables stays UNhinted
+        # SortMergeJoin: an r15 interleaved A/B (sf0.1, min-of-7) measured
+        # SHUFFLE_HASH at 0.595 s vs SMJ 0.577 s — the count tables are
+        # tiny post-aggregation, so the sorts cost less than the SHJ build.
         counts = (
             exact_counts()
             .join(fz, "doc_id", "full")

@@ -125,6 +125,7 @@ def shingle_hash_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """(doc_id, h) deduped 64-bit word-n-gram shingle hashes, WITHOUT
     materializing the shingle strings: xxhash64 is variadic, so the n word
@@ -134,8 +135,11 @@ def shingle_hash_table(
     semantics are unchanged: words contain no whitespace (they come from a
     \\s+ split), so the (w1..wn) tuple and the space-joined string are in
     bijection. Only for consumers that never need the shingle text (d02's
-    inverted index); d03's sketches hash md5-of-string because the DuckDB
-    oracle must compute the identical hash."""
+    inverted index, exact decontamination); d03's sketches hash
+    md5-of-string because the DuckDB oracle must compute the identical hash.
+
+    ``distinct=False`` skips the per-doc (doc_id, h) dedup — for consumers
+    that dedup downstream anyway (benchmark_ngrams' global distinct)."""
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     toks = (
         docs.repartition(n_part, F.col(id_col))
@@ -149,12 +153,13 @@ def shingle_hash_table(
         "doc_id", "ws",
         F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("p"),
     )
-    return pos.select(
+    sh = pos.select(
         "doc_id",
         F.xxhash64(
             *[F.element_at("ws", F.col("p") + j) for j in range(n)]
         ).alias("h"),
-    ).dropDuplicates(["doc_id", "h"])
+    )
+    return sh.dropDuplicates(["doc_id", "h"]) if distinct else sh
 
 
 def hashed_shingles(

@@ -235,17 +235,13 @@ def start_lake_dedup_ingest(
 
     def _exact_hit_ids(batch_df: DataFrame) -> DataFrame:
         # corpus.decontaminate's plan, minus the audit face: the
-        # precomputed benchmark set replaces its per-call re-shingle
-        from ducktales_spark.queries.dedup import shingle_table
+        # precomputed benchmark set replaces its per-call re-shingle.
+        # Hash = variadic xxhash64 over the 13 word columns, matching
+        # corpus.benchmark_ngrams (both sides must hash identically).
+        from ducktales_spark.queries.dedup import shingle_hash_table
 
-        corpus = shingle_table(
-            batch_df, id_col=id_col, text_col=text_col, n=13,
-            distinct=True,
-        ).select(
-            "doc_id",
-            F.expr(
-                "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
-            ).alias("h"),
+        corpus = shingle_hash_table(
+            batch_df, id_col=id_col, text_col=text_col, n=13
         )
         return (
             corpus.join(
