@@ -351,7 +351,15 @@ def synth_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["media_id", "kind", "data", "meta"]
             )
 
-    n_part = ids_df.sparkSession.sparkContext.defaultParallelism
+    # spark.sql.shuffle.partitions is THE deployment-sized parallelism knob
+    # (same rule as dedup.shingle_table) — defaultParallelism (the core
+    # count) over-partitions small inputs into Python-worker dispatch floor:
+    # r15 measured the per-branch m02 kernel at 32 tasks 0.668 s vs 8 tasks
+    # 0.342 s at sf0.1, identical rows. A cluster deployment sizes the knob
+    # up and gets its wide-row balancing unchanged.
+    n_part = int(
+        ids_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return (
         ids_df.select(id_col)
         .repartition(n_part, id_col)  # balance wide rows across tasks
@@ -380,15 +388,13 @@ def image_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image":
-                    continue
-                arr = _decode_image(bytes(r["data"]))
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                arr = _decode_image(bytes(data))
                 a = arr.astype(np.int64)
                 n, s1, s2 = a.size, int(a.sum()), int((a * a).sum())
                 out.append(
                     (
-                        int(r["media_id"]),
+                        int(mid),
                         arr.shape[1],
                         arr.shape[0],
                         arr.shape[2],
@@ -404,7 +410,15 @@ def image_features(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    # kind filter + column prune JVM-SIDE, before the Python boundary: the
+    # kernel previously received EVERY row (all three modalities' full
+    # binary payloads crossed JVM->Arrow->Python) and dropped 2/3 of them
+    # with a Python-side kind check — an opaque-function pruning miss
+    # (guide §4.1). Only image rows' (media_id, data) cross now; m02's
+    # three-branch plan stopped shipping each blob into Python 3x.
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "data"
+    ).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
@@ -450,10 +464,8 @@ def audio_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "audio":
-                    continue
-                samples, rate = _decode_audio(bytes(r["data"]))
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                samples, rate = _decode_audio(bytes(data))
                 # exact Σs² then sqrt(s2/n): bit-identical when recomputed
                 # by SQL (see image_features). n_samples/duration count
                 # FRAMES (multichannel WAV: shape (frames, channels)) —
@@ -464,7 +476,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 n, s2 = len(flat), int((flat * flat).sum())
                 out.append(
                     (
-                        int(r["media_id"]), rate, n_frames,
+                        int(mid), rate, n_frames,
                         n_frames / rate,
                         float(np.sqrt(s2 / n)) if n else 0.0,
                     )
@@ -476,7 +488,10 @@ def audio_features(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    # JVM-side kind filter + prune, same rationale as image_features
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "data"
+    ).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 FRAME_SCHEMA = (
@@ -493,17 +508,15 @@ def sample_frames(media: DataFrame, k: int = 2) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video":
-                    continue
-                frames = _unpack_video(bytes(r["data"]))
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                frames = _unpack_video(bytes(data))
                 n = frames.shape[0]
                 for idx in (np.arange(k) * n // k).astype(int):
                     fr = frames[idx].astype(np.int64)
                     # exact Σ then /size: bit-identical under SQL recompute
                     out.append(
                         (
-                            int(r["media_id"]), int(idx), fr.shape[1],
+                            int(mid), int(idx), fr.shape[1],
                             fr.shape[0], int(fr.sum()) / fr.size,
                         )
                     )
@@ -515,4 +528,7 @@ def sample_frames(media: DataFrame, k: int = 2) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(run, FRAME_SCHEMA)
+    # JVM-side kind filter + prune, same rationale as image_features
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "data"
+    ).mapInPandas(run, FRAME_SCHEMA)

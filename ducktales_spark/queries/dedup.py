@@ -153,11 +153,12 @@ def shingle_hash_table(
         "doc_id", "ws",
         F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("p"),
     )
+    # ONE parsed SQL expression instead of n element_at Column objects:
+    # at n=13 (decontamination) the Column-object build cost ~0.3 s of py4j
+    # round trips per call (profiled r15); the parsed tree is identical.
+    grams = ", ".join(f"element_at(ws, p + {j})" for j in range(n))
     sh = pos.select(
-        "doc_id",
-        F.xxhash64(
-            *[F.element_at("ws", F.col("p") + j) for j in range(n)]
-        ).alias("h"),
+        "doc_id", F.expr(f"xxhash64({grams})").alias("h")
     )
     return sh.dropDuplicates(["doc_id", "h"]) if distinct else sh
 
