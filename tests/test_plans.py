@@ -381,3 +381,41 @@ def test_zvalue_expression_stays_jvm_side(spark, sf_dir):
     s = plan_str(clustered)
     assert "Python" not in s and "BatchEval" not in s, s[:1500]
     assert len(re.findall(r"\bExchange rangepartitioning", s)) == 1, s[:1500]
+
+
+def test_g01_labeling_joins_are_hash_not_sortmerge(spark, sf_dir):
+    """r15: the component-labeling joins (canon/comp/labeled sides — all
+    post-aggregation or checkpoint-materialized, no consumer uses order)
+    must plan as ShuffledHashJoin, not SortMergeJoin: the SMJ sorts were
+    pure waste (measured g01 0.474 -> 0.385 s at sf0.1)."""
+    s = plan_str(build("g01_dedup_components", spark, sf_dir))
+    assert "SortMergeJoin" not in s, s[:2000]
+    assert "ShuffledHashJoin" in s, s[:2000]
+
+
+def test_c01_exact_decon_hashes_without_md5(spark, sf_dir):
+    """r15: exact decontamination hashes n-grams with variadic xxhash64
+    over the word columns — no 13-gram string materialization, no md5
+    (the join needs equality only; measured c01 0.309 -> 0.257 s). A
+    regression back to md5-of-concat_ws fails here."""
+    s = plan_str(build("c01_decontaminate", spark, sf_dir))
+    assert "xxhash64" in s, s[:2000]
+    assert "md5" not in s, s[:2000]
+
+
+def test_media_kernels_filter_modality_jvm_side(spark, sf_dir):
+    """r15: the media feature kernels must filter kind and prune columns
+    JVM-SIDE, below the Python node — foreign modalities' binary payloads
+    crossing the Arrow boundary just to be dropped in Python was the
+    guide-§4 pruning miss this round fixed."""
+    from ducktales_spark.multimodal import image_features, synth_media
+
+    media = synth_media(table(spark, sf_dir, "documents"), "doc_id")
+    s = plan_str(image_features(media))
+    assert re.search(r"Filter .*kind#\d+ = image", s), s[:2000]
+    # only (media_id, data) reach the kernel: meta/kind are pruned before
+    # the Python boundary
+    m = re.search(r"MapInPandas run\(([^)]*)\)#\d+, \[media_id", s)
+    assert m, s[:2000]
+    kernel_inputs = m.group(1)
+    assert "meta" not in kernel_inputs and "kind" not in kernel_inputs, s[:2000]
