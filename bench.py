@@ -49,6 +49,30 @@ HEADLINE = [
     "x02_event_windows",
 ]
 
+# Non-headline pipeline operators (r15 verdict item 1): the LLM-data-pipeline
+# surfaces where the recent optimization work actually lives (exact/fuzzy
+# decontamination, packing, connected components, media kernels, IVF family,
+# vector-index build+probe). None is in the HEADLINE set, so without this
+# section a regression in any of them would be driver-invisible. Timed in a
+# separate additions-only section ("pipeline_ops" in the artifact) with the
+# SAME prepared-exec min-of-reps protocol as the headline queries; the
+# headline metric and its cross-round comparability are untouched. For the
+# scenario ops (g01's convergence loop, e02's centroid collect, v01's index
+# build) the builder fn() itself runs Spark jobs; that scenario cost is
+# reported separately per op in "pipeline_ops_build" — the exec number is
+# the first execution of the final prepared plan, matching the headline
+# metric's definition (v01's exec is therefore its PROBE, per the verdict).
+PIPELINE_OPS = [
+    "c01_decontaminate",
+    "c04_pack_strict",
+    "c05_decontaminate_fuzzy",
+    "c07_decontaminate_both",
+    "g01_dedup_components",
+    "m02_media_features",
+    "e02_ivf_family",
+    "v01_vector_index_probe",
+]
+
 
 _LOAD_WARN = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "4.0"))
 
@@ -121,11 +145,24 @@ def main() -> None:
     # ~0.3 s across the sf0.1 suite, 0.14 s of it d03's ~500-operator
     # tree, contradicting the metric's stated definition. spark_pass now
     # forces planning outside the window; see _prepared_exec.)
+    # min-of-N (r15 verdict item 5): the one-shot sample this used to be is
+    # JIT/GC-noisy (measured 2.23 s one-shot vs 0.895 s min-of-7 in the same
+    # session), so plan_build now reports the per-query MIN over
+    # SPARK_GRAFT_PLAN_REPS rebuilds — the steady-state rebuild cost the
+    # metric's definition claims. The first rebuild's numbers (the old
+    # one-shot quantity, comparable to pre-r16 artifacts) are kept in
+    # plan_build_first/plan_build_first_total.
+    plan_reps = int(os.environ.get("SPARK_GRAFT_PLAN_REPS", "5"))
     build: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _prepared_exec(specs[name].fn(spark, sf_dir))
-        build[name] = round(time.perf_counter() - t0, 3)
+    build_first: dict[str, float] = {}
+    for rep in range(plan_reps):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _prepared_exec(specs[name].fn(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            if rep == 0:
+                build_first[name] = dt
+            build[name] = min(build.get(name, dt), dt)
 
     # Repeat-until-stable-min timed runs at the target SF: the host has heavy
     # EXTERNAL load noise (loadavg spikes >10 with nothing of ours running;
@@ -204,6 +241,13 @@ def main() -> None:
                 "queries": timings,
                 "plan_build": build,
                 "plan_build_total": round(sum(build.values()), 3),
+                "plan_build_reps": plan_reps,
+                # first-rebuild sample = the pre-r16 one-shot quantity,
+                # kept for cross-round comparability
+                "plan_build_first": build_first,
+                "plan_build_first_total": round(
+                    sum(build_first.values()), 3
+                ),
                 "duckdb_twin": twin,
                 "spark_matched_total": matched,
                 "ratio_vs_twin": (
@@ -215,6 +259,10 @@ def main() -> None:
                     _DISCLOSED_BAND_SF01 if sf == "0.1" else None
                 ),
                 "lake_ops": lake_ops(spark, sf_dir),
+                "pipeline_ops": (pipe := pipeline_ops_pass(spark, specs, sf_dir))[
+                    "exec"
+                ],
+                "pipeline_ops_build": pipe["build"],
                 # the non-stock session configs tune_for_input applied —
                 # echoed so every artifact records exactly what it ran
                 # under (see README's bench section for the measured
@@ -228,6 +276,23 @@ def main() -> None:
                         "spark.sql.constraintPropagation.enabled",
                     )
                 },
+                # Scaling-probe contract (r15 verdict item 2): the session
+                # honors $SPARK_GRAFT_CPUS (session.py builds
+                # local[$SPARK_GRAFT_CPUS]), but tune_for_input sizes
+                # shuffle partitions by INPUT volume with a floor of 8 — so
+                # at an SF small enough for the floor to bind, an 8-core and
+                # a 32-core run execute identical 8-task stages and per-query
+                # ratios land ~1 BY CONSTRUCTION, not because the core count
+                # is ignored. These fields let the driver's scaling probe
+                # tell the two apart: when partition_floor_binding is true
+                # at this SF, ~1 ratios carry no scaling signal (run the
+                # low-core comparison at an SF with >= 2x cores of work —
+                # sf1 via tools/replicate_sf.py — to see real scaling).
+                "cpus": spark.sparkContext.defaultParallelism,
+                "partition_floor_binding": (
+                    int(spark.conf.get("spark.sql.shuffle.partitions"))
+                    < spark.sparkContext.defaultParallelism
+                ),
                 "loadavg": loadavg,
                 "loadavg_passes": loads,
                 "pass_totals": pass_totals,
@@ -506,6 +571,56 @@ def _lake_ops_run(spark, sf_dir: str, lake) -> dict:
 
     t["total"] = round(sum(t.values()), 3)
     return t
+
+
+def pipeline_ops_pass(spark, specs, sf_dir: str, reps: int = None) -> dict:
+    """Non-headline pipeline-operator timings (see PIPELINE_OPS): the same
+    prepared-exec min-of-reps protocol as the headline queries — per rep,
+    build the query fresh, force planning outside the timed window
+    (_prepared_exec), time the first execution of the prepared count plan;
+    report the per-op min. "build" is the min observed fn()+planning time,
+    which for the scenario ops (g01 component loop, e02 centroid collect,
+    v01 index build) includes their real Spark scenario jobs — reported
+    separately so exec stays the headline-comparable quantity.
+
+    Interleaved (op-major inside each rep) like the headline pass, so host
+    load drift hits every op equally. One warmup sweep first: JIT, codegen
+    cache, Python worker pool — identical rationale to the headline warmup.
+    v01 builds its index in a fresh temp dir per call; the ones created
+    during this pass are reclaimed at the end."""
+    import glob
+    import shutil
+    import tempfile
+
+    reps = reps or int(os.environ.get("SPARK_GRAFT_PIPELINE_REPS", "5"))
+    vidx_pre = set(
+        glob.glob(os.path.join(tempfile.gettempdir(), "ducktales_vidx_*"))
+    )
+    exec_best: dict[str, float] = {}
+    build_best: dict[str, float] = {}
+    try:
+        for name in PIPELINE_OPS:  # warmup sweep
+            specs[name].fn(spark, sf_dir).count()
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            for name in PIPELINE_OPS:
+                t0 = time.perf_counter()
+                cagg = _prepared_exec(specs[name].fn(spark, sf_dir))
+                tb = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                cagg.collect()
+                dt = round(time.perf_counter() - t0, 3)
+                build_best[name] = min(build_best.get(name, tb), tb)
+                exec_best[name] = min(exec_best.get(name, dt), dt)
+    finally:
+        for d in (
+            set(glob.glob(os.path.join(tempfile.gettempdir(), "ducktales_vidx_*")))
+            - vidx_pre
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+    exec_best["total"] = round(sum(exec_best.values()), 3)
+    build_best["total"] = round(sum(build_best.values()), 3)
+    return {"exec": exec_best, "build": build_best}
 
 
 if __name__ == "__main__":

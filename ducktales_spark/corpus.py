@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 # Same md5-derived 60-bit hash the dedup sketches use: both Spark and
 # DuckDB compute it identically (DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT),
-# so every operator here is expressible as differential-test SQL.
+# so mix_corpus / split_corpus / pack_sequences / write_training_shards —
+# whose OUTPUT depends on the hash value (keep/assign/order decisions) —
+# are expressible as differential-test SQL. decontaminate's exact path is
+# the exception: it hashes n-grams with xxhash64 (which DuckDB cannot
+# reproduce) because its join needs equality only, and its differential
+# holds via hash-agnostic per-doc counts, not hash value parity.
 _H64 = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
 
 

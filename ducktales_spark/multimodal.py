@@ -314,7 +314,13 @@ def synth_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sample i is ``((id*131 + 11*i) % 16384) - 8192``. Closed form (rather
     than a seeded RNG) so downstream features are re-derivable by plain SQL:
     the driver's DuckDB oracle recomputes them from the spec (m01/m02), and
-    tests assert exact values."""
+    tests assert exact values.
+
+    CONTRACT: kind = PYTHON ``id % 3`` (non-negative for any id, unlike
+    Spark's sign-preserving ``%``) — _media_kind's branch pre-filters
+    (``pmod(doc_id, 3)``) and m01/m02's oracle SQL re-derive the kind from
+    this rule; changing it desynchronizes those filters from the
+    generator."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

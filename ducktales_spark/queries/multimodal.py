@@ -37,9 +37,16 @@ def _media_kind(spark: SparkSession, sf_dir: str, rem: int) -> DataFrame:
     multimodal.py fixes (kernel-side kind filter/column prune and the
     shuffle-partition-sized generator — the task-floor cut is the larger
     local share; this pre-filter is what scales, since real corpora pay
-    per-byte, not per-task)."""
+    per-byte, not per-task).
+
+    pmod, not %: synth_media assigns kind with Python's non-negative
+    ``mid % 3``, while Spark's ``%`` is sign-preserving — under ``%`` a
+    negative doc_id would match NO branch and silently vanish from m02
+    even though the generator classifies it as a real modality. pmod
+    matches the generator's modulo for every id (r16 ADVICE fix; identical
+    results on the non-negative driver corpus, oracle-verified)."""
     docs = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == rem
+        F.pmod(F.col("doc_id"), F.lit(3)) == rem
     )
     return synth_media(docs, "doc_id")
 

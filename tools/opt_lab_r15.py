@@ -159,13 +159,19 @@ def main() -> None:
         (n, fn if fn is not None else base_fn) for n, fn in EXPERIMENTS[exp]
     ]
 
-    # parity check first (against the baseline), at the lab SF
+    # parity check first (against the baseline), at the lab SF — a variant
+    # that fails is actually REMOVED from the timing loop (its numbers must
+    # never appear next to the baseline's as if they were a valid win)
     base_df = base_fn(spark, SF_DIR)
+    passing = [variants[0]]
     for n, fn in variants[1:]:
         ok = parity(base_df, fn(spark, SF_DIR))
         print(f"parity {n}: {ok}", flush=True)
-        if not ok:
-            print("PARITY FAILURE — variant dropped", flush=True)
+        if ok:
+            passing.append((n, fn))
+        else:
+            print(f"PARITY FAILURE — {n} dropped from timing", flush=True)
+    variants = passing
 
     # warmup each variant once
     for _, fn in variants:
