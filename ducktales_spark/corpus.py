@@ -274,14 +274,9 @@ def benchmark_bands(
     LSH bands carrying the signature — (band_id, band_key, __bench_id,
     __bench_sig). Streaming ingest computes this ONCE and reuses it per
     micro-batch (the fuzzy analog of benchmark_ngrams)."""
-    from ducktales_spark.queries.dedup import (
-        minhash_band_table,
-        minhash_signatures,
-    )
+    from ducktales_spark.queries.dedup import minhash_bands
 
-    return minhash_band_table(
-        minhash_signatures(bench, id_col=id_col, text_col=text_col)
-    ).select(
+    return minhash_bands(bench, id_col=id_col, text_col=text_col).select(
         "band_id",
         "band_key",
         F.col("doc_id").alias("__bench_id"),
@@ -303,17 +298,11 @@ def _fuzzy_counts(
     to >= 1 benchmark doc clears ``threshold``. A pair colliding in k bands
     appears k times in the candidate join; count_distinct/max make the
     duplicates harmless without a distinct() shuffle."""
-    from ducktales_spark.queries.dedup import (
-        est_jaccard,
-        minhash_band_table,
-        minhash_signatures,
-    )
+    from ducktales_spark.queries.dedup import est_jaccard, minhash_bands
 
     if bench_bands is None:
         bench_bands = benchmark_bands(bench, id_col, text_col)
-    bands = minhash_band_table(
-        minhash_signatures(docs, id_col=id_col, text_col=text_col)
-    )
+    bands = minhash_bands(docs, id_col=id_col, text_col=text_col)
     scored = bands.join(
         _bench_side(bench_bands, max_broadcast_bytes,
                     probe_unknown=probe_unknown),

@@ -33,37 +33,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """For each node u: m = min(N(u) ∪ {u}); connect strictly larger
-    neighbors to m. Input/output: undirected edge list (u, v), u != v."""
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round, window-formulated.
+
+    Set-identical to the textbook groupBy-min + join formulation (r15 shape)
+    round for round, but the physical plan is 3 exchanges and ZERO joins
+    instead of 11 exchanges + 4 SortMergeJoins (r16 measured; the join
+    build recomputed the large-star subtree on every reference because
+    filter pushdown and distinct-elimination de-canonicalized the
+    otherwise-shared exchanges — guide §2.4's "check explain() for
+    Exchange nodes you did not expect"):
+
+    * large star: m = min(N(u) ∪ {u}) per node via ``min(v) OVER
+      (PARTITION BY u)`` — the per-group min rides the ONE hash(u)
+      exchange instead of a groupBy + re-join; strictly larger neighbors
+      connect to m.
+    * the inter-star ``distinct()`` is dropped: small-star's min is
+      multiset-invariant and the final distinct collapses duplicate
+      emissions map-side, so the extra (u, v) exchange bought nothing.
+    * small star: large-star output rows already satisfy u > v (they are
+      (v_old, m) with m <= u_old < v_old), so the greatest/least
+      re-direction is the identity and is skipped; the per-center min is
+      again a window over the hash(u) exchange, and each row emits BOTH
+      its neighbor edge (v, m) and its center edge (u, m) through one
+      explode — duplicate center emissions (one per edge row instead of
+      one per center) are collapsed by the final distinct's partial
+      aggregate before they reach the wire.
+
+    Input: undirected edge list (u, v) with u != v. Output: canonical
+    (distinct, self-loop-free) edge set of the next round.
+    """
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("u")
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
-        "u", F.least("mv", "u").alias("m")
-    )
-    return (
-        sym.join(m, "u")
+    ls = (
+        sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
-
-
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Direct each edge high->low; for each center u: m = min(smaller
-    neighborhood ∪ {u}); connect u and its smaller neighbors to m."""
-    directed = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    )
-    m = directed.groupBy("u").agg(F.min("v").alias("m"))
-    nbrs = directed.join(m, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    )
-    centers = m.select(F.col("u"), F.col("m").alias("v"))
+    sm = ls.withColumn("m", F.min("v").over(wu))
     return (
-        nbrs.unionByName(centers)
+        sm.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -100,12 +121,24 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
-        # converged iff the edge set is unchanged: compare symmetric
-        # difference (one aggregate each way; both sides are checkpointed)
+        # LAZY checkpoint: the convergence job below is nxt's first action,
+        # so it materializes the checkpoint as a side effect — one Spark job
+        # per round does round-compute + truncation + convergence test,
+        # where eager checkpoint + two-way exceptAll cost 2-3 jobs per
+        # round. (Sources are deterministic parquet, so the lazy
+        # materialization is safe.)
+        nxt = _star_round(cur).localCheckpoint(eager=False)
+        # converged iff the edge set is unchanged. Both sides are distinct
+        # sets, so the exact symmetric-difference test is ONE tagged-union
+        # aggregate (a row is in both sides iff its tag-sum is 3).
         changed = (
-            nxt.exceptAll(cur).limit(1).count()
-            or cur.exceptAll(nxt).limit(1).count()
+            cur.withColumn("__t", F.lit(1))
+            .unionByName(nxt.withColumn("__t", F.lit(2)))
+            .groupBy("u", "v")
+            .agg(F.sum("__t").alias("__s"))
+            .filter(F.col("__s") != 3)
+            .limit(1)
+            .count()
         )
         cur = nxt
         if not changed:

@@ -218,6 +218,79 @@ def minhash_signatures(
     )
 
 
+def _minhash_bands_sql(n_part: int, id_col: str, text_col: str) -> str:
+    """``minhash_band_table(minhash_signatures(docs))`` as ONE SQL string
+    (template slot {docs}) — the same logical plan built in a single
+    spark.sql round trip instead of ~300 py4j Column calls (32 affine-MIN
+    aggregates + 8 band structs + the shingle explode). Same precedent as
+    d02/d03's SQL builds: the parsed tree is identical operator for
+    operator (repartition hint = the DataFrame repartition; the h64->h
+    pre-projection is inlined into each aggregate, which Catalyst's
+    subexpression elimination collapses right back), so this is pure
+    build-latency work — r16 measured the DataFrame-API build at ~0.7 s
+    of the c05/c07 pipeline_ops_build numbers, ~0.2 s as SQL."""
+    mins = ",\n        ".join(
+        f"min(pmod({a}L * pmod(h64, {_P}) + {b}L, {_P})) AS m{i}"
+        for i, (a, b) in enumerate(_HASH_AB)
+    )
+    sig = "array(" + ", ".join(f"m{i}" for i in range(_NUM_HASHES)) + ")"
+    n_bands = _NUM_HASHES // _BAND_ROWS
+    bands = ", ".join(
+        "struct({i} AS band_id, concat_ws('-', {cols}) AS band_key)".format(
+            i=i,
+            cols=", ".join(
+                f"sig[{i * _BAND_ROWS + j}]" for j in range(_BAND_ROWS)
+            ),
+        )
+        for i in range(n_bands)
+    )
+    return f"""
+    WITH src AS (
+      SELECT /*+ REPARTITION({n_part}, doc_id) */
+             `{id_col}` AS doc_id, `{text_col}` AS text FROM {{docs}}
+    ),
+    toks AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM src
+      ) WHERE size(ws) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             cast(conv(substr(md5(concat_ws(' ',
+               element_at(ws, p), element_at(ws, p + 1), element_at(ws, p + 2)
+             )), 1, 15), 16, 10) as bigint) AS h64
+      FROM (SELECT doc_id, ws,
+                   explode(sequence(1, size(ws) - 2)) AS p FROM toks)
+    ),
+    sig AS (
+      SELECT doc_id, {sig} AS sig FROM (
+        SELECT doc_id,
+        {mins}
+        FROM sh GROUP BY doc_id
+      )
+    )
+    SELECT doc_id, sig, band.band_id, band.band_key FROM (
+      SELECT doc_id, sig, explode(array({bands})) AS band FROM sig
+    )
+    """
+
+
+def minhash_bands(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig, band_id, band_key) exploded LSH bands straight from the
+    raw documents — semantically ``minhash_band_table(minhash_signatures(
+    docs))``, built as one spark.sql call (see _minhash_bands_sql). The hot
+    entry point for the fuzzy-decontamination builders (corpus._fuzzy_counts,
+    corpus.benchmark_bands, streaming dedup's per-batch bands); callers that
+    need a custom shingle table keep using the two-step composition."""
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return spark.sql(
+        _minhash_bands_sql(n_part, id_col, text_col), docs=docs
+    )
+
+
 def minhash_band_table(sig: DataFrame) -> DataFrame:
     """(doc_id, sig) -> (doc_id, sig, band_id, band_key) exploded LSH bands.
 

@@ -44,8 +44,7 @@ from pyspark.sql import functions as F
 from ducktales_spark.lake import LakeCatalog
 from ducktales_spark.queries.dedup import (
     est_jaccard,
-    minhash_band_table,
-    minhash_signatures,
+    minhash_bands,
 )
 from ducktales_spark.streaming.ingest import _commit_batch, _epoch_table
 
@@ -123,7 +122,7 @@ def dedup_batch(
         docs = batch.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
-        bands = minhash_band_table(minhash_signatures(docs))
+        bands = minhash_bands(docs)
         # within-batch near-dup: greedy drop of the higher id in any
         # band-colliding pair over the threshold
         a, b = bands.alias("a"), bands.alias("b")

@@ -403,6 +403,53 @@ def test_c01_exact_decon_hashes_without_md5(spark, sf_dir):
     assert "md5" not in s, s[:2000]
 
 
+def test_g01_star_round_is_window_fused(spark, sf_dir):
+    """r16: one large+small star round must plan as the window-fused shape
+    — zero joins, <= 3 real exchanges, two per-group-min Windows — not the
+    groupBy+join formulation (11 exchanges + 4 SortMergeJoins, with the
+    large-star subtree recomputed per reference because pushdown broke
+    exchange reuse; measured g01 build 1.99 -> 1.21 s at sf0.1)."""
+    from ducktales_spark.graph import _star_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "u long, v long"
+    ).localCheckpoint()
+    s = plan_str(_star_round(edges))
+    assert "Join" not in s, s[:2000]
+    real_exchanges = len(re.findall(r"(?<!Reused)Exchange hash", s))
+    assert real_exchanges <= 3, s[:2000]
+    assert len(re.findall(r"\bWindow\b", s)) == 2, s[:2000]
+
+
+def test_fuzzy_bands_single_sql_build_plan_shape(spark, sf_dir):
+    """r16: minhash_bands (the single-spark.sql fuzzy-decon builder) must
+    produce the same plan family as the two-step DataFrame composition it
+    replaced — the 32-aggregate signature groupBy riding ONE doc_id
+    exchange, band explode on top, no Python nodes — so the c05/c07 build
+    win (0.93 -> 0.36 s) is pure driver latency, not a plan change."""
+    from ducktales_spark.queries.dedup import (
+        minhash_band_table,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    new = plan_str(minhash_bands(docs))
+    old = plan_str(minhash_band_table(minhash_signatures(docs)))
+    for s in (new, old):
+        assert "Python" not in s and "BatchEval" not in s, s[:1500]
+    # same exchange count and same aggregate count as the composition
+    cnt = lambda s, pat: len(re.findall(pat, s))  # noqa: E731
+    assert cnt(new, r"(?<!Reused)Exchange hash") == cnt(
+        old, r"(?<!Reused)Exchange hash"
+    ), new[:2000]
+    # toString truncates expression lists at spark.sql.debug.maxToStringFields
+    # (25), so assert the two counts AGREE and are the truncated 32
+    assert cnt(new, r"partial_min") == cnt(old, r"partial_min") >= 25, (
+        new[:2000]
+    )
+
+
 def test_media_kernels_filter_modality_jvm_side(spark, sf_dir):
     """r15: the media feature kernels must filter kind and prune columns
     JVM-SIDE, below the Python node — foreign modalities' binary payloads
