@@ -1686,9 +1686,25 @@ class Transaction:
         each output file then covers a narrow min/max interval, so stats
         pruning (read / UPDATE / DELETE candidate selection) skips whole
         files — the partition-pruning path at 100 TB. No explicit partition
-        count: AQE coalesces small writes to few files, big writes spread."""
+        count: AQE coalesces small writes to few files, big writes spread.
+
+        Range clustering runs the RangePartitioner's SAMPLING job over the
+        input before the write — i.e. the input plan executes TWICE. For
+        plain scans that second pass is a cheap re-read, but a plan with a
+        Python-boundary node (the vector-index build: cogrouped
+        assignment kernel) pays the whole kernel + Arrow transit again
+        (r16 measured: the v01 index build ran its assignment kernel 2x).
+        Those plans are materialized ONCE via a lazy localCheckpoint — the
+        sampling job populates executor-local blocks as a side effect and
+        the write shuffle re-reads blocks instead of recomputing; one
+        local write+read of the output bytes replaces a full re-run of
+        the upstream DAG. Kept conditional on a Python node so cheap
+        JVM-only writes keep the zero-copy path."""
         pcols = st.schemas[st.schema_version].partition_by
         if cluster and pcols and all(c in df.columns for c in pcols):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "Python" in plan or "InPandas" in plan:
+                df = df.localCheckpoint(eager=False)
             df = df.repartitionByRange(*[F.col(c) for c in pcols])
         stagedir = os.path.join(st.data_dir, f"stage-{uuid.uuid4().hex[:12]}")
         w = df.write.mode("overwrite")

@@ -307,9 +307,18 @@ def assign_buckets_distributed(
     driver object per batch on the collect path); each cogrouped partition
     then runs the identical numpy argmax kernel. This is the per-batch
     ingest path (extend / near-dup screening); build-time paths may still
-    broadcast (documented bound, vector_index.py)."""
+    broadcast (documented bound, vector_index.py).
+
+    ``n_partitions`` defaults to spark.sql.shuffle.partitions — the
+    deployment-sized parallelism knob every other operator here uses —
+    not defaultParallelism (the raw core count, which over-partitions
+    small inputs into scheduling overhead AND inflates the P x C centroid
+    replication; r16 interleaved min-of-7, parity true: sf0.1
+    0.307 -> 0.274 s, sf1 identical — both resolve to 32 there)."""
     spark = v.sparkSession
-    P = n_partitions or spark.sparkContext.defaultParallelism
+    P = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
     vp = v.withColumn("__p", F.pmod(F.col("vec_id"), F.lit(P)).cast("int"))
     # internal names on the centroid side: the two cogroup inputs may share
     # lineage (e.g. centroids filtered from the vector set itself), and
@@ -358,9 +367,13 @@ def route_coarse(
     vector emits its ``route_width`` best coarse ids instead of one argmax.
     Output: (vec_id, e, coarse_id), ``route_width`` rows per vector (fewer
     when the coarse set is smaller). Ordering matches the probe path's
-    coarse ranking: 9-dp-rounded cosine desc, ties to the lowest id."""
+    coarse ranking: 9-dp-rounded cosine desc, ties to the lowest id.
+    ``n_partitions`` defaults to spark.sql.shuffle.partitions (see
+    assign_buckets_distributed — same knob, same r16 measurement)."""
     spark = v.sparkSession
-    P = n_partitions or spark.sparkContext.defaultParallelism
+    P = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
     vp = v.withColumn("__p", F.pmod(F.col("vec_id"), F.lit(P)).cast("int"))
     cp = coarse.select(
         F.col("vec_id").alias("__cid"), F.col("e").alias("__ce")

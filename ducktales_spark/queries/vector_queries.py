@@ -14,7 +14,6 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ducktales_spark.data import stats_num_rows
 from ducktales_spark.queries.similarity import (
@@ -22,6 +21,7 @@ from ducktales_spark.queries.similarity import (
     _N_PROBE,
     _N_QUERIES,
     _TOP_K,
+    _query_vectors,
     _vectors,
     n_centroids_for,
 )
@@ -113,5 +113,10 @@ def v01_vector_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lake:" + tempfile.mkdtemp(prefix="ducktales_vidx_"), spark
     )
     build_vector_index(lake, "vidx", v, n_centroids=C)
-    queries = v.filter(F.col("vec_id") < _N_QUERIES).toPandas()
+    # same 5 query rows e01 collects — the per-(session, sf_dir) memo
+    # (similarity._query_vectors) shares the collect job. e01 caches the
+    # raw float32 embeddings while v is the double cast; both widen
+    # exactly to the same float64 matrix inside the numpy kernel, so the
+    # probe is value-identical whichever query seeded the memo.
+    queries = _query_vectors(spark, sf_dir, v)
     return probe_vector_index(lake, "vidx", queries)

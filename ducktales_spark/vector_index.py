@@ -33,13 +33,18 @@ local top-k + one tiny shuffle. Centroids here are the deterministic
 first-C vectors (same as e02; a k-means refinement would slot into build
 without changing any probe/IO shape).
 
-Driver-memory bound: NO index path materializes the C x dim centroid
-matrix driver-side anymore — build (seeding, k-means refinement, corpus
-assignment), extend, screening, and probe all run the centroid side
-distributed (cogrouped-shuffle assignment + ranked probes; only id pairs
-ever return to the driver). The one remaining driver-side centroid frame
-is the explicit pandas FACE ``kmeans_refine`` keeps for callers that
-already hold one.
+Driver-memory bound: no index path materializes an UNBOUNDED C x dim
+centroid matrix driver-side — build (seeding, k-means refinement, corpus
+assignment), extend, and screening all run the centroid side distributed
+(cogrouped-shuffle assignment; only id pairs ever return to the driver).
+Probe-side centroid RANKING short-circuits to a driver rank (one Arrow
+collect + the probe_lookup kernel) only when the catalog's metadata row
+count proves the centroid read is <= ``_COARSE_THRESHOLD`` rows — a
+bounded <= 4096 x dim matrix (~2-32 MB), the r16 fast path that removes
+two Python-boundary jobs per probe batch; larger centroid reads keep the
+distributed ranking. The one remaining unconditional driver-side centroid
+frame is the explicit pandas FACE ``kmeans_refine`` keeps for callers
+that already hold one.
 """
 
 from __future__ import annotations
@@ -63,6 +68,7 @@ from ducktales_spark.queries.similarity import (
     cosine_scores,
     n_centroids_for,
     probe_assigned,
+    probe_lookup,
 )
 
 
@@ -613,15 +619,31 @@ def probe_vector_index(
     runs.
 
     On a TWO-LEVEL index (built with C > coarse_threshold) the centroid
-    ranking itself is pruned the same way: a distributed coarse-rank pass
-    picks ``coarse_nprobe`` centroid shards per query (only |Q| x
-    coarse_nprobe id pairs reach the driver), and the fine ranking scans
+    ranking itself is pruned the same way: a coarse-rank pass picks
+    ``coarse_nprobe`` centroid shards per query, and the fine ranking scans
     just those shards of ``name__centroids`` via ``coarse_id IN (...)``
     file pruning — per-probe centroid reads drop from C rows to C_coarse +
     probed shards (~coarse_nprobe * sqrt(C)). Fine ranking runs over the
     UNION of the queries' probed shards; with ``coarse_nprobe`` >= the
-    shard count it degenerates to exactly the flat ranking."""
-    cent = lake.read(_centroid_table(name), version=version)
+    shard count it degenerates to exactly the flat ranking.
+
+    Each ranking pass (coarse and fine) short-circuits to a DRIVER-side
+    rank — one Arrow collect of the centroid read + the probe_lookup
+    numpy kernel, the bit-identical twin of the distributed ordering
+    (same 9-dp rounding, cos desc, ties to the lowest centroid id,
+    self-pairs kept) — when the catalog's METADATA row count
+    (lake.count, no Spark job) proves the read is at most
+    ``_COARSE_THRESHOLD`` rows: a bounded <= 4096 x dim driver matrix.
+    That removes two Python-boundary jobs (broadcast + Arrow kernel +
+    rank window + collect) per probe batch for every index whose
+    centroid set is small — the common case by construction, since a
+    flat index has C <= coarse_threshold (r16: v01 build-phase A/B).
+    Bigger centroid reads (a two-level fine table, or a flat index built
+    with a raised threshold) keep the distributed ranking: the tiny
+    query matrix is broadcast, every centroid partition scores +
+    local-top-nprobe's in the Arrow kernel, and only |Q| x nprobe
+    (query_id, centroid_id) PAIRS come back to the driver — never an
+    unbounded C x dim matrix (multi-GB at 10^12-vector scale)."""
     qids = queries["vec_id"].to_numpy()
     empty = lake.spark.createDataFrame(
         [], "query_id bigint, neighbor_id bigint, cos_sim double, rnk bigint"
@@ -629,48 +651,62 @@ def probe_vector_index(
     if not len(qids):
         return empty
     Q = _np(queries["e"])
-    if _coarse_table(name) in lake.tables(version):
-        # coarse-rank DISTRIBUTED over the (small) coarse table; collect
-        # only |Q| x coarse_nprobe (query, coarse shard) id pairs
-        coarse = lake.read(_coarse_table(name), version=version)
-        shard_pairs = _topk(
+
+    def rank_pairs(df: DataFrame, rows: int, k: int):
+        """[(query_id, centroid_id)] probe pairs under the canonical
+        ordering — driver-ranked iff the metadata row count is bounded."""
+        if rows <= _COARSE_THRESHOLD:
+            cpdf = df.select("vec_id", "e").toPandas()
+            if not len(cpdf):
+                return []
+            return [
+                (int(q), int(cid))
+                for cid, (qarr, _, _) in probe_lookup(
+                    queries, cpdf, k
+                ).items()
+                for q in qarr
+            ]
+        ranked = _topk(
             cosine_scores(
-                coarse.select("vec_id", "e"), qids, Q,
-                local_k=coarse_nprobe, drop_self=False,
+                df.select("vec_id", "e"), qids, Q, local_k=k, drop_self=False
             ),
-            coarse_nprobe,
-        ).select("neighbor_id").distinct().collect()
-        if not shard_pairs:
-            return empty
-        shards = ", ".join(
-            str(int(r["neighbor_id"])) for r in sorted(
-                shard_pairs, key=lambda r: int(r["neighbor_id"])
-            )
+            k,  # yields <= C rows per query by construction when C < k
         )
+        return [
+            (int(r["query_id"]), int(r["neighbor_id"]))
+            for r in ranked.select("query_id", "neighbor_id").collect()
+        ]
+
+    cent = lake.read(_centroid_table(name), version=version)
+    cent_rows = lake.count(_centroid_table(name), version=version)
+    if _coarse_table(name) in lake.tables(version):
+        coarse = lake.read(_coarse_table(name), version=version)
+        shard_ids = sorted(
+            {
+                cid
+                for _, cid in rank_pairs(
+                    coarse,
+                    lake.count(_coarse_table(name), version=version),
+                    coarse_nprobe,
+                )
+            }
+        )
+        if not shard_ids:
+            return empty
+        shards = ", ".join(str(s) for s in shard_ids)
         cent = lake.read(
             _centroid_table(name), version=version,
             where=f"coarse_id IN ({shards})",
         )
-    # Rank centroids per query DISTRIBUTIVELY: the tiny query matrix is
-    # broadcast, every centroid partition scores + local-top-nprobe's in the
-    # Arrow kernel, and only |Q| x nprobe (query_id, centroid_id) PAIRS come
-    # back to the driver — never the C x dim centroid matrix (C ~ sqrt(N):
-    # a multi-GB driver object at 10^12-vector scale). Same 9-dp-rounded
-    # ordering as probe_lookup (cos desc, centroid id asc on ties), with
-    # self-pairs kept: a query that is a centroid probes its own bucket.
-    ranked = _topk(
-        cosine_scores(
-            cent.select("vec_id", "e"), qids, Q, local_k=nprobe, drop_self=False
-        ),
-        nprobe,  # yields <= C rows per query by construction when C < nprobe
-    )
-    pairs = ranked.select("query_id", "neighbor_id").collect()
+        # the pruned fine read is <= the full fine count; that bound is
+        # what the driver-rank gate needs, so cent_rows carries over
+    pairs = rank_pairs(cent, cent_rows, nprobe)
     if not pairs:  # empty centroid table -> no buckets to probe
         return empty
     qrow = {int(q): i for i, q in enumerate(qids)}
     by_cid: dict = {}
-    for r in pairs:
-        by_cid.setdefault(int(r["neighbor_id"]), []).append(int(r["query_id"]))
+    for q, cid in pairs:
+        by_cid.setdefault(cid, []).append(q)
     lookup = {}
     for cid, qs in sorted(by_cid.items()):
         Qm = np.stack([Q[qrow[q]] for q in qs])

@@ -466,3 +466,87 @@ def test_media_kernels_filter_modality_jvm_side(spark, sf_dir):
     assert m, s[:2000]
     kernel_inputs = m.group(1)
     assert "meta" not in kernel_inputs and "kind" not in kernel_inputs, s[:2000]
+
+
+# --- r16 (r15 verdict item 6): repo-wide Python-boundary input audit -------
+
+_PYNODE = re.compile(
+    r"(?:MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas)"
+    r"\s+(?:\[[^\]]*\],\s*)*(\w+)\(([^)]*)\)"
+)
+
+
+def _python_kernel_inputs(df: DataFrame) -> list:
+    """[(kernel_fn_name, {input column base names})] for every Python node
+    in the physical plan."""
+    out = []
+    for m in _PYNODE.finditer(plan_str(df)):
+        cols = {
+            a.strip().split("#")[0]
+            for a in m.group(2).split(",")
+            if a.strip()
+        }
+        out.append((m.group(1), cols))
+    return out
+
+
+# Minimal column contract per Arrow kernel (guide §4.1: ship only the
+# columns the function needs). Keyed by kernel function name; a plan whose
+# Python node feeds anything outside its set (e.g. media `meta`, a text
+# column riding a vector kernel) fails — the m02 fat-boundary bug class,
+# pinned repo-wide.
+_KERNEL_ALLOWED = {
+    "gen": {"doc_id"},                       # multimodal synth generator
+    "run": {"vec_id", "e", "centroid_id",    # cosine/probe kernels
+            "media_id", "data"},             # media feature kernels
+    "pack": {"__h", "chunk", "chunk_id", "doc_id",
+             "n_chunk_tokens", "shard"},     # c04 sequence packing
+    "assign": {"vec_id", "e", "__p", "__cid", "__ce"},  # cogroup assignment
+    "route": {"vec_id", "e", "__p", "__cid", "__ce"},
+    "fine_assign": {"vec_id", "e", "__shard", "__cid", "__ce"},
+    "bucket_pairs": {"vec_id", "e", "centroid_id"},
+    "bucket_cross": {"vec_id", "e", "centroid_id", "is_new", "__salt"},
+}
+
+
+def test_python_boundary_inputs_minimal_repo_wide(spark, sf_dir):
+    """r16 sweep (generalizing the m02 modality test): every Python-boundary
+    node in every Arrow-kernel query plan must receive only its kernel's
+    minimal column set. Covers the registered kernel queries (e01, e02,
+    m01, m02, c04) plus the cogrouped assignment kernel that only appears
+    inside the v01 build (consumed by the index ctas, so absent from any
+    registered query's returned plan)."""
+    from ducktales_spark.queries.similarity import (
+        _vectors,
+        assign_buckets_distributed,
+    )
+
+    dfs = {
+        name: build(name, spark, sf_dir)
+        for name in (
+            "e01_cosine_topk",
+            "e02_ivf_family",
+            "m01_media_catalog",
+            "m02_media_features",
+            "c04_pack_strict",
+        )
+    }
+    v = _vectors(spark, sf_dir)
+    dfs["assign_buckets_distributed"] = assign_buckets_distributed(
+        v, v.filter(F.col("vec_id") < 16)
+    )
+    seen = 0
+    for qname, df in dfs.items():
+        for kname, cols in _python_kernel_inputs(df):
+            seen += 1
+            allowed = _KERNEL_ALLOWED.get(kname)
+            assert allowed is not None, (
+                f"{qname}: unregistered Python kernel {kname}({cols}) — "
+                "add its minimal input contract to _KERNEL_ALLOWED"
+            )
+            extra = cols - allowed
+            assert not extra, (
+                f"{qname}: kernel {kname} receives non-minimal columns "
+                f"{sorted(extra)} (allowed: {sorted(allowed)})"
+            )
+    assert seen >= 10, f"sweep matched only {seen} Python nodes — regex rot?"
