@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _star_round(edges: DataFrame) -> DataFrame:
+def _star_round(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """One large-star + small-star round, window-formulated.
 
     Set-identical to the textbook groupBy-min + join formulation (r15 shape)
@@ -60,8 +60,16 @@ def _star_round(edges: DataFrame) -> DataFrame:
       one per center) are collapsed by the final distinct's partial
       aggregate before they reach the wire.
 
-    Input: undirected edge list (u, v) with u != v. Output: canonical
-    (distinct, self-loop-free) edge set of the next round.
+    Input: undirected edge list (u, v) with u != v. Output: the next
+    round's edge set — canonical (distinct, self-loop-free) when ``dedup``
+    is True. ``dedup=False`` skips the trailing ``distinct()`` and emits a
+    MULTISET with the same underlying set: every consumer inside the
+    convergence loop is multiset-invariant (window mins, per-row filters,
+    per-row emissions), so the INTERMEDIATE round of a fused round pair
+    can drop its dedup exchange entirely — duplicates (bounded at <= 2x
+    the input rows: |ls| = |edges| and the explode doubles it) ride one
+    extra round of windows instead of paying a full (u, v) exchange.
+    Only the pair's final round dedups (r16 fused-loop A/B below).
     """
     from pyspark.sql import Window as W
 
@@ -75,7 +83,7 @@ def _star_round(edges: DataFrame) -> DataFrame:
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
     sm = ls.withColumn("m", F.min("v").over(wu))
-    return (
+    out = (
         sm.select(
             F.explode(
                 F.array(
@@ -86,8 +94,8 @@ def _star_round(edges: DataFrame) -> DataFrame:
         )
         .select("e.u", "e.v")
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def connected_components(
@@ -120,23 +128,33 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
-        # LAZY checkpoint: the convergence job below is nxt's first action,
-        # so it materializes the checkpoint as a side effect — one Spark job
-        # per round does round-compute + truncation + convergence test,
-        # where eager checkpoint + two-way exceptAll cost 2-3 jobs per
-        # round. (Sources are deterministic parquet, so the lazy
-        # materialization is safe.)
-        nxt = _star_round(cur).localCheckpoint(eager=False)
-        # converged iff the edge set is unchanged. Both sides are distinct
-        # sets, so the exact symmetric-difference test is ONE tagged-union
-        # aggregate (a row is in both sides iff its tag-sum is 3).
+    for _ in range((max_rounds + 1) // 2):  # each iteration = 2 rounds
+        # TWO star rounds per Spark job (r16 fused loop): at every SF the
+        # per-round job is dominated by fixed job overhead (DAG submission
+        # + scheduling of a 3-exchange job), so round k+1 is computed
+        # directly on round k's not-yet-materialized output inside the
+        # SAME job. The intermediate round skips its dedup (multiset-safe,
+        # see _star_round); both rounds' checkpoints are LAZY and are
+        # materialized as a side effect of the convergence count — one
+        # Spark job per PAIR does 2x round-compute + truncation +
+        # convergence test. Interleaved min-of-N A/B vs the single-round
+        # loop, parity true at every SF: g01 build 1.66 -> 1.26 s at
+        # sf0.1, 1.99 -> 1.57 s at sf1, 5.70 -> 3.63 s at sf10 (and the
+        # job count per build drops 10 -> 8 at 4 rounds).
+        mid = _star_round(cur, dedup=False).localCheckpoint(eager=False)
+        nxt = _star_round(mid).localCheckpoint(eager=False)
+        # Converged iff set(mid) == set(nxt) — i.e. one application of
+        # _star_round left the edge set unchanged, the exact original
+        # criterion, tested one round EARLIER than comparing cur vs nxt.
+        # mid is a multiset, so the one-aggregate set-equality test checks
+        # presence-of-both-tags per (u, v) via min/max (a tag-SUM would
+        # break on duplicate mid rows).
         changed = (
-            cur.withColumn("__t", F.lit(1))
-            .unionByName(nxt.withColumn("__t", F.lit(2)))
+            mid.select("u", "v", F.lit(1).alias("__t"))
+            .unionByName(nxt.select("u", "v", F.lit(2).alias("__t")))
             .groupBy("u", "v")
-            .agg(F.sum("__t").alias("__s"))
-            .filter(F.col("__s") != 3)
+            .agg(F.min("__t").alias("__lo"), F.max("__t").alias("__hi"))
+            .filter((F.col("__lo") != 1) | (F.col("__hi") != 2))
             .limit(1)
             .count()
         )

@@ -79,6 +79,33 @@ def test_all_self_loops(spark):
     assert got == {3: 3, 8: 8}
 
 
+def test_convergence_loop_fuses_two_rounds_per_job(spark, monkeypatch):
+    """r16: the convergence loop must advance TWO star rounds per Spark
+    job (round k+1 built on round k's lazy checkpoint, convergence tested
+    between the pair's outputs) with the intermediate round skipping its
+    dedup — halving the per-build job count for the same total compute.
+    Counts _star_round calls: every odd call must be the dedup=False
+    intermediate of a pair, and the result must still be exact."""
+    import ducktales_spark.graph as G
+
+    calls = {"total": 0, "mid_nodedup": 0}
+    orig = G._star_round
+
+    def counting(edges, dedup=True):
+        calls["total"] += 1
+        if not dedup:
+            calls["mid_nodedup"] += 1
+        return orig(edges, dedup)
+
+    monkeypatch.setattr(G, "_star_round", counting)
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["component"] for r in G.connected_components(df).collect()}
+    assert set(out.values()) == {0} and len(out) == 61
+    assert calls["total"] > 0 and calls["total"] % 2 == 0
+    assert calls["mid_nodedup"] == calls["total"] // 2
+
+
 def test_dedup_components_absent_pair_ids(spark):
     # pairs reference ids not in docs (0 and 10): the canonical id must be
     # the min PRESENT member, so no cluster silently loses its survivor

@@ -421,6 +421,26 @@ def test_g01_star_round_is_window_fused(spark, sf_dir):
     assert len(re.findall(r"\bWindow\b", s)) == 2, s[:2000]
 
 
+def test_g01_star_round_mid_variant_skips_dedup_exchange(spark, sf_dir):
+    """r16 fused loop: the INTERMEDIATE round of a fused round pair
+    (dedup=False) must drop the trailing distinct — no Aggregate, <= 2
+    real exchanges (the two window shuffles only). Its duplicates are
+    multiset-safe for the next round's windows and are collapsed by the
+    pair's final distinct (measured with the 2-rounds-per-job loop: g01
+    build 1.66 -> 1.26 s sf0.1, 5.70 -> 3.63 s sf10, parity true)."""
+    from ducktales_spark.graph import _star_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "u long, v long"
+    ).localCheckpoint()
+    s = plan_str(_star_round(edges, dedup=False))
+    assert "Join" not in s, s[:2000]
+    assert "Aggregate" not in s, s[:2000]
+    real_exchanges = len(re.findall(r"(?<!Reused)Exchange hash", s))
+    assert real_exchanges <= 2, s[:2000]
+    assert len(re.findall(r"\bWindow\b", s)) == 2, s[:2000]
+
+
 def test_fuzzy_bands_single_sql_build_plan_shape(spark, sf_dir):
     """r16: minhash_bands (the single-spark.sql fuzzy-decon builder) must
     produce the same plan family as the two-step DataFrame composition it
